@@ -1,0 +1,56 @@
+"""BM25 scoring math — Tantivy-compatible constants and formula.
+
+Tantivy 0.25 (the reference's pinned scorer, ``tantivy_index_manager.py:66``)
+scores with Lucene-style BM25:
+
+    idf(t)   = ln(1 + (N - df + 0.5) / (df + 0.5))
+    tfn(t,d) = tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    score    = Σ_t idf(t) * tfn(t, d)
+
+with k1 = 1.2, b = 0.75, ``dl`` the 1-byte-quantized field length
+(:mod:`code_indexer_ray.index.fieldnorm`) and ``avgdl`` the *exact*
+total token count / N.  The formula below is written with the exact same
+operation order as the oracle SQL so double results agree bitwise except for
+last-ulp ln() differences (handled by rounding in cross-checks).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+K1 = 1.2
+B = 0.75
+
+
+def idf(df: np.ndarray | int, n_docs: int) -> np.ndarray | float:
+    """ln(1 + (N - df + 0.5)/(df + 0.5))"""
+    df = np.asarray(df, dtype=np.float64)
+    return np.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+
+def tf_norm(tf: np.ndarray, dl: np.ndarray, avgdl: float) -> np.ndarray:
+    """tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) — vectorized."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / avgdl))
+
+
+def term_score(tf: np.ndarray, dl: np.ndarray, df: int, n_docs: int, avgdl: float) -> np.ndarray:
+    return idf(df, n_docs) * tf_norm(tf, dl, avgdl)
+
+
+def term_upper_bound(max_tf: float, min_dl: float, df: int, n_docs: int, avgdl: float) -> float:
+    """Upper bound on a term's contribution (MaxScore / block-max pruning).
+
+    ``tfn`` is increasing in tf and decreasing in dl, so (max_tf, min_dl) of a
+    block (or whole list) bounds every posting in it.
+    """
+    return float(idf(df, n_docs) * tf_norm(np.array([max_tf]), np.array([min_dl]), avgdl)[0])
+
+
+def sql_score_expr(tf: str, dl: str, df: str, n: str, avgdl: str) -> str:
+    """DuckDB expression computing the identical formula (oracle twin)."""
+    return (
+        f"ln(1 + ({n} - {df} + 0.5) / ({df} + 0.5)) * "
+        f"({tf} * (1.2 + 1.0) / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / {avgdl})))"
+    )

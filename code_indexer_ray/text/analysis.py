@@ -1,0 +1,123 @@
+"""Tantivy-default-compatible text analysis, vectorized over Arrow.
+
+The reference's ``content`` field uses Tantivy's default analyzer
+(SimpleTokenizer → RemoveLongFilter(40) → LowerCaser; schema declared at
+reference ``services/tantivy_index_manager.py:96-103``):
+
+1. split on runs of non-alphanumeric characters,
+2. drop raw tokens whose UTF-8 byte length is >= 40,
+3. lowercase.
+
+We express "alphanumeric" as the RE2 class ``[\\p{L}\\p{N}]`` so the exact
+same pattern runs in pyarrow (RE2) on the engine side and in DuckDB (RE2) on
+the oracle side — deterministic parity by construction.
+
+All kernels take/return Arrow arrays (zero-copy from the Ray object store);
+no per-row Python in the hot path.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+#: RE2 pattern of token *separators* (complement of alphanumeric).
+TOKEN_SEPARATOR_RE = r"[^\p{L}\p{N}]+"
+#: Raw tokens with UTF-8 byte length >= this are dropped (Tantivy RemoveLongFilter(40)).
+MAX_TOKEN_BYTES = 40
+
+
+def tokenize_flat(texts: pa.Array | pa.ChunkedArray) -> tuple[pa.Array, np.ndarray]:
+    """Tokenize a column of texts.
+
+    Returns ``(tokens, row_indices)`` where ``tokens`` is a flat Arrow string
+    array of lowercased tokens and ``row_indices[i]`` is the input row the
+    i-th token came from.  Rows producing no tokens simply don't appear.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    token_lists = pc.split_pattern_regex(texts, pattern=TOKEN_SEPARATOR_RE)
+    flat = pc.list_flatten(token_lists)
+    parents = pc.list_parent_indices(token_lists).to_numpy(zero_copy_only=False)
+    nbytes = pc.binary_length(flat)  # byte length (RemoveLongFilter counts UTF-8 bytes)
+    keep = pc.and_(pc.greater(nbytes, 0), pc.less(nbytes, MAX_TOKEN_BYTES))
+    keep_np = keep.to_numpy(zero_copy_only=False)
+    tokens = pc.utf8_lower(flat.filter(keep))
+    return tokens, parents[keep_np]
+
+
+def token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
+    """Per-row token count (after the length filter) — the BM25 field length."""
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    _, parents = tokenize_flat(texts)
+    counts = np.zeros(len(texts), dtype=np.int64)
+    if len(parents):
+        np.add.at(counts, parents, 1)
+    return counts
+
+
+def term_frequencies(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray]:
+    """Tokenize a batch and aggregate to (term, row, tf) triples.
+
+    Returns ``(terms, row_indices, tfs, row_token_counts)`` where the first
+    three are parallel (one entry per distinct (row, term) pair) and
+    ``row_token_counts[r]`` is the total token count of input row ``r``
+    (0 for rows with no tokens).  Aggregation uses Arrow's hash group-by —
+    vectorized, no Python loop over tokens.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    tokens, parents = tokenize_flat(texts)
+    row_counts = np.zeros(len(texts), dtype=np.int64)
+    if len(parents):
+        np.add.at(row_counts, parents, 1)
+    if len(tokens) == 0:
+        return (
+            pa.array([], type=pa.string()),
+            np.empty(0, dtype=np.int64),
+            np.empty(0, dtype=np.int64),
+            row_counts,
+        )
+    tbl = pa.table({"row": pa.array(parents, type=pa.int64()), "term": tokens})
+    grouped = tbl.group_by(["row", "term"], use_threads=False).aggregate([("term", "count")])
+    return (
+        grouped["term"].combine_chunks(),
+        grouped["row"].to_numpy(zero_copy_only=False),
+        grouped["term_count"].to_numpy(zero_copy_only=False).astype(np.int64),
+        row_counts,
+    )
+
+
+def tokenize_query(query_text: str) -> list[str]:
+    """Tokenize a single query term the way the index analyzed documents.
+
+    The reference splits the raw query on whitespace first (AND semantics per
+    word, ``tantivy_index_manager.py:344``) and each word is then analyzed by
+    the index tokenizer; this helper applies the index analyzer to one word.
+    """
+    import re
+
+    # Python `re` lacks \p classes; [^\W_] == unicode alnum (\w minus '_'),
+    # equivalent to [\p{L}\p{N}] plus marks — identical on ASCII and on all
+    # common text; documented approximation for exotic codepoints.
+    parts = re.split(r"[^\w]+|_+", query_text)
+    out = []
+    for p in parts:
+        if p and len(p.encode("utf-8")) < MAX_TOKEN_BYTES:
+            out.append(p.lower())
+    return out
+
+
+def sql_tokens_cte(table: str = "documents", id_col: str = "doc_id", text_col: str = "text") -> str:
+    """DuckDB CTE body producing (doc_id, term) token rows — the oracle twin
+    of :func:`tokenize_flat`.  Same RE2 pattern, same byte-length filter,
+    same lowercasing order (filter raw bytes, then lower)."""
+    return (
+        f"SELECT {id_col} AS doc_id, lower(tok) AS term "
+        f"FROM (SELECT {id_col}, unnest(regexp_split_to_array({text_col}, '{TOKEN_SEPARATOR_RE}')) AS tok "
+        f"FROM {table}) WHERE strlen(tok) > 0 AND strlen(tok) < {MAX_TOKEN_BYTES}"
+    )
