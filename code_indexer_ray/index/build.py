@@ -1,0 +1,375 @@
+"""Distributed inverted-index build — the core Ray Data pipeline.
+
+Replaces the reference's single-process Tantivy writer path
+(``services/smart_indexer.py:249`` → ``high_throughput_processor.py:263`` →
+``tantivy_index_manager.py:187-269``) with a streaming two-stage plan:
+
+  read_parquet(columns pruned)
+    → map_batches(tokenize → (term, doc_id, tf, norm, shard, bucket))   [stateless tasks]
+    → groupby([shard, bucket]).map_groups(encode segment)               [THE wide shuffle]
+    → per-partition atomic parquet segment + manifest                   [resumable sink]
+
+Skew strategy (SURVEY.md §4, §7.3): the partition key is
+``(doc-range shard, hash(term) % num_buckets)``.  Doc-range sharding is the
+salt — a Zipf head term ("the") is split across all shards, so no single
+group ever exceeds one shard's postings; ``num_buckets`` further splits a
+shard's vocabulary so group memory is bounded by
+``shard_docs × avg_dl / num_buckets`` regardless of term skew.  Global df for
+scoring is recovered at query time by summing per-shard df (every shard is
+searched anyway — document-partitioned search, the standard web-scale
+layout), so no vocabulary-wide shuffle is ever needed.
+
+The per-group encoder is fully vectorized: one Arrow sort, one delta pass,
+one varbyte pass over the whole group, and zero-copy Arrow binary columns
+sliced by offset — no per-term Python loop.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import zlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .codec import BLOCK_SIZE, varbyte_encode
+from .fieldnorm import fieldnorm_to_id
+from .manifest import (
+    DOCSTORE_DIR,
+    SEGMENT_DIR,
+    IndexManifest,
+    PartitionInfo,
+    completed_partitions,
+    incomplete_shards,
+    load_manifest,
+    partition_manifest_path,
+    publish_manifest,
+    write_partition_manifest,
+)
+from ..text.analysis import term_frequencies, token_counts
+
+DEFAULT_NUM_BUCKETS = 8
+
+
+def term_bucket(terms: pa.Array, num_buckets: int) -> np.ndarray:
+    """Stable bucket id per term: crc32 over UTF-8 bytes, computed once per
+    *unique* term in the batch and broadcast back (vocab ≪ postings)."""
+    uniq = pc.unique(terms)
+    lut = {t: zlib.crc32(t.encode("utf-8")) % num_buckets for t in uniq.to_pylist()}
+    codes = pc.index_in(terms, value_set=uniq).to_numpy(zero_copy_only=False)
+    uniq_buckets = np.array([lut[t] for t in uniq.to_pylist()], dtype=np.int32)
+    return uniq_buckets[codes]
+
+
+def shard_of(doc_ids: np.ndarray, num_shards: int, doc_id_upper: int) -> np.ndarray:
+    """Balanced doc-range shard: shard = doc_id * S // (upper+1).
+
+    Range sharding (not hash) keeps doc ids within a shard dense, which makes
+    posting deltas small and lets resume push a doc-range predicate into the
+    Parquet scan. Overflow-safe for doc_id_upper * num_shards < 2^63.
+    """
+    return (doc_ids.astype(np.int64) * num_shards) // (doc_id_upper + 1)
+
+
+def shard_doc_range(shard: int, num_shards: int, doc_id_upper: int) -> tuple[int, int]:
+    """Inclusive-exclusive [lo, hi) doc-id range owned by ``shard``."""
+    u = doc_id_upper + 1
+    lo = -(-shard * u // num_shards)  # ceil(shard*u/S)
+    hi = -(-(shard + 1) * u // num_shards)
+    return lo, hi
+
+
+def make_tokenize_fn(id_col: str, text_col: str, num_shards: int, num_buckets: int, doc_id_upper: int):
+    def tokenize_batch(batch: pa.Table) -> pa.Table:
+        terms, rows, tfs, row_counts = term_frequencies(batch[text_col])
+        doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        post_docs = doc_ids[rows]
+        norm_ids = fieldnorm_to_id(row_counts)[rows]
+        return pa.table(
+            {
+                "term": terms,
+                "doc_id": pa.array(post_docs, type=pa.int64()),
+                "tf": pa.array(tfs.astype(np.int32), type=pa.int32()),
+                "norm": pa.array(norm_ids, type=pa.uint8()),
+                "shard": pa.array(shard_of(post_docs, num_shards, doc_id_upper).astype(np.int32)),
+                "bucket": pa.array(term_bucket(terms, num_buckets)),
+            }
+        )
+
+    return tokenize_batch
+
+
+def _binary_col(data: bytes | np.ndarray, offsets: np.ndarray) -> pa.LargeBinaryArray:
+    """Zero-copy LargeBinary column from one buffer + per-row offsets."""
+    buf = pa.py_buffer(data if isinstance(data, bytes) else data.tobytes())
+    offs = pa.py_buffer(offsets.astype(np.int64).tobytes())
+    return pa.LargeBinaryArray.from_buffers(pa.large_binary(), len(offsets) - 1, [None, offs, buf])
+
+
+def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
+    """Encode one (shard, bucket) group of postings into a segment table.
+
+    Returns (segment_table, total_tokens). Fully vectorized; the group must
+    fit in worker memory — bounded by shard_docs × avgdl / num_buckets.
+    """
+    tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending")])
+    terms = tbl["term"].combine_chunks()
+    docs = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
+    norms = tbl["norm"].to_numpy(zero_copy_only=False).astype(np.uint8)
+    n = len(docs)
+
+    codes = pc.dictionary_encode(terms).indices.to_numpy(zero_copy_only=False)
+    change = np.flatnonzero(np.diff(codes)) + 1
+    term_starts = np.concatenate(([0], change))
+    term_ends = np.concatenate((change, [n]))
+    dfs = term_ends - term_starts
+    n_terms = len(term_starts)
+
+    # continuous delta stream with per-term anchor reset
+    deltas = np.empty(n, dtype=np.uint64)
+    deltas[1:] = (docs[1:] - docs[:-1]).astype(np.uint64)
+    deltas[term_starts] = docs[term_starts].astype(np.uint64)
+    docs_buf, vstarts = varbyte_encode(deltas)
+    tfs_buf, tstarts = varbyte_encode(tfs.astype(np.uint64))
+
+    # global block starts (every term start is a block start → reduceat
+    # segments never cross term boundaries)
+    nb = (dfs + BLOCK_SIZE - 1) // BLOCK_SIZE
+    total_blocks = int(nb.sum())
+    first_block = np.concatenate(([0], np.cumsum(nb)[:-1]))
+    intra = np.arange(total_blocks) - np.repeat(first_block, nb)
+    bstarts = np.repeat(term_starts, nb) + BLOCK_SIZE * intra
+    bterm_end = np.repeat(term_ends, nb)
+    last_idx = np.minimum(bstarts + BLOCK_SIZE - 1, bterm_end - 1)
+
+    last_docs = docs[last_idx].astype(np.uint64)
+    max_tfs = np.maximum.reduceat(tfs, bstarts).astype(np.uint32)
+    min_norms = np.minimum.reduceat(norms, bstarts).astype(np.uint8)
+    cell_base_d = np.repeat(vstarts[term_starts], nb)
+    cell_base_t = np.repeat(tstarts[term_starts], nb)
+    doc_offsets = (vstarts[bstarts] - cell_base_d).astype(np.uint32)
+    tf_offsets = (tstarts[bstarts] - cell_base_t).astype(np.uint32)
+
+    def offs(starts_vals: np.ndarray, total: int, itemsize: int = 1) -> np.ndarray:
+        o = np.empty(n_terms + 1, dtype=np.int64)
+        o[:-1] = starts_vals * itemsize
+        o[-1] = total * itemsize
+        return o
+
+    seg = pa.table(
+        {
+            "term": terms.take(pa.array(term_starts)),
+            "df": pa.array(dfs.astype(np.int64)),
+            "cf": pa.array(np.add.reduceat(tfs, term_starts).astype(np.int64)),
+            "docs_enc": _binary_col(docs_buf, offs(vstarts[term_starts], len(docs_buf))),
+            "tfs_enc": _binary_col(tfs_buf, offs(tstarts[term_starts], len(tfs_buf))),
+            "norms": _binary_col(norms, offs(term_starts, n)),
+            "last_docs": _binary_col(last_docs, offs(first_block, total_blocks, 8)),
+            "max_tfs": _binary_col(max_tfs, offs(first_block, total_blocks, 4)),
+            "min_norms": _binary_col(min_norms, offs(first_block, total_blocks, 1)),
+            "doc_offsets": _binary_col(doc_offsets, offs(first_block, total_blocks, 4)),
+            "tf_offsets": _binary_col(tf_offsets, offs(first_block, total_blocks, 4)),
+        }
+    )
+    return seg, int(tfs.sum())
+
+
+def make_encode_fn(out_dir: str, fingerprint: str):
+    """Per-(shard,bucket) encode + atomic segment write + partition manifest."""
+
+    def encode_group(tbl: pa.Table) -> pa.Table:
+        t0 = time.perf_counter()
+        shard = int(tbl["shard"][0].as_py())
+        bucket = int(tbl["bucket"][0].as_py())
+        rel = os.path.join(SEGMENT_DIR, f"shard={shard:05d}", f"bucket={bucket:03d}.parquet")
+        abspath = os.path.join(out_dir, rel)
+        mpath = partition_manifest_path(out_dir, shard, bucket)
+
+        # idempotent skip: a completed partition (manifest + file) is not re-encoded
+        if os.path.exists(mpath) and os.path.exists(abspath):
+            import json
+
+            with open(mpath) as f:
+                d = json.load(f)
+            if d.get("fingerprint") == fingerprint:
+                return _stats_row(d)
+
+        seg, total_tokens = encode_segment_table(tbl.drop_columns(["shard", "bucket"]))
+        os.makedirs(os.path.dirname(abspath), exist_ok=True)
+        tmp = abspath + f".tmp-{os.getpid()}"
+        pq.write_table(seg, tmp, compression="zstd", row_group_size=64 * 1024)
+        os.replace(tmp, abspath)
+        info = PartitionInfo(
+            shard=shard,
+            bucket=bucket,
+            n_terms=seg.num_rows,
+            n_postings=len(tbl),
+            total_tokens=total_tokens,
+            n_bytes=os.path.getsize(abspath),
+            path=rel,
+            build_secs=round(time.perf_counter() - t0, 4),
+            fingerprint=fingerprint,
+        )
+        write_partition_manifest(out_dir, info)
+        from dataclasses import asdict
+
+        return _stats_row(asdict(info))
+
+    return encode_group
+
+
+def _stats_row(d: dict) -> pa.Table:
+    return pa.table(
+        {
+            "shard": [int(d["shard"])],
+            "bucket": [int(d["bucket"])],
+            "n_terms": [int(d["n_terms"])],
+            "n_postings": [int(d["n_postings"])],
+            "total_tokens": [int(d["total_tokens"])],
+            "n_bytes": [int(d["n_bytes"])],
+            "path": [str(d["path"])],
+            "build_secs": [float(d["build_secs"])],
+        }
+    )
+
+
+def _dataset_count_and_max(paths, id_col: str) -> tuple[int, int]:
+    """(row count, max id) from Parquet metadata / column stats — no full scan."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(paths)
+    count = 0
+    max_id = None
+    for frag in dset.get_fragments():
+        md = frag.metadata
+        count += md.num_rows
+        idx = md.schema.to_arrow_schema().get_field_index(id_col)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is not None and st.has_min_max:
+                max_id = st.max if max_id is None else max(max_id, st.max)
+    if max_id is None:  # stats missing → one-column scan
+        tbl = dset.to_table(columns=[id_col])
+        max_id = pc.max(tbl[id_col]).as_py()
+    return count, int(max_id)
+
+
+def build_index(
+    input_paths,
+    out_dir: str,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    store_cols: tuple[str, ...] = (),
+    num_shards: int | None = None,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    target_docs_per_shard: int = 250_000,
+    resume: bool = True,
+    ray_remote_args: dict | None = None,
+) -> IndexManifest:
+    """Build a queryable sharded inverted index under ``out_dir``.
+
+    ``store_cols`` are kept in the doc store for retrieval/snippets (the
+    reference's stored ``path``/``content_raw``/``language`` fields,
+    ``tantivy_index_manager.py:91-115``). Resumable: completed partitions are
+    skipped, and fully-complete shards are excluded from the input scan via a
+    doc-range predicate.
+    """
+    import ray.data as rd
+
+    n_docs, doc_id_upper = _dataset_count_and_max(input_paths, id_col)
+    if num_shards is None:
+        num_shards = max(1, -(-n_docs // target_docs_per_shard))
+    fingerprint = f"v1:{n_docs}:{doc_id_upper}:{num_shards}:{num_buckets}:{text_col}"
+
+    # fast path: complete index with matching fingerprint already published
+    if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
+        try:
+            m = load_manifest(out_dir)
+            if m.metrics.get("fingerprint") == fingerprint:
+                return m
+        except (OSError, KeyError, ValueError):
+            pass
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    # ---- doc store (projection pass; stored fields for retrieval) ----
+    docstore_dir = os.path.join(out_dir, DOCSTORE_DIR)
+    docstore_done = os.path.join(docstore_dir, "_SUCCESS")
+    if not (resume and os.path.exists(docstore_done)):
+        import shutil
+
+        shutil.rmtree(docstore_dir, ignore_errors=True)
+        cols = [id_col, text_col, *store_cols]
+
+        def project(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = batch.select(cols)
+            out = out.append_column(
+                "n_tokens", pa.array(token_counts(batch[text_col]), type=pa.int64())
+            )
+            return out.append_column(
+                "shard", pa.array(shard_of(ids, num_shards, doc_id_upper).astype(np.int32))
+            )
+
+        rd.read_parquet(input_paths, columns=cols).map_batches(
+            project, batch_format="pyarrow"
+        ).write_parquet(docstore_dir, partition_cols=["shard"])
+        with open(docstore_done, "w") as f:
+            f.write("ok")
+
+    # ---- postings: the one wide shuffle ----
+    todo_shards = incomplete_shards(out_dir, num_shards, num_buckets) if resume else list(range(num_shards))
+    if todo_shards:
+        ds = rd.read_parquet(input_paths, columns=[id_col, text_col])
+        if len(todo_shards) < num_shards:
+            ranges = [shard_doc_range(s, num_shards, doc_id_upper) for s in todo_shards]
+            expr = None
+            for lo, hi in ranges:
+                e = (pc.field(id_col) >= lo) & (pc.field(id_col) < hi)
+                expr = e if expr is None else (expr | e)
+            ds = rd.read_parquet(input_paths, columns=[id_col, text_col], filter=expr)
+
+        tok = ds.map_batches(
+            make_tokenize_fn(id_col, text_col, num_shards, num_buckets, doc_id_upper),
+            batch_format="pyarrow",
+            **(ray_remote_args or {}),
+        )
+        tok.groupby(["shard", "bucket"]).map_groups(
+            make_encode_fn(out_dir, fingerprint), batch_format="pyarrow"
+        ).materialize()  # consume; stats are read back from partition manifests
+
+    # pick up partitions completed in earlier runs (resume) or this run
+    done = completed_partitions(out_dir)
+    partitions: list[dict] = []
+    total_tokens = 0
+    import json
+
+    for shard, bucket in sorted(done):
+        with open(partition_manifest_path(out_dir, shard, bucket)) as f:
+            d = json.load(f)
+        partitions.append(d)
+        total_tokens += int(d["total_tokens"])
+
+    manifest = IndexManifest(
+        num_docs=n_docs,
+        total_tokens=total_tokens,
+        num_shards=num_shards,
+        num_buckets=num_buckets,
+        doc_id_upper=doc_id_upper,
+        text_col=text_col,
+        id_col=id_col,
+        partitions=partitions,
+        metrics={
+            "fingerprint": fingerprint,
+            "n_partitions": len(partitions),
+            "built_unix": time.time(),
+            "encode_secs_sum": round(sum(float(r.get("build_secs", 0)) for r in partitions), 4),
+        },
+    )
+    publish_manifest(out_dir, manifest)
+    return manifest

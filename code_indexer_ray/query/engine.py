@@ -1,0 +1,412 @@
+"""Top-k BM25 query engine over the sharded segment index.
+
+Document-partitioned search (the reference's daemon/multi-repo pattern,
+``server/cache/fts_index_cache.py`` / ``server/multi/multi_search_service.py:159-166``,
+rebuilt Ray-native): one :class:`ShardSearcher` per shard loads its segment
+files and doc metadata ONCE (the stateful actor-pool pattern), serves
+AND/fuzzy/regex queries with block-skipping posting reads, returns per-shard
+top-m; the driver heap-merges to a global top-k — never a full sort.
+
+Search semantics are a behavioral port of the reference's
+``TantivyIndexManager.search`` (``tantivy_index_manager.py:394-780``):
+
+- whitespace-split query words; ALL words must match (AND),
+- fuzzy (OSA distance ≤ 3, transposition cost 1) / regex expand against the
+  term dictionary into OR-groups before scoring,
+- ``limit=0`` → 100000 "unlimited" + snippets off,
+- over-fetch ``limit*3`` when post-filters present, then post-filter in the
+  CRITICAL precedence order (exclude-langs → include-langs → exclude-paths →
+  include-paths), then truncate,
+- include-languages with no exclusions is a pre-limit (in-query facet) filter,
+- score-descending with doc_id tiebreak (pinned for rank determinism),
+- case-sensitive affects only match location on the stored raw text, not the
+  candidate set (index terms are always lower-cased — ``:483-485, 716-721``).
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from ..index.codec import BLOCK_SIZE, decode_blocks, decode_doc_ids, decode_tfs
+from ..index.fieldnorm import id_to_fieldnorm
+from ..index.manifest import DOCSTORE_DIR, IndexManifest, load_manifest
+from ..text.analysis import tokenize_query
+from ..text.snippets import extract_snippet, locate_fuzzy, locate_literal
+from . import bm25
+from .expand import expand_fuzzy, expand_regex
+from .globmatch import matches_any
+
+UNLIMITED_LIMIT = 100_000  # reference's "limit=0 → effectively unlimited"
+
+
+class ShardSearcher:
+    """Holds one shard's term dictionary, postings and doc metadata in memory.
+
+    Load-once state (segment parquet + docstore metadata columns) — run it
+    inside an actor and amortize across queries, exactly the reference's
+    10-min-TTL index cache but partition-local.
+    """
+
+    def __init__(self, shard: int, segment_files: list[str], docstore_dir: str | None = None):
+        self.shard = shard
+        tables = [pq.read_table(f) for f in sorted(segment_files)]
+        self._tbl = pa.concat_tables(tables) if tables else None
+        if self._tbl is not None and self._tbl.num_rows:
+            terms = self._tbl["term"].to_pylist()
+            self._lut = {t: i for i, t in enumerate(terms)}
+            self._vocab = np.array(terms, dtype=object)
+            self._dfs = self._tbl["df"].to_numpy(zero_copy_only=False)
+        else:
+            self._lut = {}
+            self._vocab = np.empty(0, dtype=object)
+            self._dfs = np.empty(0, dtype=np.int64)
+        self._docstore_dir = docstore_dir
+        self._meta = None  # lazy (doc_ids, url, lang) sorted by doc_id
+
+    # ---- term dictionary ----
+    def vocab(self) -> np.ndarray:
+        return self._vocab
+
+    def df_of(self, terms: list[str]) -> dict[str, int]:
+        return {t: int(self._dfs[self._lut[t]]) for t in terms if t in self._lut}
+
+    def expand(self, kind: str, pattern: str, distance: int = 0) -> list[str]:
+        if kind == "fuzzy":
+            return expand_fuzzy(self._vocab, pattern, distance)
+        return expand_regex(self._vocab, pattern)
+
+    def posting(self, term: str) -> dict | None:
+        i = self._lut.get(term)
+        if i is None:
+            return None
+        row = self._tbl.slice(i, 1)
+        return {name: row[name][0].as_py() for name in row.schema.names}
+
+    # ---- doc metadata (lang/url for filters and result fields) ----
+    def _load_meta(self, lang_col: str | None, url_col: str | None):
+        if self._meta is not None or self._docstore_dir is None:
+            return
+        part = os.path.join(self._docstore_dir, f"shard={self.shard}")
+        if not os.path.isdir(part):
+            part = self._docstore_dir
+        cols = ["doc_id"] + [c for c in (lang_col, url_col) if c]
+        dset = pads.dataset(part)
+        avail = [c for c in cols if c in dset.schema.names]
+        t = dset.to_table(columns=avail).sort_by("doc_id")
+        self._meta = {
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
+            "lang": t[lang_col].to_pylist() if lang_col and lang_col in avail else None,
+            "url": t[url_col].to_pylist() if url_col and url_col in avail else None,
+        }
+
+    def _meta_for(self, doc_ids: np.ndarray) -> tuple[list, list]:
+        if self._meta is None:
+            return [None] * len(doc_ids), [None] * len(doc_ids)
+        pos = np.searchsorted(self._meta["doc_id"], doc_ids)
+        langs = [self._meta["lang"][p] if self._meta["lang"] else None for p in pos]
+        urls = [self._meta["url"][p] if self._meta["url"] else None for p in pos]
+        return langs, urls
+
+    # ---- postings decode with block skipping ----
+    @staticmethod
+    def _decode_full(p: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        docs = decode_doc_ids(p["docs_enc"], p["df"])
+        tfs = decode_tfs(p["tfs_enc"], p["df"])
+        norms = np.frombuffer(p["norms"], dtype=np.uint8)
+        return docs, tfs, norms
+
+    @staticmethod
+    def _decode_for_candidates(p: dict, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Decode only blocks whose doc range can intersect ``cand`` — the
+        skip-pointer read (block-max metadata §T3)."""
+        last_docs = np.frombuffer(p["last_docs"], dtype=np.uint64).astype(np.int64)
+        n_blocks = len(last_docs)
+        if n_blocks <= 2 or len(cand) * 4 >= p["df"]:
+            return ShardSearcher._decode_full(p)
+        idx = np.searchsorted(last_docs, cand, side="left")
+        needed = np.unique(idx[idx < n_blocks])
+        if len(needed) * BLOCK_SIZE >= p["df"]:
+            return ShardSearcher._decode_full(p)
+        return decode_blocks(p, needed)
+
+    # ---- scoring ----
+    def search_groups(
+        self,
+        groups: list[list[str]],
+        n_docs: int,
+        avgdl: float,
+        global_df: dict[str, int],
+        m: int,
+        include_langs: list[str] | None = None,
+        lang_col: str | None = None,
+        url_col: str | None = None,
+    ) -> list[tuple[int, float, str | None, str | None]]:
+        """Top-m (doc_id, score, lang, url) for AND-of-OR-groups in this shard."""
+        group_posts: list[list[tuple[str, dict]]] = []
+        for g in groups:
+            posts = [(t, self.posting(t)) for t in dict.fromkeys(g)]
+            posts = [(t, p) for t, p in posts if p is not None]
+            if not posts:
+                return []  # AND semantics: a group with no local terms → no hits here
+            group_posts.append(posts)
+
+        # process groups smallest-local-df first so later decodes can skip blocks
+        order = np.argsort([sum(p["df"] for _, p in posts) for posts in group_posts])
+        cand: np.ndarray | None = None
+        decoded: list[tuple[int, str, np.ndarray, np.ndarray, np.ndarray]] = []
+        for gi in order:
+            arrs = []
+            for t, p in group_posts[gi]:
+                d, tf, nm = (
+                    self._decode_full(p) if cand is None else self._decode_for_candidates(p, cand)
+                )
+                decoded.append((int(gi), t, d, tf, nm))
+                arrs.append(d)
+            union = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            cand = union if cand is None else np.intersect1d(cand, union, assume_unique=True)
+            if len(cand) == 0:
+                return []
+
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for _gi, t, d, tf, nm in decoded:
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(d, cand)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = d[pos_c] == cand
+            if not hit.any():
+                continue
+            dl = id_to_fieldnorm(nm[pos_c[hit]])
+            contrib = bm25.term_score(tf[pos_c[hit]], dl, global_df[t], n_docs, avgdl)
+            scores[hit] += contrib
+
+        langs = urls = None
+        if include_langs is not None or lang_col or url_col:
+            self._load_meta(lang_col, url_col)
+        if include_langs is not None and self._meta is not None and self._meta["lang"]:
+            langs_all, _ = self._meta_for(cand)
+            keep = np.array([l in include_langs for l in langs_all], dtype=bool)
+            cand, scores = cand[keep], scores[keep]
+            if len(cand) == 0:
+                return []
+
+        # top-m by (-score, doc_id)
+        sel = np.lexsort((cand, -scores))[:m]
+        cand, scores = cand[sel], scores[sel]
+        langs, urls = self._meta_for(cand)
+        return list(zip(cand.tolist(), scores.tolist(), langs, urls))
+
+
+class IndexSearcher:
+    """Driver-side query API over all shards (local or Ray-actor execution)."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        remote: bool = False,
+        lang_col: str | None = "lang",
+        url_col: str | None = "url",
+    ):
+        self.index_dir = index_dir
+        self.manifest: IndexManifest = load_manifest(index_dir)
+        self._files = self.manifest.shard_files(index_dir)
+        self._docstore = os.path.join(index_dir, DOCSTORE_DIR)
+        self.lang_col = lang_col
+        self.url_col = url_col
+        self._remote = remote
+        self._searchers: dict[int, object] = {}
+        if remote:
+            import ray
+
+            self._actor_cls = ray.remote(num_cpus=1)(ShardSearcher)
+
+    def _searcher(self, shard: int):
+        s = self._searchers.get(shard)
+        if s is None:
+            if self._remote:
+                s = self._actor_cls.remote(shard, self._files[shard], self._docstore)
+            else:
+                s = ShardSearcher(shard, self._files[shard], self._docstore)
+            self._searchers[shard] = s
+        return s
+
+    def _fanout(self, method: str, /, *args, **kwargs) -> list:
+        shards = sorted(self._files)
+        if self._remote:
+            import ray
+
+            refs = [getattr(self._searcher(s), method).remote(*args, **kwargs) for s in shards]
+            return ray.get(refs)
+        return [getattr(self._searcher(s), method)(*args, **kwargs) for s in shards]
+
+    # ---- query assembly ----
+    def _build_groups(
+        self, query_text: str, edit_distance: int, use_regex: bool
+    ) -> list[list[str]] | None:
+        """None → a word matched no term anywhere (AND → zero results)."""
+        if use_regex:
+            try:
+                re.compile(query_text)
+            except re.error as e:
+                # reference wraps regex compile errors (tantivy_index_manager.py:502-505)
+                raise ValueError(f"Invalid regex pattern '{query_text}': {e}") from e
+            matched = sorted({t for terms in self._fanout("expand", "regex", query_text) for t in terms})
+            return [matched] if matched else None
+        if edit_distance > 0:
+            groups = []
+            for word in query_text.split():
+                w = word.lower()
+                matched = sorted(
+                    {t for terms in self._fanout("expand", "fuzzy", w, edit_distance) for t in terms}
+                )
+                if not matched:
+                    return None
+                groups.append(matched)
+            return groups or None
+        tokens = tokenize_query(query_text)
+        return [[t] for t in tokens] if tokens else None
+
+    def _global_df(self, terms: list[str]) -> dict[str, int]:
+        out: dict[str, int] = {t: 0 for t in terms}
+        for local in self._fanout("df_of", terms):
+            for t, df in local.items():
+                out[t] += df
+        return out
+
+    # ---- the reference-shaped search ----
+    def search(
+        self,
+        query_text: str,
+        case_sensitive: bool = False,
+        edit_distance: int = 0,
+        snippet_lines: int = 5,
+        limit: int = 10,
+        languages: list[str] | None = None,
+        path_filters: list[str] | None = None,
+        exclude_paths: list[str] | None = None,
+        exclude_languages: list[str] | None = None,
+        use_regex: bool = False,
+    ) -> list[dict]:
+        if use_regex and edit_distance > 0:
+            raise ValueError(
+                "Cannot combine regex matching with fuzzy matching (edit_distance > 0)."
+            )
+        if not (0 <= edit_distance <= 3):
+            raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
+        languages = languages or None
+        path_filters = path_filters or None
+
+        groups = self._build_groups(query_text, edit_distance, use_regex)
+        if groups is None:
+            return []
+
+        all_terms = sorted({t for g in groups for t in g})
+        global_df = self._global_df(all_terms)
+        if any(all(global_df[t] == 0 for t in g) for g in groups):
+            return []
+
+        if limit == 0:
+            search_limit = UNLIMITED_LIMIT
+            snippet_lines = 0
+        else:
+            needs_increased = bool(path_filters or exclude_paths or exclude_languages)
+            search_limit = limit * 3 if needs_increased else limit
+
+        include_pre = languages if (languages and not exclude_languages) else None
+        per_shard = self._fanout(
+            "search_groups",
+            groups,
+            self.manifest.num_docs,
+            self.manifest.avgdl,
+            global_df,
+            search_limit,
+            include_pre,
+            self.lang_col,
+            self.url_col,
+        )
+        hits = [h for sh in per_shard for h in sh]
+        if not hits:
+            return []
+        doc_ids = np.array([h[0] for h in hits], dtype=np.int64)
+        scores = np.array([h[1] for h in hits], dtype=np.float64)
+        order = np.lexsort((doc_ids, -scores))[:search_limit]
+
+        compiled = None
+        if use_regex:
+            flags = 0 if case_sensitive else re.IGNORECASE
+            try:
+                compiled = re.compile(query_text, flags)
+            except re.error as e:
+                raise ValueError(f"Invalid regex pattern '{query_text}': {e}") from e
+
+        # post-filter precedence loop (reference :642-678) + early break at limit
+        selected: list[tuple[int, float, str | None, str | None]] = []
+        for i in order:
+            doc_id, score, lang, url = hits[i]
+            if exclude_languages and lang in exclude_languages:
+                continue
+            if languages and lang not in languages:
+                continue
+            if exclude_paths and url is not None and matches_any(url, exclude_paths):
+                continue
+            if path_filters and url is not None and not matches_any(url, path_filters):
+                continue
+            selected.append((doc_id, score, lang, url))
+            if limit > 0 and len(selected) >= limit:
+                break
+        if limit > 0:
+            selected = selected[:limit]
+        if not selected:
+            return []
+
+        texts = self._fetch_texts([d for d, *_ in selected])
+        results = []
+        for doc_id, score, lang, url in selected:
+            content = texts.get(doc_id, "")
+            if compiled is not None:
+                m = compiled.search(content)
+                if m:
+                    match_text, match_start = m.group(0), m.start()
+                else:
+                    match_text, match_start = query_text, -1
+            else:
+                match_start, match_text = locate_literal(content, query_text, case_sensitive)
+                if match_start == -1 and edit_distance > 0:
+                    match_start, match_text = locate_fuzzy(content, query_text, case_sensitive)
+            if match_start >= 0:
+                snippet, line, column, snippet_start_line = extract_snippet(
+                    content, match_start, len(match_text), snippet_lines
+                )
+            else:
+                snippet, line, column, snippet_start_line = "", 1, 1, 1
+            results.append(
+                {
+                    "path": url,
+                    "doc_id": doc_id,
+                    "line": line,
+                    "column": column,
+                    "match_text": match_text,
+                    "snippet": snippet if snippet_lines > 0 else "",
+                    "snippet_start_line": snippet_start_line,
+                    "language": lang or "unknown",
+                    "score": score,
+                }
+            )
+        return results
+
+    def _fetch_texts(self, doc_ids: list[int]) -> dict[int, str]:
+        dset = pads.dataset(self._docstore)
+        text_col = self.manifest.text_col
+        tbl = dset.to_table(
+            columns=["doc_id", text_col],
+            filter=pc.field("doc_id").isin(doc_ids),
+        )
+        return dict(zip(tbl["doc_id"].to_pylist(), tbl[text_col].to_pylist()))

@@ -1,0 +1,271 @@
+"""End-to-end: build the sharded index with Ray Data, query it, and match the
+brute-force oracle rank- and score-identically (FIXTURES.md §3, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from code_indexer_ray.index.build import build_index
+from code_indexer_ray.query.engine import IndexSearcher
+
+from .oracle import BruteForceIndex
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus_rows():
+    t = pq.read_table(f"{SF}/documents.parquet")
+    rows = []
+    for i in range(120):
+        rows.append(
+            {
+                "doc_id": int(t["doc_id"][i].as_py()),
+                "text": t["text"][i].as_py(),
+                "lang": t["lang"][i].as_py(),
+                "url": f"{t['source'][i].as_py()}/{t['doc_id'][i].as_py()}",
+            }
+        )
+    # deterministic synthetic edge cases, ids continuing after the slice
+    base = 120
+    extra = [
+        ("multi\nline doc\nwith spark merge\nand a needleunique token\nend", "en", "syn/nl"),
+        ("Grüße unicode αβγ spark", "de", "syn/uni"),
+        ("x" * 45 + " longtoken dropped spark spark spark", "en", "syn/long"),
+        ("", "en", "syn/empty"),
+        ("   \n\t  ", "fr", "syn/ws"),
+        ("needlepair alpha " * 30, "en", "syn/tfhigh"),
+        ("needlepair beta", "es", "syn/tflow"),
+        ("CaSeD Spark MERGE", "en", "syn/case"),
+    ]
+    for j, (text, lang, url) in enumerate(extra):
+        rows.append({"doc_id": base + j, "text": text, "lang": lang, "url": url})
+    return rows
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    rows = _corpus_rows()
+    tmp = tmp_path_factory.mktemp("idx")
+    src = str(tmp / "corpus.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = str(tmp / "index")
+    manifest = build_index(
+        src, out, store_cols=("lang", "url"), num_shards=4, num_buckets=4, target_docs_per_shard=32
+    )
+    oracle = BruteForceIndex(
+        {r["doc_id"]: r["text"] for r in rows},
+        {r["doc_id"]: r["lang"] for r in rows},
+    )
+    return rows, src, out, manifest, oracle
+
+
+def test_manifest_stats(built):
+    rows, _, _, manifest, oracle = built
+    assert manifest.num_docs == len(rows)
+    assert manifest.total_tokens == oracle.total_tokens
+    assert manifest.avgdl == pytest.approx(oracle.avgdl)
+    assert manifest.num_shards == 4 and manifest.num_buckets == 4
+    assert len(manifest.partitions) >= 4
+
+
+def test_segment_term_stats_match_oracle(built):
+    _, _, out, manifest, oracle = built
+    seg = pa.concat_tables(
+        pq.read_table(os.path.join(out, p["path"]), columns=["term", "df", "cf"])
+        for p in manifest.partitions
+    )
+    # df/cf are per-shard; global stats are the sum across shards (doc-partitioned index)
+    df: dict[str, int] = {}
+    cf: dict[str, int] = {}
+    for t, d, c in zip(seg["term"].to_pylist(), seg["df"].to_pylist(), seg["cf"].to_pylist()):
+        df[t] = df.get(t, 0) + d
+        cf[t] = cf.get(t, 0) + c
+    assert df == dict(oracle.df)
+    want_cf = {}
+    for tfs in oracle.tfs.values():
+        for t, c in tfs.items():
+            want_cf[t] = want_cf.get(t, 0) + c
+    assert cf == want_cf
+
+
+def _check(results, expected, scores=True):
+    got = [(r["doc_id"], r["score"]) for r in results]
+    assert [g[0] for g in got] == [e[0] for e in expected], (got, expected)
+    if scores:
+        for (gd, gs), (ed, es) in zip(got, expected):
+            assert gs == pytest.approx(es, abs=1e-9), (gd, gs, es)
+
+
+class TestExactQueries:
+    QUERIES = ["spark", "merge", "spark merge", "the fast key", "needleunique",
+               "needlepair", "nosuchtermanywhere", "spark nosuchtermanywhere", "SPARK"]
+
+    def test_topk_rank_and_score_identical(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for q in self.QUERIES:
+            for limit in (3, 10, 50):
+                _check(s.search(q, limit=limit, snippet_lines=0), oracle.search_exact(q, limit))
+
+    def test_limit_zero_unlimited(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        res = s.search("merge", limit=0)
+        exp = oracle.search_exact("merge", 100_000)
+        _check(res, exp)
+        assert all(r["snippet"] == "" for r in res)  # limit=0 disables snippets
+
+    def test_tf_saturation_ranking(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        res = s.search("needlepair", limit=2, snippet_lines=0)
+        assert [r["doc_id"] for r in res] == [e[0] for e in oracle.search_exact("needlepair", 2)]
+
+
+class TestFuzzyRegex:
+    def test_fuzzy_expansion(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for q, d in (("sparc", 1), ("mege", 1), ("sprk", 2), ("spark mege", 1), ("zzzz", 1)):
+            _check(s.search(q, edit_distance=d, snippet_lines=0), oracle.search_fuzzy(q, d))
+
+    def test_fuzzy_transposition_cost_one(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        _check(s.search("sapkr", edit_distance=2, snippet_lines=0), oracle.search_fuzzy("sapkr", 2))
+
+    def test_regex(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for pat in ("s.*k", "needle.*", "m[ae]rge", "zz+"):
+            _check(s.search(pat, use_regex=True, snippet_lines=0), oracle.search_regex(pat))
+
+    def test_regex_fuzzy_incompatible(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        with pytest.raises(ValueError):
+            s.search("x", use_regex=True, edit_distance=1)
+        with pytest.raises(ValueError):
+            s.search("x", edit_distance=7)
+
+
+class TestFilters:
+    def test_include_language_prelimit(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        res = s.search("spark", languages=["en"], limit=5, snippet_lines=0)
+        exp = oracle.search_exact("spark", 5, langs_in=["en"])
+        _check(res, exp)
+        assert all(r["language"] == "en" for r in res)
+
+    def test_exclude_language_overfetch_semantics(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        limit = 5
+        res = s.search("spark", exclude_languages=["en"], limit=limit, snippet_lines=0)
+        # reference semantics: over-fetch 3*limit of the UNfiltered ranking,
+        # then drop excluded, then truncate
+        over = oracle.search_exact("spark", limit * 3)
+        exp = [(d, sc) for d, sc in over if oracle.langs.get(d) != "en"][:limit]
+        _check(res, exp)
+
+    def test_path_filters(self, built):
+        rows, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        limit = 4
+        urls = {r["doc_id"]: r["url"] for r in rows}
+        res = s.search("merge", path_filters=["src1/*"], limit=limit, snippet_lines=0)
+        over = oracle.search_exact("merge", limit * 3)
+        import fnmatch
+
+        exp = [(d, sc) for d, sc in over if fnmatch.fnmatch(urls[d], "src1/*")][:limit]
+        _check(res, exp)
+
+    def test_exclude_paths_precede_includes(self, built):
+        rows, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        res = s.search(
+            "merge", path_filters=["src*/*"], exclude_paths=["src1/*"], limit=6, snippet_lines=0
+        )
+        urls = {r["doc_id"]: r["url"] for r in rows}
+        over = oracle.search_exact("merge", 18)
+        exp = []
+        for d, sc in over:
+            u = urls[d]
+            if u.startswith("src1/"):
+                continue
+            if not (u.startswith("src") and "/" in u):
+                continue
+            exp.append((d, sc))
+        _check(res, exp[:6])
+
+
+class TestSnippets:
+    def test_line_column_and_context(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        res = [r for r in s.search("needleunique", limit=5, snippet_lines=1)]
+        assert len(res) == 1
+        r = res[0]
+        assert r["path"] == "syn/nl"
+        assert r["line"] == 4 and r["column"] == 7  # "and a needleunique token"
+        assert r["snippet"] == "with spark merge\nand a needleunique token\nend"
+        assert r["snippet_start_line"] == 3
+
+    def test_case_sensitive_affects_location_only(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        ci = s.search("cased", limit=5, snippet_lines=0)
+        cs = s.search("cased", case_sensitive=True, limit=5, snippet_lines=0)
+        assert [r["doc_id"] for r in ci] == [r["doc_id"] for r in cs]  # same candidates
+        assert ci[0]["column"] == 1
+        # case-sensitive literal not found → fallback line 1 col 1 with empty snippet
+        assert cs[0]["line"] == 1
+
+
+class TestRemoteActors:
+    def test_actor_mode_matches_local(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out, remote=True)
+        _check(s.search("spark merge", limit=10, snippet_lines=0), oracle.search_exact("spark merge", 10))
+
+
+class TestResume:
+    def test_kill_resume_identical(self, built, tmp_path):
+        rows, src, out, manifest, _ = built
+        import json
+        import shutil
+
+        out2 = str(tmp_path / "index2")
+        # simulate a killed run: copy a partial build (drop some partitions + manifest)
+        shutil.copytree(out, out2)
+        os.remove(os.path.join(out2, "manifest.json"))
+        dropped = manifest.partitions[::3]
+        for p in dropped:
+            os.remove(os.path.join(out2, p["path"]))
+            sb = f"s{p['shard']:05d}_b{p['bucket']:03d}.json"
+            os.remove(os.path.join(out2, "_manifests", sb))
+        m2 = build_index(
+            src, out2, store_cols=("lang", "url"), num_shards=4, num_buckets=4,
+            target_docs_per_shard=32,
+        )
+        assert {(p["shard"], p["bucket"]) for p in m2.partitions} == {
+            (p["shard"], p["bucket"]) for p in manifest.partitions
+        }
+        for p in manifest.partitions:
+            a = pq.read_table(os.path.join(out, p["path"]))
+            b = pq.read_table(os.path.join(out2, p["path"]))
+            assert a.equals(b), f"segment {p['path']} differs after resume"
+
+    def test_fast_path_noop_when_complete(self, built):
+        _, src, out, manifest, _ = built
+        m2 = build_index(
+            src, out, store_cols=("lang", "url"), num_shards=4, num_buckets=4,
+            target_docs_per_shard=32,
+        )
+        assert m2.metrics["fingerprint"] == manifest.metrics["fingerprint"]
