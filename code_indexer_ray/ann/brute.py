@@ -1,0 +1,90 @@
+"""Similarity search over embedding columns.
+
+Baseline: brute-force cosine top-k — per-batch numpy matmul of the corpus
+block against a broadcast query matrix (``ray.put`` once, read per task).
+Scale path: :mod:`code_indexer_ray.ann.lsh` buckets candidates first.
+
+All math in float64 with a fixed accumulation pattern so ranks are stable
+across systems (oracle: DuckDB ``list_cosine_similarity`` on DOUBLE lists).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _to_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    return flat.reshape(len(col), -1)
+
+
+def cosine_topk_batch(
+    batch: pa.Table, queries: np.ndarray, query_ids: np.ndarray, k: int,
+    *, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> pa.Table:
+    """Local top-k of one corpus batch against all queries (vectorized).
+
+    Output: (query_id, vec_id, cos) rows, ≤ k per query per batch; the global
+    merge keeps the true top-k per query.  Self-matches excluded.
+    """
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    m = _to_matrix(batch[vec_col])
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+    cos = qn @ mn.T  # (n_queries, n_batch)
+    out_q, out_v, out_c = [], [], []
+    for qi in range(len(query_ids)):
+        row = cos[qi]
+        mask = ids != query_ids[qi]
+        cand = np.flatnonzero(mask)
+        if not len(cand):
+            continue
+        sel = cand[np.argsort(-row[cand], kind="stable")[:k]]
+        out_q.extend([int(query_ids[qi])] * len(sel))
+        out_v.extend(ids[sel].tolist())
+        out_c.extend(row[sel].tolist())
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "vec_id": pa.array(out_v, type=pa.int64()),
+            "cos": pa.array(out_c, type=pa.float64()),
+        }
+    )
+
+
+def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
+                    *, id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Distributed brute-force ANN: broadcast queries, per-batch local top-k,
+    driver merge (tie-break by vec_id asc for rank determinism)."""
+    import ray
+
+    qref = ray.put((queries, query_ids))
+
+    def local(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(qref)
+        return cosine_topk_batch(batch, q, qids, k, id_col=id_col, vec_col=vec_col)
+
+    parts = pa.concat_tables(ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()))
+    if parts.num_rows == 0:
+        return parts
+    qs = parts["query_id"].to_numpy(zero_copy_only=False)
+    vs = parts["vec_id"].to_numpy(zero_copy_only=False)
+    cs = parts["cos"].to_numpy(zero_copy_only=False)
+    out_rows = []
+    for q in np.unique(qs):
+        mask = qs == q
+        order = np.lexsort((vs[mask], -cs[mask]))[:k]
+        idx = np.flatnonzero(mask)[order]
+        for rank, i in enumerate(idx, 1):
+            out_rows.append((int(q), rank, int(vs[i]), float(cs[i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+            "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
+        }
+    )

@@ -1,0 +1,103 @@
+"""Text analysis for training-data pipelines: language-ID heuristic, quality
+scoring, token counting, document fingerprinting.
+
+All deterministic, oracle-SQL-expressible (DuckDB twins embedded in
+``__ray_entry__``): counts are exact integers, ratios are integer/integer
+double divisions, fingerprints are md5 over canonical strings.  Vectorized
+``map_batches`` kernels over Arrow — the per-row python is only md5 over
+short canonical strings.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .analysis import tokenize_flat
+
+# small fixed stopword sets per language for the n-gram/stopword language
+# heuristic (public-knowledge common-word lists, deliberately tiny)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "to", "and", "in", "is", "it", "for", "on"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "den"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "du", "que"),
+    "es": ("el", "la", "los", "las", "y", "es", "un", "una", "de", "que"),
+}
+
+
+def text_stats_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text") -> pa.Table:
+    """Per-doc stats: n_tokens, n_unique, stop_en (en-stopword token count),
+    punct_chars, mean_token_len (rounded 4dp), fingerprint (md5 of
+    space-joined sorted unique tokens), lang_guess (argmax stopword hits,
+    'unknown' when zero; ties broken by language-code order)."""
+    texts = batch[text_col]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    n = len(texts)
+    tokens, rows = tokenize_flat(texts)
+
+    n_tokens = np.zeros(n, dtype=np.int64)
+    np.add.at(n_tokens, rows, 1)
+    tok_lens = pc.utf8_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+    len_sum = np.zeros(n, dtype=np.int64)
+    np.add.at(len_sum, rows, tok_lens)
+
+    stop_counts = {}
+    for lang, words in STOPWORDS.items():
+        hit = pc.is_in(tokens, value_set=pa.array(list(words))).to_numpy(zero_copy_only=False)
+        c = np.zeros(n, dtype=np.int64)
+        np.add.at(c, rows[hit], 1)
+        stop_counts[lang] = c
+
+    punct = pc.count_substring_regex(texts, pattern=r"[^\p{L}\p{N}\s]").to_numpy(
+        zero_copy_only=False
+    ).astype(np.int64)
+
+    # unique tokens + fingerprint per row
+    tok_list = tokens.to_pylist()
+    per_row: list[list[str]] = [[] for _ in range(n)]
+    for t, r in zip(tok_list, rows):
+        per_row[r].append(t)
+    uniq_sorted = [sorted(set(ts)) for ts in per_row]
+    n_unique = np.array([len(u) for u in uniq_sorted], dtype=np.int64)
+    fingerprint = [hashlib.md5(" ".join(u).encode("utf-8")).hexdigest() for u in uniq_sorted]
+
+    langs = sorted(STOPWORDS)
+    stack = np.stack([stop_counts[lang] for lang in langs], axis=1)
+    best = np.argmax(stack, axis=1)
+    best_cnt = stack[np.arange(n), best]
+    lang_guess = [langs[b] if c > 0 else "unknown" for b, c in zip(best, best_cnt)]
+
+    mean_len = np.where(n_tokens > 0, np.round(len_sum / np.maximum(n_tokens, 1), 4), 0.0)
+    return pa.table(
+        {
+            "doc_id": batch[id_col].cast(pa.int64()),
+            "n_tokens": pa.array(n_tokens),
+            "n_unique": pa.array(n_unique),
+            "stop_en": pa.array(stop_counts["en"]),
+            "punct_chars": pa.array(punct),
+            "mean_token_len": pa.array(mean_len, type=pa.float64()),
+            "fingerprint": pa.array(fingerprint, type=pa.string()),
+            "lang_guess": pa.array(lang_guess, type=pa.string()),
+        }
+    )
+
+
+def rolling_hash_fingerprint(texts: pa.Array, window: int = 64, mod: int = (1 << 61) - 1) -> np.ndarray:
+    """Polynomial rolling-hash document fingerprint (Rabin-style): hash of the
+    whole token stream — deterministic int64 column for cheap pre-clustering."""
+    tokens, rows = tokenize_flat(texts)
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(1_000_003)
+    m = np.uint64(mod)
+    toks = tokens.to_pylist()
+    acc = [np.uint64(0)] * n
+    for t, r in zip(toks, rows):
+        h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:15], 16))
+        acc[r] = (acc[r] * base + h) % m
+    out[:] = acc
+    return out.astype(np.int64)

@@ -1,0 +1,326 @@
+"""Operator tests: chunker, extraction, corpus, generic ops, text stats,
+dedup (exact/minhash/simhash), ANN, multimodal stub."""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from code_indexer_ray.text.chunker import chunk_batch, chunk_text, num_chunks
+from code_indexer_ray.text.extract import (
+    decode_bytes,
+    decode_html_batch,
+    extract_body,
+    wrap_body,
+)
+from code_indexer_ray.text.stats import text_stats_batch
+from code_indexer_ray.dedup.exact import add_content_hash
+from code_indexer_ray.dedup.minhash import (
+    MERSENNE_P,
+    band_batch,
+    jaccard_ngrams,
+    md5_lower64,
+    minhash_batch,
+    perm_coeffs,
+    shingles_of,
+)
+from code_indexer_ray.dedup.simhash import hamming_distance, simhash_batch
+from code_indexer_ray.pipelines.corpus import generate_pages_block, pages_from_documents
+
+
+class TestChunker:
+    CASES = [
+        "",
+        "   \n  ",
+        "short text",
+        "x" * 1000,
+        "x" * 1001,
+        "a" * 850 + "b" * 1000,  # exactly 2 chunks, divisible boundary
+        ("line one\n" * 300),
+        "y" * 5000,
+        "é" * 1500,  # multibyte chars, char-based windows
+    ]
+
+    def test_batch_matches_reference_loop(self):
+        batch = pa.table({"doc_id": list(range(len(self.CASES))), "text": self.CASES})
+        out = chunk_batch(batch)
+        got = out.to_pylist()
+        expected = []
+        for i, text in enumerate(self.CASES):
+            for c in chunk_text(text):
+                expected.append(
+                    {
+                        "doc_id": i,
+                        "chunk_index": c["chunk_index"],
+                        "total_chunks": c["total_chunks"],
+                        "chunk_text": c["text"],
+                        "size": c["size"],
+                        "line_start": c["line_start"],
+                        "line_end": c["line_end"],
+                    }
+                )
+        assert got == expected
+
+    def test_num_chunks_closed_form(self):
+        for L in [1, 999, 1000, 1001, 1850, 1851, 2700, 10000]:
+            assert num_chunks(L, 1000, 850) == len(chunk_text("z" * L))
+
+
+class TestExtract:
+    def test_decode_chain(self):
+        assert decode_bytes("héllo".encode("utf-8")) == "héllo"
+        # invalid utf-8 → latin-1
+        raw = bytes([0xE9, 0x20, 0x41])
+        assert decode_bytes(raw) == "é A"
+        # BOM'd utf-8 decodes with plain utf-8 first, keeping the BOM char
+        assert decode_bytes("﻿hi".encode("utf-8")) == "﻿hi"
+
+    def test_wrap_extract_roundtrip_byte_identical(self):
+        texts = pa.array(["hello world", "multi\nline", "", "ünïcode αβ"])
+        ids = np.arange(4)
+        html = wrap_body(ids, texts)
+        batch = pa.table({"doc_id": ids, "html": html})
+        decoded = decode_html_batch(batch)
+        body = extract_body(decoded["html_text"])
+        assert body.to_pylist() == texts.to_pylist()
+
+    def test_decode_batch_with_non_utf8_rows(self):
+        rows = [b"plain", bytes([0xFF, 0xFE, 0x41]), "ok é".encode("utf-8")]
+        batch = pa.table({"html": pa.array(rows, type=pa.binary())})
+        out = decode_html_batch(batch)
+        assert out["html_text"].to_pylist() == [
+            "plain",
+            bytes([0xFF, 0xFE, 0x41]).decode("latin-1"),
+            "ok é",
+        ]
+
+
+class TestCorpus:
+    def test_generation_deterministic_and_blockwise(self):
+        a = generate_pages_block(0, 50)
+        b = generate_pages_block(0, 50)
+        assert a.equals(b)
+        # generating a sub-range yields identical rows (stateless per-id)
+        c = generate_pages_block(10, 5)
+        assert a.slice(10, 5).equals(c)
+
+    def test_pages_from_documents_shape(self):
+        import pyarrow.parquet as pq
+
+        docs = pq.read_table("/root/testdata/sf0.001/documents.parquet").slice(0, 20)
+        pages = pages_from_documents(docs)
+        assert pages.schema.names == ["doc_id", "url", "warc_ts", "html", "text", "lang"]
+        assert pages["url"][0].as_py().startswith("src0/")
+        body = extract_body(decode_html_batch(pages)["html_text"])
+        assert body.to_pylist() == pages["text"].to_pylist()  # byte-identical invariant
+
+
+class TestOps:
+    def test_keep_latest(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.pipelines.ops import keep_latest
+
+        rows = [
+            {"k": "a", "ts": 1, "v": 10},
+            {"k": "a", "ts": 3, "v": 30},
+            {"k": "a", "ts": 2, "v": 20},
+            {"k": "b", "ts": 1, "v": 1},
+        ]
+        out = keep_latest(rd.from_items(rows), ["k"], "ts").to_pandas()
+        got = dict(zip(out["k"], out["v"]))
+        assert got == {"a": 30, "b": 1}
+
+    def test_broadcast_antijoin(self, ray_session):
+        import ray
+        import ray.data as rd
+
+        from code_indexer_ray.pipelines.ops import broadcast_antijoin
+
+        ds = rd.range(100)
+        ref = ray.put(np.arange(0, 100, 2))
+        out = broadcast_antijoin(ds, "id", ref).to_pandas()
+        assert sorted(out["id"]) == list(range(1, 100, 2))
+
+    def test_local_then_global_topk(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.pipelines.ops import local_then_global_topk
+
+        rng = np.random.default_rng(1)
+        vals = rng.permutation(1000).astype(np.float64)
+        ds = rd.from_pandas(pd.DataFrame({"i": np.arange(1000), "v": vals})).repartition(7)
+        top = local_then_global_topk(ds, "v", 5, "i")
+        assert top["v"].to_pylist() == sorted(vals, reverse=True)[:5]
+
+    def test_partial_agg_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from code_indexer_ray.pipelines.ops import partial_agg_sum
+
+        li = "/root/testdata/sf0.001/lineitem.parquet"
+        ds = rd.read_parquet(li, columns=["l_returnflag", "l_quantity"])
+        out = (
+            partial_agg_sum(ds, ["l_returnflag"], ["l_quantity"])
+            .to_pandas()
+            .sort_values("l_returnflag")
+            .reset_index(drop=True)
+        )
+        want = duckdb.sql(
+            f"SELECT l_returnflag, sum(l_quantity) AS l_quantity, count(*) AS n "
+            f"FROM read_parquet('{li}') GROUP BY 1 ORDER BY 1"
+        ).df()
+        assert out["l_returnflag"].tolist() == want["l_returnflag"].tolist()
+        assert out["l_quantity"].tolist() == pytest.approx(want["l_quantity"].tolist())
+        assert out["n"].tolist() == want["n"].tolist()
+
+
+class TestStats:
+    def test_counts_and_fingerprint(self):
+        batch = pa.table({"doc_id": [0, 1], "text": ["the cat and the hat!", ""]})
+        out = text_stats_batch(batch).to_pylist()
+        r0 = out[0]
+        assert r0["n_tokens"] == 5 and r0["n_unique"] == 4
+        assert r0["stop_en"] == 3  # the, and, the
+        assert r0["punct_chars"] == 1
+        assert r0["fingerprint"] == hashlib.md5(b"and cat hat the").hexdigest()
+        assert r0["lang_guess"] == "en"
+        assert out[1]["n_tokens"] == 0 and out[1]["lang_guess"] == "unknown"
+
+
+class TestDedup:
+    def test_md5_lower64_matches_duckdb(self):
+        import duckdb
+
+        for s in ["a", "hello world", "tok1 tok2 tok3"]:
+            want = duckdb.sql(f"select md5_number_lower('{s}')").fetchone()[0]
+            assert md5_lower64(s) == want
+
+    def test_minhash_against_slow_reimpl(self):
+        batch = pa.table(
+            {"doc_id": [7, 9], "text": ["a b c d e f", "a b c d e g"]}
+        )
+        out = minhash_batch(batch, num_perms=4, shingle_n=2).to_pylist()
+        a, b = perm_coeffs(4)
+        for row in out:
+            toks = ["a", "b", "c", "d", "e", "f" if row["doc_id"] == 7 else "g"]
+            sh = shingles_of(toks, 2)
+            xs = [md5_lower64(s) for s in sh]
+            p = row["perm_id"]
+            want = min((int(a[p]) * x + int(b[p])) % MERSENNE_P for x in xs)
+            assert row["minhash"] == want
+
+    def test_lsh_bands_collide_for_near_dups(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.dedup.minhash import candidate_pairs
+
+        texts = {
+            0: "the quick brown fox jumps over the lazy dog again and again",
+            1: "the quick brown fox jumps over the lazy dog again and again!",
+            2: "completely different content about distributed posting lists",
+        }
+        batch = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+        sig = minhash_batch(batch, num_perms=8)
+        bands = band_batch(sig, rows_per_band=2)
+        ds = rd.from_arrow(bands)
+        pairs = candidate_pairs(ds).to_pandas()
+        got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+        assert (0, 1) in got
+        assert (0, 2) not in got and (1, 2) not in got
+        assert jaccard_ngrams(texts[0].split(), texts[1].split()) > 0.8
+
+    def test_simhash_near_vs_far(self):
+        batch = pa.table(
+            {
+                "doc_id": [0, 1, 2],
+                "text": [
+                    "alpha beta gamma delta epsilon zeta eta theta",
+                    "alpha beta gamma delta epsilon zeta eta iota",
+                    "one two three four five six seven eight",
+                ],
+            }
+        )
+        out = simhash_batch(batch)
+        s = out["simhash"].to_numpy()
+        near = hamming_distance(s[0:1], s[1:2])[0]
+        far = hamming_distance(s[0:1], s[2:3])[0]
+        assert near < far
+        assert (s >= 0).all()  # 63-bit → fits signed int64
+
+    def test_content_hash_matches_duckdb_md5(self):
+        import duckdb
+
+        batch = pa.table({"doc_id": [1], "text": ["dedup me"]})
+        out = add_content_hash(batch)
+        want = duckdb.sql("select md5('dedup me')").fetchone()[0]
+        assert out["content_hash"][0].as_py() == want
+
+
+class TestANN:
+    def test_brute_force_matches_numpy(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.ann.brute import ann_cosine_topk
+
+        rng = np.random.default_rng(3)
+        vecs = rng.standard_normal((200, 16))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(200), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(5)
+        q_ids = np.array([0, 1])
+        out = ann_cosine_topk(ds, vecs[q_ids], q_ids, k=5).to_pandas()
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        for q in q_ids:
+            cos = vn @ vn[q]
+            cos[q] = -np.inf
+            want = np.argsort(-cos, kind="stable")[:5]
+            got = out[out["query_id"] == q].sort_values("rank")["vec_id"].tolist()
+            assert got == want.tolist()
+
+    def test_lsh_recall_reasonable(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.ann.brute import ann_cosine_topk
+        from code_indexer_ray.ann.lsh import lsh_cosine_topk
+
+        rng = np.random.default_rng(5)
+        vecs = rng.standard_normal((300, 16))
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(300), type=pa.int64()),
+                "embedding": pa.array(list(vecs), type=pa.list_(pa.float64())),
+            }
+        )
+        q_ids = np.array([0])
+        brute = ann_cosine_topk(rd.from_arrow(tbl), vecs[q_ids], q_ids, k=10).to_pandas()
+        approx = lsh_cosine_topk(
+            rd.from_arrow(tbl), vecs[q_ids], q_ids, k=10, n_planes=4, n_tables=8
+        ).to_pandas()
+        recall = len(set(approx["vec_id"]) & set(brute["vec_id"])) / 10
+        assert recall >= 0.5
+
+
+class TestMultimodal:
+    def test_stub_decode_actor_pool(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.mm.decode import media_decode
+
+        rows = [{"doc_id": i, "payload": f"payload-{i}".encode()} for i in range(10)]
+        out = media_decode(rd.from_items(rows), concurrency=2, batch_size=4).to_pandas()
+        assert len(out) == 10
+        assert set(out.columns) == {"doc_id", "n_bytes", "width", "height", "feat_mean"}
+        # deterministic across runs
+        d = hashlib.md5(b"payload-0").digest()
+        assert out.set_index("doc_id").loc[0, "width"] == 64 + d[0] % 192
