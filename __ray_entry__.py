@@ -1,16 +1,12 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native code-indexer engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (index build + BM25 search) on
+sf0.001; ``queries()``/``oracle_sql()`` expose the operator catalog from
+SURVEY.md §2 with DuckDB oracle twins (see
+``code_indexer_ray/pipelines/driver_api.py``).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ``ray.init()`` / ``ray.shutdown()``.
 """
 
 from __future__ import annotations
@@ -20,25 +16,43 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the sharded inverted index over sf0.001 documents and
+    run a battery of BM25 searches; returns the hit table."""
+    import pandas as pd
+
+    from code_indexer_ray.pipelines.driver_api import searcher_for
+
+    s = searcher_for("/root/testdata/sf0.001")
+    rows = []
+    for query, kwargs in [
+        ("spark merge", {}),
+        ("window", {"limit": 5}),
+        ("sparc", {"edit_distance": 1}),
+        ("s.*k", {"use_regex": True}),
+        ("spark", {"languages": ["en"]}),
+    ]:
+        for r in s.search(query, snippet_lines=0, **kwargs):
+            rows.append(
+                {
+                    "query": query,
+                    "doc_id": r["doc_id"],
+                    "path": r["path"],
+                    "language": r["language"],
+                    "score": r["score"],
+                    "line": r["line"],
+                    "column": r["column"],
+                }
+            )
+    return pd.DataFrame(rows)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from code_indexer_ray.pipelines.driver_api import query_catalog
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return query_catalog()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from code_indexer_ray.pipelines.driver_api import oracle_catalog
+
+    return oracle_catalog()

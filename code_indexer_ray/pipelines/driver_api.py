@@ -1,0 +1,761 @@
+"""Driver-facing query catalog: Ray pipelines + their DuckDB oracle SQL.
+
+Every entry in :func:`queries` has a matching ANSI-SQL twin in
+:func:`oracle_sql` built from the SAME specs (tokenizer RE2 pattern, fieldnorm
+table, BM25 formula, md5-based hashes) so results match by construction:
+column names, integer types (BIGINT), and float policy (scores ranked by
+``round(x, 9)`` with doc-id tiebreak, reported as ``round(x, 4)``).
+
+Ray sessions are owned by the caller (the driver / bench.py); nothing here
+calls ``ray.init``.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import numpy as np
+import pyarrow as pa
+
+from ..ann.brute import ann_cosine_topk
+from ..ann.lsh import lsh_cosine_topk
+from ..dedup.exact import add_content_hash
+from ..dedup.minhash import MERSENNE_P, band_batch, minhash_batch, perm_coeffs
+from ..dedup.simhash import simhash_batch
+from ..index.build import build_index
+from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm, sql_decode_table_values
+from ..mm.decode import media_decode
+from ..query import bm25
+from ..query.engine import IndexSearcher
+from ..text.analysis import sql_tokens_cte, token_counts
+from ..text.chunker import chunk_batch
+from ..text.stats import STOPWORDS, text_stats_batch
+from .corpus import pages_from_documents
+from .ops import keep_latest, local_then_global_topk, partial_agg_sum, tumbling_window
+
+CACHE_ROOT = "/tmp/cidx_ray_entry"
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def _docs(sf_dir: str) -> str:
+    return os.path.join(sf_dir, "documents.parquet")
+
+
+def _corpus_dir(sf_dir: str) -> str:
+    key = sf_dir.strip("/").replace("/", "_")
+    return os.path.join(CACHE_ROOT, key)
+
+
+def derived_corpus(sf_dir: str) -> str:
+    """documents → corpus parquet with a url column (source/doc_id)."""
+    import ray.data as rd
+
+    out = os.path.join(_corpus_dir(sf_dir), "corpus")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+
+        def add_url(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            url = pc.binary_join_element_wise(
+                batch["source"].combine_chunks()
+                if isinstance(batch["source"], pa.ChunkedArray)
+                else batch["source"],
+                pa.array([str(int(i)) for i in ids]),
+                "/",
+            )
+            return batch.select(["doc_id", "text", "lang"]).append_column("url", url)
+
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text", "lang", "source"]).map_batches(
+            add_url, batch_format="pyarrow"
+        ).write_parquet(out)
+        with open(done, "w") as f:
+            f.write("ok")
+    return out
+
+
+def searcher_for(sf_dir: str) -> IndexSearcher:
+    s = _SEARCHERS.get(sf_dir)
+    if s is None:
+        corpus = derived_corpus(sf_dir)
+        idx = os.path.join(_corpus_dir(sf_dir), "index")
+        build_index(
+            corpus,
+            idx,
+            store_cols=("lang", "url"),
+            num_shards=4,
+            num_buckets=4,
+        )
+        s = IndexSearcher(idx, lang_col="lang", url_col="url")
+        _SEARCHERS[sf_dir] = s
+    return s
+
+
+def _bm25_table(results: list[dict], limit: int) -> pa.Table:
+    rows = sorted(results, key=lambda r: (-round(r["score"], 9), r["doc_id"]))[: limit or None]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r["score"], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ray-side query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_term_stats(sf_dir: str):
+    """Vocabulary stats via partial per-batch aggregation + one small groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..text.analysis import term_frequencies
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, rows, tfs, _ = term_frequencies(batch["text"])
+        t = pa.table(
+            {
+                "term": terms,
+                "df": pa.array(np.ones(len(tfs), dtype=np.int64)),
+                "cf": pa.array(tfs),
+            }
+        )
+        agg = t.group_by("term").aggregate([("df", "sum"), ("cf", "sum")])
+        return pa.table({"term": agg["term"], "df": agg["df_sum"], "cf": agg["cf_sum"]})
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("cf", alias_name="cf"))
+    )
+
+
+def q_doc_stats(sf_dir: str):
+    import ray.data as rd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        n = token_counts(batch["text"])
+        ids = fieldnorm_to_id(n)
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].cast(pa.int64()),
+                "n_tokens": pa.array(n),
+                "norm_id": pa.array(ids.astype(np.int64)),
+                "dl": pa.array(id_to_fieldnorm(ids).astype(np.int64)),
+            }
+        )
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
+def q_bm25_single(sf_dir: str):
+    return _bm25_table(searcher_for(sf_dir).search("merge", limit=10, snippet_lines=0), 10)
+
+
+def q_bm25_and(sf_dir: str):
+    return _bm25_table(searcher_for(sf_dir).search("spark merge", limit=10, snippet_lines=0), 10)
+
+
+def q_bm25_lang(sf_dir: str):
+    return _bm25_table(
+        searcher_for(sf_dir).search("spark", languages=["en", "de"], limit=10, snippet_lines=0), 10
+    )
+
+
+def q_bm25_exclude_lang(sf_dir: str):
+    return _bm25_table(
+        searcher_for(sf_dir).search("spark", exclude_languages=["en"], limit=5, snippet_lines=0), 5
+    )
+
+
+def q_bm25_source_filter(sf_dir: str):
+    return _bm25_table(
+        searcher_for(sf_dir).search("merge", path_filters=["src1/*"], limit=5, snippet_lines=0), 5
+    )
+
+
+def q_bm25_limit0(sf_dir: str):
+    return _bm25_table(searcher_for(sf_dir).search("window", limit=0), 0)
+
+
+def q_bm25_fuzzy(sf_dir: str):
+    return _bm25_table(
+        searcher_for(sf_dir).search("mege", edit_distance=1, limit=10, snippet_lines=0), 10
+    )
+
+
+def q_bm25_regex(sf_dir: str):
+    return _bm25_table(
+        searcher_for(sf_dir).search("s.*k", use_regex=True, limit=10, snippet_lines=0), 10
+    )
+
+
+def q_fuzzy_terms(sf_dir: str):
+    s = searcher_for(sf_dir)
+    terms = sorted({t for shard in s._fanout("expand", "fuzzy", "merg", 1) for t in shard})
+    df = s._global_df(terms)
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array([df[t] for t in terms], type=pa.int64()),
+        }
+    )
+
+
+def q_regex_terms(sf_dir: str):
+    s = searcher_for(sf_dir)
+    terms = sorted({t for shard in s._fanout("expand", "regex", "w.*w") for t in shard})
+    df = s._global_df(terms)
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array([df[t] for t in terms], type=pa.int64()),
+        }
+    )
+
+
+def q_match_positions(sf_dir: str):
+    res = searcher_for(sf_dir).search("merge", limit=10, snippet_lines=0)
+    rows = sorted(res, key=lambda r: (-round(r["score"], 9), r["doc_id"]))
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "line": pa.array([r["line"] for r in rows], type=pa.int64()),
+            "col": pa.array([r["column"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_chunks(sf_dir: str):
+    import ray.data as rd
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        import hashlib
+
+        out = chunk_batch(batch, chunk_size=200)
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["chunk_text"].to_pylist()]
+        return out.drop_columns(["chunk_text"]).append_column(
+            "chunk_md5", pa.array(md5s, type=pa.string())
+        )
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        chunks, batch_format="pyarrow"
+    )
+
+
+def q_extract_roundtrip(sf_dir: str):
+    import hashlib
+
+    import ray.data as rd
+
+    from ..text.extract import decode_html_batch, extract_body
+
+    def run(batch: pa.Table) -> pa.Table:
+        pages = pages_from_documents(batch)
+        decoded = decode_html_batch(pages)
+        body = extract_body(decoded["html_text"])
+        body_md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in body.to_pylist()]
+        src_md5 = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": pages["doc_id"],
+                "url": pages["url"],
+                "body_md5": pa.array(body_md5, type=pa.string()),
+                "src_md5": pa.array(src_md5, type=pa.string()),
+            }
+        )
+
+    return rd.read_parquet(_docs(sf_dir)).map_batches(run, batch_format="pyarrow")
+
+
+def q_dedup_exact(sf_dir: str):
+    import ray.data as rd
+
+    from .ops import partial_agg_sum as _  # noqa: F401
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")
+    import pandas as pd
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g.sort_values("doc_id", kind="mergesort").head(1)
+        return keep[["content_hash", "doc_id"]]
+
+    return hashed.groupby("content_hash").map_groups(first, batch_format="pandas")
+
+
+def q_minhash_sig(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        minhash_batch, batch_format="pyarrow"
+    )
+
+
+def q_minhash_bands(sf_dir: str):
+    import ray.data as rd
+
+    def bands(batch: pa.Table) -> pa.Table:
+        return band_batch(minhash_batch(batch))
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        bands, batch_format="pyarrow"
+    )
+
+
+def q_simhash(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        simhash_batch, batch_format="pyarrow"
+    )
+
+
+def q_text_quality(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        text_stats_batch, batch_format="pyarrow"
+    )
+
+
+ANN_QUERY_IDS = (0, 1, 2, 3)
+
+
+def _load_queries(sf_dir: str) -> np.ndarray:
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+    ids = t["vec_id"].to_numpy(zero_copy_only=False)
+    sel = np.isin(ids, ANN_QUERY_IDS)
+    mat = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in t["embedding"].to_pylist()]
+    )
+    order = np.argsort(ids[sel])
+    return mat[sel][order]
+
+
+def q_ann_cosine(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qs = _load_queries(sf_dir)
+    out = ann_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10)
+    cos_r = pa.array(np.round(out["cos"].to_numpy(zero_copy_only=False), 4), type=pa.float64())
+    return out.drop_columns(["cos"]).append_column("cos_r", cos_r)
+
+
+def q_ann_lsh(sf_dir: str):
+    """Approximate ANN (LSH-bucketed) — no SQL oracle (approximate by design)."""
+    import ray.data as rd
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qs = _load_queries(sf_dir)
+    return lsh_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10, n_planes=6, n_tables=6)
+
+
+def _ts_us(tbl: pa.Table, cols: tuple[str, ...]) -> pa.Table:
+    """Normalize timestamp columns to us precision (pandas round-trips to ns)."""
+    for c in cols:
+        i = tbl.schema.get_field_index(c)
+        tbl = tbl.set_column(i, c, tbl[c].cast(pa.timestamp("us")))
+    return tbl
+
+
+def q_events_keep_latest(sf_dir: str):
+    import ray
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "event_type", "event_id", "ts", "value"],
+    )
+    out = keep_latest(ds, ["user_id", "event_type"], "ts", "event_id")
+    tbl = pa.concat_tables(
+        [t.select(["user_id", "event_type", "event_id", "ts", "value"]) for t in ray.get(out.to_arrow_refs())]
+    )
+    return _ts_us(tbl, ("ts",))
+
+
+def q_events_window(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    out = tumbling_window(ds, "ts", "user_id", "value").to_pandas()
+    out["sum_value_r"] = out["sum_value"].round(4)
+    out = out.drop(columns=["sum_value"])
+    return _ts_us(pa.Table.from_pandas(out, preserve_index=False), ("window_start",))
+
+
+def q_agg_lineitem(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
+    )
+    return partial_agg_sum(
+        ds, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice"]
+    )
+
+
+def q_topk_orders(sf_dir: str):
+    import ray.data as rd
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_orderkey", "o_totalprice"]
+    )
+    return local_then_global_topk(ds, "o_totalprice", 15, "o_orderkey")
+
+
+def q_antijoin(sf_dir: str):
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    order_keys = pq.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey"]
+    )["o_custkey"].to_numpy(zero_copy_only=False)
+    ref = ray.put(np.unique(order_keys))
+    from .ops import broadcast_antijoin
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey"])
+    return broadcast_antijoin(ds, "c_custkey", ref)
+
+
+def q_mm_decode(sf_dir: str):
+    import ray.data as rd
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        pages = pages_from_documents(batch)
+        return pa.table({"doc_id": pages["doc_id"], "payload": pages["html"]})
+
+    ds = rd.read_parquet(_docs(sf_dir)).map_batches(to_payload, batch_format="pyarrow")
+    return media_decode(ds, concurrency=2, batch_size=128)
+
+
+# ---------------------------------------------------------------------------
+# Oracle SQL
+# ---------------------------------------------------------------------------
+
+
+def _prelude() -> str:
+    return (
+        f"WITH toks AS ({sql_tokens_cte()}),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "stats AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,\n"
+        "  (SELECT count(*) FROM toks)::DOUBLE AS total_tokens,\n"
+        "  (SELECT count(*) FROM toks)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl),\n"
+        "doclen AS (SELECT d.doc_id, coalesce(t.nt, 0)::BIGINT AS n_tokens FROM documents d\n"
+        "  LEFT JOIN (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id) t USING (doc_id)),\n"
+        "dl AS (SELECT doclen.doc_id, q.id::BIGINT AS norm_id, q.dec::BIGINT AS dl FROM doclen\n"
+        "  JOIN fnorm q ON doclen.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),\n"
+        "df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)"
+    )
+
+
+def _scored_cte(term_set_sql: str, require_all: int | None, lang_pred: str = "") -> str:
+    """scored(doc_id, score): sum of per-term BM25 over ``term_set_sql``;
+    require_all=N → AND semantics over N distinct terms."""
+    score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
+    having = f"HAVING count(DISTINCT tf.term) = {require_all}" if require_all else ""
+    return (
+        f"scored AS (SELECT tf.doc_id, sum({score}) AS score\n"
+        f"  FROM tf JOIN df USING(term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+        f"  JOIN documents d ON d.doc_id = tf.doc_id, stats s\n"
+        f"  WHERE tf.term IN ({term_set_sql}) {lang_pred}\n"
+        f"  GROUP BY tf.doc_id {having})"
+    )
+
+
+def _ranked_topk(limit: int) -> str:
+    return (
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored)\n"
+        f"SELECT doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r FROM ranked WHERE rank <= {limit}"
+    )
+
+
+def _overfetch_filtered(limit: int, keep_pred: str) -> str:
+    """Reference over-fetch semantics: rank all, cut at 3·limit, post-filter,
+    re-rank, cut at limit."""
+    return (
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored),\n"
+        f"over_fetched AS (SELECT r.*, d.lang, d.source || '/' || d.doc_id AS url\n"
+        f"  FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= {limit * 3}),\n"
+        f"kept AS (SELECT doc_id, score, row_number() OVER (ORDER BY rank) AS rk\n"
+        f"  FROM over_fetched WHERE {keep_pred})\n"
+        f"SELECT doc_id, rk::BIGINT AS rank, round(score, 4) AS score_r FROM kept WHERE rk <= {limit}"
+    )
+
+
+def _perm_values() -> str:
+    a, b = perm_coeffs(8)
+    return ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(8))
+
+
+def _shingle_cte() -> str:
+    """(doc_id, shingle) 3-word shingles in token order (short docs → 1 shingle)."""
+    return (
+        "tokarr AS (SELECT d.doc_id,\n"
+        "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
+        "    x -> strlen(x) > 0 AND strlen(x) < 40), x -> lower(x)) AS tks FROM documents d),\n"
+        "tpos AS (SELECT doc_id, unnest(tks) AS term, generate_subscripts(tks, 1) AS pos, len(tks) AS nt FROM tokarr),\n"
+        "sh3 AS (SELECT doc_id, term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle,\n"
+        "  pos, nt FROM tpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),\n"
+        "sh AS (SELECT doc_id, shingle FROM sh3 WHERE nt >= 3 AND pos <= nt - 2\n"
+        "  UNION ALL SELECT doc_id, array_to_string(tks, ' ') AS shingle FROM tokarr WHERE len(tks) BETWEEN 1 AND 2)"
+    )
+
+
+def oracle_catalog() -> dict[str, str]:
+    P = MERSENNE_P
+    pre = _prelude()
+    out: dict[str, str] = {}
+
+    out["fts_term_stats"] = f"{pre}\nSELECT term, df, sum(tf.tf)::BIGINT AS cf FROM df JOIN tf USING (term) GROUP BY term, df"
+
+    out["fts_doc_stats"] = f"{pre}\nSELECT doclen.doc_id, doclen.n_tokens, dl.norm_id, dl.dl FROM doclen JOIN dl USING (doc_id)"
+
+    def _q(scored: str, tail: str) -> str:
+        return pre + ",\n" + scored + ",\n" + tail
+
+    out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
+    out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
+    out["fts_bm25_lang"] = _q(
+        _scored_cte("'spark'", None, lang_pred="AND d.lang IN ('en','de')"), _ranked_topk(10)
+    )
+    out["fts_bm25_exclude_lang"] = _q(
+        _scored_cte("'spark'", None), _overfetch_filtered(5, "lang <> 'en'")
+    )
+    out["fts_bm25_source_filter"] = _q(
+        _scored_cte("'merge'", None), _overfetch_filtered(5, "url LIKE 'src1/%'")
+    )
+    out["fts_bm25_limit0"] = _q(_scored_cte("'window'", None), _ranked_topk(100000))
+
+    out["fts_fuzzy_terms"] = (
+        f"{pre}\nSELECT term, df FROM df WHERE damerau_levenshtein(term, 'merg') <= 1"
+    )
+    out["fts_bm25_fuzzy"] = (
+        pre
+        + ",\nfz AS (SELECT term FROM df WHERE damerau_levenshtein(term, 'mege') <= 1),\n"
+        + _scored_cte("SELECT term FROM fz", None)
+        + ",\n"
+        + _ranked_topk(10)
+    )
+    out["fts_regex_terms"] = (
+        f"{pre}\nSELECT term, df FROM df WHERE regexp_full_match(term, 'w.*w')"
+    )
+    out["fts_bm25_regex"] = (
+        pre
+        + ",\nrx AS (SELECT term FROM df WHERE regexp_full_match(term, 's.*k')),\n"
+        + _scored_cte("SELECT term FROM rx", None)
+        + ",\n"
+        + _ranked_topk(10)
+    )
+
+    out["fts_match_positions"] = (
+        pre + ",\n" + _scored_cte("'merge'", None) + ",\n"
+        "ranked AS (SELECT doc_id, score, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored),\n"
+        "hit AS (SELECT r.doc_id, r.rank, strpos(lower(d.text), 'merge') AS p, d.text\n"
+        "  FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 10),\n"
+        "pos AS (SELECT doc_id, rank, p, substr(text, 1, p - 1) AS pref FROM hit)\n"
+        "SELECT doc_id, rank::BIGINT AS rank,\n"
+        "  (length(pref) - length(replace(pref, chr(10), '')) + 1)::BIGINT AS line,\n"
+        "  (CASE WHEN strpos(pref, chr(10)) = 0 THEN p\n"
+        "        ELSE p - (length(pref) - strpos(reverse(pref), chr(10)) + 1) END)::BIGINT AS col\n"
+        "FROM pos"
+    )
+
+    out["fts_chunks"] = (
+        "WITH c AS (SELECT doc_id, text, length(text) AS L,\n"
+        "  CASE WHEN length(text) <= 200 THEN 0 ELSE (length(text) - 200 + 169) // 170 END AS m\n"
+        "  FROM documents WHERE trim(text, ' ' || chr(9) || chr(10) || chr(13)) <> ''),\n"
+        "ch AS (SELECT doc_id, L, m, i.i AS ci FROM c, (SELECT unnest(generate_series(0, 10000)) AS i) i WHERE i.i <= m),\n"
+        "pieces AS (SELECT ch.doc_id, ch.ci, ch.m, substr(c2.text, ci * 170 + 1, 200) AS piece,\n"
+        "  substr(c2.text, 1, ci * 170) AS pref FROM ch JOIN c c2 USING (doc_id))\n"
+        "SELECT doc_id, ci::BIGINT AS chunk_index, (m + 1)::BIGINT AS total_chunks,\n"
+        "  length(piece)::BIGINT AS size,\n"
+        "  (length(pref) - length(replace(pref, chr(10), '')) + 1)::BIGINT AS line_start,\n"
+        "  (length(pref || piece) - length(replace(pref || piece, chr(10), '')) + 1)::BIGINT AS line_end,\n"
+        "  md5(piece) AS chunk_md5\n"
+        "FROM pieces"
+    )
+
+    out["fts_extract_roundtrip"] = (
+        "WITH pages AS (SELECT doc_id, source || '/' || doc_id AS url,\n"
+        "  '<html><head><title>D' || doc_id || '</title></head><body><p>' || text || '</p></body></html>' AS html,\n"
+        "  text FROM documents)\n"
+        "SELECT doc_id, url, md5(regexp_extract(html, '<p>(.*)</p>', 1)) AS body_md5, md5(text) AS src_md5 FROM pages"
+    )
+
+    out["dedup_exact"] = (
+        "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)"
+    )
+
+    out["dedup_minhash_sig"] = (
+        f"WITH {_shingle_cte()},\n"
+        f"x AS (SELECT doc_id, md5_number_lower(shingle)::HUGEINT AS x FROM sh),\n"
+        f"perms(perm_id, a, b) AS (VALUES {_perm_values()})\n"
+        f"SELECT doc_id, perm_id::BIGINT AS perm_id,\n"
+        f"  (min((a::HUGEINT * x + b::HUGEINT) % {P}))::BIGINT AS minhash\n"
+        f"FROM x, perms GROUP BY doc_id, perm_id"
+    )
+
+    out["dedup_minhash_bands"] = (
+        f"WITH {_shingle_cte()},\n"
+        f"x AS (SELECT doc_id, md5_number_lower(shingle)::HUGEINT AS x FROM sh),\n"
+        f"perms(perm_id, a, b) AS (VALUES {_perm_values()}),\n"
+        f"sig AS (SELECT doc_id, perm_id, min((a::HUGEINT * x + b::HUGEINT) % {P}) AS minhash\n"
+        f"  FROM x, perms GROUP BY doc_id, perm_id)\n"
+        f"SELECT doc_id, (perm_id // 2)::BIGINT AS band_id,\n"
+        f"  (sum((minhash * CASE WHEN perm_id % 2 = 0 THEN 1 ELSE 1000003 END) % {P}) % {P})::BIGINT AS band_hash\n"
+        f"FROM sig GROUP BY doc_id, perm_id // 2"
+    )
+
+    out["dedup_simhash"] = (
+        f"{pre},\n"
+        "bits AS (SELECT tf.doc_id, b.b AS bit,\n"
+        "  sum(CASE WHEN (md5_number_lower(tf.term) >> b.b) & 1 = 1 THEN tf.tf ELSE -tf.tf END) AS acc\n"
+        "  FROM tf, (SELECT unnest(generate_series(0, 62)) AS b) b GROUP BY tf.doc_id, b.b),\n"
+        "sims AS (SELECT doc_id, sum(CASE WHEN acc > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash\n"
+        "  FROM bits GROUP BY doc_id)\n"
+        "SELECT doclen.doc_id, coalesce(sims.simhash, 0)::BIGINT AS simhash, doclen.n_tokens\n"
+        "FROM doclen LEFT JOIN sims USING (doc_id)"
+    )
+
+    stop_en = ",".join(f"'{w}'" for w in STOPWORDS["en"])
+    lang_cases = []
+    for lang in sorted(STOPWORDS):
+        words = ",".join(f"'{w}'" for w in STOPWORDS[lang])
+        lang_cases.append(
+            f"count(CASE WHEN term IN ({words}) THEN 1 END) AS s_{lang}"
+        )
+    pick = (
+        "CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown' "
+        "WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de' "
+        "WHEN s_en >= s_es AND s_en >= s_fr THEN 'en' "
+        "WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END"
+    )
+    out["text_quality"] = (
+        f"{pre},\n"
+        f"agg AS (SELECT doc_id, count(*) AS n_tok, count(DISTINCT term) AS n_unique,\n"
+        f"  {', '.join(lang_cases)},\n"
+        f"  sum(length(term)) AS len_sum,\n"
+        f"  md5(string_agg(DISTINCT term, ' ' ORDER BY term)) AS fp\n"
+        f"  FROM toks GROUP BY doc_id)\n"
+        f"SELECT doclen.doc_id, doclen.n_tokens,\n"
+        f"  coalesce(agg.n_unique, 0)::BIGINT AS n_unique,\n"
+        f"  coalesce(agg.s_en, 0)::BIGINT AS stop_en,\n"
+        f"  length(regexp_replace(d.text, '[\\p{{L}}\\p{{N}}\\s]', '', 'g'))::BIGINT AS punct_chars,\n"
+        f"  CASE WHEN doclen.n_tokens > 0 THEN (agg.len_sum * 10000) // doclen.n_tokens ELSE 0 END::BIGINT AS mean_len_e4,\n"
+        f"  coalesce(agg.fp, md5('')) AS fingerprint,\n"
+        f"  CASE WHEN agg.doc_id IS NULL THEN 'unknown' ELSE {pick} END AS lang_guess\n"
+        f"FROM doclen LEFT JOIN agg USING (doc_id) JOIN documents d ON d.doc_id = doclen.doc_id"
+    )
+
+    qids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    out["ann_cosine"] = (
+        f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN ({qids})),\n"
+        "pairs AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos\n"
+        "  FROM q, embeddings e WHERE e.vec_id <> q.qid),\n"
+        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM pairs)\n"
+        "SELECT qid::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id, round(cos, 4) AS cos_r\n"
+        "FROM ranked WHERE rank <= 10"
+    )
+
+    out["events_keep_latest"] = (
+        "SELECT user_id, event_type, event_id, ts, value FROM (\n"
+        "  SELECT user_id, event_type, event_id, ts, value,\n"
+        "    row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts DESC, event_id DESC) AS rn\n"
+        "  FROM events) WHERE rn = 1"
+    )
+
+    out["events_window"] = (
+        "SELECT user_id, date_trunc('hour', ts) AS window_start, count(*)::BIGINT AS n_events,\n"
+        "  round(sum(value), 4) AS sum_value_r\n"
+        "FROM events GROUP BY user_id, date_trunc('hour', ts)"
+    )
+
+    out["agg_lineitem"] = (
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS l_quantity,\n"
+        "  sum(l_extendedprice) AS l_extendedprice, count(*)::BIGINT AS n\n"
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+    )
+
+    out["topk_orders"] = (
+        "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15"
+    )
+
+    out["antijoin_customers"] = (
+        "SELECT c_custkey FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+    )
+
+    out["mm_decode"] = (
+        "WITH pages AS (SELECT doc_id,\n"
+        "  '<html><head><title>D' || doc_id || '</title></head><body><p>' || text || '</p></body></html>' AS payload\n"
+        "  FROM documents)\n"
+        "SELECT doc_id, strlen(payload)::BIGINT AS n_bytes,\n"
+        "  (64 + (md5_number_upper(payload) & 255) % 192)::BIGINT AS width,\n"
+        "  (64 + ((md5_number_upper(payload) >> 8) & 255) % 192)::BIGINT AS height,\n"
+        "  round(((md5_number_upper(payload) >> 16) & 4294967295) / 4294967295.0, 6) AS feat_mean\n"
+        "FROM pages"
+    )
+
+    return out
+
+
+def query_catalog():
+    return {
+        "fts_term_stats": q_term_stats,
+        "fts_doc_stats": q_doc_stats,
+        "fts_bm25_single": q_bm25_single,
+        "fts_bm25_and": q_bm25_and,
+        "fts_bm25_lang": q_bm25_lang,
+        "fts_bm25_exclude_lang": q_bm25_exclude_lang,
+        "fts_bm25_source_filter": q_bm25_source_filter,
+        "fts_bm25_limit0": q_bm25_limit0,
+        "fts_fuzzy_terms": q_fuzzy_terms,
+        "fts_bm25_fuzzy": q_bm25_fuzzy,
+        "fts_regex_terms": q_regex_terms,
+        "fts_bm25_regex": q_bm25_regex,
+        "fts_match_positions": q_match_positions,
+        "fts_chunks": q_chunks,
+        "fts_extract_roundtrip": q_extract_roundtrip,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash_sig": q_minhash_sig,
+        "dedup_minhash_bands": q_minhash_bands,
+        "dedup_simhash": q_simhash,
+        "text_quality": q_text_quality,
+        "ann_cosine": q_ann_cosine,
+        "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
+        "events_keep_latest": q_events_keep_latest,
+        "events_window": q_events_window,
+        "agg_lineitem": q_agg_lineitem,
+        "topk_orders": q_topk_orders,
+        "antijoin_customers": q_antijoin,
+        "mm_decode": q_mm_decode,
+    }

@@ -71,7 +71,10 @@ def text_stats_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str =
     best_cnt = stack[np.arange(n), best]
     lang_guess = [langs[b] if c > 0 else "unknown" for b, c in zip(best, best_cnt)]
 
-    mean_len = np.where(n_tokens > 0, np.round(len_sum / np.maximum(n_tokens, 1), 4), 0.0)
+    # exact integer fixed-point (×10⁴) mean token length: avoids the
+    # banker's-vs-half-away rounding mismatch between numpy and SQL on
+    # terminating rationals like 82469/20
+    mean_len_e4 = np.where(n_tokens > 0, (len_sum * 10000) // np.maximum(n_tokens, 1), 0)
     return pa.table(
         {
             "doc_id": batch[id_col].cast(pa.int64()),
@@ -79,7 +82,7 @@ def text_stats_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str =
             "n_unique": pa.array(n_unique),
             "stop_en": pa.array(stop_counts["en"]),
             "punct_chars": pa.array(punct),
-            "mean_token_len": pa.array(mean_len, type=pa.float64()),
+            "mean_len_e4": pa.array(mean_len_e4.astype(np.int64)),
             "fingerprint": pa.array(fingerprint, type=pa.string()),
             "lang_guess": pa.array(lang_guess, type=pa.string()),
         }

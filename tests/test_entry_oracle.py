@@ -1,0 +1,113 @@
+"""Driver-style correctness gate, run locally: every queries() entry vs its
+oracle_sql() twin through DuckDB on sf0.01 — row count, schema, and
+order-insensitive value equality (the same comparison the driver makes)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def _to_table(result) -> pa.Table:
+    import ray.data
+
+    if isinstance(result, ray.data.Dataset):
+        return pa.concat_tables(
+            [t for t in ray.get(result.to_arrow_refs()) if t.num_rows] or
+            ray.get(result.to_arrow_refs())
+        )
+    if isinstance(result, pd.DataFrame):
+        return pa.Table.from_pandas(result, preserve_index=False)
+    return result
+
+
+import ray  # noqa: E402
+
+
+def _normalize(tbl: pa.Table) -> pd.DataFrame:
+    df = tbl.to_pandas()
+    df = df[sorted(df.columns)]
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+@pytest.fixture(scope="module")
+def duck():
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def catalogs(ray_session):
+    import __ray_entry__ as e
+
+    return e.queries(), e.oracle_sql()
+
+
+def test_entry_smoke(ray_session):
+    import __ray_entry__ as e
+
+    df = e.entry()
+    assert len(df) > 0
+    assert {"query", "doc_id", "score"} <= set(df.columns)
+
+
+def test_every_query_has_oracle_or_is_flagged(catalogs):
+    qs, oracles = catalogs
+    missing = set(qs) - set(oracles)
+    assert missing == {"ann_lsh"}  # approximate by design → rows-only check
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "fts_term_stats", "fts_doc_stats", "fts_bm25_single", "fts_bm25_and",
+        "fts_bm25_lang", "fts_bm25_exclude_lang", "fts_bm25_source_filter",
+        "fts_bm25_limit0", "fts_fuzzy_terms", "fts_bm25_fuzzy",
+        "fts_regex_terms", "fts_bm25_regex", "fts_match_positions",
+        "fts_chunks", "fts_extract_roundtrip", "dedup_exact",
+        "dedup_minhash_sig", "dedup_minhash_bands", "dedup_simhash",
+        "text_quality", "ann_cosine", "events_keep_latest", "events_window",
+        "agg_lineitem", "topk_orders", "antijoin_customers", "mm_decode",
+    ],
+)
+def test_query_matches_oracle(name, catalogs, duck):
+    qs, oracles = catalogs
+    got = _normalize(_to_table(qs[name](SF)))
+    want = _normalize(duck.sql(oracles[name]).arrow())
+    assert list(got.columns) == list(want.columns), (
+        f"{name}: columns {list(got.columns)} != {list(want.columns)}"
+    )
+    assert len(got) == len(want), f"{name}: {len(got)} rows != {len(want)}"
+    for col in got.columns:
+        g, w = got[col], want[col]
+        if g.dtype.kind == "f" or w.dtype.kind == "f":
+            assert np.allclose(g.astype(float), w.astype(float), atol=1e-9, equal_nan=True), (
+                f"{name}.{col} float mismatch"
+            )
+        else:
+            if not g.equals(w):
+                diff = (g != w)
+                raise AssertionError(
+                    f"{name}.{col} mismatch at rows {np.flatnonzero(diff)[:5]}: "
+                    f"got {g[diff].head(3).tolist()} want {w[diff].head(3).tolist()}"
+                )
+
+
+def test_ann_lsh_rows_only(catalogs):
+    qs, _ = catalogs
+    out = _to_table(qs["ann_lsh"](SF))
+    assert out.num_rows >= 0
+    assert set(out.schema.names) == {"query_id", "rank", "vec_id", "cos"}
