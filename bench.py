@@ -1,0 +1,190 @@
+#!/usr/bin/env python
+"""Headline benchmarks: index-build throughput (docs/s) + BM25 top-10 query
+latency over a synthesized Common-Crawl-shaped corpus (BASELINE.md targets).
+
+- plain run: ONE JSON line
+  {"metric": ..., "value": <headline seconds>, "unit": "sec",
+   "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N, ...}
+- ``--scaling``: runs the same job in two fresh processes at
+  RAY_GRAFT_CPUS=8 and =32 on the same input and reports both throughputs +
+  scaling efficiency (sandbox stand-in for N vs 4N nodes per BASELINE.json).
+
+Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
+GRAFT_BENCH_DOCS (default 40000 synthetic pages).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "40000"))
+CORPUS_DIR = f"/tmp/cidx_bench_corpus_{N_DOCS}"
+
+
+def ensure_corpus() -> str:
+    """Generate the deterministic corpus once (untimed), shared across runs."""
+    done = os.path.join(CORPUS_DIR, "_SUCCESS")
+    if not os.path.exists(done):
+        from code_indexer_ray.pipelines.corpus import write_corpus
+
+        shutil.rmtree(CORPUS_DIR, ignore_errors=True)
+        write_corpus(CORPUS_DIR, N_DOCS, seed=42)
+        with open(done, "w") as f:
+            f.write("ok")
+    # warm the OS page cache so both parallelism levels measure compute+shuffle
+    for name in os.listdir(CORPUS_DIR):
+        if name.endswith(".parquet"):
+            with open(os.path.join(CORPUS_DIR, name), "rb") as f:
+                f.read()
+    return CORPUS_DIR
+
+
+def bench_queries(index_dir: str) -> dict:
+    import numpy as np
+
+    from code_indexer_ray.query.engine import IndexSearcher
+
+    t0 = time.perf_counter()
+    s = IndexSearcher(index_dir, lang_col="lang", url_col="url")
+    s.search("t000042", limit=10, snippet_lines=0)  # loads every shard
+    cold_sec = time.perf_counter() - t0
+
+    rng = np.random.default_rng(7)
+    # zipf-spread term mix: heads, torso, tail
+    single = [f"t{int(r):06d}" for r in np.concatenate([
+        rng.integers(0, 20, 40), rng.integers(20, 2000, 40), rng.integers(2000, 49999, 20),
+    ])]
+    pairs = [f"{a} {b}" for a, b in zip(single[:30], single[30:60])]
+    lat = []
+    for q in single + pairs:
+        t1 = time.perf_counter()
+        s.search(q, limit=10, snippet_lines=0)
+        lat.append(time.perf_counter() - t1)
+    lat_ms = np.sort(np.array(lat) * 1000)
+    fuzzy_t = time.perf_counter()
+    for q in ["t00004", "t000x42", "t01234"]:
+        s.search(q, edit_distance=1, limit=10, snippet_lines=0)
+    fuzzy_sec = (time.perf_counter() - fuzzy_t) / 3
+    return {
+        "query_cold_sec": round(cold_sec, 4),
+        "bm25_p50_ms": round(float(np.percentile(lat_ms, 50)), 3),
+        "bm25_p95_ms": round(float(np.percentile(lat_ms, 95)), 3),
+        "bm25_qps": round(len(lat) / (sum(lat) or 1e-9), 1),
+        "fuzzy_avg_sec": round(fuzzy_sec, 4),
+    }
+
+
+def run() -> dict:
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=NCPU,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from code_indexer_ray.index.build import build_index
+
+    corpus = ensure_corpus()
+    out = f"/tmp/cidx_bench_idx_{NCPU}"
+    shutil.rmtree(out, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    manifest = build_index(
+        corpus,
+        out,
+        store_cols=("lang", "url"),
+        num_buckets=8,
+        target_docs_per_shard=max(1000, N_DOCS // 16),
+        resume=False,
+    )
+    build_sec = time.perf_counter() - t0
+
+    qstats = bench_queries(out)
+
+    # secondary pipelines over the driver tables
+    import ray.data as rd
+
+    from code_indexer_ray.dedup.minhash import minhash_batch
+    from code_indexer_ray.text.chunker import chunk_batch
+
+    t2 = time.perf_counter()
+    rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
+        minhash_batch, batch_format="pyarrow"
+    ).count()
+    minhash_sec = time.perf_counter() - t2
+
+    t3 = time.perf_counter()
+    rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
+        chunk_batch, batch_format="pyarrow"
+    ).count()
+    chunk_sec = time.perf_counter() - t3
+
+    result = {
+        "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
+        "value": round(build_sec, 3),
+        "unit": "sec",
+        "queries": {
+            "index_build": round(build_sec, 3),
+            "minhash_signatures": round(minhash_sec, 3),
+            "chunking": round(chunk_sec, 3),
+            **{k: v for k, v in qstats.items()},
+        },
+        "sf": SF_DIR,
+        "num_cpus": NCPU,
+        "n_docs": manifest.num_docs,
+        "total_tokens": manifest.total_tokens,
+        "docs_per_sec": round(manifest.num_docs / build_sec, 1),
+        "tokens_per_sec": round(manifest.total_tokens / build_sec, 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> None:
+    def child(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, check=True,
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo, r_hi = child(lo), child(hi)
+    t_lo, t_hi = r_lo["value"], r_hi["value"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    print(
+        json.dumps(
+            {
+                "metric": "index-build scaling efficiency (8 vs 32 cpus, fresh sessions)",
+                "sec_8": t_lo,
+                "sec_32": t_hi,
+                "docs_per_sec_8": r_lo["docs_per_sec"],
+                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "scaling_efficiency": round(eff, 3),
+                "n_docs": r_lo["n_docs"],
+                "bm25_p50_ms_32": r_hi["queries"]["bm25_p50_ms"],
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        run_scaling()
+    else:
+        print(json.dumps(run()))

@@ -316,9 +316,20 @@ def build_index(
                 "shard", pa.array(shard_of(ids, num_shards, doc_id_upper).astype(np.int32))
             )
 
-        rd.read_parquet(input_paths, columns=cols).map_batches(
+        # small row groups + doc_id-ordered writes → per-query stored-field
+        # fetches prune to a few row groups via parquet min/max stats
+        writer = rd.read_parquet(input_paths, columns=cols).map_batches(
             project, batch_format="pyarrow"
-        ).write_parquet(docstore_dir, partition_cols=["shard"])
+        )
+        try:
+            writer.write_parquet(
+                docstore_dir,
+                partition_cols=["shard"],
+                row_group_size=64,
+                min_rows_per_file=200_000,
+            )
+        except TypeError:  # older Ray: no min_rows_per_file
+            writer.write_parquet(docstore_dir, partition_cols=["shard"], row_group_size=64)
         with open(docstore_done, "w") as f:
             f.write("ok")
 

@@ -208,7 +208,7 @@ def q_bm25_regex(sf_dir: str):
 
 def q_fuzzy_terms(sf_dir: str):
     s = searcher_for(sf_dir)
-    terms = sorted({t for shard in s._fanout("expand", "fuzzy", "merg", 1) for t in shard})
+    terms = s.expand_terms("fuzzy", "merg", 1)
     df = s._global_df(terms)
     return pa.table(
         {
@@ -220,7 +220,7 @@ def q_fuzzy_terms(sf_dir: str):
 
 def q_regex_terms(sf_dir: str):
     s = searcher_for(sf_dir)
-    terms = sorted({t for shard in s._fanout("expand", "regex", "w.*w") for t in shard})
+    terms = s.expand_terms("regex", "w.*w")
     df = s._global_df(terms)
     return pa.table(
         {

@@ -40,7 +40,7 @@ from ..index.manifest import DOCSTORE_DIR, IndexManifest, load_manifest
 from ..text.analysis import tokenize_query
 from ..text.snippets import extract_snippet, locate_fuzzy, locate_literal
 from . import bm25
-from .expand import expand_fuzzy, expand_regex
+from .expand import VocabMatcher, expand_fuzzy, expand_regex
 from .globmatch import matches_any
 
 UNLIMITED_LIMIT = 100_000  # reference's "limit=0 → effectively unlimited"
@@ -223,6 +223,8 @@ class IndexSearcher:
         self.url_col = url_col
         self._remote = remote
         self._searchers: dict[int, object] = {}
+        self._docstore_ds = None  # cached pyarrow dataset (discovery is costly per query)
+        self._matcher: VocabMatcher | None = None  # cached union-vocab matcher
         if remote:
             import ray
 
@@ -248,6 +250,19 @@ class IndexSearcher:
         return [getattr(self._searcher(s), method)(*args, **kwargs) for s in shards]
 
     # ---- query assembly ----
+    def matcher(self) -> VocabMatcher:
+        """Union term dictionary across shards, cached with its DP/regex
+        structures — one vocabulary scan per query, not one per shard."""
+        if self._matcher is None:
+            union = sorted({t for v in self._fanout("vocab") for t in v})
+            self._matcher = VocabMatcher(union)
+        return self._matcher
+
+    def expand_terms(self, kind: str, pattern: str, distance: int = 0) -> list[str]:
+        if kind == "fuzzy":
+            return sorted(self.matcher().fuzzy(pattern, distance))
+        return sorted(self.matcher().regex(pattern))
+
     def _build_groups(
         self, query_text: str, edit_distance: int, use_regex: bool
     ) -> list[list[str]] | None:
@@ -258,15 +273,12 @@ class IndexSearcher:
             except re.error as e:
                 # reference wraps regex compile errors (tantivy_index_manager.py:502-505)
                 raise ValueError(f"Invalid regex pattern '{query_text}': {e}") from e
-            matched = sorted({t for terms in self._fanout("expand", "regex", query_text) for t in terms})
+            matched = self.expand_terms("regex", query_text)
             return [matched] if matched else None
         if edit_distance > 0:
             groups = []
             for word in query_text.split():
-                w = word.lower()
-                matched = sorted(
-                    {t for terms in self._fanout("expand", "fuzzy", w, edit_distance) for t in terms}
-                )
+                matched = self.expand_terms("fuzzy", word.lower(), edit_distance)
                 if not matched:
                     return None
                 groups.append(matched)
@@ -402,11 +414,56 @@ class IndexSearcher:
             )
         return results
 
+    def _docstore_index(self):
+        """One-time metadata scan of the doc store: for every (file, row
+        group), its doc_id min/max — the point-read index for stored fields.
+        Metadata-only (no data pages read)."""
+        if self._docstore_ds is None:
+            import glob
+
+            entries = []  # (min_id, max_id, path, row_group)
+            for path in sorted(
+                glob.glob(os.path.join(self._docstore, "**", "*.parquet"), recursive=True)
+            ):
+                md = pq.ParquetFile(path).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("doc_id")
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        entries.append((int(st.min), int(st.max), path, rg))
+            entries.sort()
+            self._docstore_ds = entries
+        return self._docstore_ds
+
     def _fetch_texts(self, doc_ids: list[int]) -> dict[int, str]:
-        dset = pads.dataset(self._docstore)
+        """Stored-field point fetch for the final hit set: each doc_id maps to
+        the row groups whose [min,max] covers it (docstore written in doc_id
+        order), so a top-10 fetch reads a handful of row groups — the analog
+        of Tantivy's block-compressed doc store lookups."""
+        entries = self._docstore_index()
         text_col = self.manifest.text_col
-        tbl = dset.to_table(
-            columns=["doc_id", text_col],
-            filter=pc.field("doc_id").isin(doc_ids),
-        )
-        return dict(zip(tbl["doc_id"].to_pylist(), tbl[text_col].to_pylist()))
+        ids = sorted(set(int(i) for i in doc_ids))
+        mins = np.array([e[0] for e in entries], dtype=np.int64)
+        need: dict[tuple[str, int], list[int]] = {}
+        for i in ids:
+            # candidate row group: the last entry with min <= id (ranges can
+            # overlap across files; scan back while max >= id)
+            j = int(np.searchsorted(mins, i, side="right")) - 1
+            while j >= 0 and entries[j][1] >= i:
+                need.setdefault((entries[j][2], entries[j][3]), []).append(i)
+                if entries[j][0] <= i:
+                    break
+                j -= 1
+        out: dict[int, str] = {}
+        by_file: dict[str, list[tuple[int, list[int]]]] = {}
+        for (path, rg), sub in need.items():
+            by_file.setdefault(path, []).append((rg, sub))
+        for path, groups in by_file.items():
+            f = pq.ParquetFile(path)
+            rgs = sorted({rg for rg, _ in groups})
+            tbl = f.read_row_groups(rgs, columns=["doc_id", text_col])
+            want = {i for _, sub in groups for i in sub}
+            mask = pc.is_in(tbl["doc_id"], value_set=pa.array(list(want), type=pa.int64()))
+            sel = tbl.filter(mask)
+            out.update(zip(sel["doc_id"].to_pylist(), sel[text_col].to_pylist()))
+        return out

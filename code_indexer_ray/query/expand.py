@@ -55,19 +55,107 @@ def osa_distance(a: str, b: str, cutoff: int = 3) -> int:
 
 
 def expand_fuzzy(vocab: np.ndarray, word: str, distance: int) -> list[str]:
-    """Terms within OSA distance ``distance`` of ``word`` (lowercased)."""
+    """Terms within OSA distance ``distance`` of ``word`` (lowercased).
+
+    Vectorized DP across the whole dictionary at once: the (M terms × L
+    positions) distance matrix advances one query character per step with
+    numpy elementwise mins — a 50k-term vocabulary scans in milliseconds,
+    the in-memory stand-in for Tantivy's Levenshtein-DFA dictionary walk.
+    """
     w = word.lower()
     lw = len(w)
-    out = []
-    for t in vocab:
-        if abs(len(t) - lw) > distance:
-            continue
-        if osa_distance(w, t, cutoff=distance) <= distance:
-            out.append(t)
-    return out
+    if len(vocab) == 0:
+        return []
+    lens = np.array([len(t) for t in vocab], dtype=np.int64)
+    cand_mask = np.abs(lens - lw) <= distance
+    cand = vocab[cand_mask]
+    if len(cand) == 0:
+        return []
+    clens = lens[cand_mask]
+    lmax = int(clens.max())
+    # char matrix, 0-padded
+    mat = np.zeros((len(cand), lmax), dtype=np.int32)
+    for i, t in enumerate(cand):
+        mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+    a = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+
+    M = len(cand)
+    prev = np.broadcast_to(np.arange(lmax + 1, dtype=np.int32), (M, lmax + 1)).copy()
+    prev2 = None
+    cur = np.empty_like(prev)
+    for i in range(1, lw + 1):
+        cur[:, 0] = i
+        for j in range(1, lmax + 1):
+            cost = (mat[:, j - 1] != a[i - 1]).astype(np.int32)
+            d = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost)
+            np.minimum(d, cur[:, j - 1] + 1, out=d)
+            if i > 1 and j > 1:
+                tr = (mat[:, j - 2] == a[i - 1]) & (mat[:, j - 1] == a[i - 2])
+                np.minimum(d, np.where(tr, prev2[:, j - 2] + 1, d), out=d)
+            cur[:, j] = d
+        prev2, prev, cur = prev, cur, (prev2 if prev2 is not None else np.empty_like(prev))
+    dist = prev[np.arange(M), clens]
+    return [t for t, d in zip(cand, dist) if d <= distance]
 
 
 def expand_regex(vocab: np.ndarray, pattern: str) -> list[str]:
     """Terms fully matching ``pattern`` (anchored, like Tantivy's regex query)."""
     rx = re.compile(pattern)
     return [t for t in vocab if rx.fullmatch(t)]
+
+
+class VocabMatcher:
+    """Cached term-dictionary matcher: the padded char matrix for the fuzzy DP
+    and the Arrow array for the RE2 regex kernel are built once per vocabulary
+    (the searcher caches one instance), so each query pays only the scan."""
+
+    def __init__(self, vocab):
+        import pyarrow as pa
+
+        self.vocab = np.asarray(vocab, dtype=object)
+        self._arr = pa.array([str(t) for t in self.vocab], type=pa.string())
+        self._lens = np.array([len(t) for t in self.vocab], dtype=np.int64)
+        lmax = int(self._lens.max()) if len(self.vocab) else 0
+        self._mat = np.zeros((len(self.vocab), lmax), dtype=np.uint32)
+        for i, t in enumerate(self.vocab):
+            if t:
+                self._mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+
+    def fuzzy(self, word: str, distance: int) -> list[str]:
+        w = word.lower()
+        lw = len(w)
+        keep = np.abs(self._lens - lw) <= distance
+        if not keep.any():
+            return []
+        mat = self._mat[keep]
+        clens = self._lens[keep]
+        cand = self.vocab[keep]
+        lmax = self._mat.shape[1]
+        a = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32) if lw else np.empty(0, np.uint32)
+        M = len(cand)
+        prev = np.broadcast_to(np.arange(lmax + 1, dtype=np.int32), (M, lmax + 1)).copy()
+        prev2 = None
+        cur = np.empty_like(prev)
+        for i in range(1, lw + 1):
+            cur[:, 0] = i
+            for j in range(1, lmax + 1):
+                cost = (mat[:, j - 1] != a[i - 1]).astype(np.int32)
+                d = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost)
+                np.minimum(d, cur[:, j - 1] + 1, out=d)
+                if i > 1 and j > 1:
+                    tr = (mat[:, j - 2] == a[i - 1]) & (mat[:, j - 1] == a[i - 2])
+                    np.minimum(d, np.where(tr, prev2[:, j - 2] + 1, d), out=d)
+                cur[:, j] = d
+            prev2, prev, cur = prev, cur, (prev2 if prev2 is not None else np.empty_like(prev))
+        dist = prev[np.arange(M), clens]
+        return [t for t, d in zip(cand, dist) if d <= distance]
+
+    def regex(self, pattern: str) -> list[str]:
+        import pyarrow.compute as pc
+
+        try:
+            mask = pc.match_substring_regex(self._arr, pattern=rf"\A(?:{pattern})\z")
+            m = mask.to_numpy(zero_copy_only=False)
+            return [t for t, ok in zip(self.vocab, m) if ok]
+        except Exception:
+            return expand_regex(self.vocab, pattern)

@@ -35,15 +35,45 @@ def locate_literal(content: str, query_text: str, case_sensitive: bool) -> tuple
 
 
 def _best_window(search_content: str, content: str, needle: str) -> tuple[float, int, str]:
+    """Best-ratio sliding window, result-identical to the naive double loop.
+
+    Optimization (pure pruning, cannot change the winner): difflib's ratio is
+    bounded above by 2·Σ_c min(count_needle[c], count_window[c]) / (|a|+|b|)
+    (its own quick_ratio); the multiset intersection is maintained
+    incrementally as the window slides, and the full SequenceMatcher runs only
+    when the bound exceeds the current best.  Windows are visited in the same
+    (size, position) order and ties keep the first best, exactly like the
+    reference's loop.
+    """
+    from collections import Counter
+
     best_ratio, best_start, best_text = 0.0, -1, ""
     n = len(needle)
     min_w = max(1, int(n * 0.7))
     max_w = int(n * 1.3)
+    need = Counter(needle)
     for w in range(min_w, max_w + 1):
+        if len(search_content) < w:
+            continue
+        win = Counter(search_content[:w])
+        # common = Σ min(need[c], win[c]) maintained incrementally
+        common = sum(min(need[c], win[c]) for c in win)
+        denom = n + w
         for i in range(len(search_content) - w + 1):
-            ratio = SequenceMatcher(None, needle, search_content[i : i + w]).ratio()
-            if ratio > best_ratio:
-                best_ratio, best_start, best_text = ratio, i, content[i : i + w]
+            if i > 0:
+                out_c = search_content[i - 1]
+                in_c = search_content[i + w - 1]
+                if out_c != in_c:
+                    if win[out_c] <= need.get(out_c, 0):
+                        common -= 1
+                    win[out_c] -= 1
+                    win[in_c] += 1
+                    if win[in_c] <= need.get(in_c, 0):
+                        common += 1
+            if 2.0 * common / denom > best_ratio:
+                ratio = SequenceMatcher(None, needle, search_content[i : i + w]).ratio()
+                if ratio > best_ratio:
+                    best_ratio, best_start, best_text = ratio, i, content[i : i + w]
     return best_ratio, best_start, best_text
 
 
