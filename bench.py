@@ -24,7 +24,7 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NCPU = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "40000"))
+N_DOCS = int(os.environ.get("GRAFT_BENCH_DOCS", "100000"))
 CORPUS_DIR = f"/tmp/cidx_bench_corpus_{N_DOCS}"
 
 
@@ -102,6 +102,14 @@ def run() -> dict:
     out = f"/tmp/cidx_bench_idx_{NCPU}"
     shutil.rmtree(out, ignore_errors=True)
 
+    # warm the worker pool (process spin-up is cluster startup, not pipeline
+    # throughput) and pin the task decomposition so both scaling legs run the
+    # identical job
+    os.environ.setdefault("CIDX_READ_BLOCKS", "128")
+    import ray.data as _rd
+
+    _rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
+
     t0 = time.perf_counter()
     manifest = build_index(
         corpus,
@@ -156,7 +164,15 @@ def run() -> dict:
 
 def run_scaling() -> None:
     def child(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # larger corpus for the scaling comparison so per-stage compute
+        # dominates fixed single-node coordination costs (the stand-in for
+        # "N vs 4N nodes on a big input"); same input for both legs
+        env = dict(
+            os.environ,
+            RAY_GRAFT_CPUS=str(ncpu),
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "200000"),
+            CIDX_READ_BLOCKS=os.environ.get("CIDX_READ_BLOCKS", "128"),
+        )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, check=True,

@@ -1,0 +1,137 @@
+"""CLI entry points — the ``ray job submit`` surface.
+
+    ray job submit -- python -m code_indexer_ray build --input corpus/ --out /data/idx
+    python -m code_indexer_ray search --index /data/idx "spark merge" --limit 10
+    python -m code_indexer_ray merge --base /data/idx --delta /data/delta --out /data/idx2
+
+The CLI owns the Ray session (``ray.init`` guarded; library code never
+initializes Ray).  Mirrors the reference's ``cidx index --fts`` /
+``cidx query --fts`` surface (reference ``cli.py:2634``, ``:4330``) with the
+flags that survive the web-scale recast.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
+        if num_cpus:
+            kwargs["num_cpus"] = num_cpus
+        ray.init(address="local", **kwargs)
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="code_indexer_ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build the sharded inverted index")
+    b.add_argument("--input", required=True)
+    b.add_argument("--out", required=True)
+    b.add_argument("--id-col", default="doc_id")
+    b.add_argument("--text-col", default="text")
+    b.add_argument("--store-cols", default="lang,url")
+    b.add_argument("--num-shards", type=int, default=None)
+    b.add_argument("--num-buckets", type=int, default=8)
+    b.add_argument("--docs-per-shard", type=int, default=250_000)
+    b.add_argument("--no-resume", action="store_true")
+
+    q = sub.add_parser("search", help="BM25 top-k query")
+    q.add_argument("--index", required=True)
+    q.add_argument("query")
+    q.add_argument("--limit", type=int, default=10)
+    q.add_argument("--fuzzy", type=int, default=0, help="edit distance 0-3")
+    q.add_argument("--regex", action="store_true")
+    q.add_argument("--case-sensitive", action="store_true")
+    q.add_argument("--languages", default=None, help="comma list")
+    q.add_argument("--exclude-languages", default=None)
+    q.add_argument("--path-filters", default=None)
+    q.add_argument("--exclude-paths", default=None)
+    q.add_argument("--snippet-lines", type=int, default=5)
+
+    m = sub.add_parser("merge", help="merge a delta index into a base index")
+    m.add_argument("--base", required=True)
+    m.add_argument("--delta", required=True)
+    m.add_argument("--out", required=True)
+
+    g = sub.add_parser("gen-corpus", help="write the deterministic synthetic pages corpus")
+    g.add_argument("--out", required=True)
+    g.add_argument("--n-docs", type=int, required=True)
+    g.add_argument("--seed", type=int, default=42)
+
+    args = p.parse_args(argv)
+    _ray_init(args.num_cpus)
+    try:
+        if args.cmd == "build":
+            from .index.build import build_index
+
+            mf = build_index(
+                args.input,
+                args.out,
+                id_col=args.id_col,
+                text_col=args.text_col,
+                store_cols=tuple(c for c in args.store_cols.split(",") if c),
+                num_shards=args.num_shards,
+                num_buckets=args.num_buckets,
+                target_docs_per_shard=args.docs_per_shard,
+                resume=not args.no_resume,
+            )
+            print(
+                json.dumps(
+                    {
+                        "num_docs": mf.num_docs,
+                        "total_tokens": mf.total_tokens,
+                        "num_shards": mf.num_shards,
+                        "partitions": len(mf.partitions),
+                        "out": args.out,
+                    }
+                )
+            )
+        elif args.cmd == "search":
+            from .query.engine import IndexSearcher
+
+            s = IndexSearcher(args.index)
+            split = lambda v: v.split(",") if v else None  # noqa: E731
+            res = s.search(
+                args.query,
+                case_sensitive=args.case_sensitive,
+                edit_distance=args.fuzzy,
+                use_regex=args.regex,
+                limit=args.limit,
+                languages=split(args.languages),
+                exclude_languages=split(args.exclude_languages),
+                path_filters=split(args.path_filters),
+                exclude_paths=split(args.exclude_paths),
+                snippet_lines=args.snippet_lines,
+            )
+            for r in res:
+                print(json.dumps(r))
+        elif args.cmd == "merge":
+            from .index.merge import merge_indexes
+
+            mf = merge_indexes(args.base, args.delta, args.out)
+            print(json.dumps({"num_docs": mf.num_docs, "out": args.out}))
+        elif args.cmd == "gen-corpus":
+            from .pipelines.corpus import write_corpus
+
+            write_corpus(args.out, args.n_docs, seed=args.seed)
+            print(json.dumps({"out": args.out, "n_docs": args.n_docs}))
+        return 0
+    finally:
+        import ray
+
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -49,7 +49,7 @@ from .manifest import (
     publish_manifest,
     write_partition_manifest,
 )
-from ..text.analysis import term_frequencies, token_counts
+from ..text.analysis import term_frequencies
 
 DEFAULT_NUM_BUCKETS = 8
 
@@ -258,6 +258,23 @@ def _dataset_count_and_max(paths, id_col: str) -> tuple[int, int]:
     return count, int(max_id)
 
 
+def _read_parallelism() -> int:
+    """Read/tokenize task count: a few blocks per CPU so the map stages keep
+    every core busy (input files alone may under-split).  ``CIDX_READ_BLOCKS``
+    pins it so a scaling comparison runs the identical task decomposition at
+    both cluster sizes."""
+    env = os.environ.get("CIDX_READ_BLOCKS")
+    if env:
+        return int(env)
+    import ray
+
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(32, cpus * 4)
+
+
 def build_index(
     input_paths,
     out_dir: str,
@@ -269,6 +286,7 @@ def build_index(
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     target_docs_per_shard: int = 250_000,
     resume: bool = True,
+    doc_id_upper: int | None = None,
     ray_remote_args: dict | None = None,
 ) -> IndexManifest:
     """Build a queryable sharded inverted index under ``out_dir``.
@@ -281,7 +299,11 @@ def build_index(
     """
     import ray.data as rd
 
-    n_docs, doc_id_upper = _dataset_count_and_max(input_paths, id_col)
+    n_docs, max_id = _dataset_count_and_max(input_paths, id_col)
+    if doc_id_upper is None:
+        doc_id_upper = max_id
+    elif max_id > doc_id_upper:
+        raise ValueError(f"input contains doc_id {max_id} > doc_id_upper {doc_id_upper}")
     if num_shards is None:
         num_shards = max(1, -(-n_docs // target_docs_per_shard))
     fingerprint = f"v1:{n_docs}:{doc_id_upper}:{num_shards}:{num_buckets}:{text_col}"
@@ -307,43 +329,40 @@ def build_index(
         cols = [id_col, text_col, *store_cols]
 
         def project(batch: pa.Table) -> pa.Table:
+            # pure projection — NO tokenize here (field lengths live in the
+            # postings; a second analyze pass would double the hottest stage)
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
             out = batch.select(cols)
-            out = out.append_column(
-                "n_tokens", pa.array(token_counts(batch[text_col]), type=pa.int64())
-            )
             return out.append_column(
                 "shard", pa.array(shard_of(ids, num_shards, doc_id_upper).astype(np.int32))
             )
 
         # small row groups + doc_id-ordered writes → per-query stored-field
-        # fetches prune to a few row groups via parquet min/max stats
-        writer = rd.read_parquet(input_paths, columns=cols).map_batches(
-            project, batch_format="pyarrow"
+        # fetches prune to a few row groups via parquet min/max stats.
+        # (no min_rows_per_file: coalescing serializes the writers — measured
+        # 3.4x slower at 32 cpus for zero read-side benefit here)
+        rd.read_parquet(
+            input_paths, columns=cols, override_num_blocks=_read_parallelism()
+        ).map_batches(project, batch_format="pyarrow").write_parquet(
+            docstore_dir, partition_cols=["shard"], row_group_size=64, compression="zstd"
         )
-        try:
-            writer.write_parquet(
-                docstore_dir,
-                partition_cols=["shard"],
-                row_group_size=64,
-                min_rows_per_file=200_000,
-            )
-        except TypeError:  # older Ray: no min_rows_per_file
-            writer.write_parquet(docstore_dir, partition_cols=["shard"], row_group_size=64)
         with open(docstore_done, "w") as f:
             f.write("ok")
 
     # ---- postings: the one wide shuffle ----
     todo_shards = incomplete_shards(out_dir, num_shards, num_buckets) if resume else list(range(num_shards))
     if todo_shards:
-        ds = rd.read_parquet(input_paths, columns=[id_col, text_col])
+        nblocks = _read_parallelism()
+        ds = rd.read_parquet(input_paths, columns=[id_col, text_col], override_num_blocks=nblocks)
         if len(todo_shards) < num_shards:
             ranges = [shard_doc_range(s, num_shards, doc_id_upper) for s in todo_shards]
             expr = None
             for lo, hi in ranges:
                 e = (pc.field(id_col) >= lo) & (pc.field(id_col) < hi)
                 expr = e if expr is None else (expr | e)
-            ds = rd.read_parquet(input_paths, columns=[id_col, text_col], filter=expr)
+            ds = rd.read_parquet(
+                input_paths, columns=[id_col, text_col], filter=expr, override_num_blocks=nblocks
+            )
 
         tok = ds.map_batches(
             make_tokenize_fn(id_col, text_col, num_shards, num_buckets, doc_id_upper),

@@ -124,6 +124,6 @@ def write_corpus(path: str, n_docs: int, seed: int = 42, block_rows: int = 2000)
         rd.range(n_docs)
         .repartition(max(1, n_docs // block_rows))
         .map_batches(gen, batch_format="pyarrow", batch_size=block_rows)
-        .write_parquet(path)
+        .write_parquet(path, row_group_size=512)
     )
     return path

@@ -137,6 +137,62 @@ class ShardSearcher:
         return decode_blocks(p, needed)
 
     # ---- scoring ----
+    def _maxscore_union(
+        self,
+        posts: list[tuple[str, dict]],
+        n_docs: int,
+        avgdl: float,
+        global_df: dict[str, int],
+        m: int,
+        lang_col: str | None,
+        url_col: str | None,
+    ) -> list[tuple[int, float, str | None, str | None]]:
+        """Exact top-m over a term union via MaxScore (Turtle & Flood 1995)
+        with block-max gather: terms whose summed upper bounds cannot reach
+        the current m-th score are never fully decoded.
+
+        Upper bounds come from the per-block (max_tf, min_norm) metadata —
+        tfn is monotone in tf and anti-monotone in dl, so the list-level
+        (max over max_tfs, min over min_norms) bounds every posting.
+        """
+        ubs = np.empty(len(posts), dtype=np.float64)
+        for i, (t, p) in enumerate(posts):
+            max_tf = int(np.frombuffer(p["max_tfs"], dtype=np.uint32).max())
+            min_dl = int(id_to_fieldnorm([int(np.frombuffer(p["min_norms"], dtype=np.uint8).min())])[0])
+            ubs[i] = bm25.term_upper_bound(max_tf, min_dl, global_df[t], n_docs, avgdl)
+        order = np.argsort(-ubs, kind="stable")
+
+        # seed threshold: exact scores of the highest-upper-bound term's docs
+        seed_docs, _, _ = self._decode_full(posts[order[0]][1])
+        seed_scores = _union_exact_scores(
+            posts, seed_docs, n_docs, avgdl, global_df, self._decode_for_candidates
+        )
+        if len(seed_scores) >= m:
+            theta = float(np.partition(seed_scores, -m)[-m])
+        else:
+            theta = -np.inf
+
+        # essential prefix: smallest k with sum of remaining bounds < theta
+        suffix = np.concatenate((np.cumsum(ubs[order][::-1])[::-1], [0.0]))
+        k = len(posts)
+        for i in range(len(posts) + 1):
+            if suffix[i] < theta:
+                k = max(1, i)
+                break
+        essential = [posts[j] for j in order[:k]]
+
+        cand_arrays = [self._decode_full(p)[0] for _, p in essential]
+        cand = np.unique(np.concatenate(cand_arrays))
+        scores = _union_exact_scores(
+            posts, cand, n_docs, avgdl, global_df, self._decode_for_candidates
+        )
+        sel = np.lexsort((cand, -scores))[:m]
+        cand, scores = cand[sel], scores[sel]
+        if lang_col or url_col:
+            self._load_meta(lang_col, url_col)
+        langs, urls = self._meta_for(cand)
+        return list(zip(cand.tolist(), scores.tolist(), langs, urls))
+
     def search_groups(
         self,
         groups: list[list[str]],
@@ -156,6 +212,19 @@ class ShardSearcher:
             if not posts:
                 return []  # AND semantics: a group with no local terms → no hits here
             group_posts.append(posts)
+
+        # MaxScore pruning for wide single-group unions (fuzzy/regex
+        # expansions): exact top-m without decoding every member's postings.
+        # Skipped under a pre-limit language filter — the threshold would be
+        # computed on unfiltered scores and pruning would no longer be safe.
+        if (
+            len(group_posts) == 1
+            and len(group_posts[0]) >= 8
+            and include_langs is None
+        ):
+            return self._maxscore_union(
+                group_posts[0], n_docs, avgdl, global_df, m, lang_col, url_col
+            )
 
         # process groups smallest-local-df first so later decodes can skip blocks
         order = np.argsort([sum(p["df"] for _, p in posts) for posts in group_posts])
@@ -202,6 +271,31 @@ class ShardSearcher:
         cand, scores = cand[sel], scores[sel]
         langs, urls = self._meta_for(cand)
         return list(zip(cand.tolist(), scores.tolist(), langs, urls))
+
+
+def _union_exact_scores(
+    posts: list[tuple[str, dict]],
+    cand: np.ndarray,
+    n_docs: int,
+    avgdl: float,
+    global_df: dict[str, int],
+    decode_fn,
+) -> np.ndarray:
+    """Exact summed BM25 for ``cand`` over a union of posting lists,
+    decoding only the blocks that can contain candidates."""
+    scores = np.zeros(len(cand), dtype=np.float64)
+    for t, p in posts:
+        d, tf, nm = decode_fn(p, cand)
+        if len(d) == 0:
+            continue
+        pos = np.searchsorted(d, cand)
+        pos_c = np.minimum(pos, len(d) - 1)
+        hit = d[pos_c] == cand
+        if not hit.any():
+            continue
+        dl = id_to_fieldnorm(nm[pos_c[hit]])
+        scores[hit] += bm25.term_score(tf[pos_c[hit]], dl, global_df[t], n_docs, avgdl)
+    return scores
 
 
 class IndexSearcher:

@@ -145,6 +145,19 @@ class TestFuzzyRegex:
         for pat in ("s.*k", "needle.*", "m[ae]rge", "zz+"):
             _check(s.search(pat, use_regex=True, snippet_lines=0), oracle.search_regex(pat))
 
+    def test_wide_union_maxscore_path(self, built):
+        """Expansions ≥ 8 terms route through MaxScore pruning — results must
+        stay identical to the brute-force union."""
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for pat in (".*e.*", "[a-z]+", "[a-z]*a[a-z]*"):
+            for limit in (3, 10, 100):
+                assert len(s.matcher().regex(pat)) >= 8  # sanity: wide union
+                _check(
+                    s.search(pat, use_regex=True, limit=limit, snippet_lines=0),
+                    oracle.search_regex(pat, limit),
+                )
+
     def test_regex_fuzzy_incompatible(self, built):
         _, _, out, _, _ = built
         s = IndexSearcher(out)
