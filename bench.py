@@ -123,23 +123,26 @@ def run() -> dict:
 
     qstats = bench_queries(out)
 
-    # secondary pipelines over the driver tables
-    import ray.data as rd
+    # secondary pipelines (skipped in scaling mode — the criterion is the
+    # headline build, and these add minutes at the larger scaling corpus)
+    minhash_sec = chunk_sec = -1.0
+    if not os.environ.get("GRAFT_BENCH_FAST"):
+        import ray.data as rd
 
-    from code_indexer_ray.dedup.minhash import minhash_batch
-    from code_indexer_ray.text.chunker import chunk_batch
+        from code_indexer_ray.dedup.minhash import minhash_batch
+        from code_indexer_ray.text.chunker import chunk_batch
 
-    t2 = time.perf_counter()
-    rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
-        minhash_batch, batch_format="pyarrow"
-    ).count()
-    minhash_sec = time.perf_counter() - t2
+        t2 = time.perf_counter()
+        rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
+            minhash_batch, batch_format="pyarrow"
+        ).count()
+        minhash_sec = time.perf_counter() - t2
 
-    t3 = time.perf_counter()
-    rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
-        chunk_batch, batch_format="pyarrow"
-    ).count()
-    chunk_sec = time.perf_counter() - t3
+        t3 = time.perf_counter()
+        rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
+            chunk_batch, batch_format="pyarrow"
+        ).count()
+        chunk_sec = time.perf_counter() - t3
 
     result = {
         "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
@@ -172,6 +175,7 @@ def run_scaling() -> None:
             RAY_GRAFT_CPUS=str(ncpu),
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "200000"),
             CIDX_READ_BLOCKS=os.environ.get("CIDX_READ_BLOCKS", "128"),
+            GRAFT_BENCH_FAST="1",
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

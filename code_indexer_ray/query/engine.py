@@ -353,6 +353,12 @@ class IndexSearcher:
         return self._matcher
 
     def expand_terms(self, kind: str, pattern: str, distance: int = 0) -> list[str]:
+        if self._remote:
+            # actor mode: expansion stays shard-local (the term dictionary is
+            # never shipped to the driver); union the per-shard matches
+            return sorted(
+                {t for terms in self._fanout("expand", kind, pattern, distance) for t in terms}
+            )
         if kind == "fuzzy":
             return sorted(self.matcher().fuzzy(pattern, distance))
         return sorted(self.matcher().regex(pattern))

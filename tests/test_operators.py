@@ -324,3 +324,31 @@ class TestMultimodal:
         # deterministic across runs
         d = hashlib.md5(b"payload-0").digest()
         assert out.set_index("doc_id").loc[0, "width"] == 64 + d[0] % 192
+
+
+class TestMinhashFast:
+    def test_fast_path_shape_and_near_dup_behavior(self):
+        from code_indexer_ray.dedup.minhash import minhash_batch_fast
+
+        texts = {
+            0: "the quick brown fox jumps over the lazy dog again and again",
+            1: "the quick brown fox jumps over the lazy dog again and again!",
+            2: "completely different content about distributed posting lists",
+        }
+        batch = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+        sig = minhash_batch_fast(batch, num_perms=16).to_pandas()
+        assert len(sig) == 48
+        s0 = sig[sig.doc_id == 0].sort_values("perm_id")["minhash"].to_numpy()
+        s1 = sig[sig.doc_id == 1].sort_values("perm_id")["minhash"].to_numpy()
+        s2 = sig[sig.doc_id == 2].sort_values("perm_id")["minhash"].to_numpy()
+        assert (s0 == s1).mean() > 0.6      # near-dups collide on most perms
+        assert (s0 == s2).mean() < 0.3      # distinct docs mostly differ
+        # deterministic
+        assert minhash_batch_fast(batch, num_perms=16).to_pandas().equals(sig)
+
+    def test_fast_path_short_docs(self):
+        from code_indexer_ray.dedup.minhash import minhash_batch_fast
+
+        batch = pa.table({"doc_id": [5, 6], "text": ["one two", ""]})
+        out = minhash_batch_fast(batch).to_pandas()
+        assert set(out.doc_id) == {5}  # empty doc omitted, short doc single-shingle
