@@ -183,7 +183,8 @@ def run_scaling() -> None:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    lo, hi = 8, 32
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
     r_lo, r_hi = child(lo), child(hi)
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)

@@ -57,10 +57,16 @@ DEFAULT_NUM_BUCKETS = 8
 def term_bucket(terms: pa.Array, num_buckets: int) -> np.ndarray:
     """Stable bucket id per term: crc32 over UTF-8 bytes, computed once per
     *unique* term in the batch and broadcast back (vocab ≪ postings)."""
-    uniq = pc.unique(terms)
-    lut = {t: zlib.crc32(t.encode("utf-8")) % num_buckets for t in uniq.to_pylist()}
-    codes = pc.index_in(terms, value_set=uniq).to_numpy(zero_copy_only=False)
-    uniq_buckets = np.array([lut[t] for t in uniq.to_pylist()], dtype=np.int32)
+    if pa.types.is_dictionary(terms.type):
+        uniq = terms.dictionary
+        codes = terms.indices.to_numpy(zero_copy_only=False)
+    else:
+        uniq = pc.unique(terms)
+        codes = pc.index_in(terms, value_set=uniq).to_numpy(zero_copy_only=False)
+    uniq_buckets = np.array(
+        [zlib.crc32(t.encode("utf-8")) % num_buckets for t in uniq.to_pylist()],
+        dtype=np.int32,
+    )
     return uniq_buckets[codes]
 
 
@@ -88,14 +94,21 @@ def make_tokenize_fn(id_col: str, text_col: str, num_shards: int, num_buckets: i
         doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         post_docs = doc_ids[rows]
         norm_ids = fieldnorm_to_id(row_counts)[rows]
+        # single packed partition key — fewer shuffle bytes, single-column sort
+        pkey = (
+            shard_of(post_docs, num_shards, doc_id_upper) * num_buckets
+            + term_bucket(terms, num_buckets)
+        ).astype(np.int32)
+        # terms ship as plain strings: dictionary columns measured 5x SLOWER
+        # through the sort shuffle (per-block dictionary unification in the
+        # reduce) despite the smaller payload
         return pa.table(
             {
-                "term": terms,
+                "term": terms.cast(pa.string()),
                 "doc_id": pa.array(post_docs, type=pa.int64()),
                 "tf": pa.array(tfs.astype(np.int32), type=pa.int32()),
                 "norm": pa.array(norm_ids, type=pa.uint8()),
-                "shard": pa.array(shard_of(post_docs, num_shards, doc_id_upper).astype(np.int32)),
-                "bucket": pa.array(term_bucket(terms, num_buckets)),
+                "pkey": pa.array(pkey),
             }
         )
 
@@ -115,19 +128,43 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
     Returns (segment_table, total_tokens). Fully vectorized; the group must
     fit in worker memory — bounded by shard_docs × avgdl / num_buckets.
     """
-    tbl = tbl.sort_by([("term", "ascending"), ("doc_id", "ascending")])
-    terms = tbl["term"].combine_chunks()
-    docs = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tfs = tbl["tf"].to_numpy(zero_copy_only=False).astype(np.int64)
-    norms = tbl["norm"].to_numpy(zero_copy_only=False).astype(np.uint8)
+    # sort by (term, doc) WITHOUT a full-table string sort: work on dictionary
+    # codes, sort only the (small) unique-term set, then integer lexsort —
+    # ~5x less memory traffic than tbl.sort_by on a string column
+    terms_raw = tbl["term"].combine_chunks() if isinstance(tbl["term"], pa.ChunkedArray) else tbl["term"]
+    if pa.types.is_dictionary(terms_raw.type):
+        codes_all = terms_raw.indices.to_numpy(zero_copy_only=False)
+        dict_all = terms_raw.dictionary
+        # a shuffled block's unified dictionary may carry terms from OTHER
+        # groups — compact to the codes actually present in this group
+        present = np.unique(codes_all)
+        uniq = dict_all.take(pa.array(present))
+        remap = np.full(len(dict_all), -1, dtype=np.int64)
+        remap[present] = np.arange(len(present))
+        codes_raw = remap[codes_all]
+    else:
+        dic = pc.dictionary_encode(terms_raw)
+        codes_raw = dic.indices.to_numpy(zero_copy_only=False)
+        uniq = dic.dictionary
+    order_u = pc.sort_indices(uniq).to_numpy(zero_copy_only=False)
+    rank = np.empty(len(uniq), dtype=np.int64)
+    rank[order_u] = np.arange(len(uniq))
+
+    docs_u = tbl["doc_id"].to_numpy(zero_copy_only=False)
+    ranked = rank[codes_raw]
+    perm = np.lexsort((docs_u, ranked))
+    docs = docs_u[perm].astype(np.int64)
+    tfs = tbl["tf"].to_numpy(zero_copy_only=False)[perm].astype(np.int64)
+    norms = tbl["norm"].to_numpy(zero_copy_only=False)[perm].astype(np.uint8)
+    codes = ranked[perm]
     n = len(docs)
 
-    codes = pc.dictionary_encode(terms).indices.to_numpy(zero_copy_only=False)
     change = np.flatnonzero(np.diff(codes)) + 1
     term_starts = np.concatenate(([0], change))
     term_ends = np.concatenate((change, [n]))
     dfs = term_ends - term_starts
     n_terms = len(term_starts)
+    sorted_terms = uniq.take(pa.array(order_u))
 
     # continuous delta stream with per-term anchor reset
     deltas = np.empty(n, dtype=np.uint64)
@@ -162,7 +199,7 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
 
     seg = pa.table(
         {
-            "term": terms.take(pa.array(term_starts)),
+            "term": sorted_terms,
             "df": pa.array(dfs.astype(np.int64)),
             "cf": pa.array(np.add.reduceat(tfs, term_starts).astype(np.int64)),
             "docs_enc": _binary_col(docs_buf, offs(vstarts[term_starts], len(docs_buf))),
@@ -178,13 +215,13 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
     return seg, int(tfs.sum())
 
 
-def make_encode_fn(out_dir: str, fingerprint: str):
+def make_encode_fn(out_dir: str, fingerprint: str, num_buckets: int = DEFAULT_NUM_BUCKETS):
     """Per-(shard,bucket) encode + atomic segment write + partition manifest."""
 
     def encode_group(tbl: pa.Table) -> pa.Table:
         t0 = time.perf_counter()
-        shard = int(tbl["shard"][0].as_py())
-        bucket = int(tbl["bucket"][0].as_py())
+        pkey = int(tbl["pkey"][0].as_py())
+        shard, bucket = pkey // num_buckets, pkey % num_buckets
         rel = os.path.join(SEGMENT_DIR, f"shard={shard:05d}", f"bucket={bucket:03d}.parquet")
         abspath = os.path.join(out_dir, rel)
         mpath = partition_manifest_path(out_dir, shard, bucket)
@@ -198,7 +235,7 @@ def make_encode_fn(out_dir: str, fingerprint: str):
             if d.get("fingerprint") == fingerprint:
                 return _stats_row(d)
 
-        seg, total_tokens = encode_segment_table(tbl.drop_columns(["shard", "bucket"]))
+        seg, total_tokens = encode_segment_table(tbl.drop_columns(["pkey"]))
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         tmp = abspath + f".tmp-{os.getpid()}"
         pq.write_table(seg, tmp, compression="zstd", row_group_size=64 * 1024)
@@ -369,8 +406,8 @@ def build_index(
             batch_format="pyarrow",
             **(ray_remote_args or {}),
         )
-        tok.groupby(["shard", "bucket"]).map_groups(
-            make_encode_fn(out_dir, fingerprint), batch_format="pyarrow"
+        tok.groupby("pkey").map_groups(
+            make_encode_fn(out_dir, fingerprint, num_buckets), batch_format="pyarrow"
         ).materialize()  # consume; stats are read back from partition manifests
 
     # pick up partitions completed in earlier runs (resume) or this run

@@ -13,7 +13,6 @@ calls ``ray.init``.
 from __future__ import annotations
 
 import os
-import re
 
 import numpy as np
 import pyarrow as pa
@@ -128,7 +127,7 @@ def q_term_stats(sf_dir: str):
         terms, rows, tfs, _ = term_frequencies(batch["text"])
         t = pa.table(
             {
-                "term": terms,
+                "term": terms.cast(pa.string()),
                 "df": pa.array(np.ones(len(tfs), dtype=np.int64)),
                 "cf": pa.array(tfs),
             }
@@ -288,7 +287,6 @@ def q_extract_roundtrip(sf_dir: str):
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
-    from .ops import partial_agg_sum as _  # noqa: F401
 
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
     hashed = ds.map_batches(add_content_hash, batch_format="pyarrow")

@@ -77,17 +77,28 @@ def term_frequencies(
         np.add.at(row_counts, parents, 1)
     if len(tokens) == 0:
         return (
-            pa.array([], type=pa.string()),
+            pa.DictionaryArray.from_arrays(
+                pa.array([], type=pa.int32()), pa.array([], type=pa.string())
+            ),
             np.empty(0, dtype=np.int64),
             np.empty(0, dtype=np.int64),
             row_counts,
         )
-    tbl = pa.table({"row": pa.array(parents, type=pa.int64()), "term": tokens})
-    grouped = tbl.group_by(["row", "term"], use_threads=False).aggregate([("term", "count")])
+    # dictionary-encode before the tf aggregation: grouping int codes is
+    # faster than hashing strings, and the dictionary-typed output column
+    # halves downstream shuffle bytes (indices + one vocab per block)
+    dic = pc.dictionary_encode(tokens)
+    tbl = pa.table(
+        {"row": pa.array(parents, type=pa.int64()), "code": dic.indices}
+    )
+    grouped = tbl.group_by(["row", "code"], use_threads=False).aggregate([("code", "count")])
+    out_terms = pa.DictionaryArray.from_arrays(
+        grouped["code"].combine_chunks().cast(pa.int32()), dic.dictionary
+    )
     return (
-        grouped["term"].combine_chunks(),
+        out_terms,
         grouped["row"].to_numpy(zero_copy_only=False),
-        grouped["term_count"].to_numpy(zero_copy_only=False).astype(np.int64),
+        grouped["code_count"].to_numpy(zero_copy_only=False).astype(np.int64),
         row_counts,
     )
 
