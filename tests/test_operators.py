@@ -352,3 +352,15 @@ class TestMinhashFast:
         batch = pa.table({"doc_id": [5, 6], "text": ["one two", ""]})
         out = minhash_batch_fast(batch).to_pandas()
         assert set(out.doc_id) == {5}  # empty doc omitted, short doc single-shingle
+
+
+class TestRollingHash:
+    def test_deterministic_and_orders_sensitive(self):
+        from code_indexer_ray.text.stats import rolling_hash_fingerprint
+
+        a = rolling_hash_fingerprint(pa.array(["one two three", "three two one", "one two three", ""]))
+        b = rolling_hash_fingerprint(pa.array(["one two three", "three two one", "one two three", ""]))
+        assert a.tolist() == b.tolist()
+        assert a[0] == a[2]          # same token stream → same fingerprint
+        assert a[0] != a[1]          # order-sensitive (unlike the set fingerprint)
+        assert a[3] == 0
