@@ -395,59 +395,55 @@ def build_index(
 
     os.makedirs(out_dir, exist_ok=True)
 
-    # ---- doc store (projection pass; stored fields for retrieval) ----
+    # ---- ONE fused pass: docstore side-writes + tokenize → shuffle → encode.
+    # The map stage writes its batch's stored fields to the doc store (atomic
+    # per-(batch, shard) files) and emits postings — the corpus is read ONCE.
+    # Safe under retries (same-name overwrite, identical content) and under
+    # resume (a segment partition manifest can only exist if every map task of
+    # its build finished, because the sort is an all-to-all barrier).
     docstore_dir = os.path.join(out_dir, DOCSTORE_DIR)
-    docstore_done = os.path.join(docstore_dir, "_SUCCESS")
-    if not (resume and os.path.exists(docstore_done)):
-        import shutil
-
-        shutil.rmtree(docstore_dir, ignore_errors=True)
-        cols = [id_col, text_col, *store_cols]
-
-        def project(batch: pa.Table) -> pa.Table:
-            # pure projection — NO tokenize here (field lengths live in the
-            # postings; a second analyze pass would double the hottest stage)
-            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
-            out = batch.select(cols)
-            return out.append_column(
-                "shard", pa.array(shard_of(ids, num_shards, doc_id_upper).astype(np.int32))
-            )
-
-        # small row groups + doc_id-ordered writes → per-query stored-field
-        # fetches prune to a few row groups via parquet min/max stats.
-        # (no min_rows_per_file: coalescing serializes the writers — measured
-        # 3.4x slower at 32 cpus for zero read-side benefit here)
-        rd.read_parquet(
-            input_paths, columns=cols, override_num_blocks=_read_parallelism()
-        ).map_batches(project, batch_format="pyarrow").write_parquet(
-            docstore_dir, partition_cols=["shard"], row_group_size=64, compression="zstd"
-        )
-        with open(docstore_done, "w") as f:
-            f.write("ok")
-
-    # ---- postings: the one wide shuffle ----
     todo_shards = incomplete_shards(out_dir, num_shards, num_buckets) if resume else list(range(num_shards))
     if todo_shards:
+        import shutil
+
+        # wipe doc-store partitions of shards being (re)built: side-write file
+        # names depend on block boundaries, so stale partial files from an
+        # interrupted run could otherwise duplicate documents
+        for s in todo_shards:
+            shutil.rmtree(os.path.join(docstore_dir, f"shard={s}"), ignore_errors=True)
+
+        cols = [id_col, text_col, *store_cols]
         nblocks = _read_parallelism()
-        ds = rd.read_parquet(input_paths, columns=[id_col, text_col], override_num_blocks=nblocks)
+        read_kwargs: dict = {"columns": cols, "override_num_blocks": nblocks}
         if len(todo_shards) < num_shards:
             ranges = [shard_doc_range(s, num_shards, doc_id_upper) for s in todo_shards]
             expr = None
             for lo, hi in ranges:
                 e = (pc.field(id_col) >= lo) & (pc.field(id_col) < hi)
                 expr = e if expr is None else (expr | e)
-            ds = rd.read_parquet(
-                input_paths, columns=[id_col, text_col], filter=expr, override_num_blocks=nblocks
-            )
+            read_kwargs["filter"] = expr
+        ds = rd.read_parquet(input_paths, **read_kwargs)
+
+        tokenize = make_tokenize_fn(id_col, text_col, num_shards, num_buckets, doc_id_upper)
+
+        def fused(batch: pa.Table) -> pa.Table:
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            shards = shard_of(ids, num_shards, doc_id_upper)
+            store = batch.select(cols)
+            for s in np.unique(shards):
+                sub = store.filter(pa.array(shards == s))
+                d = os.path.join(docstore_dir, f"shard={int(s)}")
+                os.makedirs(d, exist_ok=True)
+                lo_id, hi_id = int(ids[shards == s].min()), int(ids[shards == s].max())
+                path = os.path.join(d, f"part-{lo_id:012d}-{hi_id:012d}.parquet")
+                tmp = path + f".tmp-{os.getpid()}"
+                pq.write_table(sub, tmp, row_group_size=64, compression="zstd")
+                os.replace(tmp, path)
+            return tokenize(batch)
 
         # stateless tasks, not an actor pool: measured 1.5x faster end-to-end
-        # here (the pool's reserved CPUs starve the sort/encode stages and the
-        # per-batch bucket-cache win is small next to that)
-        tok = ds.map_batches(
-            make_tokenize_fn(id_col, text_col, num_shards, num_buckets, doc_id_upper),
-            batch_format="pyarrow",
-            **(ray_remote_args or {}),
-        )
+        # here (a pool's reserved CPUs starve the sort/encode stages)
+        tok = ds.map_batches(fused, batch_format="pyarrow", **(ray_remote_args or {}))
         tok.groupby("pkey").map_groups(
             make_encode_fn(out_dir, fingerprint, num_buckets), batch_format="pyarrow"
         ).materialize()  # consume; stats are read back from partition manifests
