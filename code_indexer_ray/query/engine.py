@@ -319,6 +319,10 @@ class IndexSearcher:
         self._searchers: dict[int, object] = {}
         self._docstore_ds = None  # cached pyarrow dataset (discovery is costly per query)
         self._matcher: VocabMatcher | None = None  # cached union-vocab matcher
+        # identical-query result cache (daemon result-cache analog,
+        # reference fts_index_cache.py / <10ms repeated-query target)
+        self._result_cache: dict[tuple, list[dict]] = {}
+        self._result_cache_max = 256
         if remote:
             import ray
 
@@ -395,6 +399,38 @@ class IndexSearcher:
 
     # ---- the reference-shaped search ----
     def search(
+        self,
+        query_text: str,
+        case_sensitive: bool = False,
+        edit_distance: int = 0,
+        snippet_lines: int = 5,
+        limit: int = 10,
+        languages: list[str] | None = None,
+        path_filters: list[str] | None = None,
+        exclude_paths: list[str] | None = None,
+        exclude_languages: list[str] | None = None,
+        use_regex: bool = False,
+    ) -> list[dict]:
+        """Cached entry point: identical repeated queries are served from the
+        in-memory result cache (daemon result-cache analog)."""
+        cache_key = (
+            query_text, case_sensitive, edit_distance, snippet_lines, limit,
+            tuple(languages or ()), tuple(path_filters or ()),
+            tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
+        )
+        cached = self._result_cache.get(cache_key)
+        if cached is not None:
+            return [dict(r) for r in cached]
+        results = self._search_uncached(
+            query_text, case_sensitive, edit_distance, snippet_lines, limit,
+            languages, path_filters, exclude_paths, exclude_languages, use_regex,
+        )
+        if len(self._result_cache) >= self._result_cache_max:
+            self._result_cache.pop(next(iter(self._result_cache)))
+        self._result_cache[cache_key] = [dict(r) for r in results]
+        return results
+
+    def _search_uncached(
         self,
         query_text: str,
         case_sensitive: bool = False,

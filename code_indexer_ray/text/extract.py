@@ -68,6 +68,20 @@ def extract_body(html_text: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.if_else(pc.is_valid(body), body, pa.scalar("", type=pa.string()))
 
 
+def is_text_payload(payloads: pa.Array | pa.ChunkedArray, sniff_bytes: int = 1024) -> np.ndarray:
+    """Binary sniffer (reference ``file_finder.py:151-184``): a payload is
+    text iff its first KiB contains no NUL byte and survives the decode
+    chain (which it always does past utf-8 thanks to latin-1 — so the NUL
+    test is the effective predicate, exactly like the reference's fast path).
+    Vectorized prefix slice + substring search; use as a ``map_batches``
+    filter mask."""
+    if isinstance(payloads, pa.ChunkedArray):
+        payloads = payloads.combine_chunks()
+    prefix = pc.binary_slice(payloads, start=0, stop=sniff_bytes)
+    has_nul = pc.greater(pc.count_substring(prefix.cast(pa.binary()), "\x00"), 0)
+    return pc.invert(has_nul).to_numpy(zero_copy_only=False)
+
+
 def wrap_body(doc_ids: np.ndarray, texts: pa.Array) -> pa.Array:
     """The deterministic html wrapper (FIXTURES.md §1) — binary column."""
     pre = pa.array([f"<html><head><title>D{int(i)}</title></head><body><p>" for i in doc_ids])
