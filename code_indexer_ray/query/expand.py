@@ -99,9 +99,25 @@ def expand_fuzzy(vocab: np.ndarray, word: str, distance: int) -> list[str]:
 
 
 def expand_regex(vocab: np.ndarray, pattern: str) -> list[str]:
-    """Terms fully matching ``pattern`` (anchored, like Tantivy's regex query)."""
-    rx = re.compile(pattern)
-    return [t for t in vocab if rx.fullmatch(t)]
+    """Terms fully matching ``pattern`` (anchored, like Tantivy's regex query).
+
+    Matching uses the RE2 kernel (linear-time — the reference's ReDoS-immunity
+    claim, ``tantivy_index_manager.py:488-491``); Python ``re`` is only a
+    fallback for RE2-unsupported constructs (e.g. backreferences), mirroring
+    the reference's Python-side extraction path.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    try:
+        arr = pa.array([str(t) for t in vocab], type=pa.string())
+        mask = pc.match_substring_regex(arr, pattern=rf"\A(?:{pattern})\z").to_numpy(
+            zero_copy_only=False
+        )
+        return [t for t, ok in zip(vocab, mask) if ok]
+    except pa.ArrowInvalid:
+        rx = re.compile(pattern)
+        return [t for t in vocab if rx.fullmatch(t)]
 
 
 class VocabMatcher:
