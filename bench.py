@@ -129,6 +129,26 @@ def run() -> dict:
 
     qstats = bench_queries(out)
 
+    # parallel query throughput: actor-pool serving (ST5 analog) — skipped in
+    # scaling mode
+    if not os.environ.get("GRAFT_BENCH_FAST"):
+        import numpy as np
+        import ray.data as _rd2
+
+        from code_indexer_ray.query.serve import evaluate_queries
+
+        rng = np.random.default_rng(11)
+        qrows = [
+            {"query_id": i, "query_text": f"t{int(r):06d}", "mode": "exact",
+             "edit_distance": 0, "limit": 10}
+            for i, r in enumerate(rng.integers(0, 49999, 1024))
+        ]
+        tq = time.perf_counter()
+        evaluate_queries(
+            _rd2.from_items(qrows), out, concurrency=8, batch_size=16
+        ).materialize()
+        qstats["parallel_qps"] = round(len(qrows) / (time.perf_counter() - tq), 1)
+
     # secondary pipelines (skipped in scaling mode — the criterion is the
     # headline build, and these add minutes at the larger scaling corpus)
     minhash_sec = chunk_sec = -1.0

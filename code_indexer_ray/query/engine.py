@@ -317,7 +317,7 @@ class IndexSearcher:
         self.url_col = url_col
         self._remote = remote
         self._searchers: dict[int, object] = {}
-        self._docstore_ds = None  # cached pyarrow dataset (discovery is costly per query)
+        self._docstore_ds = None  # cached docstore row-group index (metadata scan is costly per query)
         self._matcher: VocabMatcher | None = None  # cached union-vocab matcher
         # identical-query result cache (daemon result-cache analog,
         # reference fts_index_cache.py / <10ms repeated-query target)
