@@ -88,6 +88,12 @@ def shard_doc_range(shard: int, num_shards: int, doc_id_upper: int) -> tuple[int
     return lo, hi
 
 
+def _shard_lo_vec(shards: np.ndarray, num_shards: int, doc_id_upper: int) -> np.ndarray:
+    """Vectorized first-doc-id of each shard (exact twin of shard_doc_range.lo)."""
+    u = doc_id_upper + 1
+    return -(-(shards.astype(np.int64) * u) // num_shards)
+
+
 class TokenizeStage:
     """Stateful tokenize stage (actor pool): the term→bucket crc cache and
     compiled analyzer state live once per actor and amortize across batches
@@ -125,18 +131,21 @@ class TokenizeStage:
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         post_docs = doc_ids[rows]
         norm_ids = fieldnorm_to_id(row_counts)[rows]
+        shards = shard_of(post_docs, self.num_shards, self.doc_id_upper)
         # single packed partition key — fewer shuffle bytes, single-column sort
-        pkey = (
-            shard_of(post_docs, self.num_shards, self.doc_id_upper) * self.num_buckets
-            + self._buckets(terms)
-        ).astype(np.int32)
+        pkey = (shards * self.num_buckets + self._buckets(terms)).astype(np.int32)
+        # doc ids ship shard-RELATIVE as u32 (shard base is implied by pkey;
+        # a doc-range shard holds < 2^32 docs even at 10^12-doc scale) —
+        # 4 bytes/posting less through the one wide shuffle.
+        shard_lo = _shard_lo_vec(shards, self.num_shards, self.doc_id_upper)
+        doc_rel = (post_docs - shard_lo).astype(np.uint32)
         # terms ship as plain strings: dictionary columns measured 5x SLOWER
         # through the sort shuffle (per-block dictionary unification in the
         # reduce) despite the smaller payload
         return pa.table(
             {
                 "term": terms.cast(pa.string()),
-                "doc_id": pa.array(post_docs, type=pa.int64()),
+                "doc_rel": pa.array(doc_rel),
                 "tf": pa.array(tfs.astype(np.int32), type=pa.int32()),
                 "norm": pa.array(norm_ids, type=pa.uint8()),
                 "pkey": pa.array(pkey),
@@ -254,7 +263,13 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
     return seg, int(tfs.sum())
 
 
-def make_encode_fn(out_dir: str, fingerprint: str, num_buckets: int = DEFAULT_NUM_BUCKETS):
+def make_encode_fn(
+    out_dir: str,
+    fingerprint: str,
+    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_shards: int = 1,
+    doc_id_upper: int = 0,
+):
     """Per-(shard,bucket) encode + atomic segment write + partition manifest."""
 
     def encode_group(tbl: pa.Table) -> pa.Table:
@@ -274,7 +289,13 @@ def make_encode_fn(out_dir: str, fingerprint: str, num_buckets: int = DEFAULT_NU
             if d.get("fingerprint") == fingerprint:
                 return _stats_row(d)
 
-        seg, total_tokens = encode_segment_table(tbl.drop_columns(["pkey"]))
+        # reconstruct absolute doc ids from the shard-relative u32 column
+        lo = shard_doc_range(shard, num_shards, doc_id_upper)[0]
+        doc_ids = tbl["doc_rel"].to_numpy(zero_copy_only=False).astype(np.int64) + lo
+        body = tbl.drop_columns(["pkey", "doc_rel"]).append_column(
+            "doc_id", pa.array(doc_ids, type=pa.int64())
+        )
+        seg, total_tokens = encode_segment_table(body)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         tmp = abspath + f".tmp-{os.getpid()}"
         pq.write_table(seg, tmp, compression="zstd", row_group_size=64 * 1024)
@@ -445,7 +466,8 @@ def build_index(
         # here (a pool's reserved CPUs starve the sort/encode stages)
         tok = ds.map_batches(fused, batch_format="pyarrow", **(ray_remote_args or {}))
         tok.groupby("pkey").map_groups(
-            make_encode_fn(out_dir, fingerprint, num_buckets), batch_format="pyarrow"
+            make_encode_fn(out_dir, fingerprint, num_buckets, num_shards, doc_id_upper),
+            batch_format="pyarrow",
         ).materialize()  # consume; stats are read back from partition manifests
 
     # pick up partitions completed in earlier runs (resume) or this run
