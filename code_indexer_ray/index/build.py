@@ -403,6 +403,14 @@ def build_index(
         raise ValueError(f"input contains doc_id {max_id} > doc_id_upper {doc_id_upper}")
     if num_shards is None:
         num_shards = max(1, -(-n_docs // target_docs_per_shard))
+    # Postings ship shard-RELATIVE u32 doc ids: every shard's id-range span
+    # (ceil(id_space / num_shards)) must fit in uint32 or doc_rel wraps and
+    # the index is silently corrupt. Doc-id space can be much wider than the
+    # doc COUNT (sparse ids for delta headroom), so guard on id width and
+    # widen the shard count as needed.
+    min_shards_for_u32 = max(1, -(-(doc_id_upper + 1) // (1 << 32)))
+    if num_shards < min_shards_for_u32:
+        num_shards = min_shards_for_u32
     fingerprint = f"v1:{n_docs}:{doc_id_upper}:{num_shards}:{num_buckets}:{text_col}"
 
     # fast path: complete index with matching fingerprint already published
@@ -423,7 +431,11 @@ def build_index(
     # resume (a segment partition manifest can only exist if every map task of
     # its build finished, because the sort is an all-to-all barrier).
     docstore_dir = os.path.join(out_dir, DOCSTORE_DIR)
-    todo_shards = incomplete_shards(out_dir, num_shards, num_buckets) if resume else list(range(num_shards))
+    todo_shards = (
+        incomplete_shards(out_dir, num_shards, num_buckets, fingerprint)
+        if resume
+        else list(range(num_shards))
+    )
     if todo_shards:
         import shutil
 
@@ -470,8 +482,10 @@ def build_index(
             batch_format="pyarrow",
         ).materialize()  # consume; stats are read back from partition manifests
 
-    # pick up partitions completed in earlier runs (resume) or this run
-    done = completed_partitions(out_dir)
+    # pick up partitions completed in earlier runs (resume) or this run —
+    # fingerprint-filtered so stale partitions from a different build never
+    # enter the published manifest
+    done = completed_partitions(out_dir, fingerprint)
     partitions: list[dict] = []
     total_tokens = 0
     import json

@@ -102,8 +102,14 @@ def write_partition_manifest(root: str, info: PartitionInfo) -> None:
     atomic_write_json(partition_manifest_path(root, info.shard, info.bucket), asdict(info))
 
 
-def completed_partitions(root: str) -> set[tuple[int, int]]:
-    """Scan partition manifests — the 'completed' side of the resume anti-join."""
+def completed_partitions(root: str, fingerprint: str | None = None) -> set[tuple[int, int]]:
+    """Scan partition manifests — the 'completed' side of the resume anti-join.
+
+    When ``fingerprint`` is given, a partition only counts as completed if its
+    manifest records the SAME build fingerprint: resuming into an out_dir left
+    by a different corpus / shard-count / bucket-count build must re-scan, not
+    silently publish stale segments.
+    """
     pdir = os.path.join(root, PARTITION_DIR)
     done: set[tuple[int, int]] = set()
     if not os.path.isdir(pdir):
@@ -114,6 +120,8 @@ def completed_partitions(root: str) -> set[tuple[int, int]]:
         try:
             with open(os.path.join(pdir, name)) as f:
                 d = json.load(f)
+            if fingerprint is not None and d.get("fingerprint") != fingerprint:
+                continue
             if os.path.exists(os.path.join(root, d["path"])):
                 done.add((int(d["shard"]), int(d["bucket"])))
         except (json.JSONDecodeError, KeyError, OSError):
@@ -121,9 +129,11 @@ def completed_partitions(root: str) -> set[tuple[int, int]]:
     return done
 
 
-def incomplete_shards(root: str, num_shards: int, num_buckets: int) -> list[int]:
+def incomplete_shards(
+    root: str, num_shards: int, num_buckets: int, fingerprint: str | None = None
+) -> list[int]:
     """Shards missing any bucket manifest → must be (re)built from input."""
-    done = completed_partitions(root)
+    done = completed_partitions(root, fingerprint)
     return [
         s
         for s in range(num_shards)

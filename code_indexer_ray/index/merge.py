@@ -112,6 +112,12 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
     """
     import ray
 
+    # In-place merge would rmtree the base/delta doc store before reading it —
+    # unrecoverable. Refuse up front.
+    out_real = os.path.realpath(out_dir)
+    if out_real in (os.path.realpath(base_dir), os.path.realpath(delta_dir)):
+        raise ValueError("out_dir must differ from base_dir and delta_dir (no in-place merge)")
+
     base = load_manifest(base_dir)
     delta = load_manifest(delta_dir)
     if (base.num_shards, base.num_buckets, base.doc_id_upper) != (

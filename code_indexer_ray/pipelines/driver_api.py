@@ -412,9 +412,14 @@ def q_agg_lineitem(sf_dir: str):
         os.path.join(sf_dir, "lineitem.parquet"),
         columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"],
     )
-    return partial_agg_sum(
+    out = partial_agg_sum(
         ds, ["l_returnflag", "l_linestatus"], ["l_quantity", "l_extendedprice"]
-    )
+    ).to_pandas()
+    # Float-sum policy (same as events_window): round to 4dp on both sides so
+    # accumulation-order ulp drift can't flunk the driver's byte-hash compare.
+    out["l_quantity"] = out["l_quantity"].round(4)
+    out["l_extendedprice"] = out["l_extendedprice"].round(4)
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 def q_topk_orders(sf_dir: str):
@@ -699,8 +704,8 @@ def oracle_catalog() -> dict[str, str]:
     )
 
     out["agg_lineitem"] = (
-        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS l_quantity,\n"
-        "  sum(l_extendedprice) AS l_extendedprice, count(*)::BIGINT AS n\n"
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS l_quantity,\n"
+        "  round(sum(l_extendedprice), 4) AS l_extendedprice, count(*)::BIGINT AS n\n"
         "FROM lineitem GROUP BY l_returnflag, l_linestatus"
     )
 

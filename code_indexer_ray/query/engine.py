@@ -380,6 +380,16 @@ class IndexSearcher:
             matched = self.expand_terms("regex", query_text)
             return [matched] if matched else None
         if edit_distance > 0:
+            # Parity divergences vs the reference, both deliberate:
+            # 1. We lowercase the query word before OSA expansion; the
+            #    reference passes the RAW term to Tantivy's fuzzy_term_query
+            #    (tantivy_index_manager.py:347-374), so an uppercase query
+            #    there burns edit budget on case. Ours returns a superset of
+            #    the reference's matches for cased input.
+            # 2. A punctuated word ('foo.bar') splits into AND-of-tokens here;
+            #    the reference's parse_query builds a position-based phrase
+            #    query (adjacency). We store no positions, so phrase
+            #    adjacency is unsupported — AND is the documented semantic.
             groups = []
             for word in query_text.split():
                 matched = self.expand_terms("fuzzy", word.lower(), edit_distance)

@@ -94,13 +94,12 @@ def rolling_hash_fingerprint(texts: pa.Array, window: int = 64, mod: int = (1 <<
     whole token stream — deterministic int64 column for cheap pre-clustering."""
     tokens, rows = tokenize_flat(texts)
     n = len(texts)
-    out = np.zeros(n, dtype=np.uint64)
-    base = np.uint64(1_000_003)
-    m = np.uint64(mod)
-    toks = tokens.to_pylist()
-    acc = [np.uint64(0)] * n
-    for t, r in zip(toks, rows):
-        h = np.uint64(int(hashlib.md5(t.encode()).hexdigest()[:15], 16))
-        acc[r] = (acc[r] * base + h) % m
-    out[:] = acc
-    return out.astype(np.int64)
+    # Python-int accumulation: exact Rabin mod-p arithmetic (a uint64
+    # accumulator would wrap mod 2^64 BEFORE the % p reduction, which is a
+    # different hash function and raises overflow warnings).
+    base = 1_000_003
+    acc = [0] * n
+    for t, r in zip(tokens.to_pylist(), rows):
+        h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+        acc[r] = (acc[r] * base + h) % mod
+    return np.array(acc, dtype=np.int64)
