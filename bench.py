@@ -110,10 +110,11 @@ def run() -> dict:
 
     _rd.range(10_000).map_batches(lambda b: b, batch_format="pyarrow").count()
 
-    # best-of-2: single-box runs see ±15% noise from co-tenant memory
-    # bandwidth; both scaling legs use the identical protocol
+    # best-of-N (default 2; scaling legs use 3): single-box runs see ±15%
+    # noise from co-tenant memory bandwidth; both scaling legs use the
+    # identical protocol
     build_secs = []
-    for attempt in range(2):
+    for attempt in range(int(os.environ.get("GRAFT_BENCH_REPS", "2"))):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         manifest = build_index(
@@ -202,6 +203,7 @@ def run_scaling() -> None:
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "200000"),
             CIDX_READ_BLOCKS=os.environ.get("CIDX_READ_BLOCKS", "128"),
             GRAFT_BENCH_FAST="1",
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

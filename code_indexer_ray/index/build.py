@@ -27,6 +27,7 @@ sliced by offset — no per-term Python loop.
 from __future__ import annotations
 
 import os
+import sys
 import time
 import zlib
 
@@ -142,11 +143,20 @@ class TokenizeStage:
         # terms ship as plain strings: dictionary columns measured 5x SLOWER
         # through the sort shuffle (per-block dictionary unification in the
         # reduce) despite the smaller payload
+        # tf ships u16: 2 bytes/posting less through the one wide shuffle.
+        # Exactness guard (BM25 parity needs true tf): a (term, doc) pair
+        # repeating >= 2^16 times means a pathological >65k-token document —
+        # refuse loudly rather than clamp silently.
+        if len(tfs) and int(tfs.max()) >= (1 << 16):
+            raise ValueError(
+                "per-document term frequency >= 2^16 — document too large for "
+                "u16 tf postings; split oversized documents before indexing"
+            )
         return pa.table(
             {
                 "term": terms.cast(pa.string()),
                 "doc_rel": pa.array(doc_rel),
-                "tf": pa.array(tfs.astype(np.int32), type=pa.int32()),
+                "tf": pa.array(tfs.astype(np.uint16), type=pa.uint16()),
                 "norm": pa.array(norm_ids, type=pa.uint8()),
                 "pkey": pa.array(pkey),
             }
@@ -477,10 +487,12 @@ def build_index(
         # stateless tasks, not an actor pool: measured 1.5x faster end-to-end
         # here (a pool's reserved CPUs starve the sort/encode stages)
         tok = ds.map_batches(fused, batch_format="pyarrow", **(ray_remote_args or {}))
-        tok.groupby("pkey").map_groups(
+        mat = tok.groupby("pkey").map_groups(
             make_encode_fn(out_dir, fingerprint, num_buckets, num_shards, doc_id_upper),
             batch_format="pyarrow",
         ).materialize()  # consume; stats are read back from partition manifests
+        if os.environ.get("CIDX_PRINT_STATS"):
+            print(mat.stats(), file=sys.stderr)
 
     # pick up partitions completed in earlier runs (resume) or this run —
     # fingerprint-filtered so stale partitions from a different build never
