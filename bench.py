@@ -156,12 +156,12 @@ def run() -> dict:
     if not os.environ.get("GRAFT_BENCH_FAST"):
         import ray.data as rd
 
-        from code_indexer_ray.dedup.minhash import minhash_batch
+        from code_indexer_ray.dedup.minhash import minhash_batch_fast
         from code_indexer_ray.text.chunker import chunk_batch
 
         t2 = time.perf_counter()
         rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
-            minhash_batch, batch_format="pyarrow"
+            minhash_batch_fast, batch_format="pyarrow"
         ).count()
         minhash_sec = time.perf_counter() - t2
 

@@ -49,6 +49,15 @@ def shingles_of(tokens: list[str], n: int) -> list[str]:
 
 
 MERSENNE_31 = (1 << 31) - 1
+HORNER_BASE = 1_000_003
+
+
+def perm_coeffs_fast(num_perms: int, seed: int = 42) -> tuple[np.ndarray, np.ndarray]:
+    """Deterministic (a_i, b_i) over the 2³¹−1 field for the fast kernel."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_31, size=num_perms, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_31, size=num_perms, dtype=np.uint64)
+    return a, b
 
 
 def minhash_batch_fast(
@@ -60,56 +69,93 @@ def minhash_batch_fast(
     shingle_n: int = DEFAULT_SHINGLE,
     seed: int = 42,
 ) -> pa.Table:
-    """Production-scale MinHash: fully vectorized, no per-shingle Python.
+    """Production MinHash: vectorized across the whole batch AND exactly
+    reproducible in DuckDB SQL (the ``dedup_minhash_sig`` oracle twin).
 
-    Token hashes are crc32 (computed once per *unique* token in the batch),
-    shingle hashes are xor-rotate combines, permutations are
-    ``(a·x + b) mod (2³¹−1)`` in uint64 (no overflow).  ~50× faster than the
-    md5 path; same signature shape and LSH behavior, different hash values —
-    the md5 path remains the DuckDB-oracle-parity mode.
+    - token hash   ``t = md5_lower64(token) mod (2³¹−1)`` — md5 runs once per
+      *unique* token in the batch (Zipf: ~4% of the token stream), matching
+      DuckDB's ``md5_number_lower``;
+    - shingle hash ``x = Horner(t_i … t_{i+n−1}; B=1000003) mod (2³¹−1)`` —
+      vectorized over every shingle position at once, doc boundaries masked;
+      docs with fewer than ``shingle_n`` tokens hash their full token stream
+      as one shingle (same policy as :func:`shingles_of`);
+    - signature    ``sig_p = min over shingles of (a_p·x + b_p) mod (2³¹−1)``
+      via one (num_perms × n_shingles) broadcast + ``np.minimum.reduceat``.
+
+    Every intermediate fits uint64/BIGINT: values < 2³¹, products < 2⁶².
+    The md5-per-shingle path (:func:`minhash_batch`) remains as the legacy
+    parity fixture; this kernel is ~20× faster and equally oracle-gated.
     """
-    import zlib
+    import pyarrow.compute as pc
 
-    rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE_31, size=num_perms, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE_31, size=num_perms, dtype=np.uint64)
+    a, b = perm_coeffs_fast(num_perms, seed)
+    M = np.uint64(MERSENNE_31)
+    B = np.uint64(HORNER_BASE)
 
     tokens, rows = tokenize_flat(batch[text_col])
-    toks = tokens.to_pylist()
-    uniq: dict[str, int] = {}
-    for t in toks:
-        if t not in uniq:
-            uniq[t] = zlib.crc32(t.encode("utf-8"))
-    th = np.array([uniq[t] for t in toks], dtype=np.uint64)
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(tokens) == 0:
+        empty = pa.array([], type=pa.int64())
+        return pa.table({"doc_id": empty, "perm_id": empty, "minhash": empty})
 
-    bounds = np.flatnonzero(np.diff(rows)) + 1
-    starts = np.concatenate(([0], bounds))
-    ends = np.concatenate((bounds, [len(rows)]))
-    out_doc, out_perm, out_min = [], [], []
-    for s, e in zip(starts, ends):
-        h = th[s:e]
-        n = len(h)
-        if n == 0:
-            continue
-        if n >= shingle_n:
-            x = h[: n - shingle_n + 1].copy()
-            for j in range(1, shingle_n):
-                hj = h[j : n - shingle_n + 1 + j]
-                x ^= (hj << np.uint64(21 * j)) | (hj >> np.uint64(64 - 21 * j))
-        else:
-            x = np.array([np.bitwise_xor.reduce(h)], dtype=np.uint64)
-        x32 = (x ^ (x >> np.uint64(32))) & np.uint64(0xFFFFFFFF)
-        sig = ((a[:, None] * x32[None, :] + b[:, None]) % np.uint64(MERSENNE_31)).min(axis=1)
-        r = int(rows[s])
-        out_doc.extend([int(doc_ids[r])] * num_perms)
-        out_perm.extend(range(num_perms))
-        out_min.extend(int(v) for v in sig)
+    # md5 per UNIQUE token only
+    dic = pc.dictionary_encode(tokens)
+    codes = dic.indices.to_numpy(zero_copy_only=False)
+    uh = np.fromiter(
+        (md5_lower64(t) % MERSENNE_31 for t in dic.dictionary.to_pylist()),
+        dtype=np.uint64,
+        count=len(dic.dictionary),
+    )
+    th = uh[codes]  # per-token hash, < 2^31
+
+    N = len(th)
+    n = shingle_n
+    # full shingles: every window of n tokens lying inside one doc
+    if N >= n:
+        x_full = th[: N - n + 1].copy()
+        for j in range(1, n):
+            x_full = (x_full * B + th[j : N - n + 1 + j]) % M
+        full_mask = rows[: N - n + 1] == rows[n - 1 :]
+        x_full = x_full[full_mask]
+        rows_full = rows[: N - n + 1][full_mask]
+    else:
+        x_full = np.empty(0, dtype=np.uint64)
+        rows_full = np.empty(0, dtype=rows.dtype)
+
+    # short docs (< n tokens): one Horner over their whole token stream
+    counts = np.zeros(len(batch), dtype=np.int64)
+    np.add.at(counts, rows, 1)
+    short_rows = np.flatnonzero((counts > 0) & (counts < n))
+    if len(short_rows):
+        starts = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        x_short = np.empty(len(short_rows), dtype=np.uint64)
+        for i, r in enumerate(short_rows):
+            acc = th[starts[r]]
+            for k in range(1, counts[r]):
+                acc = (acc * B + th[starts[r] + k]) % M
+            x_short[i] = acc
+    else:
+        x_short = np.empty(0, dtype=np.uint64)
+
+    # merge (doc-sorted): full-shingle docs and short docs are disjoint
+    xs = np.concatenate([x_full, x_short])
+    xr = np.concatenate([rows_full, short_rows.astype(rows_full.dtype)])
+    order = np.argsort(xr, kind="stable")
+    xs, xr = xs[order], xr[order]
+
+    seg = np.flatnonzero(np.r_[True, xr[1:] != xr[:-1]])
+    out_rows = xr[seg]
+    n_docs = len(out_rows)
+    sigs = np.empty((num_perms, n_docs), dtype=np.uint64)
+    for p in range(num_perms):
+        v = (a[p] * xs + b[p]) % M
+        sigs[p] = np.minimum.reduceat(v, seg)
+
     return pa.table(
         {
-            "doc_id": pa.array(out_doc, type=pa.int64()),
-            "perm_id": pa.array(out_perm, type=pa.int64()),
-            "minhash": pa.array(out_min, type=pa.int64()),
+            "doc_id": pa.array(np.repeat(doc_ids[out_rows], num_perms), type=pa.int64()),
+            "perm_id": pa.array(np.tile(np.arange(num_perms, dtype=np.int64), n_docs)),
+            "minhash": pa.array(sigs.T.reshape(-1).astype(np.int64)),
         }
     )
 
@@ -159,39 +205,78 @@ def minhash_batch(
     )
 
 
-def band_batch(sig: pa.Table, *, rows_per_band: int = 2) -> pa.Table:
+def band_batch(sig: pa.Table, *, rows_per_band: int = 2, mod: int = MERSENNE_P) -> pa.Table:
     """Fold a (doc_id, perm_id, minhash) signature table into LSH band rows
-    (doc_id, band_id, band_hash).  band_hash combines the band's minhashes
-    with the same universal-hash form so the oracle can reproduce it."""
-    df = sig.to_pandas().sort_values(["doc_id", "perm_id"], kind="mergesort")
-    doc = df["doc_id"].to_numpy()
-    mh = df["minhash"].to_numpy().astype(object)
-    band = (df["perm_id"].to_numpy() // rows_per_band).astype(np.int64)
-    # combine rows of a band: h = Σ mh_j * 1000003^j  mod p  (order = perm order)
-    key = pd.DataFrame({"doc_id": doc, "band_id": band, "mh": mh})
-    key["j"] = df["perm_id"].to_numpy() % rows_per_band
-    key["contrib"] = [
-        (int(m) * pow(1_000_003, int(j), MERSENNE_P)) % MERSENNE_P
-        for m, j in zip(key["mh"], key["j"])
-    ]
-    agg = key.groupby(["doc_id", "band_id"], sort=True)["contrib"].sum().reset_index()
-    agg["band_hash"] = (agg["contrib"] % MERSENNE_P).astype(np.int64)
-    return pa.Table.from_pandas(
-        agg[["doc_id", "band_id", "band_hash"]], preserve_index=False
-    ).cast(
-        pa.schema(
-            [("doc_id", pa.int64()), ("band_id", pa.int64()), ("band_hash", pa.int64())]
+    (doc_id, band_id, band_hash).  band_hash = Σ mh_j·B^j mod p over the
+    band's minhashes (perm order), so the oracle can reproduce it.
+
+    Vectorized when ``mod`` < 2³¹ (the fast-kernel field: products stay in
+    uint64); falls back to exact Python-int math for the 2⁶¹−1 legacy field.
+    """
+    doc_a = sig["doc_id"].to_numpy(zero_copy_only=False)
+    perm_a = sig["perm_id"].to_numpy(zero_copy_only=False)
+    mh_a = sig["minhash"].to_numpy(zero_copy_only=False)
+    order = np.lexsort((perm_a, doc_a))
+    doc, perm, mh = doc_a[order], perm_a[order], mh_a[order]
+    band = (perm // rows_per_band).astype(np.int64)
+    j = perm % rows_per_band
+    if mod < (1 << 31):
+        w = np.array([pow(HORNER_BASE, int(k), mod) for k in range(rows_per_band)], dtype=np.uint64)
+        contrib = (mh.astype(np.uint64) * w[j]) % np.uint64(mod)
+        key_changes = np.flatnonzero(
+            np.r_[True, (doc[1:] != doc[:-1]) | (band[1:] != band[:-1])]
         )
+        sums = np.add.reduceat(contrib, key_changes) % np.uint64(mod)
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[key_changes], type=pa.int64()),
+                "band_id": pa.array(band[key_changes], type=pa.int64()),
+                "band_hash": pa.array(sums.astype(np.int64)),
+            }
+        )
+    # legacy 2^61-1 field: python-int exactness (mh*B^j overflows uint64)
+    out_doc, out_band, out_hash = [], [], []
+    acc = 0
+    for i in range(len(doc)):
+        if i and (doc[i] != doc[i - 1] or band[i] != band[i - 1]):
+            out_doc.append(int(doc[i - 1]))
+            out_band.append(int(band[i - 1]))
+            out_hash.append(acc % mod)
+            acc = 0
+        acc += (int(mh[i]) * pow(HORNER_BASE, int(j[i]), mod)) % mod
+    if len(doc):
+        out_doc.append(int(doc[-1]))
+        out_band.append(int(band[-1]))
+        out_hash.append(acc % mod)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_doc, type=pa.int64()),
+            "band_id": pa.array(out_band, type=pa.int64()),
+            "band_hash": pa.array(out_hash, type=pa.int64()),
+        }
     )
 
 
-def candidate_pairs(bands, min_pair: int = 2):
-    """groupby (band_id, band_hash) → sorted doc-id pairs within each bucket."""
+#: Buckets larger than this emit a connectivity chain instead of all pairs —
+#: one degenerate bucket (empty/boilerplate pages colliding) would otherwise
+#: emit O(n²) pairs and OOM the group task.
+MAX_BUCKET_PAIRS_DOCS = 256
+
+
+def candidate_pairs(bands, min_pair: int = 2, max_bucket: int = MAX_BUCKET_PAIRS_DOCS):
+    """groupby (band_id, band_hash) → sorted doc-id pairs within each bucket.
+
+    Buckets with ≤ ``max_bucket`` distinct docs emit all C(n,2) pairs; larger
+    buckets emit the sorted-adjacent chain (n−1 pairs) — connectivity for
+    union-find clustering is preserved while memory stays O(n).
+    """
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         ids = np.sort(g["doc_id"].unique())
         if len(ids) < min_pair:
             return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        if len(ids) > max_bucket:
+            return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
         ia, ib = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
 

@@ -22,18 +22,28 @@ def simhash_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "t
     doc_ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     n = len(doc_ids)
 
-    t_list = terms.to_pylist()
-    uniq = sorted(set(t_list))
-    h = np.array([md5_lower64(t) for t in uniq], dtype=np.uint64)
+    # md5 once per unique term (terms is dictionary-encoded by term_frequencies)
+    if pa.types.is_dictionary(terms.type):
+        codes = terms.indices.to_numpy(zero_copy_only=False)
+        uniq = terms.dictionary.to_pylist()
+    else:
+        import pyarrow.compute as pc
+
+        dic = pc.dictionary_encode(terms)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        uniq = dic.dictionary.to_pylist()
+    h = np.fromiter((md5_lower64(t) for t in uniq), dtype=np.uint64, count=len(uniq))
     # ±1 matrix: (n_uniq, NUM_BITS)
     bits = ((h[:, None] >> np.arange(NUM_BITS, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
     pm = 2 * bits - 1
-    term_idx = {t: i for i, t in enumerate(uniq)}
-    acc = np.zeros((n, NUM_BITS), dtype=np.int64)
-    for t, r, tf in zip(t_list, rows, tfs):
-        acc[r] += tf * pm[term_idx[t]]
+    # per-bit weighted bincount — vectorized over all (row, term) pairs,
+    # O(pairs) memory (no pairs×bits contribution matrix)
+    acc = np.empty((n, NUM_BITS), dtype=np.int64)
+    tfw = tfs.astype(np.float64)
+    for b in range(NUM_BITS):
+        acc[:, b] = np.bincount(rows, weights=tfw * pm[codes, b], minlength=n).astype(np.int64)
     sim = (
         ((acc > 0).astype(np.int64) << np.arange(NUM_BITS, dtype=np.int64)[None, :]).sum(axis=1)
     )

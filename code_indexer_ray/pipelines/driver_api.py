@@ -20,7 +20,15 @@ import pyarrow as pa
 from ..ann.brute import ann_cosine_topk
 from ..ann.lsh import lsh_cosine_topk
 from ..dedup.exact import add_content_hash
-from ..dedup.minhash import MERSENNE_P, band_batch, minhash_batch, perm_coeffs
+from ..dedup.minhash import (
+    MERSENNE_31,
+    MERSENNE_P,
+    band_batch,
+    minhash_batch,
+    minhash_batch_fast,
+    perm_coeffs,
+    perm_coeffs_fast,
+)
 from ..dedup.simhash import simhash_batch
 from ..index.build import build_index
 from ..index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm, sql_decode_table_values
@@ -300,6 +308,27 @@ def q_dedup_exact(sf_dir: str):
 
 
 def q_minhash_sig(sf_dir: str):
+    """Default (fast) MinHash kernel — vectorized, oracle-gated."""
+    import ray.data as rd
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        minhash_batch_fast, batch_format="pyarrow"
+    )
+
+
+def q_minhash_bands(sf_dir: str):
+    import ray.data as rd
+
+    def bands(batch: pa.Table) -> pa.Table:
+        return band_batch(minhash_batch_fast(batch), mod=MERSENNE_31)
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        bands, batch_format="pyarrow"
+    )
+
+
+def q_minhash_md5_sig(sf_dir: str):
+    """Legacy md5-per-shingle kernel — kept as the 2⁶¹−1-field parity fixture."""
     import ray.data as rd
 
     return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
@@ -307,7 +336,7 @@ def q_minhash_sig(sf_dir: str):
     )
 
 
-def q_minhash_bands(sf_dir: str):
+def q_minhash_md5_bands(sf_dir: str):
     import ray.data as rd
 
     def bands(batch: pa.Table) -> pa.Table:
@@ -520,6 +549,35 @@ def _perm_values() -> str:
     return ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(8))
 
 
+def _perm_values_fast() -> str:
+    a, b = perm_coeffs_fast(8)
+    return ",".join(f"({i},{int(a[i])},{int(b[i])})" for i in range(8))
+
+
+def _fast_shingle_hash_cte() -> str:
+    """(doc_id, x) shingle hashes of the FAST kernel: per-token
+    ``md5_number_lower % (2³¹−1)``, Horner combine base 1000003 mod 2³¹−1,
+    3-token windows (short docs → one Horner over the whole stream).
+    Every product stays < 2⁶² — BIGINT-safe, bit-identical to the numpy path."""
+    M = MERSENNE_31
+    B = 1_000_003
+    return (
+        "tokarr AS (SELECT d.doc_id,\n"
+        "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
+        "    x -> strlen(x) > 0 AND strlen(x) < 40), x -> lower(x)) AS tks FROM documents d),\n"
+        "tpos AS (SELECT doc_id, unnest(tks) AS term, generate_subscripts(tks, 1) AS pos, len(tks) AS nt FROM tokarr),\n"
+        f"th AS (SELECT doc_id, pos, nt, (md5_number_lower(term) % {M})::BIGINT AS t FROM tpos),\n"
+        f"xf AS (SELECT doc_id, pos, nt,\n"
+        f"  (((t * {B} + lead(t, 1) OVER w) % {M}) * {B} + lead(t, 2) OVER w) % {M} AS x\n"
+        "  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),\n"
+        f"xs AS (SELECT doc_id, pos, nt,\n"
+        f"  CASE WHEN nt = 1 THEN t ELSE (t * {B} + lead(t, 1) OVER w) % {M} END AS x\n"
+        "  FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),\n"
+        "xall AS (SELECT doc_id, x FROM xf WHERE nt >= 3 AND pos <= nt - 2\n"
+        "  UNION ALL SELECT doc_id, x FROM xs WHERE nt BETWEEN 1 AND 2 AND pos = 1)"
+    )
+
+
 def _shingle_cte() -> str:
     """(doc_id, shingle) 3-word shingles in token order (short docs → 1 shingle)."""
     return (
@@ -619,7 +677,26 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)"
     )
 
+    M31 = MERSENNE_31
     out["dedup_minhash_sig"] = (
+        f"WITH {_fast_shingle_hash_cte()},\n"
+        f"perms(perm_id, a, b) AS (VALUES {_perm_values_fast()})\n"
+        f"SELECT doc_id, perm_id::BIGINT AS perm_id,\n"
+        f"  (min((a * x + b) % {M31}))::BIGINT AS minhash\n"
+        f"FROM xall, perms GROUP BY doc_id, perm_id"
+    )
+
+    out["dedup_minhash_bands"] = (
+        f"WITH {_fast_shingle_hash_cte()},\n"
+        f"perms(perm_id, a, b) AS (VALUES {_perm_values_fast()}),\n"
+        f"sig AS (SELECT doc_id, perm_id, min((a * x + b) % {M31}) AS minhash\n"
+        f"  FROM xall, perms GROUP BY doc_id, perm_id)\n"
+        f"SELECT doc_id, (perm_id // 2)::BIGINT AS band_id,\n"
+        f"  (sum((minhash * CASE WHEN perm_id % 2 = 0 THEN 1 ELSE 1000003 END) % {M31}) % {M31})::BIGINT AS band_hash\n"
+        f"FROM sig GROUP BY doc_id, perm_id // 2"
+    )
+
+    out["dedup_minhash_md5_sig"] = (
         f"WITH {_shingle_cte()},\n"
         f"x AS (SELECT doc_id, md5_number_lower(shingle)::HUGEINT AS x FROM sh),\n"
         f"perms(perm_id, a, b) AS (VALUES {_perm_values()})\n"
@@ -628,7 +705,7 @@ def oracle_catalog() -> dict[str, str]:
         f"FROM x, perms GROUP BY doc_id, perm_id"
     )
 
-    out["dedup_minhash_bands"] = (
+    out["dedup_minhash_md5_bands"] = (
         f"WITH {_shingle_cte()},\n"
         f"x AS (SELECT doc_id, md5_number_lower(shingle)::HUGEINT AS x FROM sh),\n"
         f"perms(perm_id, a, b) AS (VALUES {_perm_values()}),\n"
@@ -751,6 +828,8 @@ def query_catalog():
         "dedup_exact": q_dedup_exact,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_bands": q_minhash_bands,
+        "dedup_minhash_md5_sig": q_minhash_md5_sig,
+        "dedup_minhash_md5_bands": q_minhash_md5_bands,
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
         "ann_cosine": q_ann_cosine,

@@ -353,6 +353,61 @@ class TestMinhashFast:
         out = minhash_batch_fast(batch).to_pandas()
         assert set(out.doc_id) == {5}  # empty doc omitted, short doc single-shingle
 
+    def test_fast_path_matches_scalar_reference(self):
+        """Independent python-int reimplementation of the fast spec (the same
+        formula the DuckDB oracle runs) — guards the vectorized kernel."""
+        from code_indexer_ray.dedup.minhash import (
+            HORNER_BASE,
+            MERSENNE_31,
+            md5_lower64,
+            minhash_batch_fast,
+            perm_coeffs_fast,
+        )
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        texts = {3: "a b c d e f g", 4: "x y", 5: "lone", 6: "a b c d e h g"}
+        batch = pa.table({"doc_id": list(texts), "text": list(texts.values())})
+        got = minhash_batch_fast(batch, num_perms=4).to_pandas()
+        a, b = perm_coeffs_fast(4)
+        for doc, text in texts.items():
+            toks = tokenize_query(text)
+            th = [md5_lower64(t) % MERSENNE_31 for t in toks]
+            if len(th) >= 3:
+                windows = [th[i : i + 3] for i in range(len(th) - 2)]
+            else:
+                windows = [th]
+            xs = []
+            for w in windows:
+                acc = w[0]
+                for t in w[1:]:
+                    acc = (acc * HORNER_BASE + t) % MERSENNE_31
+                xs.append(acc)
+            for p in range(4):
+                want = min((int(a[p]) * x + int(b[p])) % MERSENNE_31 for x in xs)
+                row = got[(got.doc_id == doc) & (got.perm_id == p)]
+                assert int(row["minhash"].iloc[0]) == want, (doc, p)
+
+    def test_degenerate_bucket_capped(self, ray_session):
+        """10k identical docs collide into one LSH bucket: pair emission must
+        stay O(n), not O(n²)."""
+        import ray.data as rd
+
+        from code_indexer_ray.dedup.minhash import candidate_pairs
+
+        n = 10_000
+        bands = pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "band_id": pa.array(np.zeros(n, dtype=np.int64)),
+                "band_hash": pa.array(np.full(n, 777, dtype=np.int64)),
+            }
+        )
+        pairs = candidate_pairs(rd.from_arrow(bands)).to_pandas()
+        assert len(pairs) == n - 1  # connectivity chain, not C(n,2) ≈ 5·10⁷
+        # chain connects the whole component
+        assert set(pairs["doc_a"]) == set(range(n - 1))
+        assert set(pairs["doc_b"]) == set(range(1, n))
+
 
 class TestRollingHash:
     def test_deterministic_and_orders_sensitive(self):
