@@ -40,7 +40,7 @@ from ..index.manifest import DOCSTORE_DIR, IndexManifest, load_manifest
 from ..text.analysis import tokenize_query
 from ..text.snippets import extract_snippet, locate_fuzzy, locate_literal
 from . import bm25
-from .expand import VocabMatcher, expand_fuzzy, expand_regex
+from .expand import VocabMatcher
 from .globmatch import matches_any
 
 UNLIMITED_LIMIT = 100_000  # reference's "limit=0 → effectively unlimited"
@@ -59,31 +59,54 @@ class ShardSearcher:
         tables = [pq.read_table(f) for f in sorted(segment_files)]
         self._tbl = pa.concat_tables(tables) if tables else None
         if self._tbl is not None and self._tbl.num_rows:
-            terms = self._tbl["term"].to_pylist()
-            self._lut = {t: i for i, t in enumerate(terms)}
-            self._vocab = np.array(terms, dtype=object)
+            terms_arr = self._tbl["term"].combine_chunks()
+            # sorted-array dictionary + searchsorted lookups: no per-term
+            # Python dict (a hash LUT over a 10⁸-term web-scale shard vocab
+            # would be a driver/actor memory killer; the sorted array is the
+            # SSTable layout queries bisect)
+            order = pc.sort_indices(terms_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+            self._order = order
+            self._vocab = np.array(terms_arr.take(pa.array(order)).to_pylist(), dtype=object)
             self._dfs = self._tbl["df"].to_numpy(zero_copy_only=False)
         else:
-            self._lut = {}
+            self._order = np.empty(0, dtype=np.int64)
             self._vocab = np.empty(0, dtype=object)
             self._dfs = np.empty(0, dtype=np.int64)
         self._docstore_dir = docstore_dir
         self._meta = None  # lazy (doc_ids, url, lang) sorted by doc_id
+        self._matcher: VocabMatcher | None = None  # lazy per-shard fuzzy/regex structures
 
     # ---- term dictionary ----
     def vocab(self) -> np.ndarray:
         return self._vocab
 
+    def _find(self, term: str) -> int | None:
+        """Bisect the sorted vocab → row index into the segment table."""
+        pos = int(np.searchsorted(self._vocab, term))
+        if pos < len(self._vocab) and self._vocab[pos] == term:
+            return int(self._order[pos])
+        return None
+
     def df_of(self, terms: list[str]) -> dict[str, int]:
-        return {t: int(self._dfs[self._lut[t]]) for t in terms if t in self._lut}
+        out: dict[str, int] = {}
+        for t in terms:
+            i = self._find(t)
+            if i is not None:
+                out[t] = int(self._dfs[i])
+        return out
 
     def expand(self, kind: str, pattern: str, distance: int = 0) -> list[str]:
+        """Shard-local fuzzy/regex expansion (the DEFAULT path: the term
+        dictionary never leaves the shard/actor, matching Tantivy's
+        per-segment automaton walk)."""
+        if self._matcher is None:
+            self._matcher = VocabMatcher(self._vocab)
         if kind == "fuzzy":
-            return expand_fuzzy(self._vocab, pattern, distance)
-        return expand_regex(self._vocab, pattern)
+            return self._matcher.fuzzy(pattern, distance)
+        return self._matcher.regex(pattern)
 
     def posting(self, term: str) -> dict | None:
-        i = self._lut.get(term)
+        i = self._find(term)
         if i is None:
             return None
         row = self._tbl.slice(i, 1)
@@ -318,7 +341,6 @@ class IndexSearcher:
         self._remote = remote
         self._searchers: dict[int, object] = {}
         self._docstore_ds = None  # cached docstore row-group index (metadata scan is costly per query)
-        self._matcher: VocabMatcher | None = None  # cached union-vocab matcher
         # identical-query result cache (daemon result-cache analog,
         # reference fts_index_cache.py / <10ms repeated-query target)
         self._result_cache: dict[tuple, list[dict]] = {}
@@ -348,24 +370,35 @@ class IndexSearcher:
         return [getattr(self._searcher(s), method)(*args, **kwargs) for s in shards]
 
     # ---- query assembly ----
-    def matcher(self) -> VocabMatcher:
-        """Union term dictionary across shards, cached with its DP/regex
-        structures — one vocabulary scan per query, not one per shard."""
-        if self._matcher is None:
-            union = sorted({t for v in self._fanout("vocab") for t in v})
-            self._matcher = VocabMatcher(union)
-        return self._matcher
+    def warm(self) -> None:
+        """Instantiate every shard searcher (and its sorted vocab) up front —
+        the daemon cache-warm step; optional, queries lazy-load otherwise."""
+        for s in sorted(self._files):
+            self._searcher(s)
+
+    def matcher(self):
+        """Compatibility facade: fuzzy/regex over the whole index.  Expansion
+        itself is ALWAYS shard-local (each shard walks its own dictionary);
+        this object just unions the per-shard matches — no driver-side union
+        vocabulary is ever materialized."""
+        searcher = self
+
+        class _FanoutMatcher:
+            def fuzzy(self, word: str, distance: int) -> list[str]:
+                return searcher.expand_terms("fuzzy", word, distance)
+
+            def regex(self, pattern: str) -> list[str]:
+                return searcher.expand_terms("regex", pattern)
+
+        return _FanoutMatcher()
 
     def expand_terms(self, kind: str, pattern: str, distance: int = 0) -> list[str]:
-        if self._remote:
-            # actor mode: expansion stays shard-local (the term dictionary is
-            # never shipped to the driver); union the per-shard matches
-            return sorted(
-                {t for terms in self._fanout("expand", kind, pattern, distance) for t in terms}
-            )
-        if kind == "fuzzy":
-            return sorted(self.matcher().fuzzy(pattern, distance))
-        return sorted(self.matcher().regex(pattern))
+        # shard-local expansion in BOTH local and actor modes: the term
+        # dictionary never ships to the driver (web-scale vocab stays
+        # partitioned); only the matched terms are unioned
+        return sorted(
+            {t for terms in self._fanout("expand", kind, pattern, distance) for t in terms}
+        )
 
     def _build_groups(
         self, query_text: str, edit_distance: int, use_regex: bool

@@ -26,7 +26,7 @@ class QueryEvalStage:
     def __init__(self, index_dir: str, lang_col: str | None = "lang", url_col: str | None = "url"):
         self.searcher = IndexSearcher(index_dir, lang_col=lang_col, url_col=url_col)
         # touch every shard once so per-actor caches are warm
-        self.searcher.matcher()
+        self.searcher.warm()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         names = batch.schema.names
