@@ -30,7 +30,7 @@ import pyarrow as pa
 import pyarrow.parquet as pq
 
 from .build import encode_segment_table
-from .codec import decode_doc_ids, decode_tfs
+from .codec import varbyte_decode
 from .manifest import (
     DOCSTORE_DIR,
     IndexManifest,
@@ -41,38 +41,67 @@ from .manifest import (
 )
 
 
+_EMPTY_POSTINGS = pa.table(
+    {
+        "term": pa.array([], pa.string()),
+        "doc_id": pa.array([], pa.int64()),
+        "tf": pa.array([], pa.int64()),
+        "norm": pa.array([], pa.uint8()),
+    }
+)
+
+
+def _binary_flat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Concatenated payload bytes of a (large_)binary column, zero-copy.
+
+    Segment binary columns are written contiguously (one buffer + offsets,
+    ``build._binary_col``), so the data buffer slice between the first and
+    last offset IS the term-order concatenation of all per-term encodings."""
+    a = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dtype = np.int64 if pa.types.is_large_binary(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=off_dtype)[a.offset : a.offset + len(a) + 1]
+    data = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    return data[offs[0] : offs[-1]]
+
+
 def _explode_segment(tbl: pa.Table, drop_ids: np.ndarray) -> pa.Table:
-    """Segment rows → raw (term, doc_id, tf, norm) postings, minus tombstones."""
-    terms, docs, tfs, norms = [], [], [], []
-    for i in range(tbl.num_rows):
-        df = tbl["df"][i].as_py()
-        d = decode_doc_ids(tbl["docs_enc"][i].as_py(), df)
-        t = decode_tfs(tbl["tfs_enc"][i].as_py(), df)
-        nm = np.frombuffer(tbl["norms"][i].as_py(), dtype=np.uint8)
-        if len(drop_ids):
-            keep = ~np.isin(d, drop_ids, assume_unique=False)
-            d, t, nm = d[keep], t[keep], nm[keep]
-        if len(d) == 0:
-            continue
-        terms.extend([tbl["term"][i].as_py()] * len(d))
-        docs.append(d)
-        tfs.append(t)
-        norms.append(nm)
-    if not docs:
-        return pa.table(
-            {
-                "term": pa.array([], pa.string()),
-                "doc_id": pa.array([], pa.int64()),
-                "tf": pa.array([], pa.int64()),
-                "norm": pa.array([], pa.uint8()),
-            }
-        )
+    """Segment rows → raw (term, doc_id, tf, norm) postings, minus tombstones.
+
+    Fully vectorized: ONE varbyte decode over the whole partition's
+    concatenated doc/tf streams, group-wise cumsum to reconstruct absolute
+    doc ids (the delta stream anchors at each term start), dictionary-coded
+    term column (no per-posting string materialization)."""
+    n_terms = tbl.num_rows
+    if n_terms == 0:
+        return _EMPTY_POSTINGS
+    dfs = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    total = int(dfs.sum())
+    deltas = varbyte_decode(_binary_flat(tbl["docs_enc"]), total)
+    tfs = varbyte_decode(_binary_flat(tbl["tfs_enc"]), total).astype(np.int64)
+    norms = _binary_flat(tbl["norms"])
+    if len(norms) != total:
+        raise ValueError("corrupt segment: norms length != sum(df)")
+
+    term_starts = np.concatenate(([0], np.cumsum(dfs)[:-1]))
+    flat = np.cumsum(deltas.astype(np.int64))
+    prev = np.concatenate(([0], flat[term_starts[1:] - 1])) if n_terms > 1 else np.zeros(1, np.int64)
+    docs = flat - np.repeat(prev, dfs)
+    codes = np.repeat(np.arange(n_terms, dtype=np.int32), dfs)
+
+    if len(drop_ids):
+        keep = ~np.isin(docs, drop_ids, assume_unique=False)
+        docs, tfs, norms, codes = docs[keep], tfs[keep], norms[keep], codes[keep]
+    if len(docs) == 0:
+        return _EMPTY_POSTINGS
+    term_col = pa.DictionaryArray.from_arrays(
+        pa.array(codes, type=pa.int32()), tbl["term"].combine_chunks()
+    )
     return pa.table(
         {
-            "term": pa.array(terms, type=pa.string()),
-            "doc_id": pa.array(np.concatenate(docs)),
-            "tf": pa.array(np.concatenate(tfs)),
-            "norm": pa.array(np.concatenate(norms), type=pa.uint8()),
+            "term": term_col,
+            "doc_id": pa.array(docs),
+            "tf": pa.array(tfs),
+            "norm": pa.array(np.ascontiguousarray(norms), type=pa.uint8()),
         }
     )
 
@@ -213,31 +242,44 @@ def _iter_parquet(root: str):
                 yield os.path.join(r, f)
 
 
-def _merge_docstore(base_store: str, delta_store: str, out_store: str, tomb: np.ndarray) -> None:
+def _merge_docstore_file(path: str, store_root: str, out_store: str, tomb: np.ndarray, is_delta: bool) -> None:
+    """Merge ONE doc-store file (a Ray task body — the merge fans out per file
+    instead of rewriting the whole store serially on the driver)."""
     import pyarrow.compute as pc
 
-    os.makedirs(out_store, exist_ok=True)
-    i = 0
-    for path in _iter_parquet(base_store):
-        tbl = pq.read_table(path)
+    tbl = pq.read_table(path)
+    rel = os.path.relpath(path, store_root)
+    if is_delta:
+        # keep the hive shard=N layout so per-shard metadata loads see delta docs
+        d, base_name = os.path.split(rel)
+        dst = os.path.join(out_store, d, "delta_" + base_name)
+    else:
         if len(tomb):
             tbl = tbl.filter(
                 pc.invert(pc.is_in(tbl["doc_id"], value_set=pa.array(tomb, type=pa.int64())))
             )
-        if tbl.num_rows:
-            rel = os.path.relpath(path, base_store)
-            dst = os.path.join(out_store, rel)
-            os.makedirs(os.path.dirname(dst), exist_ok=True)
-            pq.write_table(tbl, dst, row_group_size=64)
-            i += 1
-    for path in _iter_parquet(delta_store):
-        tbl = pq.read_table(path)
-        # keep the hive shard=N layout so per-shard metadata loads see delta docs
-        rel = os.path.relpath(path, delta_store)
-        d, base_name = os.path.split(rel)
-        dst = os.path.join(out_store, d, "delta_" + base_name)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        pq.write_table(tbl, dst, row_group_size=64)
+        if tbl.num_rows == 0:
+            return
+        dst = os.path.join(out_store, rel)
+    os.makedirs(os.path.dirname(dst), exist_ok=True)
+    tmp = dst + f".tmp-{os.getpid()}"
+    pq.write_table(tbl, tmp, row_group_size=64)
+    os.replace(tmp, dst)
+
+
+def _merge_docstore(base_store: str, delta_store: str, out_store: str, tomb: np.ndarray) -> None:
+    import ray
+
+    os.makedirs(out_store, exist_ok=True)
+    tomb_ref = ray.put(tomb)
+
+    @ray.remote
+    def task(path: str, root: str, is_delta: bool, tref) -> None:
+        _merge_docstore_file(path, root, out_store, tref, is_delta)
+
+    refs = [task.remote(p, base_store, False, tomb_ref) for p in _iter_parquet(base_store)]
+    refs += [task.remote(p, delta_store, True, tomb_ref) for p in _iter_parquet(delta_store)]
+    ray.get(refs)
     with open(os.path.join(out_store, "_SUCCESS"), "w") as f:
         f.write("ok")
 
