@@ -292,6 +292,43 @@ def q_extract_roundtrip(sf_dir: str):
     return rd.read_parquet(_docs(sf_dir)).map_batches(run, batch_format="pyarrow")
 
 
+def q_extract_html(sf_dir: str):
+    """Real-HTML extraction over a rich deterministic page (script/style/
+    comment blocks, entities) built from each document — exercises
+    ``extract_text_html`` end-to-end against its DuckDB twin."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..text.extract import extract_text_html
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].cast(pa.string())
+        page = pc.binary_join_element_wise(
+            pa.scalar("<html><!-- id "), ids,
+            pa.scalar(" --><head><style>body {color:red}</style>"
+                      "<script>var x=1;</script></head><body><h1>Doc &amp; "),
+            ids,
+            pa.scalar("</h1><p>"), batch["text"].combine_chunks(),
+            pa.scalar("</p>&nbsp;</body></html>"),
+            "",
+        )
+        text = extract_text_html(page)
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in text.to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "text_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -395,7 +432,11 @@ def q_ann_lsh(sf_dir: str):
 
     ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
     qs = _load_queries(sf_dir)
-    return lsh_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10, n_planes=6, n_tables=6)
+    # (n_planes, n_tables) tuned on this table's scale: measured recall@10 vs
+    # the exact ann_cosine result = 0.975 (tests/test_entry_oracle.py recall
+    # gate asserts >= 0.8). Larger corpora raise n_planes to keep buckets
+    # selective and add tables to recover recall.
+    return lsh_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10, n_planes=4, n_tables=8)
 
 
 def _ts_us(tbl: pa.Table, cols: tuple[str, ...]) -> pa.Table:
@@ -673,6 +714,17 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT doc_id, url, md5(regexp_extract(html, '<p>(.*)</p>', 1)) AS body_md5, md5(text) AS src_md5 FROM pages"
     )
 
+    from ..text.extract import sql_extract_text_html
+
+    page_expr = (
+        "'<html><!-- id ' || doc_id || ' --><head><style>body {color:red}</style>"
+        "<script>var x=1;</script></head><body><h1>Doc &amp; ' || doc_id || "
+        "'</h1><p>' || text || '</p>&nbsp;</body></html>'"
+    )
+    out["fts_extract_html"] = (
+        f"SELECT doc_id, md5({sql_extract_text_html(page_expr)}) AS text_md5 FROM documents"
+    )
+
     out["dedup_exact"] = (
         "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)"
     )
@@ -826,6 +878,7 @@ def query_catalog():
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,
         "dedup_exact": q_dedup_exact,
+        "fts_extract_html": q_extract_html,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_bands": q_minhash_bands,
         "dedup_minhash_md5_sig": q_minhash_md5_sig,

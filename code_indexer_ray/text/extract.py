@@ -68,6 +68,61 @@ def extract_body(html_text: pa.Array | pa.ChunkedArray) -> pa.Array:
     return pc.if_else(pc.is_valid(body), body, pa.scalar("", type=pa.string()))
 
 
+#: The real-HTML extraction spec, as ordered (RE2 pattern, replacement) steps.
+#: Deterministic and exactly reproducible in DuckDB (same RE2 engine):
+#: script/style blocks and comments drop, every remaining tag becomes a
+#: space, the 6 basic entities decode (&amp; LAST, so double-escaped text
+#: stays single-escaped — standard order: strip tags, then decode entities),
+#: whitespace runs collapse.
+HTML_STRIP_STEPS: tuple[tuple[str, str, bool], ...] = (
+    # (pattern-or-literal, replacement, is_regex)
+    (r"(?is)<script[^>]*>.*?</script>", " ", True),
+    (r"(?is)<style[^>]*>.*?</style>", " ", True),
+    (r"(?s)<!--.*?-->", " ", True),
+    (r"(?s)<[^>]*>", " ", True),
+    ("&nbsp;", " ", False),
+    ("&lt;", "<", False),
+    ("&gt;", ">", False),
+    ("&quot;", '"', False),
+    ("&#39;", "'", False),
+    ("&apos;", "'", False),
+    ("&amp;", "&", False),
+    (r"\s+", " ", True),
+)
+
+
+def extract_text_html(html_text: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Real-HTML → visible text: deterministic tag/script/style/comment
+    stripper with basic entity decoding (public-knowledge construction; the
+    reference reads raw code files — ``fixed_size_chunker.py:188-205`` — so
+    this is the webtext-payload analog of its extraction boundary).
+
+    Vectorized RE2 replaces over the whole column; byte-identical across runs
+    and across engines (the DuckDB oracle twin runs the same steps)."""
+    out = html_text.combine_chunks() if isinstance(html_text, pa.ChunkedArray) else html_text
+    for pat, repl, is_regex in HTML_STRIP_STEPS:
+        if is_regex:
+            out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
+        else:
+            out = pc.replace_substring(out, pattern=pat, replacement=repl)
+    return pc.utf8_trim_whitespace(out)
+
+
+def sql_extract_text_html(expr: str) -> str:
+    """DuckDB expression applying :data:`HTML_STRIP_STEPS` to ``expr`` —
+    the oracle twin of :func:`extract_text_html` (same RE2 engine)."""
+    out = expr
+    for pat, repl, is_regex in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = repl.replace("'", "''")
+        if is_regex:
+            # DuckDB RE2 honors inline (?is)/(?s) flags; 'g' = replace all
+            out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+        else:
+            out = f"replace({out}, '{p}', '{r}')"
+    return f"trim({out})"
+
+
 def is_text_payload(payloads: pa.Array | pa.ChunkedArray, sniff_bytes: int = 1024) -> np.ndarray:
     """Binary sniffer (reference ``file_finder.py:151-184``): a payload is
     text iff its first KiB contains no NUL byte and survives the decode

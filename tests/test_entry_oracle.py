@@ -77,7 +77,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "fts_bm25_lang", "fts_bm25_exclude_lang", "fts_bm25_source_filter",
         "fts_bm25_limit0", "fts_fuzzy_terms", "fts_bm25_fuzzy",
         "fts_regex_terms", "fts_bm25_regex", "fts_match_positions",
-        "fts_chunks", "fts_extract_roundtrip", "dedup_exact",
+        "fts_chunks", "fts_extract_roundtrip", "fts_extract_html", "dedup_exact",
         "dedup_minhash_sig", "dedup_minhash_bands",
         "dedup_minhash_md5_sig", "dedup_minhash_md5_bands", "dedup_simhash",
         "text_quality", "ann_cosine", "events_keep_latest", "events_window",
@@ -112,3 +112,18 @@ def test_ann_lsh_rows_only(catalogs):
     out = _to_table(qs["ann_lsh"](SF))
     assert out.num_rows >= 0
     assert set(out.schema.names) == {"query_id", "rank", "vec_id", "cos"}
+
+
+def test_ann_lsh_recall_vs_brute(catalogs):
+    """Measured recall@10 of the catalog's LSH config against the exact
+    brute-force result on the driver's own embeddings table — converts the
+    'no_oracle' row into a quantified approximation guarantee."""
+    qs, _ = catalogs
+    brute = _to_table(qs["ann_cosine"](SF)).to_pandas()
+    approx = _to_table(qs["ann_lsh"](SF)).to_pandas()
+    recalls = []
+    for qid in brute["query_id"].unique():
+        want = set(brute.loc[brute.query_id == qid, "vec_id"])
+        got = set(approx.loc[approx.query_id == qid, "vec_id"])
+        recalls.append(len(want & got) / max(len(want), 1))
+    assert np.mean(recalls) >= 0.8, f"LSH recall@10 {np.mean(recalls):.2f} < 0.8 ({recalls})"

@@ -89,6 +89,49 @@ class TestExtract:
         body = extract_body(decoded["html_text"])
         assert body.to_pylist() == texts.to_pylist()
 
+    def test_extract_text_html_golden(self):
+        """Frozen expected outputs of the real-HTML extractor on non-wrapper
+        pages (script/style/comment stripping, entity decode order,
+        whitespace collapse)."""
+        from code_indexer_ray.text.extract import extract_text_html
+
+        html = [
+            "<html><head><title>T</title><script>var a='<p>not text</p>';"
+            "</script></head><body><h1>Hi</h1><p>Hello &amp; welcome</p>"
+            "<!-- note --><div>A&nbsp;B &lt;tag&gt;</div></body></html>",
+            "plain text no markup",
+            "<style type='text/css'>p { display: none }</style>Visible<br/>line",
+            "double &amp;amp; escape",
+            "",
+        ]
+        assert extract_text_html(pa.array(html)).to_pylist() == [
+            "T Hi Hello & welcome A B <tag>",
+            "plain text no markup",
+            "Visible line",
+            "double &amp; escape",
+            "",
+        ]
+
+    def test_extract_text_html_matches_duckdb_twin(self):
+        import duckdb
+
+        from code_indexer_ray.text.extract import extract_text_html, sql_extract_text_html
+
+        html = [
+            "<p>a</p><p>b</p>",
+            "<SCRIPT>x</SCRIPT>kept",
+            "nested <div><span>deep &quot;q&quot;</span></div>",
+            "<!--c1--><!--c2-->between",
+        ]
+        got = extract_text_html(pa.array(html)).to_pylist()
+        con = duckdb.connect()
+        quoted = ",".join("({}, '{}')".format(i, h.replace("'", "''")) for i, h in enumerate(html))
+        con.execute(f"CREATE TABLE t AS SELECT * FROM (VALUES {quoted}) v(i, html)")
+        rows = con.execute(
+            "SELECT i, " + sql_extract_text_html("html") + " FROM t ORDER BY i"
+        ).fetchall()
+        assert [r[1] for r in rows] == got
+
     def test_decode_batch_with_non_utf8_rows(self):
         rows = [b"plain", bytes([0xFF, 0xFE, 0x41]), "ok é".encode("utf-8")]
         batch = pa.table({"html": pa.array(rows, type=pa.binary())})
