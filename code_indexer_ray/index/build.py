@@ -362,6 +362,8 @@ def _dataset_count_and_max(paths, id_col: str) -> tuple[int, int]:
     if max_id is None:  # stats missing → one-column scan
         tbl = dset.to_table(columns=[id_col])
         max_id = pc.max(tbl[id_col]).as_py()
+    if max_id is None:  # empty input (e.g. a pure-delete watch delta)
+        return count, -1
     return count, int(max_id)
 
 

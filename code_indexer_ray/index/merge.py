@@ -64,7 +64,26 @@ def _binary_flat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
     return data[offs[0] : offs[-1]]
 
 
-def _explode_segment(tbl: pa.Table, drop_ids: np.ndarray) -> pa.Table:
+def _tombstone_mask(
+    docs: np.ndarray, drop_ids: np.ndarray, drop_ranges: np.ndarray | None
+) -> np.ndarray | None:
+    """Boolean mask of docs to DROP: explicit ids ∪ [lo, hi] ranges (ranges
+    cover whole-file deletions without enumerating ids)."""
+    mask = None
+    if len(drop_ids):
+        mask = np.isin(docs, drop_ids, assume_unique=False)
+    if drop_ranges is not None and len(drop_ranges):
+        r = np.asarray(drop_ranges, dtype=np.int64).reshape(-1, 2)
+        in_range = np.zeros(len(docs), dtype=bool)
+        for lo, hi in r:
+            in_range |= (docs >= lo) & (docs <= hi)
+        mask = in_range if mask is None else (mask | in_range)
+    return mask
+
+
+def _explode_segment(
+    tbl: pa.Table, drop_ids: np.ndarray, drop_ranges: np.ndarray | None = None
+) -> pa.Table:
     """Segment rows → raw (term, doc_id, tf, norm) postings, minus tombstones.
 
     Fully vectorized: ONE varbyte decode over the whole partition's
@@ -88,8 +107,9 @@ def _explode_segment(tbl: pa.Table, drop_ids: np.ndarray) -> pa.Table:
     docs = flat - np.repeat(prev, dfs)
     codes = np.repeat(np.arange(n_terms, dtype=np.int32), dfs)
 
-    if len(drop_ids):
-        keep = ~np.isin(docs, drop_ids, assume_unique=False)
+    drop = _tombstone_mask(docs, drop_ids, drop_ranges)
+    if drop is not None:
+        keep = ~drop
         docs, tfs, norms, codes = docs[keep], tfs[keep], norms[keep], codes[keep]
     if len(docs) == 0:
         return _EMPTY_POSTINGS
@@ -107,12 +127,16 @@ def _explode_segment(tbl: pa.Table, drop_ids: np.ndarray) -> pa.Table:
 
 
 def merge_partition(
-    base_file: str | None, delta_file: str | None, tombstones: np.ndarray, out_file: str
+    base_file: str | None,
+    delta_file: str | None,
+    tombstones: np.ndarray,
+    out_file: str,
+    tombstone_ranges: np.ndarray | None = None,
 ) -> dict:
     """Merge one (shard, bucket) partition; returns stats for the manifest."""
     parts = []
     if base_file and os.path.exists(base_file):
-        parts.append(_explode_segment(pq.read_table(base_file), tombstones))
+        parts.append(_explode_segment(pq.read_table(base_file), tombstones, tombstone_ranges))
     if delta_file and os.path.exists(delta_file):
         parts.append(_explode_segment(pq.read_table(delta_file), np.empty(0, np.int64)))
     merged = pa.concat_tables([p for p in parts if p.num_rows]) if parts else None
@@ -132,24 +156,33 @@ def merge_partition(
     }
 
 
-def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
+def merge_indexes(
+    base_dir: str,
+    delta_dir: str | None,
+    out_dir: str,
+    *,
+    tombstone_ranges: list[tuple[int, int]] | None = None,
+) -> IndexManifest:
     """Merge a delta index into a base index (delete-then-add semantics).
 
     Layouts must match (same shards/buckets/doc space — enforced).  Runs one
     Ray task per partition; the doc store is merged with keep-latest-by-doc_id
-    (delta wins).
+    (delta wins).  ``tombstone_ranges``: additional [lo, hi] doc-id ranges to
+    delete outright (whole-file deletions from the watch driver — input files
+    are doc-range partitioned, so a removed file is a removed range).
     """
     import ray
 
     # In-place merge would rmtree the base/delta doc store before reading it —
     # unrecoverable. Refuse up front.
     out_real = os.path.realpath(out_dir)
-    if out_real in (os.path.realpath(base_dir), os.path.realpath(delta_dir)):
+    guarded = [base_dir] + ([delta_dir] if delta_dir else [])
+    if out_real in (os.path.realpath(d) for d in guarded):
         raise ValueError("out_dir must differ from base_dir and delta_dir (no in-place merge)")
 
     base = load_manifest(base_dir)
-    delta = load_manifest(delta_dir)
-    if (base.num_shards, base.num_buckets, base.doc_id_upper) != (
+    delta = load_manifest(delta_dir) if delta_dir else None
+    if delta is not None and (base.num_shards, base.num_buckets, base.doc_id_upper) != (
         delta.num_shards,
         delta.num_buckets,
         delta.doc_id_upper,
@@ -161,15 +194,27 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
 
     os.makedirs(out_dir, exist_ok=True)
     base_files = {(p["shard"], p["bucket"]): p["path"] for p in base.partitions}
-    delta_files = {(p["shard"], p["bucket"]): p["path"] for p in delta.partitions}
+    delta_files = (
+        {(p["shard"], p["bucket"]): p["path"] for p in delta.partitions} if delta else {}
+    )
 
-    # tombstones = every doc present in the delta (delete-then-add per doc)
-    delta_store = os.path.join(delta_dir, DOCSTORE_DIR)
-    tomb = pq.read_table(
-        [os.path.join(r, f) for r, _, fs in os.walk(delta_store) for f in fs if f.endswith(".parquet")],
-        columns=["doc_id"],
-    )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-    tomb = np.unique(tomb)
+    # tombstones = every doc present in the delta (delete-then-add per doc);
+    # delta_dir=None → tombstone-only merge (pure deletions)
+    if delta_dir:
+        delta_store = os.path.join(delta_dir, DOCSTORE_DIR)
+        tomb = pq.read_table(
+            [os.path.join(r, f) for r, _, fs in os.walk(delta_store) for f in fs if f.endswith(".parquet")],
+            columns=["doc_id"],
+        )["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        tomb = np.unique(tomb)
+    else:
+        delta_store = None
+        tomb = np.empty(0, dtype=np.int64)
+    tomb_ranges = (
+        np.asarray(tombstone_ranges, dtype=np.int64).reshape(-1, 2)
+        if tombstone_ranges
+        else None
+    )
 
     @ray.remote
     def task(shard: int, bucket: int, bf: str | None, df_: str | None) -> dict:
@@ -179,6 +224,7 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
             os.path.join(delta_dir, df_) if df_ else None,
             tomb,
             os.path.join(out_dir, rel),
+            tomb_ranges,
         )
         stats.update({"shard": shard, "bucket": bucket, "path": rel})
         return stats
@@ -188,6 +234,10 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
         [task.remote(s, b, base_files.get((s, b)), delta_files.get((s, b))) for s, b in keys]
     )
 
+    merge_fp = (
+        f"merge:{base.metrics.get('fingerprint')}"
+        f"+{delta.metrics.get('fingerprint') if delta else 'tombstones'}"
+    )
     partitions = []
     total_tokens = 0
     for st in results:
@@ -202,7 +252,7 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
             n_bytes=st["n_bytes"],
             path=st["path"],
             build_secs=0.0,
-            fingerprint=f"merge:{base.metrics.get('fingerprint')}+{delta.metrics.get('fingerprint')}",
+            fingerprint=merge_fp,
         )
         write_partition_manifest(out_dir, info)
         from dataclasses import asdict
@@ -213,7 +263,7 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
     # doc store: delta rows win, base rows for non-tombstoned docs
     out_store = os.path.join(out_dir, DOCSTORE_DIR)
     shutil.rmtree(out_store, ignore_errors=True)
-    _merge_docstore(os.path.join(base_dir, DOCSTORE_DIR), delta_store, out_store, tomb)
+    _merge_docstore(os.path.join(base_dir, DOCSTORE_DIR), delta_store, out_store, tomb, tomb_ranges)
 
     num_docs = _count_docstore(out_store)
     manifest = IndexManifest(
@@ -221,14 +271,15 @@ def merge_indexes(base_dir: str, delta_dir: str, out_dir: str) -> IndexManifest:
         total_tokens=total_tokens,
         num_shards=base.num_shards,
         num_buckets=base.num_buckets,
-        doc_id_upper=max(base.doc_id_upper, delta.doc_id_upper),
+        doc_id_upper=max(base.doc_id_upper, delta.doc_id_upper) if delta else base.doc_id_upper,
         text_col=base.text_col,
         id_col=base.id_col,
         partitions=partitions,
         metrics={
-            "fingerprint": f"merge:{base.metrics.get('fingerprint')}+{delta.metrics.get('fingerprint')}",
-            "merged_from": [base_dir, delta_dir],
+            "fingerprint": merge_fp,
+            "merged_from": [base_dir, delta_dir] if delta_dir else [base_dir],
             "tombstones": int(len(tomb)),
+            "tombstone_ranges": [[int(lo), int(hi)] for lo, hi in (tombstone_ranges or [])],
         },
     )
     publish_manifest(out_dir, manifest)
@@ -242,11 +293,16 @@ def _iter_parquet(root: str):
                 yield os.path.join(r, f)
 
 
-def _merge_docstore_file(path: str, store_root: str, out_store: str, tomb: np.ndarray, is_delta: bool) -> None:
+def _merge_docstore_file(
+    path: str,
+    store_root: str,
+    out_store: str,
+    tomb: np.ndarray,
+    is_delta: bool,
+    tomb_ranges: np.ndarray | None = None,
+) -> None:
     """Merge ONE doc-store file (a Ray task body — the merge fans out per file
     instead of rewriting the whole store serially on the driver)."""
-    import pyarrow.compute as pc
-
     tbl = pq.read_table(path)
     rel = os.path.relpath(path, store_root)
     if is_delta:
@@ -254,10 +310,10 @@ def _merge_docstore_file(path: str, store_root: str, out_store: str, tomb: np.nd
         d, base_name = os.path.split(rel)
         dst = os.path.join(out_store, d, "delta_" + base_name)
     else:
-        if len(tomb):
-            tbl = tbl.filter(
-                pc.invert(pc.is_in(tbl["doc_id"], value_set=pa.array(tomb, type=pa.int64())))
-            )
+        docs = tbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        drop = _tombstone_mask(docs, tomb, tomb_ranges)
+        if drop is not None and drop.any():
+            tbl = tbl.filter(pa.array(~drop))
         if tbl.num_rows == 0:
             return
         dst = os.path.join(out_store, rel)
@@ -267,7 +323,13 @@ def _merge_docstore_file(path: str, store_root: str, out_store: str, tomb: np.nd
     os.replace(tmp, dst)
 
 
-def _merge_docstore(base_store: str, delta_store: str, out_store: str, tomb: np.ndarray) -> None:
+def _merge_docstore(
+    base_store: str,
+    delta_store: str | None,
+    out_store: str,
+    tomb: np.ndarray,
+    tomb_ranges: np.ndarray | None = None,
+) -> None:
     import ray
 
     os.makedirs(out_store, exist_ok=True)
@@ -275,10 +337,11 @@ def _merge_docstore(base_store: str, delta_store: str, out_store: str, tomb: np.
 
     @ray.remote
     def task(path: str, root: str, is_delta: bool, tref) -> None:
-        _merge_docstore_file(path, root, out_store, tref, is_delta)
+        _merge_docstore_file(path, root, out_store, tref, is_delta, tomb_ranges)
 
     refs = [task.remote(p, base_store, False, tomb_ref) for p in _iter_parquet(base_store)]
-    refs += [task.remote(p, delta_store, True, tomb_ref) for p in _iter_parquet(delta_store)]
+    if delta_store:
+        refs += [task.remote(p, delta_store, True, tomb_ref) for p in _iter_parquet(delta_store)]
     ray.get(refs)
     with open(os.path.join(out_store, "_SUCCESS"), "w") as f:
         f.write("ok")

@@ -329,6 +329,46 @@ def q_extract_html(sf_dir: str):
     )
 
 
+LANG_MAP_EXTS = ("py", "js", "rs", "md", "html", "xyz", "sh", "go")
+
+
+def q_lang_map(sf_dir: str):
+    """Path → language labeling (M4/M5): deterministic synthetic paths over
+    documents (ext by doc_id mod 8, plus Dockerfile / extensionless rows),
+    labeled by the vectorized extension mapper."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    from ..text.langmap import detect_language_batch
+
+    def run(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        ext = pa.array([LANG_MAP_EXTS[int(i) % 8] for i in ids], type=pa.string())
+        path = pc.binary_join_element_wise(
+            batch["source"].combine_chunks(),
+            pa.scalar("/f"),
+            batch["doc_id"].cast(pa.string()),
+            pa.scalar("."),
+            ext,
+            "",
+        )
+        dockerfile = pc.binary_join_element_wise(
+            batch["source"].combine_chunks(), pa.scalar("/Dockerfile"), ""
+        )
+        m29 = pa.array(ids % 29 == 0)
+        m31 = pa.array(ids % 31 == 0)
+        path = pc.if_else(m29, dockerfile, pc.if_else(m31, pa.scalar("README"), path))
+        out = detect_language_batch(
+            pa.table({"doc_id": batch["doc_id"], "path": path}), path_col="path"
+        )
+        return out
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "source"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -725,6 +765,26 @@ def oracle_catalog() -> dict[str, str]:
         f"SELECT doc_id, md5({sql_extract_text_html(page_expr)}) AS text_md5 FROM documents"
     )
 
+    from ..text.langmap import LanguageMapper
+
+    _lm = LanguageMapper()
+    ext_case = "CASE doc_id % 8 " + "".join(
+        f"WHEN {i} THEN '{e}' " for i, e in enumerate(LANG_MAP_EXTS)
+    ) + "END"
+    lang_case = "CASE doc_id % 8 " + "".join(
+        f"WHEN {i} THEN '{_lm.language_of_ext(e)}' " for i, e in enumerate(LANG_MAP_EXTS)
+    ) + "END"
+    out["lang_map"] = (
+        "SELECT doc_id,\n"
+        "  CASE WHEN doc_id % 29 = 0 THEN source || '/Dockerfile'\n"
+        "       WHEN doc_id % 31 = 0 THEN 'README'\n"
+        f"       ELSE source || '/f' || doc_id || '.' || ({ext_case}) END AS path,\n"
+        "  CASE WHEN doc_id % 29 = 0 THEN 'dockerfile'\n"
+        "       WHEN doc_id % 31 = 0 THEN 'unknown'\n"
+        f"       ELSE ({lang_case}) END AS language\n"
+        "FROM documents"
+    )
+
     out["dedup_exact"] = (
         "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)"
     )
@@ -879,6 +939,7 @@ def query_catalog():
         "fts_extract_roundtrip": q_extract_roundtrip,
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,
+        "lang_map": q_lang_map,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_bands": q_minhash_bands,
         "dedup_minhash_md5_sig": q_minhash_md5_sig,

@@ -30,6 +30,7 @@ def apply_delta(
     ts_col: str | None = None,
     store_cols: tuple[str, ...] = ("lang", "url"),
     work_dir: str | None = None,
+    tombstone_ranges: list[tuple[int, int]] | None = None,
 ) -> IndexManifest:
     """Apply a table of changed/new documents to an existing index.
 
@@ -52,6 +53,19 @@ def apply_delta(
     if ts_col is not None:
         ds = keep_latest(ds, [id_col], ts_col)
     ds.write_parquet(delta_src)
+    # an all-empty delta writes no files at all — materialize the schema so the
+    # downstream build still runs (pure-delete watch ticks)
+    os.makedirs(delta_src, exist_ok=True)
+    if not any(f.endswith(".parquet") for f in os.listdir(delta_src)):
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+
+        if hasattr(delta_input, "map_batches"):
+            schema = delta_input.schema().base_schema
+        else:  # path(s): take the real parquet schema (a 0-row Ray read
+            # reports only internal fragment columns)
+            schema = pads.dataset(delta_input).schema
+        pq.write_table(schema.empty_table(), os.path.join(delta_src, "empty.parquet"))
 
     delta_idx = os.path.join(work, "delta_idx")
     build_index(
@@ -65,4 +79,4 @@ def apply_delta(
         doc_id_upper=base.doc_id_upper,
         resume=False,
     )
-    return merge_indexes(base_dir, delta_idx, out_dir)
+    return merge_indexes(base_dir, delta_idx, out_dir, tombstone_ranges=tombstone_ranges)

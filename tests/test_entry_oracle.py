@@ -77,7 +77,8 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "fts_bm25_lang", "fts_bm25_exclude_lang", "fts_bm25_source_filter",
         "fts_bm25_limit0", "fts_fuzzy_terms", "fts_bm25_fuzzy",
         "fts_regex_terms", "fts_bm25_regex", "fts_match_positions",
-        "fts_chunks", "fts_extract_roundtrip", "fts_extract_html", "dedup_exact",
+        "fts_chunks", "fts_extract_roundtrip", "fts_extract_html", "lang_map",
+        "dedup_exact",
         "dedup_minhash_sig", "dedup_minhash_bands",
         "dedup_minhash_md5_sig", "dedup_minhash_md5_bands", "dedup_simhash",
         "text_quality", "ann_cosine", "events_keep_latest", "events_window",

@@ -369,6 +369,51 @@ class TestMultimodal:
         assert out.set_index("doc_id").loc[0, "width"] == 64 + d[0] % 192
 
 
+class TestLanguageMapper:
+    def test_forward_reverse_and_passthrough(self):
+        from code_indexer_ray.text.langmap import LanguageMapper
+
+        m = LanguageMapper()
+        assert m.get_extensions("python") == {"py", "pyw", "pyi"}
+        assert m.get_extensions("PYTHON") == {"py", "pyw", "pyi"}  # case-insensitive
+        assert m.get_extensions("cpp") == {"cpp", "cc", "cxx", "c++"}
+        assert m.get_extensions("unknownlang") == {"unknownlang"}  # pass-through
+        assert m.language_of_ext("py") == "python"
+        assert m.language_of_ext("cc") == "cpp"
+        assert m.language_of_ext("weird") == "weird"
+        assert m.expand_languages(["python", "go"]) == {"python", "py", "pyw", "pyi", "go"}
+
+    def test_overrides_dict_and_yaml(self, tmp_path):
+        from code_indexer_ray.text.langmap import LanguageMapper
+
+        m = LanguageMapper(overrides={"mylang": ["ml1", "ml2"], "python": ["py"]})
+        assert m.get_extensions("mylang") == {"ml1", "ml2"}
+        assert m.get_extensions("python") == {"py"}  # override replaces defaults
+        y = tmp_path / "language-mappings.yaml"
+        y.write_text("fortran:\n  - f90\n  - f95\n")
+        m2 = LanguageMapper(yaml_path=str(y))
+        assert m2.get_extensions("fortran") == {"f90", "f95"}
+        assert m2.language_of_ext("f95") == "fortran"
+        assert m2.get_extensions("python") == {"py", "pyw", "pyi"}  # defaults kept
+
+    def test_detect_batch_vectorized(self):
+        from code_indexer_ray.text.langmap import detect_language_batch
+
+        batch = pa.table(
+            {
+                "doc_id": [1, 2, 3, 4, 5, 6],
+                "path": [
+                    "src/app.py", "a/b/Widget.TSX", "docs/readme.md",
+                    "build/Dockerfile", "Makefile", "data/blob.weird",
+                ],
+            }
+        )
+        out = detect_language_batch(batch).to_pandas()
+        assert out["language"].tolist() == [
+            "python", "typescript", "markdown", "dockerfile", "makefile", "weird",
+        ]
+
+
 class TestMinhashFast:
     def test_fast_path_shape_and_near_dup_behavior(self):
         from code_indexer_ray.dedup.minhash import minhash_batch_fast
