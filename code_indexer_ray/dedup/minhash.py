@@ -213,6 +213,9 @@ def band_batch(sig: pa.Table, *, rows_per_band: int = 2, mod: int = MERSENNE_P) 
     Vectorized when ``mod`` < 2³¹ (the fast-kernel field: products stay in
     uint64); falls back to exact Python-int math for the 2⁶¹−1 legacy field.
     """
+    if sig.num_rows == 0:
+        empty = pa.array([], type=pa.int64())
+        return pa.table({"doc_id": empty, "band_id": empty, "band_hash": empty})
     doc_a = sig["doc_id"].to_numpy(zero_copy_only=False)
     perm_a = sig["perm_id"].to_numpy(zero_copy_only=False)
     mh_a = sig["minhash"].to_numpy(zero_copy_only=False)

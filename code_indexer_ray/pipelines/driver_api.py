@@ -15,7 +15,9 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..ann.brute import ann_cosine_topk
 from ..ann.lsh import lsh_cosine_topk
@@ -424,6 +426,136 @@ def q_minhash_md5_bands(sf_dir: str):
     )
 
 
+NEAR_DUP_TAU = 0.8
+EMBED_TAU = 0.4
+
+
+def q_dedup_near_pairs(sf_dir: str):
+    """END-TO-END near-duplicate detection: fast MinHash signatures → LSH
+    bands → bucket candidate pairs (distinct) → exact n-gram-Jaccard verify
+    ≥ τ.  Candidate texts are broadcast once (``ray.put``) — at scale the
+    candidate set is the tiny LSH survivor fraction, never the corpus."""
+    import ray
+
+    import ray.data as rd
+
+    from ..dedup.minhash import DEFAULT_SHINGLE, candidate_pairs, jaccard_ngrams, shingles_of
+    from ..text.analysis import tokenize_flat
+
+    def bands(batch: pa.Table) -> pa.Table:
+        return band_batch(minhash_batch_fast(batch), mod=MERSENNE_31)
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    pairs = candidate_pairs(ds.map_batches(bands, batch_format="pyarrow"))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    # empty groups may yield schema-less blocks — drop them before concat
+    blocks = [
+        t.select(["doc_a", "doc_b"])
+        for t in ray.get(pairs.to_arrow_refs())
+        if t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_r": pa.array([], pa.float64()),
+        }
+    )
+    if not blocks:
+        return empty
+    ptbl = pa.concat_tables(blocks)
+    need = np.unique(
+        np.concatenate(
+            [
+                ptbl["doc_a"].to_numpy(zero_copy_only=False),
+                ptbl["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    import pyarrow.dataset as pads
+
+    cand = (
+        pads.dataset(_docs(sf_dir))
+        .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need))
+    )
+    toks, rows = tokenize_flat(cand["text"].combine_chunks())
+    tok_lists: dict[int, list[str]] = {int(d): [] for d in cand["doc_id"].to_pylist()}
+    ids = cand["doc_id"].to_numpy(zero_copy_only=False)
+    for t, r in zip(toks.to_pylist(), rows):
+        tok_lists[int(ids[r])].append(t)
+    sets = {d: set(shingles_of(tl, DEFAULT_SHINGLE)) for d, tl in tok_lists.items()}
+    sets_ref = ray.put(sets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        s = ray.get(sets_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        jac = np.array(
+            [
+                (len(s[x] & s[y]) / len(s[x] | s[y])) if (s.get(x) or s.get(y)) else 1.0
+                for x, y in zip(a, b)
+            ]
+        )
+        keep = jac >= NEAR_DUP_TAU
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "jaccard_r": pa.array(np.round(jac[keep], 4)),
+            }
+        )
+
+    out = pa.concat_tables(
+        ray.get(rd.from_arrow(ptbl).map_batches(verify, batch_format="pyarrow").to_arrow_refs())
+    )
+    return out if out.num_rows else empty
+
+
+def q_embed_near_pairs(sf_dir: str):
+    """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ): exact
+    blocked matmul per batch against the broadcast normalized corpus matrix.
+    The LSH-bucketed variant (``ann/lsh.py``) is the >10⁶-vector scale path."""
+    import ray
+
+    import ray.data as rd
+
+    from ..ann.brute import _to_matrix
+
+    import pyarrow.parquet as pq_
+
+    t = pq_.read_table(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    full = np.stack(t["embedding"].to_pylist()).astype(np.float64)
+    full /= np.linalg.norm(full, axis=1, keepdims=True)
+    full_ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    shared = ray.put((full, full_ids))
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        m, ids_all = ray.get(shared)
+        v = _to_matrix(batch["embedding"]).astype(np.float64)
+        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        cos = v @ m.T
+        bi, ci = np.nonzero(cos >= EMBED_TAU)
+        a, b = ids[bi], ids_all[ci]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep]),
+                "vec_b": pa.array(b[keep]),
+                "cos_r": pa.array(np.round(cos[bi, ci][keep], 4)),
+            }
+        )
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    return pa.concat_tables(
+        ray.get(ds.map_batches(pairs, batch_format="pyarrow").to_arrow_refs())
+    )
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -828,6 +960,45 @@ def oracle_catalog() -> dict[str, str]:
         f"FROM sig GROUP BY doc_id, perm_id // 2"
     )
 
+    out["dedup_near_pairs"] = (
+        f"WITH {_fast_shingle_hash_cte()},\n"
+        f"perms(perm_id, a, b) AS (VALUES {_perm_values_fast()}),\n"
+        f"sig AS (SELECT doc_id, perm_id, min((a * x + b) % {M31}) AS minhash\n"
+        f"  FROM xall, perms GROUP BY doc_id, perm_id),\n"
+        f"bands AS (SELECT doc_id, perm_id // 2 AS band_id,\n"
+        f"  (sum((minhash * CASE WHEN perm_id % 2 = 0 THEN 1 ELSE 1000003 END) % {M31}) % {M31}) AS band_hash\n"
+        f"  FROM sig GROUP BY doc_id, perm_id // 2),\n"
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n"
+        "  FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash\n"
+        "  AND x.doc_id < y.doc_id),\n"
+        "shd AS (SELECT DISTINCT doc_id, shingle FROM ("
+        # string shingles (set semantics) for the exact-Jaccard verify
+        "SELECT doc_id, term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle,"
+        " pos, nt FROM tpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+        ") WHERE nt >= 3 AND pos <= nt - 2\n"
+        "  UNION SELECT doc_id, array_to_string(tks, ' ') FROM tokarr WHERE len(tks) BETWEEN 1 AND 2),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),\n"
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni\n"
+        "  FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a JOIN shd sb ON sb.doc_id = c.doc_b\n"
+        "  AND sa.shingle = sb.shingle GROUP BY c.doc_a, c.doc_b)\n"
+        "SELECT c.doc_a, c.doc_b,\n"
+        "  round(coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)), 4) AS jaccard_r\n"
+        "FROM cand c JOIN sizes za ON za.doc_id = c.doc_a JOIN sizes zb ON zb.doc_id = c.doc_b\n"
+        "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b\n"
+        f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
+    )
+
+    out["dedup_embed_cosine"] = (
+        "WITH v AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i\n"
+        "  FROM embeddings),\n"
+        "nrm AS (SELECT vec_id, sqrt(sum(x * x)) AS n FROM v GROUP BY vec_id),\n"
+        "dot AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS d\n"
+        "  FROM v a JOIN v b ON a.i = b.i AND a.vec_id < b.vec_id GROUP BY a.vec_id, b.vec_id)\n"
+        "SELECT vec_a, vec_b, round(d / (na.n * nb.n), 4) AS cos_r\n"
+        "FROM dot JOIN nrm na ON na.vec_id = vec_a JOIN nrm nb ON nb.vec_id = vec_b\n"
+        f"WHERE d / (na.n * nb.n) >= {EMBED_TAU}"
+    )
+
     out["dedup_simhash"] = (
         f"{pre},\n"
         "bits AS (SELECT tf.doc_id, b.b AS bit,\n"
@@ -944,6 +1115,8 @@ def query_catalog():
         "dedup_minhash_bands": q_minhash_bands,
         "dedup_minhash_md5_sig": q_minhash_md5_sig,
         "dedup_minhash_md5_bands": q_minhash_md5_bands,
+        "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
         "ann_cosine": q_ann_cosine,

@@ -369,6 +369,39 @@ class TestMultimodal:
         assert out.set_index("doc_id").loc[0, "width"] == 64 + d[0] % 192
 
 
+class TestNearDupPipeline:
+    def test_planted_near_dups_found_and_verified(self, ray_session, tmp_path):
+        """Full sig→band→pairs→Jaccard pipeline on planted near-duplicates."""
+        import pyarrow.parquet as pq
+
+        from code_indexer_ray.pipelines.driver_api import q_dedup_near_pairs
+
+        base = "the quick brown fox jumps over the lazy dog near the river bank today"
+        rows = {
+            "doc_id": list(range(8)),
+            "text": [
+                base,
+                base + " extra",                          # near-dup of 0
+                base.replace("quick", "rapid"),           # near-dup of 0
+                "completely different text about inverted index compression blocks",
+                "another unrelated document mentioning vector search and recall",
+                base,                                     # exact dup of 0
+                "short one",
+                "",
+            ],
+            "lang": ["en"] * 8,
+            "source": ["s"] * 8,
+        }
+        pq.write_table(pa.table(rows), str(tmp_path / "documents.parquet"))
+        out = q_dedup_near_pairs(str(tmp_path)).to_pandas()
+        got = set(zip(out.doc_a, out.doc_b))
+        assert (0, 5) in got            # exact dup: jaccard 1.0
+        assert (0, 1) in got            # suffix edit
+        assert all(a < b for a, b in got)
+        assert not any({3, 4} & {a, b} for a, b in got)  # unrelated docs never pair
+        assert (out.jaccard_r >= 0.8).all()
+
+
 class TestLanguageMapper:
     def test_forward_reverse_and_passthrough(self):
         from code_indexer_ray.text.langmap import LanguageMapper
