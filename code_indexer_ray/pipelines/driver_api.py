@@ -700,6 +700,22 @@ def q_mm_decode(sf_dir: str):
     return media_decode(ds, concurrency=2, batch_size=128)
 
 
+def q_mm_frames(sf_dir: str):
+    """Frame-sampling stage (1→N row expansion) over the synthetic page
+    payloads; frame slices are md5'd so the DuckDB oracle can reproduce them
+    byte-exactly (BLOB substring semantics)."""
+    import ray.data as rd
+
+    from ..mm.stages import media_frames
+
+    def to_payload(batch: pa.Table) -> pa.Table:
+        pages = pages_from_documents(batch)
+        return pa.table({"doc_id": pages["doc_id"], "payload": pages["html"]})
+
+    ds = rd.read_parquet(_docs(sf_dir)).map_batches(to_payload, batch_format="pyarrow")
+    return media_frames(ds, concurrency=2, batch_size=128)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -1088,6 +1104,23 @@ def oracle_catalog() -> dict[str, str]:
         "FROM pages"
     )
 
+    # NOTE: this DuckDB build has no BLOB substring, so the oracle slices the
+    # VARCHAR payload with character semantics — equal to the stage's byte
+    # semantics because the driver tables are pure ASCII (asserted true for
+    # all sf levels; a non-ASCII corpus would need a BLOB-capable oracle).
+    out["mm_frames"] = (
+        "WITH pages AS (SELECT doc_id,\n"
+        "  '<html><head><title>D' || doc_id || '</title></head><body><p>' || text || '</p></body></html>' AS payload\n"
+        "  FROM documents),\n"
+        "meta AS (SELECT doc_id, payload, strlen(payload) AS n,\n"
+        "  1 + least(3, strlen(payload) // 1024) AS n_frames FROM pages),\n"
+        "fr AS (SELECT doc_id, payload, n, n_frames, unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM meta)\n"
+        "SELECT doc_id, frame_idx::BIGINT AS frame_idx, (frame_idx * 40)::BIGINT AS ts_ms,\n"
+        "  strlen(substring(payload, (frame_idx * (n // n_frames))::BIGINT + 1, 256))::BIGINT AS frame_bytes,\n"
+        "  md5(substring(payload, (frame_idx * (n // n_frames))::BIGINT + 1, 256)) AS frame_md5\n"
+        "FROM fr"
+    )
+
     return out
 
 
@@ -1111,6 +1144,7 @@ def query_catalog():
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,
         "lang_map": q_lang_map,
+        "mm_frames": q_mm_frames,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_bands": q_minhash_bands,
         "dedup_minhash_md5_sig": q_minhash_md5_sig,

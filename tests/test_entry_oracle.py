@@ -84,6 +84,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_near_pairs", "dedup_embed_cosine",
         "text_quality", "ann_cosine", "events_keep_latest", "events_window",
         "agg_lineitem", "topk_orders", "antijoin_customers", "mm_decode",
+        "mm_frames",
     ],
 )
 def test_query_matches_oracle(name, catalogs, duck):

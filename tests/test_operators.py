@@ -447,6 +447,50 @@ class TestLanguageMapper:
         ]
 
 
+class TestMultimodalStages:
+    def _payload_ds(self, n=10):
+        import ray.data as rd
+
+        rows = [
+            {"doc_id": i, "payload": (f"payload-{i}-" * (1 + 200 * i)).encode()}
+            for i in range(n)
+        ]
+        return rd.from_items(rows)
+
+    def test_resize_exact_output_size_and_determinism(self, ray_session):
+        from code_indexer_ray.mm.stages import media_resize
+
+        out = media_resize(self._payload_ds(), width=32, height=8, concurrency=2).to_pandas()
+        assert len(out) == 10
+        assert all(len(p) == 32 * 8 for p in out["payload"])
+        out2 = media_resize(self._payload_ds(), width=32, height=8, concurrency=2).to_pandas()
+        assert (out.sort_values("doc_id")["payload"].tolist()
+                == out2.sort_values("doc_id")["payload"].tolist())
+
+    def test_frame_sample_expansion(self, ray_session):
+        from code_indexer_ray.mm.stages import media_frames
+
+        out = media_frames(self._payload_ds(), concurrency=2).to_pandas()
+        # small payloads → 1 frame; big payloads → capped at 4
+        per_doc = out.groupby("doc_id").size()
+        assert per_doc.loc[0] == 1
+        assert per_doc.loc[9] == 4
+        f = out[(out.doc_id == 9)].sort_values("frame_idx")
+        assert f["ts_ms"].tolist() == [0, 40, 80, 120]
+        assert f["frame_bytes"].max() <= 256
+
+    def test_audio_features_shape(self, ray_session):
+        from code_indexer_ray.mm.stages import media_audio_features
+
+        out = media_audio_features(self._payload_ds(), dim=16, concurrency=2).to_pandas()
+        assert all(len(v) == 16 for v in out["features"])
+        # deterministic per payload
+        out2 = media_audio_features(self._payload_ds(), dim=16, concurrency=2).to_pandas()
+        a = out.sort_values("doc_id")["features"].tolist()
+        b = out2.sort_values("doc_id")["features"].tolist()
+        assert all((np.asarray(x) == np.asarray(y)).all() for x, y in zip(a, b))
+
+
 class TestMinhashFast:
     def test_fast_path_shape_and_near_dup_behavior(self):
         from code_indexer_ray.dedup.minhash import minhash_batch_fast
