@@ -203,7 +203,7 @@ def run_scaling() -> None:
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "200000"),
             CIDX_READ_BLOCKS=os.environ.get("CIDX_READ_BLOCKS", "128"),
             GRAFT_BENCH_FAST="1",
-            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "3"),
+            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "4"),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],

@@ -29,7 +29,6 @@ from __future__ import annotations
 import os
 import sys
 import time
-import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -56,7 +55,7 @@ DEFAULT_NUM_BUCKETS = 8
 
 
 def term_bucket(terms: pa.Array, num_buckets: int) -> np.ndarray:
-    """Stable bucket id per term: crc32 over UTF-8 bytes, computed once per
+    """Stable bucket id per term (hash64 % buckets), computed once per
     *unique* term in the batch and broadcast back (vocab ≪ postings)."""
     if pa.types.is_dictionary(terms.type):
         uniq = terms.dictionary
@@ -64,10 +63,7 @@ def term_bucket(terms: pa.Array, num_buckets: int) -> np.ndarray:
     else:
         uniq = pc.unique(terms)
         codes = pc.index_in(terms, value_set=uniq).to_numpy(zero_copy_only=False)
-    uniq_buckets = np.array(
-        [zlib.crc32(t.encode("utf-8")) % num_buckets for t in uniq.to_pylist()],
-        dtype=np.int32,
-    )
+    uniq_buckets = (_hash64_batch(uniq) % np.uint64(num_buckets)).astype(np.int32)
     return uniq_buckets[codes]
 
 
@@ -95,37 +91,114 @@ def _shard_lo_vec(shards: np.ndarray, num_shards: int, doc_id_upper: int) -> np.
     return -(-(shards.astype(np.int64) * u) // num_shards)
 
 
-class TokenizeStage:
-    """Stateful tokenize stage (actor pool): the term→bucket crc cache and
-    compiled analyzer state live once per actor and amortize across batches
-    (the load-once-per-worker pattern, SURVEY.md §2.3)."""
+VOCAB_DIR = "vocab"
 
-    def __init__(self, id_col: str, text_col: str, num_shards: int, num_buckets: int, doc_id_upper: int):
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+_FNV_PRIME = np.uint64(0x100000001B3)
+
+
+def _hash64_batch(uniq: pa.Array) -> np.ndarray:
+    """Vectorized FNV-1a-64 over a (unique-term) string array — no per-term
+    Python.  Bytewise over ≤40 positions of the ~vocab-sized array; quality is
+    ample for bucketing, and 64-bit collisions are detected at encode."""
+    a = uniq.combine_chunks() if isinstance(uniq, pa.ChunkedArray) else uniq
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    off_dtype = np.int64 if pa.types.is_large_string(a.type) else np.int32
+    offs = np.frombuffer(a.buffers()[1], dtype=off_dtype)[a.offset : a.offset + n + 1].astype(
+        np.int64
+    )
+    buf = np.frombuffer(a.buffers()[2], dtype=np.uint8)
+    starts, lens = offs[:-1], np.diff(offs)
+    h = np.full(n, _FNV_OFFSET, dtype=np.uint64)
+    for j in range(int(lens.max()) if n else 0):
+        m = lens > j
+        h[m] = (h[m] ^ buf[starts[m] + j].astype(np.uint64)) * _FNV_PRIME
+    return h
+
+
+class TokenizeStage:
+    """Stateful tokenize stage (actor pool): the term→(bucket, hash) cache and
+    compiled analyzer state live once per actor and amortize across batches
+    (the load-once-per-worker pattern, SURVEY.md §2.3).
+
+    With ``vocab_dir`` set (the build path), postings ship FIXED-WIDTH —
+    (term_hash u64, doc_rel u32, tf u16, norm u8, pkey i32, 19 B/posting) —
+    through the one wide shuffle, and the hash→term mapping rides as tiny
+    per-(task, shard) vocab side-files instead (vocab ≪ postings; ~27% fewer
+    shuffle bytes than shipping strings, and the sort gathers pure numerics).
+    Without ``vocab_dir`` the stage emits term strings (standalone use)."""
+
+    def __init__(
+        self,
+        id_col: str,
+        text_col: str,
+        num_shards: int,
+        num_buckets: int,
+        doc_id_upper: int,
+        vocab_dir: str | None = None,
+    ):
         self.id_col = id_col
         self.text_col = text_col
         self.num_shards = num_shards
         self.num_buckets = num_buckets
         self.doc_id_upper = doc_id_upper
-        self._bucket_cache: dict[str, int] = {}
+        self.vocab_dir = vocab_dir
 
-    def _buckets(self, terms: pa.Array) -> np.ndarray:
+    def _uniq_codes(self, terms: pa.Array):
         if pa.types.is_dictionary(terms.type):
-            uniq = terms.dictionary.to_pylist()
+            uniq = terms.dictionary
             codes = terms.indices.to_numpy(zero_copy_only=False)
         else:
-            u = pc.unique(terms)
-            uniq = u.to_pylist()
-            codes = pc.index_in(terms, value_set=u).to_numpy(zero_copy_only=False)
-        cache = self._bucket_cache
-        nb = self.num_buckets
-        out = np.empty(len(uniq), dtype=np.int32)
-        for i, t in enumerate(uniq):
-            b = cache.get(t)
-            if b is None:
-                b = zlib.crc32(t.encode("utf-8")) % nb
-                cache[t] = b
-            out[i] = b
-        return out[codes]
+            uniq = pc.unique(terms)
+            codes = pc.index_in(terms, value_set=uniq).to_numpy(zero_copy_only=False)
+        return uniq, codes
+
+    def _bucket_hash(self, uniq: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+        """(bucket, hash64) per unique term — bucket = hash64 % num_buckets,
+        so one vectorized hash pass serves both roles."""
+        hashes = _hash64_batch(uniq)
+        buckets = (hashes % np.uint64(self.num_buckets)).astype(np.int32)
+        return buckets, hashes
+
+    def _write_vocab(
+        self,
+        uniq: pa.Array,
+        buckets_u: np.ndarray,
+        hashes_u: np.ndarray,
+        codes: np.ndarray,
+        shards: np.ndarray,
+        post_docs: np.ndarray,
+    ) -> None:
+        """Side-write each unique (term, shard) pair's vocab row, bucket-sorted
+        (row-group pruning at encode).  File names are keyed by the batch's
+        doc range per shard — a retried task overwrites the same file with
+        identical content (same idempotency as the doc-store side-writes)."""
+        packed = codes.astype(np.int64) * self.num_shards + shards
+        upairs = np.unique(packed)
+        v_codes = (upairs // self.num_shards).astype(np.int64)
+        v_shards = (upairs % self.num_shards).astype(np.int64)
+        for s in np.unique(v_shards):
+            sel = v_codes[v_shards == s]
+            order = np.argsort(buckets_u[sel], kind="stable")
+            sel = sel[order]
+            tbl = pa.table(
+                {
+                    "bucket": pa.array(buckets_u[sel], type=pa.int32()),
+                    "hash": pa.array(hashes_u[sel], type=pa.uint64()),
+                    "term": uniq.take(pa.array(sel)),
+                }
+            )
+            d = os.path.join(self.vocab_dir, f"shard={int(s)}")
+            os.makedirs(d, exist_ok=True)
+            in_s = post_docs[shards == s]
+            lo_id, hi_id = int(in_s.min()), int(in_s.max())
+            path = os.path.join(d, f"part-{lo_id:012d}-{hi_id:012d}.parquet")
+            tmp = path + f".tmp-{os.getpid()}"
+            # scratch files, read once by encode — skip compression CPU
+            pq.write_table(tbl, tmp, compression="none", row_group_size=8192)
+            os.replace(tmp, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         terms, rows, tfs, row_counts = term_frequencies(batch[self.text_col])
@@ -133,16 +206,15 @@ class TokenizeStage:
         post_docs = doc_ids[rows]
         norm_ids = fieldnorm_to_id(row_counts)[rows]
         shards = shard_of(post_docs, self.num_shards, self.doc_id_upper)
+        uniq, codes = self._uniq_codes(terms)
+        buckets_u, hashes_u = self._bucket_hash(uniq)
         # single packed partition key — fewer shuffle bytes, single-column sort
-        pkey = (shards * self.num_buckets + self._buckets(terms)).astype(np.int32)
+        pkey = (shards * self.num_buckets + buckets_u[codes]).astype(np.int32)
         # doc ids ship shard-RELATIVE as u32 (shard base is implied by pkey;
         # a doc-range shard holds < 2^32 docs even at 10^12-doc scale) —
         # 4 bytes/posting less through the one wide shuffle.
         shard_lo = _shard_lo_vec(shards, self.num_shards, self.doc_id_upper)
         doc_rel = (post_docs - shard_lo).astype(np.uint32)
-        # terms ship as plain strings: dictionary columns measured 5x SLOWER
-        # through the sort shuffle (per-block dictionary unification in the
-        # reduce) despite the smaller payload
         # tf ships u16: 2 bytes/posting less through the one wide shuffle.
         # Exactness guard (BM25 parity needs true tf): a (term, doc) pair
         # repeating >= 2^16 times means a pathological >65k-token document —
@@ -152,20 +224,32 @@ class TokenizeStage:
                 "per-document term frequency >= 2^16 — document too large for "
                 "u16 tf postings; split oversized documents before indexing"
             )
-        return pa.table(
-            {
-                "term": terms.cast(pa.string()),
-                "doc_rel": pa.array(doc_rel),
-                "tf": pa.array(tfs.astype(np.uint16), type=pa.uint16()),
-                "norm": pa.array(norm_ids, type=pa.uint8()),
-                "pkey": pa.array(pkey),
-            }
-        )
+        cols = {
+            "doc_rel": pa.array(doc_rel),
+            "tf": pa.array(tfs.astype(np.uint16), type=pa.uint16()),
+            "norm": pa.array(norm_ids, type=pa.uint8()),
+            "pkey": pa.array(pkey),
+        }
+        if self.vocab_dir is not None:
+            self._write_vocab(uniq, buckets_u, hashes_u, codes, shards, post_docs)
+            cols = {"term_hash": pa.array(hashes_u[codes]), **cols}
+        else:
+            # standalone mode: plain strings (dictionary columns measured 5x
+            # SLOWER through the sort shuffle — reduce-side unification)
+            cols = {"term": terms.cast(pa.string()), **cols}
+        return pa.table(cols)
 
 
-def make_tokenize_fn(id_col: str, text_col: str, num_shards: int, num_buckets: int, doc_id_upper: int):
+def make_tokenize_fn(
+    id_col: str,
+    text_col: str,
+    num_shards: int,
+    num_buckets: int,
+    doc_id_upper: int,
+    vocab_dir: str | None = None,
+):
     """Stateless-task variant of :class:`TokenizeStage` (tests/small runs)."""
-    stage = TokenizeStage(id_col, text_col, num_shards, num_buckets, doc_id_upper)
+    stage = TokenizeStage(id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir)
 
     def tokenize_batch(batch: pa.Table) -> pa.Table:
         return stage(batch)
@@ -210,7 +294,16 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
 
     docs_u = tbl["doc_id"].to_numpy(zero_copy_only=False)
     ranked = rank[codes_raw]
-    perm = np.lexsort((docs_u, ranked))
+    # single packed-key sort (term-rank << 32 | doc-offset): ~5x cheaper than
+    # a two-key lexsort. A partition's doc span is < 2^32 by the build's u32
+    # shard-span guard and its vocab < 2^31; fall back to lexsort otherwise.
+    dmin = int(docs_u.min()) if len(docs_u) else 0
+    span = (int(docs_u.max()) - dmin + 1) if len(docs_u) else 0
+    if span < (1 << 32) and len(uniq) < (1 << 31):
+        key = (ranked.astype(np.uint64) << np.uint64(32)) | (docs_u - dmin).astype(np.uint64)
+        perm = np.argsort(key)
+    else:
+        perm = np.lexsort((docs_u, ranked))
     docs = docs_u[perm].astype(np.int64)
     tfs = tbl["tf"].to_numpy(zero_copy_only=False)[perm].astype(np.int64)
     norms = tbl["norm"].to_numpy(zero_copy_only=False)[perm].astype(np.uint8)
@@ -273,6 +366,73 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
     return seg, int(tfs.sum())
 
 
+#: per-worker-process cache of a shard's deduped vocab (keyed by dir+shard);
+#: the 8 bucket-encode tasks of a shard reuse one load when scheduled on the
+#: same worker.  Bounded (few entries, each ~vocab/shard strings).
+_VOCAB_CACHE: dict[tuple[str, int], tuple[np.ndarray, pa.Array, np.ndarray]] = {}
+_VOCAB_CACHE_MAX = 4
+
+
+def _load_shard_vocab(vocab_dir: str, shard: int) -> tuple[np.ndarray, pa.Array, np.ndarray]:
+    """(sorted unique hashes, terms in that order, bucket per entry) for one
+    shard — deduped across task side-files, hash-collision-checked."""
+    d = os.path.join(vocab_dir, f"shard={shard}")
+    # freshness signature: (name, mtime, size) of every side-file — a rebuild
+    # into the same out_dir must never serve a stale cached vocab
+    sig: tuple = ()
+    files: list[str] = []
+    if os.path.isdir(d):
+        entries = sorted(
+            (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+            for e in os.scandir(d)
+            if e.name.endswith(".parquet")
+        )
+        sig = tuple(entries)
+        files = [os.path.join(d, name) for name, _, _ in entries]
+    key = (vocab_dir, shard, sig)
+    hit = _VOCAB_CACHE.get(key)
+    if hit is not None:
+        return hit
+    import pyarrow.dataset as pads
+
+    if not files:
+        out = (np.empty(0, dtype=np.uint64), pa.array([], type=pa.string()), np.empty(0, np.int32))
+    else:
+        tbl = pads.dataset(files).to_table(columns=["bucket", "hash", "term"])
+        vh = tbl["hash"].to_numpy(zero_copy_only=False)
+        vb = tbl["bucket"].to_numpy(zero_copy_only=False)
+        vt = tbl["term"].combine_chunks()
+        order = np.argsort(vh, kind="stable")
+        vh_s, vb_s = vh[order], vb[order]
+        vt_s = vt.take(pa.array(order))
+        if len(vh_s) > 1:
+            dup = vh_s[1:] == vh_s[:-1]
+            if dup.any():
+                same = pc.equal(vt_s.slice(1), vt_s.slice(0, len(vt_s) - 1)).to_numpy(
+                    zero_copy_only=False
+                )
+                if (dup & ~same).any():
+                    raise ValueError(
+                        "64-bit term-hash collision detected in vocab side-files — "
+                        "rebuild with string postings (vocab_dir=None)"
+                    )
+        bounds = (
+            np.flatnonzero(np.r_[True, vh_s[1:] != vh_s[:-1]]) if len(vh_s) else np.empty(0, np.int64)
+        )
+        out = (vh_s[bounds], vt_s.take(pa.array(bounds)), vb_s[bounds].astype(np.int32))
+    if len(_VOCAB_CACHE) >= _VOCAB_CACHE_MAX:
+        _VOCAB_CACHE.pop(next(iter(_VOCAB_CACHE)))
+    _VOCAB_CACHE[key] = out
+    return out
+
+
+def _load_vocab(vocab_dir: str, shard: int, bucket: int) -> tuple[np.ndarray, pa.Array]:
+    """(sorted unique hashes, term strings) for one (shard, bucket) partition."""
+    vh, vt, vb = _load_shard_vocab(vocab_dir, shard)
+    sel = np.flatnonzero(vb == bucket)
+    return vh[sel], vt.take(pa.array(sel))
+
+
 def make_encode_fn(
     out_dir: str,
     fingerprint: str,
@@ -305,6 +465,18 @@ def make_encode_fn(
         body = tbl.drop_columns(["pkey", "doc_rel"]).append_column(
             "doc_id", pa.array(doc_ids, type=pa.int64())
         )
+        if "term_hash" in body.schema.names:
+            # fixed-width shuffle path: resolve hashes → term strings from the
+            # shard's vocab side-files (dictionary-coded; the encoder compacts)
+            vh_u, vt_u = _load_vocab(os.path.join(out_dir, VOCAB_DIR), shard, bucket)
+            hashes = body["term_hash"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(vh_u, hashes)
+            if len(hashes) and (
+                (pos >= len(vh_u)).any() or (vh_u[np.minimum(pos, len(vh_u) - 1)] != hashes).any()
+            ):
+                raise ValueError("posting term_hash missing from vocab side-files (corrupt build)")
+            term_col = pa.DictionaryArray.from_arrays(pa.array(pos.astype(np.int32)), vt_u)
+            body = body.drop_columns(["term_hash"]).append_column("term", term_col)
         seg, total_tokens = encode_segment_table(body)
         os.makedirs(os.path.dirname(abspath), exist_ok=True)
         tmp = abspath + f".tmp-{os.getpid()}"
@@ -451,11 +623,13 @@ def build_index(
     if todo_shards:
         import shutil
 
-        # wipe doc-store partitions of shards being (re)built: side-write file
-        # names depend on block boundaries, so stale partial files from an
-        # interrupted run could otherwise duplicate documents
+        # wipe doc-store + vocab partitions of shards being (re)built:
+        # side-write file names depend on block boundaries, so stale partial
+        # files from an interrupted run could otherwise duplicate documents
+        vocab_dir = os.path.join(out_dir, VOCAB_DIR)
         for s in todo_shards:
             shutil.rmtree(os.path.join(docstore_dir, f"shard={s}"), ignore_errors=True)
+            shutil.rmtree(os.path.join(vocab_dir, f"shard={s}"), ignore_errors=True)
 
         cols = [id_col, text_col, *store_cols]
         nblocks = _read_parallelism()
@@ -469,7 +643,9 @@ def build_index(
             read_kwargs["filter"] = expr
         ds = rd.read_parquet(input_paths, **read_kwargs)
 
-        tokenize = make_tokenize_fn(id_col, text_col, num_shards, num_buckets, doc_id_upper)
+        tokenize = make_tokenize_fn(
+            id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir
+        )
 
         def fused(batch: pa.Table) -> pa.Table:
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -527,4 +703,9 @@ def build_index(
         },
     )
     publish_manifest(out_dir, manifest)
+    # vocab side-files are build scratch (segments store the term strings);
+    # drop them once the manifest is live
+    import shutil
+
+    shutil.rmtree(os.path.join(out_dir, VOCAB_DIR), ignore_errors=True)
     return manifest
