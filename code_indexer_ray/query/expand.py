@@ -98,6 +98,81 @@ def expand_fuzzy(vocab: np.ndarray, word: str, distance: int) -> list[str]:
     return [t for t, d in zip(cand, dist) if d <= distance]
 
 
+def expand_fuzzy_sorted(sorted_vocab: np.ndarray, word: str, distance: int) -> list[str]:
+    """Prefix-pruned OSA expansion over a SORTED term dictionary — the
+    Levenshtein-automaton-walk analog for web-scale vocabularies.
+
+    Walks the sorted dictionary reusing the DP rows of the shared prefix with
+    the previous term; whenever a prefix's whole DP row exceeds ``distance``,
+    EVERY term under that prefix is skipped in one bisect jump (this is what
+    makes a 10⁶⁺-term dictionary affordable, the same pruning a DFA walk over
+    an FST dictionary gives Tantivy).  Exactly equivalent to
+    :func:`expand_fuzzy` (same OSA recurrence, transposition cost 1).
+    """
+    w = word.lower()
+    lw = len(w)
+    n = len(sorted_vocab)
+    if n == 0:
+        return []
+    if distance == 0:
+        i = int(np.searchsorted(sorted_vocab, w))
+        return [w] if i < n and sorted_vocab[i] == w else []
+
+    base = list(range(lw + 1))
+    rows: list[list[int]] = [base]  # rows[k] = DP row for the current k-char prefix
+    chars: list[str] = []
+    out: list[str] = []
+    i = 0
+    while i < n:
+        term = sorted_vocab[i]
+        # shared prefix with the retained stack
+        k = 0
+        maxk = min(len(chars), len(term))
+        while k < maxk and chars[k] == term[k]:
+            k += 1
+        del chars[k:]
+        del rows[k + 1 :]
+        pruned_at = -1
+        for pos in range(k, len(term)):
+            c = term[pos]
+            prev = rows[-1]
+            prev2 = rows[-2] if len(rows) >= 2 else None
+            cur = [pos + 1] + [0] * lw
+            for j in range(1, lw + 1):
+                cost = 0 if c == w[j - 1] else 1
+                d = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + cost)
+                if (
+                    pos + 1 > 1
+                    and j > 1
+                    and prev2 is not None
+                    and c == w[j - 2]
+                    and chars[-1] == w[j - 1]
+                ):
+                    d = min(d, prev2[j - 2] + 1)
+                cur[j] = d
+            chars.append(c)
+            rows.append(cur)
+            if min(cur) > distance:
+                pruned_at = pos + 1
+                break
+        if pruned_at >= 0:
+            # every term sharing this prefix fails → bisect past the block
+            prefix = term[:pruned_at]
+            nxt = int(np.searchsorted(sorted_vocab, prefix + "\U0010ffff"))
+            del chars[pruned_at - 1 :]
+            del rows[pruned_at:]
+            i = max(nxt, i + 1)
+            continue
+        if rows[-1][lw] <= distance:
+            out.append(term)
+        i += 1
+    return out
+
+
+#: vocab size above which the prefix-pruned sorted walk beats the dense DP
+FUZZY_SORTED_WALK_MIN_VOCAB = 200_000
+
+
 def expand_regex(vocab: np.ndarray, pattern: str) -> list[str]:
     """Terms fully matching ``pattern`` (anchored, like Tantivy's regex query).
 
@@ -131,13 +206,26 @@ class VocabMatcher:
         self.vocab = np.asarray(vocab, dtype=object)
         self._arr = pa.array([str(t) for t in self.vocab], type=pa.string())
         self._lens = np.array([len(t) for t in self.vocab], dtype=np.int64)
+        self._mat_built = False
+        self._sorted = bool(
+            len(self.vocab) < 2 or all(a <= b for a, b in zip(self.vocab[:-1], self.vocab[1:]))
+        )
+
+    def _build_mat(self) -> None:
         lmax = int(self._lens.max()) if len(self.vocab) else 0
         self._mat = np.zeros((len(self.vocab), lmax), dtype=np.uint32)
         for i, t in enumerate(self.vocab):
             if t:
                 self._mat[i, : len(t)] = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32)
+        self._mat_built = True
 
     def fuzzy(self, word: str, distance: int) -> list[str]:
+        # large sorted dictionaries take the prefix-pruned walk (automaton
+        # analog, no M×L char matrix); small ones the vectorized dense DP
+        if self._sorted and len(self.vocab) >= FUZZY_SORTED_WALK_MIN_VOCAB:
+            return expand_fuzzy_sorted(self.vocab, word, distance)
+        if not self._mat_built:
+            self._build_mat()
         w = word.lower()
         lw = len(w)
         keep = np.abs(self._lens - lw) <= distance

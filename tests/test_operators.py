@@ -574,6 +574,34 @@ class TestMinhashFast:
         assert set(pairs["doc_b"]) == set(range(1, n))
 
 
+class TestFuzzySortedWalk:
+    def test_equivalent_to_dense_dp(self):
+        """The prefix-pruned sorted-dictionary walk must return EXACTLY the
+        dense vectorized DP's matches (incl. transposition cost 1)."""
+        import itertools
+
+        from code_indexer_ray.query.expand import expand_fuzzy, expand_fuzzy_sorted
+
+        vocab = sorted(
+            set("".join(p) for p in itertools.product("abcde", repeat=4))
+            | {"", "a", "ab", "abc", "abcdef", "hello", "help", "hxllo", "ehllo", "hlelo"}
+        )
+        V = np.array(vocab, dtype=object)
+        for word in ["abcd", "hello", "a", "", "zzzz", "hlelo", "abcde"]:
+            for d in [0, 1, 2, 3]:
+                assert sorted(expand_fuzzy(V, word, d)) == sorted(
+                    expand_fuzzy_sorted(V, word, d)
+                ), (word, d)
+
+    def test_matcher_routes_large_sorted_vocab(self, monkeypatch):
+        import code_indexer_ray.query.expand as ex
+
+        monkeypatch.setattr(ex, "FUZZY_SORTED_WALK_MIN_VOCAB", 4)
+        m = ex.VocabMatcher(sorted(["alpha", "alphb", "beta", "bets", "gamma"]))
+        assert sorted(m.fuzzy("alpha", 1)) == ["alpha", "alphb"]
+        assert m._mat_built is False  # walk path — no char matrix materialized
+
+
 class TestRollingHash:
     def test_deterministic_and_orders_sensitive(self):
         from code_indexer_ray.text.stats import rolling_hash_fingerprint
