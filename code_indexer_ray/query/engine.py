@@ -60,31 +60,43 @@ class ShardSearcher:
         self._tbl = pa.concat_tables(tables) if tables else None
         if self._tbl is not None and self._tbl.num_rows:
             terms_arr = self._tbl["term"].combine_chunks()
-            # sorted-array dictionary + searchsorted lookups: no per-term
-            # Python dict (a hash LUT over a 10⁸-term web-scale shard vocab
-            # would be a driver/actor memory killer; the sorted array is the
-            # SSTable layout queries bisect)
+            # sorted-array dictionary + bisect lookups: no per-term Python
+            # dict or object materialization (a hash LUT over a 10⁸-term
+            # web-scale shard vocab would be a driver/actor memory killer;
+            # the sorted Arrow array is the SSTable layout queries bisect,
+            # and keeping it Arrow-side keeps cold start GIL-free)
             order = pc.sort_indices(terms_arr).to_numpy(zero_copy_only=False).astype(np.int64)
             self._order = order
-            self._vocab = np.array(terms_arr.take(pa.array(order)).to_pylist(), dtype=object)
+            self._sorted_terms = terms_arr.take(pa.array(order))
             self._dfs = self._tbl["df"].to_numpy(zero_copy_only=False)
         else:
             self._order = np.empty(0, dtype=np.int64)
-            self._vocab = np.empty(0, dtype=object)
+            self._sorted_terms = pa.array([], type=pa.string())
             self._dfs = np.empty(0, dtype=np.int64)
         self._docstore_dir = docstore_dir
         self._meta = None  # lazy (doc_ids, url, lang) sorted by doc_id
+        self._vocab_np: np.ndarray | None = None  # lazy object array (expansion only)
         self._matcher: VocabMatcher | None = None  # lazy per-shard fuzzy/regex structures
 
     # ---- term dictionary ----
     def vocab(self) -> np.ndarray:
-        return self._vocab
+        if self._vocab_np is None:
+            self._vocab_np = np.array(self._sorted_terms.to_pylist(), dtype=object)
+        return self._vocab_np
 
     def _find(self, term: str) -> int | None:
-        """Bisect the sorted vocab → row index into the segment table."""
-        pos = int(np.searchsorted(self._vocab, term))
-        if pos < len(self._vocab) and self._vocab[pos] == term:
-            return int(self._order[pos])
+        """Bisect the sorted Arrow dictionary → row index into the segment
+        table (log₂|vocab| ``as_py`` probes — no O(vocab) materialization)."""
+        arr = self._sorted_terms
+        lo, hi = 0, len(arr)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if arr[mid].as_py() < term:
+                lo = mid + 1
+            else:
+                hi = mid
+        if lo < len(arr) and arr[lo].as_py() == term:
+            return int(self._order[lo])
         return None
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
@@ -100,7 +112,7 @@ class ShardSearcher:
         dictionary never leaves the shard/actor, matching Tantivy's
         per-segment automaton walk)."""
         if self._matcher is None:
-            self._matcher = VocabMatcher(self._vocab)
+            self._matcher = VocabMatcher(self.vocab())
         if kind == "fuzzy":
             return self._matcher.fuzzy(pattern, distance)
         return self._matcher.regex(pattern)
@@ -123,18 +135,21 @@ class ShardSearcher:
         dset = pads.dataset(part)
         avail = [c for c in cols if c in dset.schema.names]
         t = dset.to_table(columns=avail).sort_by("doc_id")
+        # keep metadata columns Arrow-side: per-hit .as_py() probes instead of
+        # an O(shard-docs) to_pylist at load (cold start was dominated by it)
         self._meta = {
             "doc_id": t["doc_id"].to_numpy(zero_copy_only=False),
-            "lang": t[lang_col].to_pylist() if lang_col and lang_col in avail else None,
-            "url": t[url_col].to_pylist() if url_col and url_col in avail else None,
+            "lang": t[lang_col].combine_chunks() if lang_col and lang_col in avail else None,
+            "url": t[url_col].combine_chunks() if url_col and url_col in avail else None,
         }
 
     def _meta_for(self, doc_ids: np.ndarray) -> tuple[list, list]:
         if self._meta is None:
             return [None] * len(doc_ids), [None] * len(doc_ids)
         pos = np.searchsorted(self._meta["doc_id"], doc_ids)
-        langs = [self._meta["lang"][p] if self._meta["lang"] else None for p in pos]
-        urls = [self._meta["url"][p] if self._meta["url"] else None for p in pos]
+        la, ua = self._meta["lang"], self._meta["url"]
+        langs = [la[int(p)].as_py() if la is not None else None for p in pos]
+        urls = [ua[int(p)].as_py() if ua is not None else None for p in pos]
         return langs, urls
 
     # ---- postings decode with block skipping ----
@@ -282,9 +297,12 @@ class ShardSearcher:
         langs = urls = None
         if include_langs is not None or lang_col or url_col:
             self._load_meta(lang_col, url_col)
-        if include_langs is not None and self._meta is not None and self._meta["lang"]:
-            langs_all, _ = self._meta_for(cand)
-            keep = np.array([l in include_langs for l in langs_all], dtype=bool)
+        if include_langs is not None and self._meta is not None and self._meta["lang"] is not None:
+            pos = np.searchsorted(self._meta["doc_id"], cand)
+            keep = pc.is_in(
+                self._meta["lang"].take(pa.array(pos)),
+                value_set=pa.array(list(include_langs), type=pa.string()),
+            ).to_numpy(zero_copy_only=False)
             cand, scores = cand[keep], scores[keep]
             if len(cand) == 0:
                 return []
@@ -361,6 +379,25 @@ class IndexSearcher:
             self._searchers[shard] = s
         return s
 
+    def _prefetch_searchers(self, shards: list[int]) -> None:
+        """Build missing local shard searchers on a thread pool — segment
+        parquet reads + vocab sorts release the GIL, so a 16-shard cold start
+        costs ~1 shard's load time instead of 16."""
+        missing = [s for s in shards if s not in self._searchers]
+        if len(missing) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            def build(s: int) -> ShardSearcher:
+                se = ShardSearcher(s, self._files[s], self._docstore)
+                # preload doc metadata too — Arrow reads release the GIL
+                se._load_meta(self.lang_col, self.url_col)
+                return se
+
+            with ThreadPoolExecutor(max_workers=min(16, len(missing))) as ex:
+                built = list(ex.map(build, missing))
+            for s, se in zip(missing, built):
+                self._searchers[s] = se
+
     def _fanout(self, method: str, /, *args, **kwargs) -> list:
         shards = sorted(self._files)
         if self._remote:
@@ -368,6 +405,7 @@ class IndexSearcher:
 
             refs = [getattr(self._searcher(s), method).remote(*args, **kwargs) for s in shards]
             return ray.get(refs)
+        self._prefetch_searchers(shards)
         return [getattr(self._searcher(s), method)(*args, **kwargs) for s in shards]
 
     # ---- query assembly ----
