@@ -67,7 +67,9 @@ def test_entry_smoke(ray_session):
 def test_every_query_has_oracle_or_is_flagged(catalogs):
     qs, oracles = catalogs
     missing = set(qs) - set(oracles)
-    assert missing == {"ann_lsh"}  # approximate by design → rows-only check
+    # approximate by design → rows-only checks (each has a measured recall
+    # gate vs the exact ann_cosine result below)
+    assert missing == {"ann_lsh", "ann_ivf"}
 
 
 @pytest.mark.parametrize(
@@ -117,16 +119,19 @@ def test_ann_lsh_rows_only(catalogs):
     assert set(out.schema.names) == {"query_id", "rank", "vec_id", "cos"}
 
 
-def test_ann_lsh_recall_vs_brute(catalogs):
-    """Measured recall@10 of the catalog's LSH config against the exact
+@pytest.mark.parametrize("approx_name", ["ann_lsh", "ann_ivf"])
+def test_ann_recall_vs_brute(approx_name, catalogs):
+    """Measured recall@10 of each approximate ANN config against the exact
     brute-force result on the driver's own embeddings table — converts the
-    'no_oracle' row into a quantified approximation guarantee."""
+    'no_oracle' rows into quantified approximation guarantees."""
     qs, _ = catalogs
     brute = _to_table(qs["ann_cosine"](SF)).to_pandas()
-    approx = _to_table(qs["ann_lsh"](SF)).to_pandas()
+    approx = _to_table(qs[approx_name](SF)).to_pandas()
     recalls = []
     for qid in brute["query_id"].unique():
         want = set(brute.loc[brute.query_id == qid, "vec_id"])
         got = set(approx.loc[approx.query_id == qid, "vec_id"])
         recalls.append(len(want & got) / max(len(want), 1))
-    assert np.mean(recalls) >= 0.8, f"LSH recall@10 {np.mean(recalls):.2f} < 0.8 ({recalls})"
+    assert np.mean(recalls) >= 0.8, (
+        f"{approx_name} recall@10 {np.mean(recalls):.2f} < 0.8 ({recalls})"
+    )
