@@ -171,6 +171,41 @@ def run() -> dict:
         ).count()
         chunk_sec = time.perf_counter() - t3
 
+        # LSH near-dup candidate discovery over the whole corpus (sig → bands
+        # → bucket pairs), and an incremental merge of a 2k-doc delta into the
+        # freshly built index (delete-then-add, byte-identical semantics)
+        from code_indexer_ray.dedup.minhash import MERSENNE_31, band_batch, candidate_pairs
+        from code_indexer_ray.index.build import build_index as _bi
+        from code_indexer_ray.index.merge import merge_indexes
+
+        t4 = time.perf_counter()
+        bands = rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
+            lambda b: band_batch(minhash_batch_fast(b), mod=MERSENNE_31),
+            batch_format="pyarrow",
+        )
+        n_pairs = candidate_pairs(bands).count()
+        qstats["near_dup_pairs_sec"] = round(time.perf_counter() - t4, 3)
+        qstats["near_dup_candidates"] = int(n_pairs)
+
+        import glob
+
+        import pyarrow.parquet as _pq
+
+        delta_src = "/tmp/cidx_bench_delta.parquet"
+        first = sorted(glob.glob(os.path.join(corpus, "*.parquet")))[0]
+        _pq.write_table(_pq.read_table(first).slice(0, 2000), delta_src)
+        delta_idx, merged = "/tmp/cidx_bench_delta_idx", "/tmp/cidx_bench_merged"
+        shutil.rmtree(delta_idx, ignore_errors=True)
+        shutil.rmtree(merged, ignore_errors=True)
+        _bi(
+            delta_src, delta_idx, store_cols=("lang", "url"),
+            num_shards=manifest.num_shards, num_buckets=manifest.num_buckets,
+            doc_id_upper=manifest.doc_id_upper, resume=False,
+        )
+        t5 = time.perf_counter()
+        merge_indexes(out, delta_idx, merged)
+        qstats["merge_sec"] = round(time.perf_counter() - t5, 3)
+
     result = {
         "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
         "value": round(build_sec, 3),

@@ -266,24 +266,64 @@ def band_batch(sig: pa.Table, *, rows_per_band: int = 2, mod: int = MERSENNE_P) 
 MAX_BUCKET_PAIRS_DOCS = 256
 
 
-def candidate_pairs(bands, min_pair: int = 2, max_bucket: int = MAX_BUCKET_PAIRS_DOCS):
-    """groupby (band_id, band_hash) → sorted doc-id pairs within each bucket.
+def candidate_pairs(
+    bands,
+    min_pair: int = 2,
+    max_bucket: int = MAX_BUCKET_PAIRS_DOCS,
+    num_partitions: int = 64,
+):
+    """(band_id, band_hash) buckets → sorted doc-id pairs within each bucket.
 
-    Buckets with ≤ ``max_bucket`` distinct docs emit all C(n,2) pairs; larger
-    buckets emit the sorted-adjacent chain (n−1 pairs) — connectivity for
-    union-find clustering is preserved while memory stays O(n).
+    One COARSE hash-partition shuffle (``band_hash % num_partitions``) instead
+    of a group per bucket: most buckets are singletons, and per-group pandas
+    calls over hundreds of thousands of tiny groups were the wall-time sink.
+    Each partition task sorts its rows once and emits pairs only for the few
+    multi-doc buckets.  Buckets with ≤ ``max_bucket`` distinct docs emit all
+    C(n,2) pairs; larger buckets emit the sorted-adjacent chain (n−1 pairs) —
+    union-find connectivity preserved at O(n) memory.
     """
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].unique())
-        if len(ids) < min_pair:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
-        if len(ids) > max_bucket:
-            return pd.DataFrame({"doc_a": ids[:-1], "doc_b": ids[1:]})
-        ia, ib = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+    def add_pb(batch: pa.Table) -> pa.Table:
+        pb = (
+            batch["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+            % num_partitions
+        )
+        return batch.append_column("pb", pa.array(pb))
 
-    return bands.groupby(["band_id", "band_hash"]).map_groups(pairs, batch_format="pandas")
+    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
+        d = g.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
+            ["band_id", "band_hash", "doc_id"], kind="mergesort"
+        )
+        band = d["band_id"].to_numpy()
+        bh = d["band_hash"].to_numpy()
+        doc = d["doc_id"].to_numpy()
+        n = len(d)
+        if n == 0:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        bounds = np.flatnonzero(np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
+        sizes = np.diff(np.r_[bounds, n])
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for s, size in zip(bounds[sizes >= min_pair], sizes[sizes >= min_pair]):
+            ids = doc[s : s + size]
+            if size > max_bucket:
+                out_a.append(ids[:-1])
+                out_b.append(ids[1:])
+            else:
+                ia, ib = np.triu_indices(size, k=1)
+                out_a.append(ids[ia])
+                out_b.append(ids[ib])
+        if not out_a:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        return pd.DataFrame(
+            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+        )
+
+    return (
+        bands.map_batches(add_pb, batch_format="pyarrow")
+        .groupby("pb")
+        .map_groups(pairs_partition, batch_format="pandas")
+    )
 
 
 def jaccard_ngrams(a_tokens: list[str], b_tokens: list[str], n: int = DEFAULT_SHINGLE) -> float:
