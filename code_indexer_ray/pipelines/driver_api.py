@@ -587,6 +587,69 @@ def q_text_quality(sf_dir: str):
     )
 
 
+QUALITY_TOK_LO, QUALITY_TOK_HI = 20, 2000
+QUALITY_UNIQUE_RATIO_E4 = 2000  # n_unique/n_tokens >= 0.2, integer-exact
+SAMPLE_TOKEN_BUDGET = 5000
+
+
+def q_quality_filter(sf_dir: str):
+    """Training-data quality gate: length band + type/token ratio + at least
+    one stopword hit — the vectorized stats kernel feeding a pure-Arrow
+    filter (the shape of a real corpus-curation stage)."""
+    import pyarrow.compute as pc
+
+    import ray.data as rd
+
+    def run(batch: pa.Table) -> pa.Table:
+        s = text_stats_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(s["n_tokens"], QUALITY_TOK_LO),
+                pc.less_equal(s["n_tokens"], QUALITY_TOK_HI),
+            ),
+            pc.and_(
+                pc.greater_equal(
+                    pc.multiply(s["n_unique"].cast(pa.int64()), 10000),
+                    pc.multiply(s["n_tokens"].cast(pa.int64()), QUALITY_UNIQUE_RATIO_E4),
+                ),
+                pc.greater_equal(s["stop_en"], 1),
+            ),
+        )
+        return s.filter(keep).select(["doc_id", "n_tokens", "n_unique", "stop_en"])
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+def q_sample_token_budget(sf_dir: str):
+    """Deterministic token-budget sampler: per language, take documents in
+    doc_id order until the cumulative token count exceeds the budget — the
+    curation step that caps each language's contribution to a training mix."""
+    import ray.data as rd
+
+    def stats(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "lang": batch["lang"],
+                "n_tokens": pa.array(token_counts(batch["text"]), type=pa.int64()),
+            }
+        )
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        keep = g["n_tokens"].cumsum() <= SAMPLE_TOKEN_BUDGET
+        return g.loc[keep, ["doc_id", "lang", "n_tokens"]]
+
+    return (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "text"])
+        .map_batches(stats, batch_format="pyarrow")
+        .groupby("lang")
+        .map_groups(take, batch_format="pandas")
+    )
+
+
 ANN_QUERY_IDS = (0, 1, 2, 3)
 
 
@@ -1071,6 +1134,22 @@ def oracle_catalog() -> dict[str, str]:
         f"FROM doclen LEFT JOIN agg USING (doc_id) JOIN documents d ON d.doc_id = doclen.doc_id"
     )
 
+    out["quality_filter"] = (
+        f"SELECT doc_id, n_tokens, n_unique, stop_en FROM ({out['text_quality']})\n"
+        f"WHERE n_tokens BETWEEN {QUALITY_TOK_LO} AND {QUALITY_TOK_HI}\n"
+        f"  AND n_unique * 10000 >= n_tokens * {QUALITY_UNIQUE_RATIO_E4}\n"
+        f"  AND stop_en >= 1"
+    )
+
+    out["sample_token_budget"] = (
+        f"WITH toks AS ({sql_tokens_cte()}),\n"
+        "t AS (SELECT d.doc_id, d.lang, coalesce(c.nt, 0)::BIGINT AS n_tokens\n"
+        "  FROM documents d LEFT JOIN (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id) c USING (doc_id)),\n"
+        "sel AS (SELECT doc_id, lang, n_tokens,\n"
+        "  sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)\n"
+        f"SELECT doc_id, lang, n_tokens FROM sel WHERE cum <= {SAMPLE_TOKEN_BUDGET}"
+    )
+
     qids = ",".join(str(i) for i in ANN_QUERY_IDS)
     out["ann_cosine"] = (
         f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN ({qids})),\n"
@@ -1168,6 +1247,8 @@ def query_catalog():
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
+        "quality_filter": q_quality_filter,
+        "sample_token_budget": q_sample_token_budget,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
