@@ -247,6 +247,21 @@ class TestRemoteActors:
         s = IndexSearcher(out, remote=True)
         _check(s.search("spark merge", limit=10, snippet_lines=0), oracle.search_exact("spark merge", 10))
 
+    def test_actor_mode_shard_local_expansion_matches_local(self, built):
+        """Fuzzy/regex in actor mode (shard-local dictionary walks, union of
+        matches) must return the same results as the local union matcher."""
+        _, _, out, _, _ = built
+        local = IndexSearcher(out)
+        remote = IndexSearcher(out, remote=True)
+        for kwargs in (
+            {"edit_distance": 1},
+            {"use_regex": True},
+        ):
+            q = "spark" if "edit_distance" in kwargs else "sp.rk"
+            a = [(r["doc_id"], round(r["score"], 9)) for r in local.search(q, snippet_lines=0, **kwargs)]
+            b = [(r["doc_id"], round(r["score"], 9)) for r in remote.search(q, snippet_lines=0, **kwargs)]
+            assert a == b, (q, kwargs)
+
 
 class TestResume:
     def test_kill_resume_identical(self, built, tmp_path):
