@@ -297,3 +297,46 @@ class TestResume:
             target_docs_per_shard=32,
         )
         assert m2.metrics["fingerprint"] == manifest.metrics["fingerprint"]
+
+
+class TestHeadTermSkew:
+    def test_hot_term_spreads_across_every_partitions_shard(self, ray_session, tmp_path):
+        """A term occurring in EVERY document (worst-case Zipf head) must not
+        concentrate in one reduce group: doc-range sharding is the salt, so
+        the hot term's postings split across all shards, and each partition's
+        posting count stays near the uniform bound."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        n = 2000
+        rows = {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": [f"hotterm filler{i % 97} mid{i % 13} tail{i}" for i in range(n)],
+            "lang": ["en"] * n,
+            "url": [f"u{i}" for i in range(n)],
+        }
+        src = str(tmp_path / "docs.parquet")
+        pq.write_table(pa.table(rows), src)
+        out = str(tmp_path / "idx")
+        m = build_index(src, out, store_cols=("lang", "url"), num_shards=8,
+                        num_buckets=4, resume=False)
+        # hot term present in every shard (salted by doc range)
+        shards_with_hot = set()
+        s = IndexSearcher(out)
+        for shard in range(8):
+            se = s._searcher(shard)
+            if se.posting("hotterm") is not None:
+                shards_with_hot.add(shard)
+        assert shards_with_hot == set(range(8))
+        # no partition holds a disproportionate share of all postings
+        counts = np.array([p["n_postings"] for p in m.partitions])
+        assert counts.max() <= 3 * counts.mean()
+        # and the hot term still scores/intersects correctly end-to-end
+        hits = s.search("hotterm", limit=0, snippet_lines=0)
+        assert len(hits) == n
+        hits2 = s.search("hotterm tail42", snippet_lines=0)
+        assert [h["doc_id"] for h in hits2] == [42]
