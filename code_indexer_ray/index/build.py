@@ -138,6 +138,7 @@ class TokenizeStage:
         num_buckets: int,
         doc_id_upper: int,
         vocab_dir: str | None = None,
+        index_positions: bool = False,
     ):
         self.id_col = id_col
         self.text_col = text_col
@@ -145,6 +146,7 @@ class TokenizeStage:
         self.num_buckets = num_buckets
         self.doc_id_upper = doc_id_upper
         self.vocab_dir = vocab_dir
+        self.index_positions = index_positions
 
     def _uniq_codes(self, terms: pa.Array):
         if pa.types.is_dictionary(terms.type):
@@ -201,7 +203,15 @@ class TokenizeStage:
             os.replace(tmp, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        terms, rows, tfs, row_counts = term_frequencies(batch[self.text_col])
+        pos_flat = pos_offsets = None
+        if self.index_positions:
+            from ..text.analysis import term_positions
+
+            terms, rows, tfs, row_counts, pos_flat, pos_offsets = term_positions(
+                batch[self.text_col]
+            )
+        else:
+            terms, rows, tfs, row_counts = term_frequencies(batch[self.text_col])
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         post_docs = doc_ids[rows]
         norm_ids = fieldnorm_to_id(row_counts)[rows]
@@ -230,6 +240,20 @@ class TokenizeStage:
             "norm": pa.array(norm_ids, type=pa.uint8()),
             "pkey": pa.array(pkey),
         }
+        if pos_flat is not None:
+            # per-posting varbyte(delta(position)) blob — positions are the
+            # optional phrase-query payload; anchor resets at each posting
+            n_pos = len(pos_flat)
+            deltas = np.empty(n_pos, dtype=np.uint64)
+            if n_pos:
+                deltas[1:] = (pos_flat[1:] - pos_flat[:-1]).astype(np.uint64)
+                starts_mask = pos_offsets[:-1]
+                deltas[starts_mask] = pos_flat[starts_mask].astype(np.uint64)
+            buf, vstarts = varbyte_encode(deltas)
+            byte_offs = np.empty(len(pos_offsets), dtype=np.int64)
+            byte_offs[:-1] = vstarts[pos_offsets[:-1]] if n_pos else 0
+            byte_offs[-1] = len(buf)
+            cols["pos_enc"] = _binary_col(buf, byte_offs)
         if self.vocab_dir is not None:
             self._write_vocab(uniq, buckets_u, hashes_u, codes, shards, post_docs)
             cols = {"term_hash": pa.array(hashes_u[codes]), **cols}
@@ -247,9 +271,12 @@ def make_tokenize_fn(
     num_buckets: int,
     doc_id_upper: int,
     vocab_dir: str | None = None,
+    index_positions: bool = False,
 ):
     """Stateless-task variant of :class:`TokenizeStage` (tests/small runs)."""
-    stage = TokenizeStage(id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir)
+    stage = TokenizeStage(
+        id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir, index_positions
+    )
 
     def tokenize_batch(batch: pa.Table) -> pa.Table:
         return stage(batch)
@@ -348,22 +375,35 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
         o[-1] = total * itemsize
         return o
 
-    seg = pa.table(
-        {
-            "term": sorted_terms,
-            "df": pa.array(dfs.astype(np.int64)),
-            "cf": pa.array(np.add.reduceat(tfs, term_starts).astype(np.int64)),
-            "docs_enc": _binary_col(docs_buf, offs(vstarts[term_starts], len(docs_buf))),
-            "tfs_enc": _binary_col(tfs_buf, offs(tstarts[term_starts], len(tfs_buf))),
-            "norms": _binary_col(norms, offs(term_starts, n)),
-            "last_docs": _binary_col(last_docs, offs(first_block, total_blocks, 8)),
-            "max_tfs": _binary_col(max_tfs, offs(first_block, total_blocks, 4)),
-            "min_norms": _binary_col(min_norms, offs(first_block, total_blocks, 1)),
-            "doc_offsets": _binary_col(doc_offsets, offs(first_block, total_blocks, 4)),
-            "tf_offsets": _binary_col(tf_offsets, offs(first_block, total_blocks, 4)),
-        }
-    )
-    return seg, int(tfs.sum())
+    seg_cols = {
+        "term": sorted_terms,
+        "df": pa.array(dfs.astype(np.int64)),
+        "cf": pa.array(np.add.reduceat(tfs, term_starts).astype(np.int64)),
+        "docs_enc": _binary_col(docs_buf, offs(vstarts[term_starts], len(docs_buf))),
+        "tfs_enc": _binary_col(tfs_buf, offs(tstarts[term_starts], len(tfs_buf))),
+        "norms": _binary_col(norms, offs(term_starts, n)),
+        "last_docs": _binary_col(last_docs, offs(first_block, total_blocks, 8)),
+        "max_tfs": _binary_col(max_tfs, offs(first_block, total_blocks, 4)),
+        "min_norms": _binary_col(min_norms, offs(first_block, total_blocks, 1)),
+        "doc_offsets": _binary_col(doc_offsets, offs(first_block, total_blocks, 4)),
+        "tf_offsets": _binary_col(tf_offsets, offs(first_block, total_blocks, 4)),
+    }
+    if "pos_enc" in tbl.schema.names:
+        # optional phrase payload: per-term concat of the doc-ordered
+        # per-posting position blobs + a u32 relative byte offset per posting
+        pe = tbl["pos_enc"].combine_chunks().take(pa.array(perm))
+        p_offs = np.frombuffer(pe.buffers()[1], dtype=np.int64)[
+            pe.offset : pe.offset + n + 1
+        ]
+        p_data = np.frombuffer(pe.buffers()[2], dtype=np.uint8)[p_offs[0] : p_offs[-1]]
+        p_offs = p_offs - p_offs[0]
+        term_pos_offs = np.concatenate((p_offs[term_starts], [p_offs[-1]]))
+        rel = (p_offs[:-1] - np.repeat(p_offs[term_starts], dfs)).astype(np.uint32)
+        seg_cols["positions_enc"] = _binary_col(
+            np.ascontiguousarray(p_data), term_pos_offs
+        )
+        seg_cols["pos_offsets"] = _binary_col(rel, offs(term_starts, n, 4))
+    return pa.table(seg_cols), int(tfs.sum())
 
 
 #: per-worker-process cache of a shard's deduped vocab (keyed by dir+shard);
@@ -568,6 +608,7 @@ def build_index(
     target_docs_per_shard: int = 250_000,
     resume: bool = True,
     doc_id_upper: int | None = None,
+    index_positions: bool = False,
     ray_remote_args: dict | None = None,
 ) -> IndexManifest:
     """Build a queryable sharded inverted index under ``out_dir``.
@@ -595,7 +636,9 @@ def build_index(
     min_shards_for_u32 = max(1, -(-(doc_id_upper + 1) // (1 << 32)))
     if num_shards < min_shards_for_u32:
         num_shards = min_shards_for_u32
-    fingerprint = f"v1:{n_docs}:{doc_id_upper}:{num_shards}:{num_buckets}:{text_col}"
+    fingerprint = f"v1:{n_docs}:{doc_id_upper}:{num_shards}:{num_buckets}:{text_col}" + (
+        ":pos" if index_positions else ""
+    )
 
     # fast path: complete index with matching fingerprint already published
     if resume and os.path.exists(os.path.join(out_dir, "manifest.json")):
@@ -644,7 +687,8 @@ def build_index(
         ds = rd.read_parquet(input_paths, **read_kwargs)
 
         tokenize = make_tokenize_fn(
-            id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir
+            id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir,
+            index_positions,
         )
 
         def fused(batch: pa.Table) -> pa.Table:

@@ -90,6 +90,11 @@ def _explode_segment(
     concatenated doc/tf streams, group-wise cumsum to reconstruct absolute
     doc ids (the delta stream anchors at each term start), dictionary-coded
     term column (no per-posting string materialization)."""
+    if "positions_enc" in tbl.schema.names:
+        raise NotImplementedError(
+            "merging positions-enabled segments is not supported yet — "
+            "rebuild the merged corpus with index_positions=True instead"
+        )
     n_terms = tbl.num_rows
     if n_terms == 0:
         return _EMPTY_POSTINGS

@@ -181,6 +181,33 @@ def q_bm25_and(sf_dir: str):
     return _bm25_table(searcher_for(sf_dir).search("spark merge", limit=10, snippet_lines=0), 10)
 
 
+_PHRASE_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def phrase_searcher_for(sf_dir: str) -> IndexSearcher:
+    """Like :func:`searcher_for` but over a positions-enabled index (the
+    optional phrase payload; separate cache dir, default index unchanged)."""
+    s = _PHRASE_SEARCHERS.get(sf_dir)
+    if s is None:
+        corpus = derived_corpus(sf_dir)
+        idx = os.path.join(_corpus_dir(sf_dir), "index_pos")
+        build_index(
+            corpus, idx, store_cols=("lang", "url"), num_shards=4, num_buckets=4,
+            index_positions=True,
+        )
+        s = IndexSearcher(idx, lang_col="lang", url_col="url")
+        _PHRASE_SEARCHERS[sf_dir] = s
+    return s
+
+
+def q_bm25_phrase(sf_dir: str):
+    """Phrase query over the positions-enabled index: docs where 'spark'
+    and 'merge' occur at consecutive token positions, BM25-sum ranked."""
+    return _bm25_table(
+        phrase_searcher_for(sf_dir).search("spark merge", phrase=True, limit=0, snippet_lines=0), 0
+    )
+
+
 def q_bm25_lang(sf_dir: str):
     return _bm25_table(
         searcher_for(sf_dir).search("spark", languages=["en", "de"], limit=10, snippet_lines=0), 10
@@ -924,6 +951,24 @@ def oracle_catalog() -> dict[str, str]:
     )
     out["fts_bm25_limit0"] = _q(_scored_cte("'window'", None), _ranked_topk(100000))
 
+    # phrase: 'spark' immediately followed by 'merge' (token positions),
+    # BM25-sum ranked like the AND query but adjacency-filtered
+    out["fts_phrase"] = (
+        pre + ",\n"
+        "tokarr2 AS (SELECT d.doc_id,\n"
+        "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
+        "    x -> strlen(x) > 0 AND strlen(x) < 40), x -> lower(x)) AS tks FROM documents d),\n"
+        "tpos2 AS (SELECT doc_id, unnest(tks) AS term, generate_subscripts(tks, 1) AS pos FROM tokarr2),\n"
+        "phr AS (SELECT DISTINCT a.doc_id FROM tpos2 a JOIN tpos2 b\n"
+        "  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1\n"
+        "  WHERE a.term = 'spark' AND b.term = 'merge'),\n"
+        + _scored_cte("'spark','merge'", 2) + ",\n"
+        "scored_phr AS (SELECT s.* FROM scored s JOIN phr USING (doc_id)),\n"
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored_phr)\n"
+        "SELECT doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r FROM ranked"
+    )
+
     out["fts_fuzzy_terms"] = (
         f"{pre}\nSELECT term, df FROM df WHERE damerau_levenshtein(term, 'merg') <= 1"
     )
@@ -1224,6 +1269,7 @@ def query_catalog():
         "fts_doc_stats": q_doc_stats,
         "fts_bm25_single": q_bm25_single,
         "fts_bm25_and": q_bm25_and,
+        "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,
         "fts_bm25_source_filter": q_bm25_source_filter,

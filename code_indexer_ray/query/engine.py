@@ -34,7 +34,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from ..index.codec import BLOCK_SIZE, decode_blocks, decode_doc_ids, decode_tfs
+from ..index.codec import BLOCK_SIZE, decode_blocks, decode_doc_ids, decode_tfs, varbyte_decode
 from ..index.fieldnorm import id_to_fieldnorm
 from ..index.manifest import DOCSTORE_DIR, IndexManifest, load_manifest
 from ..text.analysis import tokenize_query
@@ -151,6 +151,86 @@ class ShardSearcher:
         langs = [la[int(p)].as_py() if la is not None else None for p in pos]
         urls = [ua[int(p)].as_py() if ua is not None else None for p in pos]
         return langs, urls
+
+    # ---- phrase adjacency (optional positions payload) ----
+    @staticmethod
+    def _decode_positions(p: dict, j: int) -> np.ndarray:
+        """Ascending token positions of posting ``j`` (doc-sorted order) of a
+        term built with ``index_positions=True``."""
+        rel = np.frombuffer(p["pos_offsets"], dtype=np.uint32)
+        blob = p["positions_enc"]
+        start = int(rel[j])
+        end = int(rel[j + 1]) if j + 1 < len(rel) else len(blob)
+        deltas = varbyte_decode(blob[start:end])
+        return np.cumsum(deltas.astype(np.int64))
+
+    def search_phrase(
+        self,
+        terms: list[str],
+        n_docs: int,
+        avgdl: float,
+        global_df: dict[str, int],
+        m: int,
+        include_langs: list[str] | None = None,
+        lang_col: str | None = None,
+        url_col: str | None = None,
+    ) -> list[tuple[int, float, str | None, str | None]]:
+        """Top-m docs containing the EXACT token sequence (Tantivy phrase
+        semantics: every term at consecutive positions).  Requires an index
+        built with ``index_positions=True``; scoring is the BM25 sum of the
+        phrase terms over adjacency-verified documents."""
+        posts: list[tuple[str, dict]] = []
+        for t in terms:
+            p = self.posting(t)
+            if p is None:
+                return []
+            if p.get("positions_enc") is None:
+                raise ValueError(
+                    "phrase query requires an index built with index_positions=True"
+                )
+            posts.append((t, p))
+        decs = [self._decode_full(p) for _, p in posts]
+        cand = decs[0][0]
+        for d, _, _ in decs[1:]:
+            cand = np.intersect1d(cand, d, assume_unique=True)
+            if len(cand) == 0:
+                return []
+        idxs = [np.searchsorted(dec[0], cand) for dec in decs]
+        keep = np.zeros(len(cand), dtype=bool)
+        for ci in range(len(cand)):
+            cur = self._decode_positions(posts[0][1], int(idxs[0][ci]))
+            ok = len(cur) > 0
+            for k in range(1, len(posts)):
+                nxt = self._decode_positions(posts[k][1], int(idxs[k][ci]))
+                cur = np.intersect1d(cur + 1, nxt)
+                if len(cur) == 0:
+                    ok = False
+                    break
+            keep[ci] = ok
+        cand = cand[keep]
+        if len(cand) == 0:
+            return []
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for (t, p), (d, tf, nm) in zip(posts, decs):
+            pos = np.searchsorted(d, cand)
+            dl = id_to_fieldnorm(nm[pos])
+            scores += bm25.term_score(tf[pos], dl, global_df[t], n_docs, avgdl)
+
+        if include_langs is not None or lang_col or url_col:
+            self._load_meta(lang_col, url_col)
+        if include_langs is not None and self._meta is not None and self._meta["lang"] is not None:
+            mpos = np.searchsorted(self._meta["doc_id"], cand)
+            lkeep = pc.is_in(
+                self._meta["lang"].take(pa.array(mpos)),
+                value_set=pa.array(list(include_langs), type=pa.string()),
+            ).to_numpy(zero_copy_only=False)
+            cand, scores = cand[lkeep], scores[lkeep]
+            if len(cand) == 0:
+                return []
+        sel = np.lexsort((cand, -scores))[:m]
+        cand, scores = cand[sel], scores[sel]
+        langs, urls = self._meta_for(cand)
+        return list(zip(cand.tolist(), scores.tolist(), langs, urls))
 
     # ---- postings decode with block skipping ----
     @staticmethod
@@ -492,6 +572,7 @@ class IndexSearcher:
         exclude_paths: list[str] | None = None,
         exclude_languages: list[str] | None = None,
         use_regex: bool = False,
+        phrase: bool = False,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -499,6 +580,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
+            phrase,
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -506,6 +588,7 @@ class IndexSearcher:
         results = self._search_uncached(
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
+            phrase,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -524,11 +607,14 @@ class IndexSearcher:
         exclude_paths: list[str] | None = None,
         exclude_languages: list[str] | None = None,
         use_regex: bool = False,
+        phrase: bool = False,
     ) -> list[dict]:
         if use_regex and edit_distance > 0:
             raise ValueError(
                 "Cannot combine regex matching with fuzzy matching (edit_distance > 0)."
             )
+        if phrase and (use_regex or edit_distance > 0):
+            raise ValueError("phrase queries cannot combine with regex or fuzzy matching")
         if not (0 <= edit_distance <= 3):
             raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
         languages = languages or None
@@ -551,17 +637,30 @@ class IndexSearcher:
             search_limit = limit * 3 if needs_increased else limit
 
         include_pre = languages if (languages and not exclude_languages) else None
-        per_shard = self._fanout(
-            "search_groups",
-            groups,
-            self.manifest.num_docs,
-            self.manifest.avgdl,
-            global_df,
-            search_limit,
-            include_pre,
-            self.lang_col,
-            self.url_col,
-        )
+        if phrase:
+            per_shard = self._fanout(
+                "search_phrase",
+                [t for g in groups for t in g],
+                self.manifest.num_docs,
+                self.manifest.avgdl,
+                global_df,
+                search_limit,
+                include_pre,
+                self.lang_col,
+                self.url_col,
+            )
+        else:
+            per_shard = self._fanout(
+                "search_groups",
+                groups,
+                self.manifest.num_docs,
+                self.manifest.avgdl,
+                global_df,
+                search_limit,
+                include_pre,
+                self.lang_col,
+                self.url_col,
+            )
         hits = [h for sh in per_shard for h in sh]
         if not hits:
             return []

@@ -103,6 +103,48 @@ def term_frequencies(
     )
 
 
+def term_positions(
+    texts: pa.Array | pa.ChunkedArray,
+) -> tuple[pa.Array, np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Like :func:`term_frequencies`, plus token positions per posting.
+
+    Returns ``(terms, row_indices, tfs, row_token_counts, pos_flat,
+    pos_offsets)`` where posting ``i``'s ascending in-document token positions
+    are ``pos_flat[pos_offsets[i] : pos_offsets[i+1]]`` (0-based over the
+    analyzed token stream — Tantivy's position semantics for phrase queries).
+    Fully vectorized: one lexsort groups (row, term) and orders positions.
+    """
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    tokens, parents = tokenize_flat(texts)
+    row_counts = np.zeros(len(texts), dtype=np.int64)
+    if len(parents):
+        np.add.at(row_counts, parents, 1)
+    if len(tokens) == 0:
+        empty = np.empty(0, dtype=np.int64)
+        return (
+            pa.DictionaryArray.from_arrays(
+                pa.array([], type=pa.int32()), pa.array([], type=pa.string())
+            ),
+            empty, empty, row_counts, empty, np.zeros(1, dtype=np.int64),
+        )
+    # position within its document (parents is sorted ascending)
+    pos_in_row = np.arange(len(parents), dtype=np.int64) - np.searchsorted(
+        parents, parents, side="left"
+    )
+    dic = pc.dictionary_encode(tokens)
+    codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.lexsort((pos_in_row, codes, parents))
+    r_s, c_s, p_s = parents[order], codes[order], pos_in_row[order]
+    bounds = np.flatnonzero(np.r_[True, (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])])
+    tfs = np.diff(np.r_[bounds, len(r_s)]).astype(np.int64)
+    terms = pa.DictionaryArray.from_arrays(
+        pa.array(c_s[bounds].astype(np.int32)), dic.dictionary
+    )
+    pos_offsets = np.concatenate((bounds, [len(p_s)])).astype(np.int64)
+    return terms, r_s[bounds], tfs, row_counts, p_s, pos_offsets
+
+
 def tokenize_query(query_text: str) -> list[str]:
     """Tokenize a single query term the way the index analyzed documents.
 

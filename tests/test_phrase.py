@@ -1,0 +1,139 @@
+"""Optional positions payload + phrase queries (Tantivy phrase semantics:
+every term at consecutive token positions)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from code_indexer_ray.index.build import build_index
+from code_indexer_ray.query.engine import IndexSearcher
+from code_indexer_ray.text.analysis import term_positions, tokenize_query
+
+
+class TestTermPositions:
+    def test_positions_match_token_stream(self):
+        texts = ["alpha beta alpha gamma", "beta beta", "", "Alpha!"]
+        terms, rows, tfs, counts, pos_flat, pos_offsets = term_positions(pa.array(texts))
+        dd = terms.dictionary.to_pylist()
+        codes = terms.indices.to_numpy(zero_copy_only=False)
+        got = {}
+        for i, (r, c, tf) in enumerate(zip(rows, codes, tfs)):
+            got[(int(r), dd[c])] = pos_flat[pos_offsets[i] : pos_offsets[i + 1]].tolist()
+        assert got == {
+            (0, "alpha"): [0, 2],
+            (0, "beta"): [1],
+            (0, "gamma"): [3],
+            (1, "beta"): [0, 1],
+            (3, "alpha"): [0],
+        }
+        assert counts.tolist() == [4, 2, 0, 1]
+
+
+@pytest.fixture(scope="module")
+def phrase_index(ray_session, tmp_path_factory):
+    texts = [
+        "the quick brown fox",            # 0: phrase "quick brown"
+        "quick and brown",                # 1: both terms, NOT adjacent
+        "brown quick",                    # 2: reversed — no match
+        "very quick brown quick brown",   # 3: phrase twice
+        "nothing relevant here",          # 4
+        "quick brown quick",              # 5: phrase once
+    ]
+    n = len(texts)
+    tmp = tmp_path_factory.mktemp("phrase")
+    src = str(tmp / "docs.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(np.arange(n, dtype=np.int64)),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * n),
+                "url": pa.array([f"u{i}" for i in range(n)]),
+            }
+        ),
+        src,
+    )
+    out = str(tmp / "idx")
+    build_index(src, out, store_cols=("lang", "url"), num_shards=2, num_buckets=2,
+                index_positions=True, resume=False)
+    return texts, out
+
+
+def _brute_phrase(texts: list[str], phrase_terms: list[str]) -> set[int]:
+    out = set()
+    for i, t in enumerate(texts):
+        toks = []
+        for w in t.split():
+            toks.extend(tokenize_query(w))
+        for j in range(len(toks) - len(phrase_terms) + 1):
+            if toks[j : j + len(phrase_terms)] == phrase_terms:
+                out.add(i)
+                break
+    return out
+
+
+class TestPhraseQueries:
+    def test_adjacency_semantics(self, phrase_index):
+        texts, out = phrase_index
+        s = IndexSearcher(out)
+        res = s.search("quick brown", phrase=True, limit=0, snippet_lines=0)
+        assert {r["doc_id"] for r in res} == _brute_phrase(texts, ["quick", "brown"])
+        assert {r["doc_id"] for r in res} == {0, 3, 5}
+
+    def test_three_term_phrase(self, phrase_index):
+        texts, out = phrase_index
+        s = IndexSearcher(out)
+        res = s.search("quick brown quick", phrase=True, limit=0, snippet_lines=0)
+        assert {r["doc_id"] for r in res} == _brute_phrase(texts, ["quick", "brown", "quick"])
+        assert {r["doc_id"] for r in res} == {3, 5}
+
+    def test_single_term_phrase_equals_exact(self, phrase_index):
+        _, out = phrase_index
+        s = IndexSearcher(out)
+        a = [(r["doc_id"], round(r["score"], 9)) for r in s.search("quick", phrase=True, limit=0, snippet_lines=0)]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in s.search("quick", limit=0, snippet_lines=0)]
+        assert a == b
+
+    def test_no_match_and_missing_term(self, phrase_index):
+        _, out = phrase_index
+        s = IndexSearcher(out)
+        assert s.search("fox quick", phrase=True, snippet_lines=0) == []
+        assert s.search("quick zebra", phrase=True, snippet_lines=0) == []
+
+    def test_phrase_rejects_fuzzy_regex(self, phrase_index):
+        _, out = phrase_index
+        s = IndexSearcher(out)
+        with pytest.raises(ValueError):
+            s.search("quick brown", phrase=True, edit_distance=1)
+        with pytest.raises(ValueError):
+            s.search("q.*k", phrase=True, use_regex=True)
+
+    def test_phrase_on_positionless_index_raises(self, ray_session, tmp_path):
+        src = str(tmp_path / "d.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [0], "text": ["quick brown"], "lang": ["en"], "url": ["u"]}), src
+        )
+        out = str(tmp_path / "idx")
+        build_index(src, out, store_cols=("lang", "url"), num_shards=1, num_buckets=1, resume=False)
+        s = IndexSearcher(out)
+        with pytest.raises(ValueError, match="index_positions"):
+            s.search("quick brown", phrase=True, snippet_lines=0)
+
+    def test_default_index_schema_unchanged(self, ray_session, tmp_path):
+        """positions are strictly opt-in: a default build has no positions
+        columns (and therefore no byte-layout change vs round-1 segments)."""
+        src = str(tmp_path / "d.parquet")
+        pq.write_table(
+            pa.table({"doc_id": [0, 1], "text": ["a b", "b c"], "lang": ["en"] * 2, "url": ["u", "v"]}),
+            src,
+        )
+        out = str(tmp_path / "idx")
+        m = build_index(src, out, store_cols=("lang", "url"), num_shards=1, num_buckets=1, resume=False)
+        import os
+
+        seg = pq.read_table(os.path.join(out, m.partitions[0]["path"]))
+        assert "positions_enc" not in seg.schema.names
+        assert "pos_offsets" not in seg.schema.names
