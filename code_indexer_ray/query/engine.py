@@ -540,8 +540,10 @@ class IndexSearcher:
             #    the reference's matches for cased input.
             # 2. A punctuated word ('foo.bar') splits into AND-of-tokens here;
             #    the reference's parse_query builds a position-based phrase
-            #    query (adjacency). We store no positions, so phrase
-            #    adjacency is unsupported — AND is the documented semantic.
+            #    query (adjacency). The DEFAULT index stores no positions, so
+            #    AND is the documented default; indexes built with
+            #    index_positions=True match the reference's adjacency via
+            #    search(..., phrase=True).
             groups = []
             for word in query_text.split():
                 matched = self.expand_terms("fuzzy", word.lower(), edit_distance)
