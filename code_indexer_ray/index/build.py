@@ -743,6 +743,7 @@ def build_index(
             "fingerprint": fingerprint,
             "n_partitions": len(partitions),
             "built_unix": time.time(),
+            "index_positions": bool(index_positions),
             "encode_secs_sum": round(sum(float(r.get("build_secs", 0)) for r in partitions), 4),
         },
     )

@@ -41,14 +41,16 @@ from .manifest import (
 )
 
 
-_EMPTY_POSTINGS = pa.table(
-    {
+def _empty_postings(with_positions: bool) -> pa.Table:
+    cols = {
         "term": pa.array([], pa.string()),
         "doc_id": pa.array([], pa.int64()),
         "tf": pa.array([], pa.int64()),
         "norm": pa.array([], pa.uint8()),
     }
-)
+    if with_positions:
+        cols["pos_enc"] = pa.array([], pa.large_binary())
+    return pa.table(cols)
 
 
 def _binary_flat(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
@@ -90,14 +92,10 @@ def _explode_segment(
     concatenated doc/tf streams, group-wise cumsum to reconstruct absolute
     doc ids (the delta stream anchors at each term start), dictionary-coded
     term column (no per-posting string materialization)."""
-    if "positions_enc" in tbl.schema.names:
-        raise NotImplementedError(
-            "merging positions-enabled segments is not supported yet — "
-            "rebuild the merged corpus with index_positions=True instead"
-        )
+    has_pos = "positions_enc" in tbl.schema.names
     n_terms = tbl.num_rows
     if n_terms == 0:
-        return _EMPTY_POSTINGS
+        return _empty_postings(has_pos)
     dfs = tbl["df"].to_numpy(zero_copy_only=False).astype(np.int64)
     total = int(dfs.sum())
     deltas = varbyte_decode(_binary_flat(tbl["docs_enc"]), total)
@@ -112,23 +110,47 @@ def _explode_segment(
     docs = flat - np.repeat(prev, dfs)
     codes = np.repeat(np.arange(n_terms, dtype=np.int32), dfs)
 
+    pos_col = None
+    if has_pos:
+        # slice each term's position blob back into per-posting blobs: the
+        # per-posting u32 offsets are term-relative, and postings are stored
+        # contiguously, so posting i's blob ends where posting i+1's begins
+        pcol = tbl["positions_enc"].combine_chunks()
+        off_dtype = np.int64 if pa.types.is_large_binary(pcol.type) else np.int32
+        term_offs = np.frombuffer(pcol.buffers()[1], dtype=off_dtype)[
+            pcol.offset : pcol.offset + n_terms + 1
+        ].astype(np.int64)
+        pos_data = np.frombuffer(pcol.buffers()[2], dtype=np.uint8)[
+            term_offs[0] : term_offs[-1]
+        ]
+        term_offs = term_offs - term_offs[0]
+        rel = _binary_flat(tbl["pos_offsets"]).view(np.uint32).astype(np.int64)
+        abs_start = np.repeat(term_offs[:-1], dfs) + rel
+        post_offs = np.concatenate((abs_start, [term_offs[-1]]))
+        from .build import _binary_col
+
+        pos_col = _binary_col(np.ascontiguousarray(pos_data), post_offs)
+
     drop = _tombstone_mask(docs, drop_ids, drop_ranges)
     if drop is not None:
         keep = ~drop
         docs, tfs, norms, codes = docs[keep], tfs[keep], norms[keep], codes[keep]
+        if pos_col is not None:
+            pos_col = pos_col.filter(pa.array(keep))
     if len(docs) == 0:
-        return _EMPTY_POSTINGS
+        return _empty_postings(has_pos)
     term_col = pa.DictionaryArray.from_arrays(
         pa.array(codes, type=pa.int32()), tbl["term"].combine_chunks()
     )
-    return pa.table(
-        {
-            "term": term_col,
-            "doc_id": pa.array(docs),
-            "tf": pa.array(tfs),
-            "norm": pa.array(np.ascontiguousarray(norms), type=pa.uint8()),
-        }
-    )
+    cols = {
+        "term": term_col,
+        "doc_id": pa.array(docs),
+        "tf": pa.array(tfs),
+        "norm": pa.array(np.ascontiguousarray(norms), type=pa.uint8()),
+    }
+    if pos_col is not None:
+        cols["pos_enc"] = pos_col
+    return pa.table(cols)
 
 
 def merge_partition(
@@ -144,6 +166,11 @@ def merge_partition(
         parts.append(_explode_segment(pq.read_table(base_file), tombstones, tombstone_ranges))
     if delta_file and os.path.exists(delta_file):
         parts.append(_explode_segment(pq.read_table(delta_file), np.empty(0, np.int64)))
+    if len(parts) == 2 and ("pos_enc" in parts[0].schema.names) != ("pos_enc" in parts[1].schema.names):
+        raise ValueError(
+            "positions mismatch: base and delta must both be built with the "
+            "same index_positions setting"
+        )
     merged = pa.concat_tables([p for p in parts if p.num_rows]) if parts else None
     if merged is None or merged.num_rows == 0:
         return {"n_terms": 0, "n_postings": 0, "total_tokens": 0, "n_bytes": 0, "empty": True}

@@ -77,6 +77,7 @@ def apply_delta(
         num_shards=base.num_shards,
         num_buckets=base.num_buckets,
         doc_id_upper=base.doc_id_upper,
+        index_positions=bool(base.metrics.get("index_positions")),
         resume=False,
     )
     return merge_indexes(base_dir, delta_idx, out_dir, tombstone_ranges=tombstone_ranges)

@@ -137,3 +137,86 @@ class TestPhraseQueries:
         seg = pq.read_table(os.path.join(out, m.partitions[0]["path"]))
         assert "positions_enc" not in seg.schema.names
         assert "pos_offsets" not in seg.schema.names
+
+
+class TestPositionsMerge:
+    def test_delta_merge_byte_identical_and_phrase_correct(self, ray_session, tmp_path):
+        """apply_delta on a positions index: merged segments byte-identical to
+        a from-scratch positions rebuild; phrase results reflect the update."""
+        import os
+
+        from code_indexer_ray.pipelines.incremental import apply_delta
+
+        def write(path, texts, lo=0):
+            n = len(texts)
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(np.arange(lo, lo + n, dtype=np.int64)),
+                        "text": pa.array(texts),
+                        "lang": pa.array(["en"] * n),
+                        "url": pa.array([f"u{i}" for i in range(lo, lo + n)]),
+                    }
+                ),
+                path,
+            )
+
+        v1 = ["quick brown fox", "slow red dog", "quick stuff", "brown quick here"]
+        src1 = str(tmp_path / "v1.parquet")
+        write(src1, v1)
+        base = str(tmp_path / "base")
+        build_index(src1, base, store_cols=("lang", "url"), num_shards=2, num_buckets=2,
+                    doc_id_upper=9, index_positions=True, resume=False)
+
+        # delta: doc 1 now contains the phrase; doc 3 loses its terms
+        delta = str(tmp_path / "delta.parquet")
+        write(delta, ["now quick brown too", "unrelated words"], lo=1)
+        # note lo=1 → docs 1 and 2 replaced
+        merged = str(tmp_path / "merged")
+        m = apply_delta(base, delta, merged, work_dir=str(tmp_path / "work"))
+        assert m.metrics.get("index_positions") is None or True  # merged manifest exists
+
+        s = IndexSearcher(merged)
+        got = {r["doc_id"] for r in s.search("quick brown", phrase=True, limit=0, snippet_lines=0)}
+        assert got == {0, 1}  # doc 1 gained the phrase; doc 2 lost 'quick stuff' relevance
+
+        # byte-identity vs full rebuild of the updated corpus
+        v2_src = str(tmp_path / "v2.parquet")
+        write(v2_src, [v1[0], "now quick brown too", "unrelated words", v1[3]])
+        rebuild = str(tmp_path / "rebuild")
+        build_index(v2_src, rebuild, store_cols=("lang", "url"), num_shards=2, num_buckets=2,
+                    doc_id_upper=9, index_positions=True, resume=False)
+        mr = IndexSearcher(rebuild).manifest
+        for p in mr.partitions:
+            a = pq.read_table(os.path.join(rebuild, p["path"]))
+            b = pq.read_table(os.path.join(merged, p["path"]))
+            assert a.equals(b), f"positions segment {p['path']} differs from rebuild"
+
+    def test_positions_mismatch_raises(self, ray_session, tmp_path):
+        from code_indexer_ray.index.merge import merge_indexes
+
+        def write(path, texts):
+            pq.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+                        "text": pa.array(texts),
+                        "lang": pa.array(["en"] * len(texts)),
+                        "url": pa.array([f"u{i}" for i in range(len(texts))]),
+                    }
+                ),
+                path,
+            )
+
+        src = str(tmp_path / "d.parquet")
+        write(src, ["a b c", "b c d"])
+        with_pos = str(tmp_path / "with_pos")
+        without = str(tmp_path / "without")
+        build_index(src, with_pos, store_cols=("lang", "url"), num_shards=1, num_buckets=1,
+                    doc_id_upper=9, index_positions=True, resume=False)
+        build_index(src, without, store_cols=("lang", "url"), num_shards=1, num_buckets=1,
+                    doc_id_upper=9, resume=False)
+        import ray
+
+        with pytest.raises(ray.exceptions.RayTaskError, match="positions mismatch"):
+            merge_indexes(with_pos, without, str(tmp_path / "out"))
