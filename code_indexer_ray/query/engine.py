@@ -461,6 +461,11 @@ class IndexSearcher:
         self.index_dir = index_dir
         self.manifest: IndexManifest = load_manifest(index_dir)
         self._files = self.manifest.shard_files(index_dir)
+        # roll forward a doc-store compaction interrupted mid-swap (two
+        # isdir checks when healthy — see index/compact.py)
+        from ..index.compact import recover_docstore
+
+        recover_docstore(index_dir)
         self._docstore = os.path.join(index_dir, DOCSTORE_DIR)
         self.lang_col = lang_col
         self.url_col = url_col
