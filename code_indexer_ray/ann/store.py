@@ -1,0 +1,235 @@
+"""Persisted vector store: IVF-partitioned parquet + centroid sidecar.
+
+The reference persists vectors in a filesystem vector store with an ANN index
+built over it (``storage/filesystem_vector_store.py``,
+``storage/hnsw_index_manager.py:23-58``).  The Ray-native analog is a *sink*:
+one pass over the embeddings dataset assigns every vector to its nearest
+k-means centroid cell and writes the corpus as hive-partitioned parquet
+(``cell=K/``), with the (tiny) centroid matrix and a manifest published
+atomically next to it.  Search then becomes an I/O-pruned scan: a query
+probes ``nprobe`` cells and Ray reads ONLY those cells' files — at 100 TB the
+read volume is ``nprobe / n_centroids`` of the corpus, and the per-batch math
+is the same exact-cosine kernel as :mod:`.brute`.
+
+Build is resumable the same way the FTS index is: the manifest (fingerprint
+keyed on input count + layout params) is written last; a matching manifest
+makes ``build_vector_store`` a no-op fast path.
+
+Determinism: seeded k-means (:func:`..ann.ivf.train_centroids`), float64
+scoring, ``vec_id`` tie-breaks — with ``nprobe == n_centroids`` search is
+exactly brute-force (asserted in tests/test_vector_store.py).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+from .brute import _to_matrix
+from .ivf import train_centroids
+
+VEC_MANIFEST = "vector_manifest.json"
+CENTROIDS_FILE = "centroids.npy"
+CELLS_DIR = "cells"
+
+
+def _fingerprint(n_rows: int, dim: int, n_centroids: int, seed: int, vec_col: str) -> str:
+    return f"v1:{n_rows}:{dim}:{n_centroids}:{seed}:{vec_col}"
+
+
+def build_vector_store(
+    input_paths,
+    out_dir: str,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    train_max: int = 100_000,
+    seed: int = 42,
+    resume: bool = True,
+) -> dict:
+    """One streaming pass: assign → hive-partitioned write → atomic publish.
+
+    Returns the manifest dict.  Centroid training reads at most ``train_max``
+    vectors onto the driver (bounded regardless of corpus size); everything
+    else is ``map_batches`` + a partitioned ``write_parquet``.
+    """
+    import ray
+    import ray.data as rd
+
+    ds = rd.read_parquet(input_paths, columns=[id_col, vec_col])
+    n_rows = ds.count()
+    sample_tbls = ray.get(ds.limit(min(train_max, n_rows)).to_arrow_refs())
+    sample = np.concatenate([_to_matrix(t[vec_col]) for t in sample_tbls if t.num_rows])
+    dim = sample.shape[1]
+    fp = _fingerprint(n_rows, dim, n_centroids, seed, vec_col)
+
+    man_path = os.path.join(out_dir, VEC_MANIFEST)
+    if resume and os.path.exists(man_path):
+        with open(man_path) as f:
+            man = json.load(f)
+        if man.get("fingerprint") == fp:
+            return man  # complete store with identical layout — no-op
+
+    cent = train_centroids(sample, n_centroids, seed=seed)
+    cent_ref = ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = ray.get(cent_ref)
+        m = _to_matrix(batch[vec_col])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = np.argmax(mn @ c.T, axis=1).astype(np.int32)
+        return batch.append_column("cell", pa.array(cells))
+
+    cells_dir = os.path.join(out_dir, CELLS_DIR)
+    shutil.rmtree(cells_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+        cells_dir, partition_cols=["cell"]
+    )
+    # the partitioned write emits one file per (task, cell) — coalesce each
+    # cell to ~target-byte files before publishing (small-file bound at scale)
+    from ..index.compact import coalesce_partition_dirs
+
+    coalesce_partition_dirs(cells_dir, sort_col=id_col)
+
+    tmp = os.path.join(out_dir, CENTROIDS_FILE + ".tmp")
+    with open(tmp, "wb") as f:
+        np.save(f, cent)
+    os.replace(tmp, os.path.join(out_dir, CENTROIDS_FILE))
+
+    man = {
+        "fingerprint": fp,
+        "n_vectors": int(n_rows),
+        "dim": int(dim),
+        "n_centroids": int(len(cent)),
+        "seed": int(seed),
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    tmp = man_path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, man_path)  # manifest last = store complete
+    return man
+
+
+class VectorStoreSearcher:
+    """Query a persisted store: probe ``nprobe`` cells, read ONLY their files.
+
+    Output schema matches :func:`..ann.brute.ann_cosine_topk`:
+    (query_id, rank, vec_id, cos), rank by cos desc / vec_id asc.
+    """
+
+    def __init__(self, store_dir: str):
+        with open(os.path.join(store_dir, VEC_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self.centroids = np.load(os.path.join(store_dir, CENTROIDS_FILE))
+        self.store_dir = store_dir
+        self._cell_dirs = {
+            int(name.split("=", 1)[1]): os.path.join(store_dir, CELLS_DIR, name)
+            for name in os.listdir(os.path.join(store_dir, CELLS_DIR))
+            if name.startswith("cell=")
+        }
+
+    def probe_dirs(self, queries: np.ndarray, nprobe: int) -> tuple[np.ndarray, list[str]]:
+        """(per-query probe matrix, the cell directories a search will read)."""
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        nprobe = min(nprobe, len(self.centroids))
+        probes = np.argsort(-(qn @ self.centroids.T), kind="stable", axis=1)[:, :nprobe]
+        cells = sorted(int(c) for c in np.unique(probes) if int(c) in self._cell_dirs)
+        files = [
+            os.path.join(self._cell_dirs[c], f)
+            for c in cells
+            for f in sorted(os.listdir(self._cell_dirs[c]))
+            if f.endswith(".parquet")
+        ]
+        return probes, files
+
+    def topk(
+        self, queries: np.ndarray, query_ids: np.ndarray, k: int, *, nprobe: int = 4
+    ) -> pa.Table:
+        import ray
+        import ray.data as rd
+
+        if queries.shape[1] != self.manifest["dim"]:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != store dim {self.manifest['dim']}"
+            )
+        id_col, vec_col = self.manifest["id_col"], self.manifest["vec_col"]
+        probes, dirs = self.probe_dirs(queries, nprobe)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if not dirs:
+            return empty
+        # query → probed-cell membership as a dense bool matrix (tiny).
+        # Each row's cell is RECOMPUTED from the broadcast centroids (one
+        # extra (batch × k) matmul) rather than read back from the hive path —
+        # assignment is deterministic, and leaf-dir reads need no partition
+        # re-inference.
+        allow = np.zeros((len(query_ids), len(self.centroids)), dtype=bool)
+        for qi in range(len(query_ids)):
+            allow[qi, probes[qi]] = True
+        shared = ray.put((queries, query_ids.astype(np.int64), allow, self.centroids))
+
+        def local(batch: pa.Table) -> pa.Table:
+            q, qids, allow_m, cent = ray.get(shared)
+            ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = _to_matrix(batch[vec_col])
+            mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cells = np.argmax(mn @ cent.T, axis=1)
+            qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+            cos = qn @ mn.T  # (n_queries, n_batch)
+            out_q, out_v, out_c = [], [], []
+            for qi in range(len(qids)):
+                mask = allow_m[qi, cells] & (ids != qids[qi])
+                cand = np.flatnonzero(mask)
+                if not len(cand):
+                    continue
+                sel = cand[np.argsort(-cos[qi, cand], kind="stable")[:k]]
+                out_q.extend([int(qids[qi])] * len(sel))
+                out_v.extend(ids[sel].tolist())
+                out_c.extend(cos[qi, sel].tolist())
+            return pa.table(
+                {
+                    "query_id": pa.array(out_q, type=pa.int64()),
+                    "vec_id": pa.array(out_v, type=pa.int64()),
+                    "cos": pa.array(out_c, type=pa.float64()),
+                }
+            )
+
+        # hive-pruned read: only the probed cells' files are opened
+        ds = rd.read_parquet(dirs, columns=[id_col, vec_col])
+        parts = pa.concat_tables(
+            ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
+        )
+        if parts.num_rows == 0:
+            return empty
+        qs = parts["query_id"].to_numpy(zero_copy_only=False)
+        vs = parts["vec_id"].to_numpy(zero_copy_only=False)
+        cs = parts["cos"].to_numpy(zero_copy_only=False)
+        out_rows = []
+        for q in np.unique(qs):
+            mask = qs == q
+            order = np.lexsort((vs[mask], -cs[mask]))[:k]
+            idx = np.flatnonzero(mask)[order]
+            for rank, i in enumerate(idx, 1):
+                out_rows.append((int(q), rank, int(vs[i]), float(cs[i])))
+        return pa.table(
+            {
+                "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+                "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+                "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+                "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
+            }
+        )

@@ -106,21 +106,78 @@ def plan_groups(
     return groups
 
 
-def _rewrite_group(paths: list[str], out_dir: str, row_group_size: int) -> int:
-    """One Ray task body: read a group's files, sort by doc_id, write ONE
-    compacted file named for its id range.  Returns rows written."""
+def _rewrite_group(
+    paths: list[str], out_dir: str, row_group_size: int, sort_col: str = "doc_id"
+) -> tuple[int, str]:
+    """One Ray task body: read a group's files, sort by ``sort_col``, write
+    ONE compacted file named for its id range.  Returns (rows, dest path)."""
     tbl = pa.concat_tables([pq.read_table(p) for p in paths])
     if tbl.num_rows == 0:
-        return 0
-    tbl = tbl.sort_by("doc_id")
-    lo = tbl["doc_id"][0].as_py()
-    hi = tbl["doc_id"][-1].as_py()
+        return 0, ""
+    tbl = tbl.sort_by(sort_col)
+    lo = tbl[sort_col][0].as_py()
+    hi = tbl[sort_col][-1].as_py()
     os.makedirs(out_dir, exist_ok=True)
     dst = os.path.join(out_dir, f"part-{lo:012d}-{hi:012d}.parquet")
     tmp = dst + f".tmp-{os.getpid()}"
     pq.write_table(tbl, tmp, compression="zstd", row_group_size=row_group_size)
     os.replace(tmp, dst)
-    return tbl.num_rows
+    return tbl.num_rows, dst
+
+
+def coalesce_partition_dirs(
+    root: str,
+    *,
+    sort_col: str,
+    target_bytes: int = 256 * 1024 * 1024,
+    row_group_size: int = 4096,
+) -> int:
+    """Coalesce every immediate child partition dir of ``root`` (hive
+    ``key=value`` layout, e.g. a vector store's ``cell=K`` dirs) in place:
+    one Ray task per ~``target_bytes`` of one partition, output files sorted
+    by ``sort_col`` and named ``part-{lo}-{hi}``.  In-place per-partition
+    (files are replaced only after their compacted successor is on disk);
+    used at the tail of a partitioned *build* where the store is not yet
+    published, so mid-run crash recovery is the builder's (the build re-runs).
+    Returns the resulting file count."""
+    import ray
+
+    rewrite = ray.remote(num_cpus=1)(_rewrite_group)
+    jobs: list[tuple[object, list[str]]] = []
+    for name in sorted(os.listdir(root)):
+        pdir = os.path.join(root, name)
+        if not os.path.isdir(pdir):
+            continue
+        # pack files into ~target_bytes groups in name order (no range
+        # structure assumed — output files may overlap in sort_col, which the
+        # consumers here (full-partition scans) don't care about)
+        group: list[str] = []
+        group_bytes = 0
+        groups: list[list[str]] = []
+        for f in sorted(os.listdir(pdir)):
+            if not f.endswith(".parquet"):
+                continue
+            p = os.path.join(pdir, f)
+            nbytes = os.path.getsize(p)
+            if group and group_bytes + nbytes > target_bytes:
+                groups.append(group)
+                group, group_bytes = [], 0
+            group.append(p)
+            group_bytes += nbytes
+        if group:
+            groups.append(group)
+        for g in groups:
+            if len(g) == 1 and _RANGE_RE.search(os.path.basename(g[0])):
+                continue  # already coalesced — idempotent re-run
+            jobs.append((rewrite.remote(g, pdir, row_group_size, sort_col), g))
+    for ref, g in jobs:
+        _, dst = ray.get(ref)
+        for p in g:
+            if p != dst:  # os.replace may have overwritten a same-named input
+                os.remove(p)
+    return sum(
+        1 for _, _, fs in os.walk(root) for f in fs if f.endswith(".parquet")
+    )
 
 
 def recover_docstore(index_dir: str) -> bool:
@@ -171,7 +228,7 @@ def compact_docstore(
         out_shard = os.path.join(stage, shard_name)
         for group in plan_groups(ranges, target_bytes):
             refs.append(rewrite.remote(group, out_shard, row_group_size))
-    rows = sum(ray.get(refs))
+    rows = sum(r for r, _ in ray.get(refs))
 
     # two-rename swap; recover_docstore rolls forward a crash in between
     os.rename(live, old)

@@ -598,6 +598,26 @@ def q_ann_ivf(sf_dir: str):
     )
 
 
+def q_ann_store(sf_dir: str):
+    """PERSISTED vector store (SURVEY S8): IVF-partitioned parquet + centroid
+    sidecar built once (resumable/fingerprinted), then an I/O-pruned search
+    that reads only the probed cells' files.  Same config as ann_ivf
+    (16 cells, nprobe 8) so the measured recall gate carries over; with
+    nprobe = n_centroids the result is exactly brute force (tested)."""
+    import hashlib
+
+    from ..ann.store import VectorStoreSearcher, build_vector_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    store_dir = os.path.join("/tmp", f"cidx_vstore_{tag}")
+    build_vector_store(src, store_dir, n_centroids=16)
+    qs = _load_queries(sf_dir)
+    return VectorStoreSearcher(store_dir).topk(
+        qs, np.array(ANN_QUERY_IDS), k=10, nprobe=8
+    )
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -1298,6 +1318,7 @@ def query_catalog():
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
+        "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,
         "agg_lineitem": q_agg_lineitem,

@@ -1,0 +1,106 @@
+"""Persisted vector store (SURVEY S8): IVF-partitioned sink + pruned search.
+
+Correctness anchors: with ``nprobe == n_centroids`` the search is EXACTLY the
+brute-force result (every vector scored, same float64 kernel, same
+tie-breaks); resume is a fingerprinted no-op; probed reads touch only the
+probed cells' files; the partitioned write is coalesced to ~1 file/cell."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+import ray.data as rd
+
+from code_indexer_ray.ann.brute import ann_cosine_topk
+from code_indexer_ray.ann.store import (
+    CELLS_DIR,
+    VectorStoreSearcher,
+    build_vector_store,
+)
+
+SRC = "/root/testdata/sf0.001/embeddings.parquet"
+QUERY_IDS = (0, 1, 2, 3)
+
+
+def _queries():
+    t = pq.read_table(SRC)
+    ids = t["vec_id"].to_numpy()
+    rows = np.flatnonzero(np.isin(ids, QUERY_IDS))
+    qs = np.stack([np.asarray(t["embedding"][i].as_py(), dtype=np.float64) for i in rows])
+    return qs, ids[rows]
+
+
+@pytest.fixture(scope="module")
+def store(ray_session, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("vstore") / "store")
+    man = build_vector_store(SRC, out, n_centroids=8)
+    return out, man
+
+
+def test_build_layout_and_resume(store):
+    out, man = store
+    assert man["n_vectors"] == 500 and man["n_centroids"] == 8
+    files = glob.glob(os.path.join(out, CELLS_DIR, "cell=*", "*.parquet"))
+    # coalesced: one file per non-empty cell at this scale
+    assert len(files) <= man["n_centroids"]
+    assert sum(pq.read_table(f).num_rows for f in files) == man["n_vectors"]
+    mtimes = {f: os.path.getmtime(f) for f in files}
+    man2 = build_vector_store(SRC, out, n_centroids=8)  # fingerprint match
+    assert man2 == man
+    assert {f: os.path.getmtime(f) for f in files} == mtimes  # true no-op
+
+
+def test_full_probe_equals_brute(store, ray_session):
+    out, _ = store
+    qs, qids = _queries()
+    s = VectorStoreSearcher(out)
+    exact = s.topk(qs, qids, 10, nprobe=8)
+    brute = ann_cosine_topk(
+        rd.read_parquet(SRC, columns=["vec_id", "embedding"]), qs, qids, 10
+    )
+    assert exact.equals(brute)
+
+
+def test_partial_probe_reads_only_probed_cells(store):
+    out, _ = store
+    qs, _ = _queries()
+    s = VectorStoreSearcher(out)
+    probes, files = s.probe_dirs(qs, nprobe=2)
+    assert probes.shape == (len(qs), 2)
+    probed_cells = {f"cell={c}" for c in np.unique(probes)}
+    touched = {os.path.basename(os.path.dirname(f)) for f in files}
+    assert touched <= probed_cells
+    all_cells = {
+        os.path.basename(d) for d in glob.glob(os.path.join(out, CELLS_DIR, "cell=*"))
+    }
+    assert touched < all_cells  # strictly pruned
+
+
+def test_partial_probe_results_are_subset_ranked(store, ray_session):
+    out, _ = store
+    qs, qids = _queries()
+    s = VectorStoreSearcher(out)
+    appr = s.topk(qs, qids, 10, nprobe=3)
+    assert set(appr.schema.names) == {"query_id", "rank", "vec_id", "cos"}
+    # every approximate hit's cos must equal the true cosine (exact scoring
+    # inside probed cells — only candidate coverage is approximate)
+    brute = ann_cosine_topk(
+        rd.read_parquet(SRC, columns=["vec_id", "embedding"]), qs, qids, 500
+    ).to_pandas()
+    truth = {(q, v): c for q, v, c in zip(brute.query_id, brute.vec_id, brute.cos)}
+    for q, v, c in zip(
+        appr["query_id"].to_pylist(), appr["vec_id"].to_pylist(), appr["cos"].to_pylist()
+    ):
+        assert truth[(q, v)] == pytest.approx(c, abs=1e-12)
+
+
+def test_dim_mismatch_raises(store):
+    out, _ = store
+    s = VectorStoreSearcher(out)
+    with pytest.raises(ValueError, match="dim"):
+        s.topk(np.zeros((1, 3)), np.array([0]), 5)
