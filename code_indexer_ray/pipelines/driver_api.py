@@ -626,6 +626,18 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_token_count(sf_dir: str):
+    """BPE-ish token counting as a stateful actor-pool stage (ST2 analog):
+    pattern state built once per actor, vectorized RE2 counting per batch."""
+    import ray.data as rd
+
+    from ..text.tokencount import TokenCountStage
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        TokenCountStage, concurrency=2, batch_format="pyarrow"
+    )
+
+
 def q_text_quality(sf_dir: str):
     import ray.data as rd
 
@@ -1147,6 +1159,10 @@ def oracle_catalog() -> dict[str, str]:
         f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
     )
 
+    from ..text.tokencount import sql_token_count
+
+    out["token_count"] = sql_token_count()
+
     out["dedup_embed_cosine"] = (
         "WITH v AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i\n"
         "  FROM embeddings),\n"
@@ -1313,6 +1329,7 @@ def query_catalog():
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
+        "token_count": q_token_count,
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
         "ann_cosine": q_ann_cosine,
