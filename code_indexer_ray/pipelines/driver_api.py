@@ -784,6 +784,62 @@ def q_events_window(sf_dir: str):
     return _ts_us(pa.Table.from_pandas(out, preserve_index=False), ("window_start",))
 
 
+def q_events_session(sf_dir: str):
+    """Session windows (gap-based sessionization, 30-min inactivity gap) —
+    one hash shuffle on user_id, vectorized gap/cumsum inside each group."""
+    import ray.data as rd
+
+    from .ops import sessionize
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    out = sessionize(ds, "ts", "user_id", "value", "event_id", gap_secs=1800).to_pandas()
+    out["sum_value_r"] = out["sum_value"].round(4)
+    out = out.drop(columns=["sum_value"])
+    return _ts_us(
+        pa.Table.from_pandas(out, preserve_index=False),
+        ("session_start", "session_end"),
+    )
+
+
+def q_asof_orders(sf_dir: str):
+    """As-of join: each event picks the user's LAST order placed at or before
+    the event time (left-outer; ties on date → max orderkey).  Co-partitions
+    both sides in ONE shuffle (tag → union → groupby(key) → searchsorted) —
+    no broadcast assumption on either side."""
+    import ray.data as rd
+
+    from .ops import asof_join_last
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"],
+    )
+    out = asof_join_last(
+        events,
+        orders,
+        key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        left_cols=["event_id"],
+        right_cols=["o_orderkey", "o_orderdate", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return _ts_us(pa.concat_tables(_to_refs_tables(out)), ("o_orderdate",))
+
+
+def _to_refs_tables(ds):
+    import ray
+
+    return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+
+
 def q_agg_lineitem(sf_dir: str):
     import ray.data as rd
 
@@ -1254,6 +1310,30 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY user_id, date_trunc('hour', ts)"
     )
 
+    out["events_session"] = (
+        "WITH w AS (SELECT user_id, ts, value, event_id,\n"
+        "  CASE WHEN lag(ts) OVER win IS NULL\n"
+        "       OR epoch(ts - lag(ts) OVER win) > 1800 THEN 1 ELSE 0 END AS brk\n"
+        "  FROM events WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)),\n"
+        "s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS session_id FROM w)\n"
+        "SELECT user_id, session_id::BIGINT AS session_id,\n"
+        "  min(ts) AS session_start, max(ts) AS session_end,\n"
+        "  count(*)::BIGINT AS n_events, round(sum(value), 4) AS sum_value_r\n"
+        "FROM s GROUP BY user_id, session_id"
+    )
+
+    out["asof_orders"] = (
+        "SELECT user_id, event_id, o_orderkey, o_orderdate, o_totalprice FROM (\n"
+        "  SELECT e.user_id, e.event_id, o.o_orderkey, o.o_orderdate::TIMESTAMP AS o_orderdate,\n"
+        "    o.o_totalprice,\n"
+        "    row_number() OVER (PARTITION BY e.event_id\n"
+        "      ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn\n"
+        "  FROM events e LEFT JOIN orders o\n"
+        "    ON o.o_custkey = e.user_id AND o.o_orderdate::TIMESTAMP <= e.ts\n"
+        ") WHERE rn = 1"
+    )
+
     out["agg_lineitem"] = (
         "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 4) AS l_quantity,\n"
         "  round(sum(l_extendedprice), 4) AS l_extendedprice, count(*)::BIGINT AS n\n"
@@ -1338,6 +1418,8 @@ def query_catalog():
         "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,
+        "events_session": q_events_session,
+        "asof_orders": q_asof_orders,
         "agg_lineitem": q_agg_lineitem,
         "topk_orders": q_topk_orders,
         "antijoin_customers": q_antijoin,

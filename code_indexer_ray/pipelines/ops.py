@@ -126,3 +126,158 @@ def partial_agg_sum(ds, keys: list[str], sums: list[str], count_alias: str = "n"
 
     aggs = [Sum(c, alias_name=c) for c in sums] + [Sum(count_alias, alias_name=count_alias)]
     return ds.map_batches(partial, batch_format="pyarrow").groupby(keys).aggregate(*aggs)
+
+
+def sessionize(ds, ts_col: str, key_col: str, value_col: str, tiebreak_col: str,
+               gap_secs: int = 1800):
+    """Session windows: consecutive events of one key belong to one session
+    while the gap between neighbours is ≤ ``gap_secs``; a larger gap starts a
+    new session.  Sessions are numbered 0.. per key in event-time order
+    (ties broken by ``tiebreak_col`` so numbering is deterministic).
+
+    Shape: ONE hash shuffle on ``key_col`` (``groupby.map_groups``); each
+    group is one key's events — the standard sessionization partitioning
+    assumption (per-key event counts fit a worker; a key with unbounded
+    events needs a time-bucketed pre-split, which tumbling_window covers).
+    Output: (key, session_id, session_start, session_end, n_events,
+    sum_value) — one row per session.
+    """
+
+    def per_key(g: pa.Table) -> pa.Table:
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    key_col: pa.array([], type=g[key_col].type),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "session_start": pa.array([], type=pa.timestamp("us")),
+                    "session_end": pa.array([], type=pa.timestamp("us")),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "sum_value": pa.array([], type=pa.float64()),
+                }
+            )
+        order = pc.sort_indices(
+            g, sort_keys=[(ts_col, "ascending"), (tiebreak_col, "ascending")]
+        )
+        g = g.take(order)
+        ts = g[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        ts_us = ts.astype("datetime64[us]").astype(np.int64)
+        brk = np.empty(len(ts_us), dtype=np.int64)
+        brk[0] = 0
+        brk[1:] = (np.diff(ts_us) > gap_secs * 1_000_000).astype(np.int64)
+        sess = np.cumsum(brk)
+        vals = g[value_col].to_numpy(zero_copy_only=False)
+        t = pa.table(
+            {
+                key_col: g[key_col],
+                "session_id": pa.array(sess),
+                "ts": pa.array(ts_us),
+                "value": pa.array(vals),
+                "one": pa.array(np.ones(len(ts_us), dtype=np.int64)),
+            }
+        )
+        agg = t.group_by([key_col, "session_id"]).aggregate(
+            [("ts", "min"), ("ts", "max"), ("one", "sum"), ("value", "sum")]
+        )
+        return pa.table(
+            {
+                key_col: agg[key_col],
+                "session_id": agg["session_id"],
+                "session_start": agg["ts_min"].cast(pa.timestamp("us")),
+                "session_end": agg["ts_max"].cast(pa.timestamp("us")),
+                "n_events": agg["one_sum"],
+                "sum_value": agg["value_sum"],
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def asof_join_last(
+    left,
+    right,
+    *,
+    key: str,
+    right_key: str | None = None,
+    left_ts: str,
+    right_ts: str,
+    left_cols: list[str],
+    right_cols: list[str],
+    right_tiebreak: str,
+):
+    """As-of join: for every left row, the LAST right row of the same ``key``
+    with ``right_ts <= left_ts`` (ties on right_ts → max ``right_tiebreak``);
+    left rows with no prior right row keep nulls (left-outer asof).
+
+    Ray Data has no join primitive, and a broadcast only works when one side
+    is small — so this co-partitions BOTH sides in one shuffle: tag each side,
+    harmonize schemas (other side's columns null), union, ``groupby(key)``,
+    and merge within each group with one searchsorted.  Both inputs stream;
+    the group holds one key's rows from both sides.
+
+    Output columns: ``key``, ``left_cols``, ``right_cols`` (nullable).
+    """
+    right_key = right_key or key
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    ts_t = pa.timestamp("us")
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            key: b[key].cast(pa.int64()),
+            "_ts": b[left_ts].cast(ts_t),
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[c] = b[c]
+        for c in right_cols:
+            cols[c] = pa.nulls(n, type=ts_t if c == right_ts else r_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        cols = {
+            key: b[right_key].cast(pa.int64()),
+            "_ts": b[right_ts].cast(ts_t),
+            "_side": pa.array(np.ones(n, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(n, type=l_types[c])
+        for c in right_cols:
+            cols[c] = b[c].cast(ts_t) if c == right_ts else b[c]
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_key(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        out_cols = [key] + left_cols + right_cols
+        if lt.num_rows == 0:
+            return pa.table({c: pa.chunked_array([], type=g[c].type) for c in out_cols})
+        rt = rt.take(pc.sort_indices(
+            rt, sort_keys=[("_ts", "ascending"), (right_tiebreak, "ascending")]
+        ))
+        l_ts = lt["_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        r_ts = rt["_ts"].to_numpy(zero_copy_only=False).astype("datetime64[us]").astype(np.int64)
+        idx = np.searchsorted(r_ts, l_ts, side="right") - 1
+        has = idx >= 0
+        cols = {key: lt[key]}
+        for c in left_cols:
+            cols[c] = lt[c]
+        take_idx = pa.array(np.where(has, idx, 0), type=pa.int64())
+        mask = pa.array(~has)
+        for c in right_cols:
+            if rt.num_rows:
+                taken = rt[c].take(take_idx)
+                cols[c] = pc.if_else(mask, pa.nulls(lt.num_rows, type=taken.type), taken)
+            else:
+                cols[c] = pa.nulls(lt.num_rows, type=g[c].type)
+        return pa.table(cols)
+
+    return both.groupby(key).map_groups(per_key, batch_format="pyarrow")

@@ -87,6 +87,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_near_pairs", "dedup_embed_cosine",
         "text_quality", "quality_filter", "sample_token_budget", "token_count",
         "ann_cosine", "events_keep_latest", "events_window",
+        "events_session", "asof_orders",
         "agg_lineitem", "topk_orders", "antijoin_customers", "mm_decode",
         "mm_frames",
     ],

@@ -612,3 +612,108 @@ class TestRollingHash:
         assert a[0] == a[2]          # same token stream → same fingerprint
         assert a[0] != a[1]          # order-sensitive (unlike the set fingerprint)
         assert a[3] == 0
+
+
+class TestSessionize:
+    def _ds(self, rows):
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array(
+                        [np.datetime64(r[1], "us") for r in rows], pa.timestamp("us")
+                    ),
+                    "value": pa.array([float(r[2]) for r in rows]),
+                    "event_id": pa.array(list(range(len(rows))), pa.int64()),
+                }
+            )
+        )
+
+    def test_gap_boundary_and_numbering(self, ray_session):
+        from code_indexer_ray.pipelines.ops import sessionize
+
+        rows = [
+            # user 1: 0s, +1800s (== gap, SAME session), +1800+1 (new session)
+            (1, "2024-01-01T00:00:00", 1.0),
+            (1, "2024-01-01T00:30:00", 2.0),
+            (1, "2024-01-01T01:00:01", 4.0),
+            # user 2: single event
+            (2, "2024-01-01T12:00:00", 8.0),
+        ]
+        out = (
+            sessionize(self._ds(rows), "ts", "user_id", "value", "event_id", gap_secs=1800)
+            .to_pandas()
+            .sort_values(["user_id", "session_id"])
+            .reset_index(drop=True)
+        )
+        assert out.user_id.tolist() == [1, 1, 2]
+        assert out.session_id.tolist() == [0, 1, 0]
+        assert out.n_events.tolist() == [2, 1, 1]
+        assert out.sum_value.tolist() == [3.0, 4.0, 8.0]
+        assert str(out.session_end[0]) == "2024-01-01 00:30:00"
+
+
+class TestAsofJoin:
+    def test_nulls_ties_and_lastness(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.pipelines.ops import asof_join_last
+
+        left = rd.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+                    "ts": pa.array(
+                        [
+                            np.datetime64("2024-01-05T00:00:00", "us"),
+                            np.datetime64("2024-01-01T00:00:00", "us"),
+                            np.datetime64("2024-01-05T00:00:00", "us"),
+                            np.datetime64("2024-01-05T00:00:00", "us"),
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+                }
+            )
+        )
+        right = rd.from_arrow(
+            pa.table(
+                {
+                    "cust": pa.array([1, 1, 1, 2], pa.int64()),
+                    "odate": pa.array(
+                        [
+                            np.datetime64("2024-01-02T00:00:00", "us"),
+                            np.datetime64("2024-01-03T00:00:00", "us"),
+                            np.datetime64("2024-01-03T00:00:00", "us"),  # tie
+                            np.datetime64("2024-01-07T00:00:00", "us"),  # after
+                        ],
+                        pa.timestamp("us"),
+                    ),
+                    "okey": pa.array([100, 101, 102, 200], pa.int64()),
+                }
+            )
+        )
+        out = (
+            asof_join_last(
+                left,
+                right,
+                key="user_id",
+                right_key="cust",
+                left_ts="ts",
+                right_ts="odate",
+                left_cols=["event_id"],
+                right_cols=["okey", "odate"],
+                right_tiebreak="okey",
+            )
+            .to_pandas()
+            .sort_values("event_id")
+            .reset_index(drop=True)
+        )
+        assert out.event_id.tolist() == [10, 11, 12, 13]
+        # event 10: last order ≤ Jan5 is the Jan3 tie → max okey 102
+        # event 11: no order ≤ Jan1 → null; event 12: order is after → null
+        # event 13: user 3 has no orders at all → null
+        assert out.okey.tolist()[0] == 102
+        assert out.okey.isna().tolist() == [False, True, True, True]
