@@ -206,6 +206,14 @@ def run() -> dict:
         merge_indexes(out, delta_idx, merged)
         qstats["merge_sec"] = round(time.perf_counter() - t5, 3)
 
+        # doc-store compaction (small-file coalescing) on the merged index
+        from code_indexer_ray.index.compact import compact_docstore
+
+        t6 = time.perf_counter()
+        cstats = compact_docstore(merged)
+        qstats["compact_sec"] = round(time.perf_counter() - t6, 3)
+        qstats["compact_files"] = f"{cstats['files_before']}->{cstats['files_after']}"
+
     result = {
         "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
         "value": round(build_sec, 3),

@@ -626,6 +626,19 @@ def q_simhash(sf_dir: str):
     )
 
 
+def q_embed_text(sf_dir: str):
+    """Embedder-client stage (ST1 analog): feature-hashing projection held as
+    actor state, batched vectorized embedding, exploded (doc_id, i, v_r)
+    output with an exact md5-parity DuckDB twin."""
+    import ray.data as rd
+
+    from ..text.embed import TextEmbedStage
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        TextEmbedStage, concurrency=2, batch_format="pyarrow"
+    )
+
+
 def q_token_count(sf_dir: str):
     """BPE-ish token counting as a stateful actor-pool stage (ST2 analog):
     pattern state built once per actor, vectorized RE2 counting per batch."""
@@ -1219,6 +1232,10 @@ def oracle_catalog() -> dict[str, str]:
 
     out["token_count"] = sql_token_count()
 
+    from ..text.embed import sql_embed_text
+
+    out["embed_text"] = sql_embed_text()
+
     out["dedup_embed_cosine"] = (
         "WITH v AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i\n"
         "  FROM embeddings),\n"
@@ -1410,6 +1427,7 @@ def query_catalog():
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
         "token_count": q_token_count,
+        "embed_text": q_embed_text,
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
         "ann_cosine": q_ann_cosine,
