@@ -639,6 +639,63 @@ def q_embed_text(sf_dir: str):
     )
 
 
+def q_semantic_search(sf_dir: str):
+    """END-TO-END semantic search (the reference's flagship flow,
+    ``filesystem_vector_store`` + embedder): documents → actor-pool embedder
+    → embeddings parquet → persisted IVF vector store → top-k.  Run at
+    nprobe = n_centroids the store search is EXACTLY brute force, and the
+    embeddings are deterministic feature hashes — so this whole pipeline has
+    a full SQL oracle (cosine is scale-invariant: the twin uses raw signed
+    counts, no normalization needed)."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..ann.store import VectorStoreSearcher, build_vector_store
+    from ..text.embed import SEMANTIC_DIM, TextEmbedStage
+
+    tag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    emb_dir = os.path.join("/tmp", f"cidx_semvec_{tag}")
+    store_dir = os.path.join("/tmp", f"cidx_semstore_{tag}")
+    ds = (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+        .map_batches(
+            TextEmbedStage,
+            fn_constructor_kwargs={"dim": SEMANTIC_DIM, "output": "list"},
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .filter(expr="norm > 0")  # token-less docs have no embedding
+        .drop_columns(["norm"])
+    )
+    import shutil
+
+    shutil.rmtree(emb_dir, ignore_errors=True)
+    ds.write_parquet(emb_dir)
+    build_vector_store(
+        emb_dir, store_dir, id_col="doc_id", vec_col="embedding", n_centroids=8
+    )
+    s = VectorStoreSearcher(store_dir)
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    qtbl = pa.concat_tables(
+        _pq.read_table(f) for f in _glob.glob(os.path.join(emb_dir, "*.parquet"))
+    )
+    ids = qtbl["doc_id"].to_numpy(zero_copy_only=False)
+    rows = np.flatnonzero(np.isin(ids, SEM_QUERY_IDS))
+    rows = rows[np.argsort(ids[rows])]
+    qids = ids[rows]
+    qs = np.stack([np.asarray(qtbl["embedding"][int(i)].as_py(), dtype=np.float64) for i in rows])
+    out = s.topk(qs, qids, k=10, nprobe=8)
+    cos_r = pa.array(np.round(out["cos"].to_numpy(zero_copy_only=False), 4), type=pa.float64())
+    return out.drop_columns(["cos"]).append_column("cos_r", cos_r)
+
+
+SEM_QUERY_IDS = (0, 1, 2, 3)
+
+
 def q_token_count(sf_dir: str):
     """BPE-ish token counting as a stateful actor-pool stage (ST2 analog):
     pattern state built once per actor, vectorized RE2 counting per batch."""
@@ -1232,9 +1289,35 @@ def oracle_catalog() -> dict[str, str]:
 
     out["token_count"] = sql_token_count()
 
-    from ..text.embed import sql_embed_text
+    from ..text.embed import SEMANTIC_DIM, sql_embed_text
 
     out["embed_text"] = sql_embed_text()
+
+    D = SEMANTIC_DIM
+    sem_qids = ",".join(str(i) for i in SEM_QUERY_IDS)
+    out["semantic_search"] = (
+        f"WITH toks AS ({sql_tokens_cte()}),\n"
+        f"h AS (SELECT doc_id, md5_number_lower(term) AS h FROM toks),\n"
+        f"bu AS (SELECT doc_id, (h % {D})::BIGINT AS bucket,\n"
+        f"  CASE WHEN ((h // {D}) % 2) = 0 THEN 1.0 ELSE -1.0 END AS sgn FROM h),\n"
+        f"acc AS (SELECT doc_id, bucket, sum(sgn)::DOUBLE AS v FROM bu GROUP BY doc_id, bucket),\n"
+        f"dense AS (SELECT t.doc_id, g.b AS i, coalesce(a.v, 0)::DOUBLE AS v\n"
+        f"  FROM (SELECT DISTINCT doc_id FROM toks) t\n"
+        f"  CROSS JOIN (SELECT unnest(generate_series(0, {D - 1})) AS b) g\n"
+        f"  LEFT JOIN acc a ON a.doc_id = t.doc_id AND a.bucket = g.b),\n"
+        # cosine is scale-invariant: raw signed counts stand in for the
+        # engine's L2-normalized vectors
+        f"vecs AS (SELECT doc_id, list(v ORDER BY i) AS e FROM dense GROUP BY doc_id),\n"
+        f"nz AS (SELECT doc_id, e FROM vecs WHERE len(list_filter(e, x -> x <> 0)) > 0),\n"
+        f"q AS (SELECT doc_id AS qid, e AS qe FROM nz WHERE doc_id IN ({sem_qids})),\n"
+        f"pairs AS (SELECT q.qid, n.doc_id AS vec_id, list_cosine_similarity(q.qe, n.e) AS cos\n"
+        f"  FROM q, nz n WHERE n.doc_id <> q.qid),\n"
+        f"ranked AS (SELECT qid, vec_id, cos,\n"
+        f"  row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM pairs)\n"
+        f"SELECT qid::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id,\n"
+        f"  round(cos, 4) AS cos_r\n"
+        f"FROM ranked WHERE rank <= 10"
+    )
 
     out["dedup_embed_cosine"] = (
         "WITH v AS (SELECT vec_id, unnest(embedding) AS x, generate_subscripts(embedding, 1) AS i\n"
@@ -1428,6 +1511,7 @@ def query_catalog():
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "embed_text": q_embed_text,
+        "semantic_search": q_semantic_search,
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
         "ann_cosine": q_ann_cosine,

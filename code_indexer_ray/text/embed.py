@@ -26,6 +26,7 @@ from .analysis import sql_tokens_cte, tokenize_flat
 from ..dedup.minhash import md5_lower64
 
 DEFAULT_EMBED_DIM = 16
+SEMANTIC_DIM = 16  # end-to-end semantic-search pipeline dimension
 
 
 class TextEmbedStage:
@@ -33,13 +34,20 @@ class TextEmbedStage:
     concurrency=N, batch_format="pyarrow")`` — embedder actor pool."""
 
     def __init__(
-        self, dim: int = DEFAULT_EMBED_DIM, id_col: str = "doc_id", text_col: str = "text"
+        self,
+        dim: int = DEFAULT_EMBED_DIM,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+        output: str = "exploded",
     ):
         # per-actor "model load": the projection config + the unique-token
         # hash cache (persists across batches, like a tokenizer/model cache)
+        if output not in ("exploded", "list"):
+            raise ValueError(f"output must be 'exploded' or 'list', got {output!r}")
         self.dim = dim
         self.id_col = id_col
         self.text_col = text_col
+        self.output = output
         self._hash_cache: dict[str, int] = {}
 
     def _hash_unique(self, terms: list[str]) -> np.ndarray:
@@ -70,6 +78,19 @@ class TextEmbedStage:
             np.add.at(acc, (rows, bucket), sign)
         norms = np.sqrt((acc * acc).sum(axis=1))
         emb = np.divide(acc, norms[:, None], out=np.zeros_like(acc), where=norms[:, None] > 0)
+        if self.output == "list":
+            # full-precision normalized vectors (downstream ANN / vector
+            # store input); token-less docs are zero vectors — filter with
+            # the returned norm column if the consumer needs unit vectors
+            return pa.table(
+                {
+                    "doc_id": pa.array(doc_ids),
+                    "embedding": pa.FixedSizeListArray.from_arrays(
+                        pa.array(emb.reshape(-1)), dim
+                    ).cast(pa.list_(pa.float64())),
+                    "norm": pa.array(norms),
+                }
+            )
         emb_r = np.round(emb, 4)
         return pa.table(
             {
