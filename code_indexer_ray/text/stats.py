@@ -56,14 +56,33 @@ def text_stats_batch(batch: pa.Table, *, id_col: str = "doc_id", text_col: str =
         zero_copy_only=False
     ).astype(np.int64)
 
-    # unique tokens + fingerprint per row
-    tok_list = tokens.to_pylist()
-    per_row: list[list[str]] = [[] for _ in range(n)]
-    for t, r in zip(tok_list, rows):
-        per_row[r].append(t)
-    uniq_sorted = [sorted(set(ts)) for ts in per_row]
-    n_unique = np.array([len(u) for u in uniq_sorted], dtype=np.int64)
-    fingerprint = [hashlib.md5(" ".join(u).encode("utf-8")).hexdigest() for u in uniq_sorted]
+    # unique tokens + fingerprint per row — vectorized: dictionary-encode the
+    # token stream, replace each code with its LEXICOGRAPHIC rank, and one
+    # np.unique over packed (row, rank) keys yields every row's sorted unique
+    # tokens at once.  Only the md5 over each row's (short) canonical string
+    # stays in Python — that part is hash-bound by design (oracle parity).
+    n_unique = np.zeros(n, dtype=np.int64)
+    fingerprint = [hashlib.md5(b"").hexdigest()] * n
+    if len(tokens):
+        dic = pc.dictionary_encode(tokens)
+        codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        terms = np.asarray(dic.dictionary.to_pylist(), dtype=object)
+        order = np.argsort(terms, kind="stable")  # lexicographic (matches sorted())
+        rank_of_code = np.empty(len(terms), dtype=np.int64)
+        rank_of_code[order] = np.arange(len(terms))
+        keys = rows.astype(np.int64) * len(terms) + rank_of_code[codes]
+        uniq = np.unique(keys)  # sorted → grouped by row, ranks ascending
+        urows = uniq // len(terms)
+        uranks = uniq % len(terms)
+        np.add.at(n_unique, urows, 1)
+        terms_by_rank = terms[order]
+        bounds = np.searchsorted(urows, np.arange(n + 1))
+        fingerprint = [
+            hashlib.md5(
+                " ".join(terms_by_rank[uranks[bounds[r] : bounds[r + 1]]]).encode("utf-8")
+            ).hexdigest()
+            for r in range(n)
+        ]
 
     langs = sorted(STOPWORDS)
     stack = np.stack([stop_counts[lang] for lang in langs], axis=1)
