@@ -72,6 +72,7 @@ class WatchDriver:
         doc_id_upper: int | None = None,
         num_buckets: int | None = None,
         target_docs_per_shard: int = 250_000,
+        compact_every: int | None = 8,
     ):
         self.input_dir = input_dir
         self.index_root = index_root
@@ -81,6 +82,7 @@ class WatchDriver:
         self.doc_id_upper = doc_id_upper
         self.num_buckets = num_buckets
         self.target_docs_per_shard = target_docs_per_shard
+        self.compact_every = compact_every
         os.makedirs(index_root, exist_ok=True)
         self._state = self._load_state()
 
@@ -173,6 +175,16 @@ class WatchDriver:
                 manifest = merge_indexes(
                     base_dir, None, gen_dir, tombstone_ranges=ranges or None
                 )
+
+        # periodic doc-store compaction: each merge tick adds delta_ files to
+        # the generation's doc store; every ``compact_every`` generations the
+        # new (not-yet-published) generation is coalesced back to ~1 file per
+        # shard per target_bytes (Tantivy's background-merge analog for the
+        # stored-fields half).  Safe here: gen_dir is private until _publish.
+        if self.compact_every and gen % self.compact_every == 0:
+            from ..index.compact import compact_docstore
+
+            compact_docstore(gen_dir)
 
         # record fingerprints + doc ranges, advance the generation, swap
         files = {}

@@ -117,3 +117,31 @@ class TestWatchDriver:
             ra = [(r["doc_id"], round(r["score"], 9)) for r in a.search(q, limit=0, snippet_lines=0)]
             rb = [(r["doc_id"], round(r["score"], 9)) for r in b.search(q, limit=0, snippet_lines=0)]
             assert ra == rb, q
+
+
+class TestWatchCompaction:
+    def test_periodic_compaction_preserves_results(self, ray_session, corpus, tmp_path):
+        import glob
+
+        root = str(tmp_path / "idxc")
+        w = WatchDriver(
+            str(corpus), root, doc_id_upper=999, num_buckets=4,
+            target_docs_per_shard=50, compact_every=1,  # compact every tick
+        )
+        w.tick()  # gen 0: full build — gen % 1 == 0 → compacted immediately
+        _write_shard(str(corpus / "part-001.parquet"), 50, 99, salt="X")
+        os.utime(str(corpus / "part-001.parquet"))
+        m = w.tick()  # gen 1: merge + compaction of the new generation
+        assert m is not None and m.num_docs == 150
+        cur = w.current_index()
+        files = glob.glob(os.path.join(cur, "docstore", "**", "*.parquet"), recursive=True)
+        # compacted: no delta_ files survive, ≤1 file per shard at this size
+        assert not [f for f in files if "delta_" in os.path.basename(f)]
+        shard_dirs = {os.path.dirname(f) for f in files}
+        assert len(files) == len(shard_dirs)
+        s = IndexSearcher(cur)
+        assert len(s.search("commonX", limit=0, snippet_lines=0)) == 50
+        assert len(s.search("common", limit=0, snippet_lines=0)) == 100
+        # stored fields intact after compaction
+        hit = s.search("w0060", snippet_lines=1)[0]
+        assert "w0060" in hit["snippet"]
