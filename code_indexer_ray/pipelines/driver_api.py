@@ -910,6 +910,23 @@ def _to_refs_tables(ds):
     return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
 
 
+def q_events_hopping(sf_dir: str):
+    """Hopping windows (1h window, 15-min hop → each event in 4 windows);
+    the ×4 fan-out AND the partial combine both live inside map_batches, so
+    the groupby still moves one row per (key, window) per batch."""
+    import ray.data as rd
+
+    from .ops import hopping_window
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "value"]
+    )
+    out = hopping_window(ds, "ts", "user_id", "value").to_pandas()
+    out["sum_value_r"] = out["sum_value"].round(4)
+    out = out.drop(columns=["sum_value"])
+    return _ts_us(pa.Table.from_pandas(out, preserve_index=False), ("window_start",))
+
+
 def q_agg_lineitem(sf_dir: str):
     import ray.data as rd
 
@@ -1410,6 +1427,17 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY user_id, date_trunc('hour', ts)"
     )
 
+    out["events_hopping"] = (
+        "WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),\n"
+        "k AS (SELECT unnest(generate_series(0, 3)) AS k),\n"
+        "w AS (SELECT user_id,\n"
+        "  make_timestamp((tus // 900000000) * 900000000 - k.k * 900000000) AS window_start,\n"
+        "  value FROM e, k)\n"
+        "SELECT user_id, window_start, count(*)::BIGINT AS n_events,\n"
+        "  round(sum(value), 4) AS sum_value_r\n"
+        "FROM w GROUP BY user_id, window_start"
+    )
+
     out["events_session"] = (
         "WITH w AS (SELECT user_id, ts, value, event_id,\n"
         "  CASE WHEN lag(ts) OVER win IS NULL\n"
@@ -1521,6 +1549,7 @@ def query_catalog():
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,
         "events_session": q_events_session,
+        "events_hopping": q_events_hopping,
         "asof_orders": q_asof_orders,
         "agg_lineitem": q_agg_lineitem,
         "topk_orders": q_topk_orders,

@@ -281,3 +281,55 @@ def asof_join_last(
         return pa.table(cols)
 
     return both.groupby(key).map_groups(per_key, batch_format="pyarrow")
+
+
+def hopping_window(
+    ds, ts_col: str, key_col: str, value_col: str,
+    *, size_us: int = 3_600_000_000, hop_us: int = 900_000_000,
+):
+    """Hopping (sliding) event-time windows: each event lands in
+    ``size/hop`` overlapping windows; count + sum per (key, window_start).
+
+    ``hop_us`` must divide ``size_us``.  Same shuffle discipline as
+    :func:`tumbling_window`: the fan-out (×size/hop) and the partial combine
+    both happen inside ``map_batches``, so the wide groupby moves one row per
+    (key, window) per batch.
+    """
+    if size_us % hop_us:
+        raise ValueError("hop must divide size")
+    nwin = size_us // hop_us
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        tus = ts.astype("datetime64[us]").astype(np.int64)
+        w0 = (tus // hop_us) * hop_us
+        n = len(tus)
+        # every event is inside all nwin windows ending at or after it
+        starts = (np.repeat(w0, nwin) - np.tile(np.arange(nwin, dtype=np.int64) * hop_us, n))
+        t = pa.table(
+            {
+                key_col: batch[key_col].take(pa.array(np.repeat(np.arange(n), nwin))),
+                "window_start": pa.array(starts).cast(pa.timestamp("us")),
+                "n_events": pa.array(np.ones(n * nwin, dtype=np.int64)),
+                "sum_value": batch[value_col].take(pa.array(np.repeat(np.arange(n), nwin))),
+            }
+        )
+        agg = t.group_by([key_col, "window_start"]).aggregate(
+            [("n_events", "sum"), ("sum_value", "sum")]
+        )
+        return pa.table(
+            {
+                key_col: agg[key_col],
+                "window_start": agg["window_start"],
+                "n_events": agg["n_events_sum"],
+                "sum_value": agg["sum_value_sum"],
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, "window_start"])
+        .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
+    )
