@@ -910,6 +910,77 @@ def _to_refs_tables(ds):
     return [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
 
 
+def q_topk_orders_per_cust(sf_dir: str):
+    """Grouped top-k (A4 per-facet form): top-3 orders per customer by price;
+    one hash shuffle on the group key, vectorized head per group."""
+    import ray.data as rd
+
+    from .ops import grouped_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return grouped_topk(ds, ["o_custkey"], "o_totalprice", 3, "o_orderkey")
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact count-distinct per event_type with map-side pair dedup (the
+    shuffle moves unique pairs, not raw events)."""
+    import ray.data as rd
+
+    from .ops import distinct_count
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return distinct_count(ds, "event_type", "user_id")
+
+
+def q_median_value(sf_dir: str):
+    """Exact per-user median event value (numpy/DuckDB shared even-count
+    interpolation convention)."""
+    import ray.data as rd
+
+    from .ops import grouped_median
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "value"]
+    )
+    out = grouped_median(ds, "user_id", "value").to_pandas()
+    out["median_value_r"] = out["median_value"].round(4)
+    return pa.Table.from_pandas(out.drop(columns=["median_value"]), preserve_index=False)
+
+
+def q_range_events(sf_dir: str):
+    """Range (interval) join, self-join form: every pair (event, earlier
+    event of the same user within the previous hour) — co-partitioned by
+    (user, 1-hour bucket), right side replicated to ≤2 buckets, one
+    shuffle, searchsorted match ranges per group."""
+    import ray.data as rd
+
+    from .ops import range_join_window
+
+    events = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+    other = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    ).rename_columns({"ts": "ts_b", "event_id": "event_id_b"})
+    out = range_join_window(
+        events,
+        other,
+        key="user_id",
+        left_ts="ts",
+        right_ts="ts_b",
+        before_us=3_600_000_000,
+        left_cols=["event_id"],
+        right_cols=["event_id_b"],
+    )
+    tbl = pa.concat_tables(_to_refs_tables(out))
+    return tbl.filter(pc.not_equal(tbl["event_id"], tbl["event_id_b"]))
+
+
 def q_events_hopping(sf_dir: str):
     """Hopping windows (1h window, 15-min hop → each event in 4 windows);
     the ×4 fan-out AND the partial combine both live inside map_batches, so
@@ -1427,6 +1498,31 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY user_id, date_trunc('hour', ts)"
     )
 
+    out["topk_orders_per_cust"] = (
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM (\n"
+        "  SELECT o_custkey, o_orderkey, o_totalprice,\n"
+        "    row_number() OVER (PARTITION BY o_custkey\n"
+        "      ORDER BY o_totalprice DESC, o_orderkey) AS rn\n"
+        "  FROM orders) WHERE rn <= 3"
+    )
+
+    out["distinct_users"] = (
+        "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct\n"
+        "FROM events GROUP BY event_type"
+    )
+
+    out["median_value"] = (
+        "SELECT user_id, round(median(value), 4) AS median_value_r\n"
+        "FROM events GROUP BY user_id"
+    )
+
+    out["range_events"] = (
+        "SELECT a.user_id, a.event_id, b.event_id AS event_id_b\n"
+        "FROM events a JOIN events b ON b.user_id = a.user_id\n"
+        "  AND b.ts BETWEEN a.ts - INTERVAL 1 HOUR AND a.ts\n"
+        "  AND b.event_id <> a.event_id"
+    )
+
     out["events_hopping"] = (
         "WITH e AS (SELECT user_id, epoch_us(ts) AS tus, value FROM events),\n"
         "k AS (SELECT unnest(generate_series(0, 3)) AS k),\n"
@@ -1551,8 +1647,12 @@ def query_catalog():
         "events_session": q_events_session,
         "events_hopping": q_events_hopping,
         "asof_orders": q_asof_orders,
+        "range_events": q_range_events,
         "agg_lineitem": q_agg_lineitem,
         "topk_orders": q_topk_orders,
+        "topk_orders_per_cust": q_topk_orders_per_cust,
+        "distinct_users": q_distinct_users,
+        "median_value": q_median_value,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
     }

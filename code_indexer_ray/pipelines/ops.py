@@ -333,3 +333,171 @@ def hopping_window(
         .groupby([key_col, "window_start"])
         .aggregate(Sum("n_events", alias_name="n_events"), Sum("sum_value", alias_name="sum_value"))
     )
+
+
+def grouped_topk(ds, group_cols: list[str], by: str, k: int, tiebreak: str,
+                 descending: bool = True):
+    """Top-k rows PER GROUP (the reference's per-repo / per-facet top-k,
+    SURVEY A4): one hash shuffle on the group key, then a vectorized
+    sort+head inside each group — never a global sort."""
+
+    asc_by = not descending
+
+    def head(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            g,
+            sort_keys=[(by, "ascending" if asc_by else "descending"),
+                       (tiebreak, "ascending")],
+        )
+        return g.take(order.slice(0, k))
+
+    return ds.groupby(group_cols).map_groups(head, batch_format="pyarrow")
+
+
+def distinct_count(ds, key_col: str, of_col: str):
+    """Exact count-distinct per key with map-side pre-dedup: each batch emits
+    its unique (key, of) pairs, the groupby dedups globally, and a tiny final
+    aggregate counts — the shuffle carries unique pairs, not raw rows."""
+
+    def uniq_pairs(batch: pa.Table) -> pa.Table:
+        return batch.select([key_col, of_col]).group_by([key_col, of_col]).aggregate([])
+
+    def count_uniq(g: pa.Table) -> pa.Table:
+        vals = g[of_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "n_distinct": pa.array([int(np.unique(vals).size)], pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(uniq_pairs, batch_format="pyarrow")
+        .groupby(key_col)
+        .map_groups(count_uniq, batch_format="pyarrow")
+    )
+
+
+def grouped_median(ds, key_col: str, value_col: str):
+    """Exact per-group median (linear interpolation on even counts — numpy's
+    and DuckDB's shared convention): one hash shuffle, vectorized per group."""
+
+    def med(g: pa.Table) -> pa.Table:
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "median_value": pa.array([float(np.median(v))]),
+            }
+        )
+
+    return ds.groupby(key_col).map_groups(med, batch_format="pyarrow")
+
+
+def range_join_window(
+    left,
+    right,
+    *,
+    key: str,
+    right_key: str | None = None,
+    left_ts: str,
+    right_ts: str,
+    before_us: int,
+    after_us: int = 0,
+    left_cols: list[str],
+    right_cols: list[str],
+):
+    """Range (interval) join: every (left, right) pair of the same ``key``
+    with ``right_ts ∈ [left_ts − before, left_ts + after]`` (inclusive).
+
+    Scale shape: co-partition both sides by (key, coarse time bucket) with
+    bucket width = the window span, so a right row replicates to at most TWO
+    buckets and each left row is evaluated exactly once (in its own bucket) —
+    one shuffle, no cross product, replication factor ≤ 2.  Within a group:
+    sort the right side once, then one ``searchsorted`` pair per left row
+    gives its contiguous match range.
+    """
+    right_key = right_key or key
+    span = before_us + after_us
+    if span <= 0:
+        raise ValueError("window span must be positive")
+    ts_t = pa.timestamp("us")
+    l_schema, r_schema = left.schema(), right.schema()
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+
+    def _us(col) -> np.ndarray:
+        return (
+            col.cast(ts_t).to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]").astype(np.int64)
+        )
+
+    def tag_left(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        tus = _us(b[left_ts])
+        cols = {
+            key: b[key].cast(pa.int64()),
+            "_bkt": pa.array(tus // span),
+            "_ts": pa.array(tus),
+            "_side": pa.array(np.zeros(n, dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[c] = b[c]
+        for c in right_cols:
+            cols[c] = pa.nulls(n, type=ts_t if c == right_ts else r_types[c])
+        return pa.table(cols)
+
+    def tag_right(b: pa.Table) -> pa.Table:
+        tus = _us(b[right_ts])
+        # a right row at t matches lefts in [t − after, t + before] → its
+        # influence interval covers at most two span-wide buckets
+        b0 = (tus - after_us) // span
+        b1 = (tus + before_us) // span
+        reps = (b1 - b0 + 1).astype(np.int64)  # 1 or 2
+        idx = np.repeat(np.arange(len(tus)), reps)
+        bkts = np.concatenate(
+            [np.arange(lo, hi + 1) for lo, hi in zip(b0, b1)]
+        ) if len(tus) else np.empty(0, np.int64)
+        sel = b.take(pa.array(idx))
+        cols = {
+            key: sel[right_key].cast(pa.int64()),
+            "_bkt": pa.array(bkts),
+            "_ts": pa.array(np.repeat(tus, reps)),
+            "_side": pa.array(np.ones(len(idx), dtype=np.int8)),
+        }
+        for c in left_cols:
+            cols[c] = pa.nulls(len(idx), type=l_types[c])
+        for c in right_cols:
+            cols[c] = sel[c].cast(ts_t) if c == right_ts else sel[c]
+        return pa.table(cols)
+
+    both = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    def per_group(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        out_cols = [key] + left_cols + right_cols
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return pa.table({c: pa.chunked_array([], type=g[c].type) for c in out_cols})
+        rt = rt.take(pc.sort_indices(rt, sort_keys=[("_ts", "ascending")]))
+        l_ts = lt["_ts"].to_numpy(zero_copy_only=False)
+        r_ts = rt["_ts"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(r_ts, l_ts - before_us, side="left")
+        hi = np.searchsorted(r_ts, l_ts + after_us, side="right")
+        counts = hi - lo
+        l_idx = np.repeat(np.arange(lt.num_rows), counts)
+        r_idx = (
+            np.concatenate([np.arange(a, b) for a, b in zip(lo, hi) if b > a])
+            if counts.sum() else np.empty(0, np.int64)
+        )
+        cols = {key: lt[key].take(pa.array(l_idx))}
+        for c in left_cols:
+            cols[c] = lt[c].take(pa.array(l_idx))
+        for c in right_cols:
+            cols[c] = rt[c].take(pa.array(r_idx))
+        return pa.table(cols)
+
+    return both.groupby([key, "_bkt"]).map_groups(per_group, batch_format="pyarrow")

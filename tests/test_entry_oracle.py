@@ -88,8 +88,9 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "text_quality", "quality_filter", "sample_token_budget", "token_count",
         "embed_text", "semantic_search",
         "ann_cosine", "events_keep_latest", "events_window",
-        "events_session", "events_hopping", "asof_orders",
-        "agg_lineitem", "topk_orders", "antijoin_customers", "mm_decode",
+        "events_session", "events_hopping", "asof_orders", "range_events",
+        "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
+        "median_value", "antijoin_customers", "mm_decode",
         "mm_frames",
     ],
 )

@@ -717,3 +717,39 @@ class TestAsofJoin:
         # event 13: user 3 has no orders at all → null
         assert out.okey.tolist()[0] == 102
         assert out.okey.isna().tolist() == [False, True, True, True]
+
+
+class TestRangeJoin:
+    def test_inclusive_bounds_and_bucket_crossing(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.pipelines.ops import range_join_window
+
+        W = 3_600_000_000  # 1h window span == bucket width
+        base = np.datetime64("2024-01-01T00:00:00", "us")
+
+        def ts(sec):
+            return base + np.timedelta64(int(sec * 1e6), "us")
+
+        left = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1], pa.int64()),
+            # second left sits just after a bucket boundary: its matches
+            # live mostly in the PREVIOUS bucket
+            "lt": pa.array([ts(0), ts(3601)], pa.timestamp("us")),
+            "lid": pa.array([0, 1], pa.int64()),
+        }))
+        right = rd.from_arrow(pa.table({
+            "k": pa.array([1, 1, 1, 1], pa.int64()),
+            "rt": pa.array([ts(-3600), ts(-3601), ts(3600), ts(100)], pa.timestamp("us")),
+            "rid": pa.array([10, 11, 12, 13], pa.int64()),
+        }))
+        out = range_join_window(
+            left, right, key="k", left_ts="lt", right_ts="rt",
+            before_us=W, left_cols=["lid"], right_cols=["rid"],
+        ).to_pandas().sort_values(["lid", "rid"]).reset_index(drop=True)
+        pairs = set(zip(out.lid, out.rid))
+        # left 0 at t=0, window [-3600s, 0]: rid 10 (boundary INCLUSIVE),
+        # rid 13 is at +100 → out; rid 11 at -3601 → out
+        # left 1 at t=3601, window [1s, 3601s]: rid 12 (3600, prev bucket
+        # via replication), rid 13 (100)
+        assert pairs == {(0, 10), (1, 12), (1, 13)}
