@@ -121,7 +121,11 @@ def run() -> dict:
             corpus,
             out,
             store_cols=("lang", "url"),
-            num_buckets=8,
+            # 16 buckets: head-term groups land in 16×16=256 partitions; the
+            # finer grain cuts the encode straggler tail that serialized the
+            # 32-cpu leg (interleaved A/B at 200k: 12.8 s vs 14.9 s at 32
+            # cpus, neutral at 8 cpus)
+            num_buckets=16,
             target_docs_per_shard=max(1000, N_DOCS // 16),
             resume=False,
         )
