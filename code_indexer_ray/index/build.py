@@ -51,7 +51,10 @@ from .manifest import (
 )
 from ..text.analysis import term_frequencies
 
-DEFAULT_NUM_BUCKETS = 8
+# 16 measured better than 8 at ≥200k docs on 32 cpus (encode straggler tail
+# from head-term buckets halves; neutral at 8 cpus / small corpora) — see
+# BASELINE.md scale-tuning notes
+DEFAULT_NUM_BUCKETS = 16
 
 
 def term_bucket(terms: pa.Array, num_buckets: int) -> np.ndarray:
