@@ -779,6 +779,77 @@ def q_sample_token_budget(sf_dir: str):
     )
 
 
+def q_curate_corpus(sf_dir: str):
+    """END-TO-END training-data curation — the composed pipeline a real
+    corpus run executes, every stage reusing an already-oracle-gated kernel:
+
+      quality gate (stats kernel + Arrow filter)
+        → exact dedup (md5 hash-partition, keep min doc_id)
+        → near-dup removal (MinHash→LSH→Jaccard pairs; drop doc_b of every
+          a<b pair — deterministic, non-transitive by design)
+        → per-language token budget (cumulative cap in doc order)
+
+    One corpus pass feeds the quality/hash stage; dedup is one hash shuffle;
+    the near-dup drop set is the tiny pair survivor list (broadcast);
+    the budget is one lang shuffle.  Output: (doc_id, lang, n_tokens)."""
+    import ray
+
+    import ray.data as rd
+
+    def qstage(batch: pa.Table) -> pa.Table:
+        s = text_stats_batch(batch)
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(s["n_tokens"], QUALITY_TOK_LO),
+                pc.less_equal(s["n_tokens"], QUALITY_TOK_HI),
+            ),
+            pc.and_(
+                pc.greater_equal(
+                    pc.multiply(s["n_unique"].cast(pa.int64()), 10000),
+                    pc.multiply(s["n_tokens"].cast(pa.int64()), QUALITY_UNIQUE_RATIO_E4),
+                ),
+                pc.greater_equal(s["stop_en"], 1),
+            ),
+        )
+        kept = s.filter(keep)
+        src = batch.filter(keep)
+        return pa.table(
+            {
+                "doc_id": kept["doc_id"],
+                "lang": src["lang"],
+                "n_tokens": kept["n_tokens"],
+                "content_hash": add_content_hash(src)["content_hash"],
+            }
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "text"]).map_batches(
+        qstage, batch_format="pyarrow"
+    )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values("doc_id", kind="mergesort").head(1)[
+            ["doc_id", "lang", "n_tokens"]
+        ]
+
+    surv = ds.groupby("content_hash").map_groups(first, batch_format="pandas")
+
+    pairs = q_dedup_near_pairs(sf_dir)  # already ≥ τ verified, doc_a < doc_b
+    drop = (
+        np.unique(pairs["doc_b"].to_numpy(zero_copy_only=False))
+        if pairs.num_rows
+        else np.empty(0, np.int64)
+    )
+    from .ops import broadcast_antijoin
+
+    surv = broadcast_antijoin(surv, "doc_id", ray.put(drop))
+
+    def take(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", kind="mergesort")
+        return g.loc[g["n_tokens"].cumsum() <= SAMPLE_TOKEN_BUDGET]
+
+    return surv.groupby("lang").map_groups(take, batch_format="pandas")
+
+
 ANN_QUERY_IDS = (0, 1, 2, 3)
 
 
@@ -1475,6 +1546,22 @@ def oracle_catalog() -> dict[str, str]:
         f"SELECT doc_id, lang, n_tokens FROM sel WHERE cum <= {SAMPLE_TOKEN_BUDGET}"
     )
 
+    out["curate_corpus"] = (
+        # each stage wraps its standalone oracle (quality_filter,
+        # dedup_near_pairs) as a subquery — the twin is COMPOSED exactly like
+        # the Ray pipeline is
+        f"WITH q AS (SELECT q0.doc_id, d.lang, q0.n_tokens\n"
+        f"  FROM ({out['quality_filter']}) q0 JOIN documents d USING (doc_id)),\n"
+        f"ex AS (SELECT min(d.doc_id) AS doc_id FROM documents d\n"
+        f"  JOIN q ON q.doc_id = d.doc_id GROUP BY md5(d.text)),\n"
+        f"nd AS (SELECT DISTINCT doc_b AS doc_id FROM ({out['dedup_near_pairs']})),\n"
+        f"surv AS (SELECT q.* FROM q JOIN ex USING (doc_id)\n"
+        f"  WHERE q.doc_id NOT IN (SELECT doc_id FROM nd)),\n"
+        f"cum AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id\n"
+        f"  ROWS UNBOUNDED PRECEDING) AS c FROM surv)\n"
+        f"SELECT doc_id, lang, n_tokens FROM cum WHERE c <= {SAMPLE_TOKEN_BUDGET}"
+    )
+
     qids = ",".join(str(i) for i in ANN_QUERY_IDS)
     out["ann_cosine"] = (
         f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN ({qids})),\n"
@@ -1638,6 +1725,7 @@ def query_catalog():
         "semantic_search": q_semantic_search,
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
+        "curate_corpus": q_curate_corpus,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
