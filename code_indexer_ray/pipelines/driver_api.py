@@ -618,6 +618,21 @@ def q_ann_store(sf_dir: str):
     )
 
 
+def q_ann_pq(sf_dir: str):
+    """Product-quantization ANN (ADC shortlist + exact refine) — the
+    memory-compressed scale path (~m bytes/vector resident); recall gate in
+    tests alongside ann_lsh / ann_ivf / ann_store."""
+    import ray.data as rd
+
+    from ..ann.pq import pq_cosine_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qs = _load_queries(sf_dir)
+    return pq_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10, m=16, ks=32)
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -1730,6 +1745,7 @@ def query_catalog():
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
         "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests
+        "ann_pq": q_ann_pq,  # product quantization; recall gate in tests
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,
         "events_session": q_events_session,
