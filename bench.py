@@ -240,7 +240,7 @@ def run() -> dict:
 
 
 def run_scaling() -> None:
-    def child(ncpu: int) -> dict:
+    def child(ncpu: int, reps: int) -> dict:
         # larger corpus for the scaling comparison so per-stage compute
         # dominates fixed single-node coordination costs (the stand-in for
         # "N vs 4N nodes on a big input"); same input for both legs
@@ -250,7 +250,7 @@ def run_scaling() -> None:
             GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "200000"),
             CIDX_READ_BLOCKS=os.environ.get("CIDX_READ_BLOCKS", "128"),
             GRAFT_BENCH_FAST="1",
-            GRAFT_BENCH_REPS=os.environ.get("GRAFT_BENCH_REPS", "4"),
+            GRAFT_BENCH_REPS=str(reps),
         )
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
@@ -260,7 +260,17 @@ def run_scaling() -> None:
 
     lo = int(os.environ.get("GRAFT_SCALE_LO", "8"))
     hi = int(os.environ.get("GRAFT_SCALE_HI", "32"))
-    r_lo, r_hi = child(lo), child(hi)
+    # INTERLEAVED single-rep children (lo,hi, lo,hi, ...): host co-tenant
+    # pressure drifts on a minutes scale, so sequential all-lo-then-all-hi
+    # legs can hand one leg an entirely bad window; alternating pairs both
+    # legs against the same windows.  Best-of-N per leg as before.
+    pairs = int(os.environ.get("GRAFT_SCALE_PAIRS", "3"))
+    runs_lo, runs_hi = [], []
+    for _ in range(pairs):
+        runs_lo.append(child(lo, 1))
+        runs_hi.append(child(hi, 1))
+    r_lo = min(runs_lo, key=lambda r: r["value"])
+    r_hi = min(runs_hi, key=lambda r: r["value"])
     t_lo, t_hi = r_lo["value"], r_hi["value"]
     eff = (t_lo / t_hi) / (hi / lo)
     print(
@@ -274,6 +284,8 @@ def run_scaling() -> None:
                 "scaling_efficiency": round(eff, 3),
                 "n_docs": r_lo["n_docs"],
                 "bm25_p50_ms_hi": r_hi["queries"]["bm25_p50_ms"],
+                f"runs_{lo}": [r["value"] for r in runs_lo],
+                f"runs_{hi}": [r["value"] for r in runs_hi],
             }
         )
     )
