@@ -164,17 +164,22 @@ def decode_blocks(
     n_blocks = len(last_docs)
     out_docs, out_tfs, out_norms = [], [], []
     bi = np.asarray(block_indices, dtype=np.int64)
-    for blk in bi:
-        p_start = int(blk) * BLOCK_SIZE
-        p_end = min(p_start + BLOCK_SIZE, df)
-        d0 = int(doc_offsets[blk])
-        d1 = int(doc_offsets[blk + 1]) if blk + 1 < n_blocks else len(docs_enc)
-        t0 = int(tf_offsets[blk])
-        t1 = int(tf_offsets[blk + 1]) if blk + 1 < n_blocks else len(tfs_enc)
+    # decode CONSECUTIVE needed blocks as one run (one varbyte call per run,
+    # not per block — a dense candidate set over a long list otherwise pays
+    # per-block call overhead hundreds of times)
+    runs = np.split(bi, np.flatnonzero(np.diff(bi) > 1) + 1) if len(bi) else []
+    for run in runs:
+        b0, b1 = int(run[0]), int(run[-1])
+        p_start = b0 * BLOCK_SIZE
+        p_end = min((b1 + 1) * BLOCK_SIZE, df)
+        d0 = int(doc_offsets[b0])
+        d1 = int(doc_offsets[b1 + 1]) if b1 + 1 < n_blocks else len(docs_enc)
+        t0 = int(tf_offsets[b0])
+        t1 = int(tf_offsets[b1 + 1]) if b1 + 1 < n_blocks else len(tfs_enc)
         deltas = varbyte_decode(docs_enc[d0:d1], p_end - p_start)
         # the delta stream is continuous across blocks: block k's first delta
         # is relative to the previous block's last doc (= last_docs[k-1])
-        anchor = int(last_docs[blk - 1]) if blk > 0 else 0
+        anchor = int(last_docs[b0 - 1]) if b0 > 0 else 0
         docs = np.cumsum(deltas.astype(np.int64)) + anchor
         out_docs.append(docs)
         out_tfs.append(varbyte_decode(tfs_enc[t0:t1], p_end - p_start).astype(np.int64))
@@ -182,3 +187,33 @@ def decode_blocks(
     if not out_docs:
         return (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.uint8))
     return (np.concatenate(out_docs), np.concatenate(out_tfs), np.concatenate(out_norms))
+
+
+def decode_full_many(posts: list[dict]) -> list[tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Batch-decode MANY posting lists in two varbyte passes (one for doc
+    deltas, one for tfs) instead of two per list.
+
+    Wide unions (fuzzy/regex expansions) decode hundreds of small variant
+    lists; per-call numpy overhead dominates them.  Concatenating the
+    buffers is safe — every varbyte value ends on a clear-high-bit byte, so
+    list boundaries cannot bleed — and per-list doc ids come back from one
+    global cumsum minus each segment's base (segmented prefix sum).
+    """
+    if not posts:
+        return []
+    dfs = np.array([p["df"] for p in posts], dtype=np.int64)
+    n = int(dfs.sum())
+    cat_docs = np.frombuffer(b"".join(p["docs_enc"] for p in posts), dtype=np.uint8)
+    cat_tfs = np.frombuffer(b"".join(p["tfs_enc"] for p in posts), dtype=np.uint8)
+    deltas = varbyte_decode(cat_docs, n).astype(np.int64)
+    tfs_all = varbyte_decode(cat_tfs, n).astype(np.int64)
+    tot = np.cumsum(deltas)
+    starts = np.zeros(len(posts), dtype=np.int64)
+    np.cumsum(dfs[:-1], out=starts[1:])
+    ends = starts + dfs
+    out = []
+    for i, p in enumerate(posts):
+        s, e = int(starts[i]), int(ends[i])
+        docs = tot[s:e] - (tot[s - 1] if s > 0 else 0)
+        out.append((docs, tfs_all[s:e], np.frombuffer(p["norms"], dtype=np.uint8)))
+    return out

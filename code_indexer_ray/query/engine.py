@@ -34,7 +34,14 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from ..index.codec import BLOCK_SIZE, decode_blocks, decode_doc_ids, decode_tfs, varbyte_decode
+from ..index.codec import (
+    BLOCK_SIZE,
+    decode_blocks,
+    decode_doc_ids,
+    decode_full_many,
+    decode_tfs,
+    varbyte_decode,
+)
 from ..index.fieldnorm import id_to_fieldnorm
 from ..index.manifest import DOCSTORE_DIR, IndexManifest, load_manifest
 from ..text.analysis import tokenize_query
@@ -83,6 +90,10 @@ class ShardSearcher:
         if self._vocab_np is None:
             self._vocab_np = np.array(self._sorted_terms.to_pylist(), dtype=object)
         return self._vocab_np
+
+    def terms_arrow(self) -> pa.Array:
+        """The shard's sorted Arrow term dictionary (zero-copy view)."""
+        return self._sorted_terms
 
     def _find(self, term: str) -> int | None:
         """Bisect the sorted Arrow dictionary → row index into the segment
@@ -308,10 +319,28 @@ class ShardSearcher:
             ubs[i] = bm25.term_upper_bound(max_tf, min_dl, global_df[t], n_docs, avgdl)
         order = np.argsort(-ubs, kind="stable")
 
+        # batch-decode the SMALL variant lists up front (ONE varbyte pass for
+        # the whole union — wide fuzzy/regex expansions are hundreds of small
+        # lists where per-call decode overhead dominated); genuinely large
+        # lists keep the per-candidate block-skip path so MaxScore still
+        # avoids materializing non-essential heavy terms
+        small = [p for _, p in posts if p["df"] <= 32 * BLOCK_SIZE]
+        full = {id(p): dec for p, dec in zip(small, decode_full_many(small))}
+
+        def decode_fn(p: dict, cand: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            dec = full.get(id(p))
+            if dec is not None:
+                return dec
+            return self._decode_for_candidates(p, cand)
+
+        def full_docs(p: dict) -> np.ndarray:
+            dec = full.get(id(p))
+            return dec[0] if dec is not None else self._decode_full(p)[0]
+
         # seed threshold: exact scores of the highest-upper-bound term's docs
-        seed_docs, _, _ = self._decode_full(posts[order[0]][1])
+        seed_docs = full_docs(posts[order[0]][1])
         seed_scores = _union_exact_scores(
-            posts, seed_docs, n_docs, avgdl, global_df, self._decode_for_candidates
+            posts, seed_docs, n_docs, avgdl, global_df, decode_fn
         )
         if len(seed_scores) >= m:
             theta = float(np.partition(seed_scores, -m)[-m])
@@ -327,10 +356,10 @@ class ShardSearcher:
                 break
         essential = [posts[j] for j in order[:k]]
 
-        cand_arrays = [self._decode_full(p)[0] for _, p in essential]
+        cand_arrays = [full_docs(p) for _, p in essential]
         cand = np.unique(np.concatenate(cand_arrays))
         scores = _union_exact_scores(
-            posts, cand, n_docs, avgdl, global_df, self._decode_for_candidates
+            posts, cand, n_docs, avgdl, global_df, decode_fn
         )
         sel = np.lexsort((cand, -scores))[:m]
         cand, scores = cand[sel], scores[sel]
@@ -537,8 +566,16 @@ class IndexSearcher:
         mode is not the deployment path: ``remote=True`` keeps dictionaries
         inside shard actors and expands shard-locally in parallel."""
         if self._matcher is None:
-            union = sorted({t for v in self._fanout("vocab") for t in v})
-            self._matcher = VocabMatcher(union)
+            # Arrow-side union: concat the shards' (already sorted) term
+            # dictionaries, unique + sort in C++, convert ONCE at the deduped
+            # size (~|vocab|) instead of 16 per-shard Python materializations
+            arrs = [
+                a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                for a in self._fanout("terms_arrow")
+            ]
+            u = pc.unique(pa.concat_arrays(arrs))
+            u = u.take(pc.array_sort_indices(u))
+            self._matcher = VocabMatcher(u.to_pylist())
         return self._matcher
 
     def expand_terms(self, kind: str, pattern: str, distance: int = 0) -> list[str]:

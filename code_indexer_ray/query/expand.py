@@ -169,8 +169,12 @@ def expand_fuzzy_sorted(sorted_vocab: np.ndarray, word: str, distance: int) -> l
     return out
 
 
-#: vocab size above which the prefix-pruned sorted walk beats the dense DP
-FUZZY_SORTED_WALK_MIN_VOCAB = 200_000
+#: vocab size above which the prefix-pruned sorted walk beats the dense DP,
+#: PER edit distance — the walk's prefix pruning weakens as the distance
+#: grows (measured crossovers: d=1 ~5k vocab 5–25×, d=2 ~20k, d=3 only at
+#: dictionary scales where the dense M×L matrix is itself the problem)
+FUZZY_SORTED_WALK_MIN_VOCAB = {1: 5_000, 2: 20_000, 3: 200_000}
+_WALK_MIN_DEFAULT = 200_000
 
 
 def expand_regex(vocab: np.ndarray, pattern: str) -> list[str]:
@@ -222,7 +226,8 @@ class VocabMatcher:
     def fuzzy(self, word: str, distance: int) -> list[str]:
         # large sorted dictionaries take the prefix-pruned walk (automaton
         # analog, no M×L char matrix); small ones the vectorized dense DP
-        if self._sorted and len(self.vocab) >= FUZZY_SORTED_WALK_MIN_VOCAB:
+        walk_min = FUZZY_SORTED_WALK_MIN_VOCAB.get(distance, _WALK_MIN_DEFAULT)
+        if self._sorted and distance > 0 and len(self.vocab) >= walk_min:
             return expand_fuzzy_sorted(self.vocab, word, distance)
         if not self._mat_built:
             self._build_mat()

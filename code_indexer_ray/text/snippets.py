@@ -47,33 +47,40 @@ def _best_window(search_content: str, content: str, needle: str) -> tuple[float,
     """
     from collections import Counter
 
+    import numpy as np
+
     best_ratio, best_start, best_text = 0.0, -1, ""
     n = len(needle)
+    N = len(search_content)
     min_w = max(1, int(n * 0.7))
     max_w = int(n * 1.3)
     need = Counter(needle)
+    # only needle characters contribute to Σ min(need[c], win[c]) — all other
+    # characters have need[c] = 0.  One prefix-sum per distinct needle char
+    # (≤ |needle|) makes every window's bound a vectorized subtraction.
+    arr = np.frombuffer(search_content.encode("utf-32-le"), dtype=np.uint32)
+    prefix = {}
+    for c in need:
+        p = np.zeros(N + 1, dtype=np.int32)
+        np.cumsum(arr == ord(c), out=p[1:])
+        prefix[c] = p
     for w in range(min_w, max_w + 1):
-        if len(search_content) < w:
+        if N < w:
             continue
-        win = Counter(search_content[:w])
-        # common = Σ min(need[c], win[c]) maintained incrementally
-        common = sum(min(need[c], win[c]) for c in win)
         denom = n + w
-        for i in range(len(search_content) - w + 1):
-            if i > 0:
-                out_c = search_content[i - 1]
-                in_c = search_content[i + w - 1]
-                if out_c != in_c:
-                    if win[out_c] <= need.get(out_c, 0):
-                        common -= 1
-                    win[out_c] -= 1
-                    win[in_c] += 1
-                    if win[in_c] <= need.get(in_c, 0):
-                        common += 1
-            if 2.0 * common / denom > best_ratio:
-                ratio = SequenceMatcher(None, needle, search_content[i : i + w]).ratio()
-                if ratio > best_ratio:
-                    best_ratio, best_start, best_text = ratio, i, content[i : i + w]
+        common = np.zeros(N - w + 1, dtype=np.int32)
+        for c, cnt_need in need.items():
+            p = prefix[c]
+            common += np.minimum(p[w:] - p[:-w], cnt_need)
+        bounds = (2.0 / denom) * common
+        # ascending positions, bound rechecked at evaluation time — identical
+        # winner/ties to the sequential loop (best only ever increases)
+        for i in np.flatnonzero(bounds > best_ratio):
+            if bounds[i] <= best_ratio:
+                continue
+            ratio = SequenceMatcher(None, needle, search_content[i : i + w]).ratio()
+            if ratio > best_ratio:
+                best_ratio, best_start, best_text = ratio, int(i), content[i : i + w]
     return best_ratio, best_start, best_text
 
 

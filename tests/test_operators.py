@@ -596,7 +596,7 @@ class TestFuzzySortedWalk:
     def test_matcher_routes_large_sorted_vocab(self, monkeypatch):
         import code_indexer_ray.query.expand as ex
 
-        monkeypatch.setattr(ex, "FUZZY_SORTED_WALK_MIN_VOCAB", 4)
+        monkeypatch.setattr(ex, "FUZZY_SORTED_WALK_MIN_VOCAB", {1: 4, 2: 4, 3: 4})
         m = ex.VocabMatcher(sorted(["alpha", "alphb", "beta", "bets", "gamma"]))
         assert sorted(m.fuzzy("alpha", 1)) == ["alpha", "alphb"]
         assert m._mat_built is False  # walk path — no char matrix materialized
