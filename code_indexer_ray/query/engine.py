@@ -52,6 +52,8 @@ from .globmatch import matches_any
 
 UNLIMITED_LIMIT = 100_000  # reference's "limit=0 → effectively unlimited"
 
+_BUCKET_FILE_RE = re.compile(r"bucket=(\d+)\.parquet$")
+
 
 class ShardSearcher:
     """Holds one shard's term dictionary, postings and doc metadata in memory.
@@ -61,44 +63,129 @@ class ShardSearcher:
     10-min-TTL index cache but partition-local.
     """
 
-    def __init__(self, shard: int, segment_files: list[str], docstore_dir: str | None = None):
+    def __init__(
+        self,
+        shard: int,
+        segment_files: list[str],
+        docstore_dir: str | None = None,
+        num_buckets: int | None = None,
+    ):
         self.shard = shard
-        tables = [pq.read_table(f) for f in sorted(segment_files)]
-        self._tbl = pa.concat_tables(tables) if tables else None
-        if self._tbl is not None and self._tbl.num_rows:
-            terms_arr = self._tbl["term"].combine_chunks()
+        self._seg_files = sorted(segment_files)
+        # bucket-LAZY segment loading: a query term lives in exactly one
+        # bucket (hash64 % num_buckets — the build's partition key), so a
+        # cold single-term search reads ONE bucket file per shard, not all
+        # of them.  Vocabulary-wide operations (expand/vocab/terms_arrow)
+        # force-load everything on first use.  ``num_buckets`` must be the
+        # MANIFEST value (an empty bucket has no file); without it, or with
+        # unrecognized file names, loading is eager as before.
+        self._bucket_files: dict[int, str] | None = None
+        if num_buckets:
+            bf = {}
+            for f in self._seg_files:
+                m = _BUCKET_FILE_RE.search(os.path.basename(f))
+                if m is None:
+                    bf = None
+                    break
+                bf[int(m.group(1))] = f
+            self._bucket_files = bf
+        self._num_buckets = num_buckets
+        self._states: dict[int, tuple] = {}  # bucket → (tbl, sorted_terms, order, dfs)
+        self._eager_state: tuple | None = None
+        if self._bucket_files is None:
+            self._eager_state = self._load_state(self._seg_files)
+        self._docstore_dir = docstore_dir
+        self._meta = None  # lazy (doc_ids, url, lang) sorted by doc_id
+        self._vocab_np: np.ndarray | None = None  # lazy object array (expansion only)
+        self._matcher: VocabMatcher | None = None  # lazy per-shard fuzzy/regex structures
+        self._union_state: tuple | None = None  # lazy all-buckets view
+
+    @staticmethod
+    def _load_state(files: list[str]) -> tuple:
+        tables = [pq.read_table(f) for f in files]
+        tbl = pa.concat_tables(tables) if tables else None
+        if tbl is not None and tbl.num_rows:
+            terms_arr = tbl["term"].combine_chunks()
             # sorted-array dictionary + bisect lookups: no per-term Python
             # dict or object materialization (a hash LUT over a 10⁸-term
             # web-scale shard vocab would be a driver/actor memory killer;
             # the sorted Arrow array is the SSTable layout queries bisect,
             # and keeping it Arrow-side keeps cold start GIL-free)
             order = pc.sort_indices(terms_arr).to_numpy(zero_copy_only=False).astype(np.int64)
-            self._order = order
-            self._sorted_terms = terms_arr.take(pa.array(order))
-            self._dfs = self._tbl["df"].to_numpy(zero_copy_only=False)
-        else:
-            self._order = np.empty(0, dtype=np.int64)
-            self._sorted_terms = pa.array([], type=pa.string())
-            self._dfs = np.empty(0, dtype=np.int64)
-        self._docstore_dir = docstore_dir
-        self._meta = None  # lazy (doc_ids, url, lang) sorted by doc_id
-        self._vocab_np: np.ndarray | None = None  # lazy object array (expansion only)
-        self._matcher: VocabMatcher | None = None  # lazy per-shard fuzzy/regex structures
+            return (tbl, terms_arr.take(pa.array(order)), order, tbl["df"].to_numpy(zero_copy_only=False))
+        return (None, pa.array([], type=pa.string()), np.empty(0, np.int64), np.empty(0, np.int64))
+
+    def _bucket_of(self, term: str) -> int:
+        # scalar FNV-1a-64, bit-identical to the build's vectorized
+        # _hash64_batch (equality asserted in tests) — the numpy batch kernel
+        # costs ~0.3 ms per single-term call, this ~2 µs
+        h = 0xCBF29CE484222325
+        for b in term.encode("utf-8"):
+            h = ((h ^ b) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h % self._num_buckets
+
+    def _state_for(self, term: str) -> tuple:
+        if self._eager_state is not None:
+            return self._eager_state
+        b = self._bucket_of(term)
+        st = self._states.get(b)
+        if st is None:
+            f = self._bucket_files.get(b)
+            st = self._load_state([f] if f else [])
+            self._states[b] = st
+        return st
+
+    def warm_buckets(self) -> None:
+        """Load every bucket's segment table (daemon cache-warm step)."""
+        self._all_state()
+
+    def _all_state(self) -> tuple:
+        """Union view across all buckets (vocabulary-wide operations).
+
+        Built by filling the per-bucket cache and concatenating those tables
+        (zero-copy) — the bucket and union views share the same backing
+        buffers instead of reading the files twice."""
+        if self._eager_state is not None:
+            return self._eager_state
+        if self._union_state is None:
+            for f in self._seg_files:
+                b = int(_BUCKET_FILE_RE.search(os.path.basename(f)).group(1))
+                if b not in self._states:
+                    self._states[b] = self._load_state([f])
+            tables = [
+                st[0]
+                for _, st in sorted(self._states.items())
+                if st[0] is not None
+            ]
+            tbl = pa.concat_tables(tables) if tables else None
+            if tbl is not None and tbl.num_rows:
+                terms_arr = tbl["term"].combine_chunks()
+                order = pc.sort_indices(terms_arr).to_numpy(zero_copy_only=False).astype(np.int64)
+                self._union_state = (
+                    tbl,
+                    terms_arr.take(pa.array(order)),
+                    order,
+                    tbl["df"].to_numpy(zero_copy_only=False),
+                )
+            else:
+                self._union_state = self._load_state([])
+        return self._union_state
 
     # ---- term dictionary ----
     def vocab(self) -> np.ndarray:
         if self._vocab_np is None:
-            self._vocab_np = np.array(self._sorted_terms.to_pylist(), dtype=object)
+            self._vocab_np = np.array(self._all_state()[1].to_pylist(), dtype=object)
         return self._vocab_np
 
     def terms_arrow(self) -> pa.Array:
         """The shard's sorted Arrow term dictionary (zero-copy view)."""
-        return self._sorted_terms
+        return self._all_state()[1]
 
-    def _find(self, term: str) -> int | None:
+    @staticmethod
+    def _find_in(state: tuple, term: str) -> int | None:
         """Bisect the sorted Arrow dictionary → row index into the segment
         table (log₂|vocab| ``as_py`` probes — no O(vocab) materialization)."""
-        arr = self._sorted_terms
+        _, arr, order, _ = state
         lo, hi = 0, len(arr)
         while lo < hi:
             mid = (lo + hi) // 2
@@ -107,15 +194,16 @@ class ShardSearcher:
             else:
                 hi = mid
         if lo < len(arr) and arr[lo].as_py() == term:
-            return int(self._order[lo])
+            return int(order[lo])
         return None
 
     def df_of(self, terms: list[str]) -> dict[str, int]:
         out: dict[str, int] = {}
         for t in terms:
-            i = self._find(t)
+            st = self._state_for(t)
+            i = self._find_in(st, t)
             if i is not None:
-                out[t] = int(self._dfs[i])
+                out[t] = int(st[3][i])
         return out
 
     def expand(self, kind: str, pattern: str, distance: int = 0) -> list[str]:
@@ -129,10 +217,11 @@ class ShardSearcher:
         return self._matcher.regex(pattern)
 
     def posting(self, term: str) -> dict | None:
-        i = self._find(term)
+        st = self._state_for(term)
+        i = self._find_in(st, term)
         if i is None:
             return None
-        row = self._tbl.slice(i, 1)
+        row = st[0].slice(i, 1)
         return {name: row[name][0].as_py() for name in row.schema.names}
 
     # ---- doc metadata (lang/url for filters and result fields) ----
@@ -515,9 +604,9 @@ class IndexSearcher:
         s = self._searchers.get(shard)
         if s is None:
             if self._remote:
-                s = self._actor_cls.remote(shard, self._files[shard], self._docstore)
+                s = self._actor_cls.remote(shard, self._files[shard], self._docstore, self.manifest.num_buckets)
             else:
-                s = ShardSearcher(shard, self._files[shard], self._docstore)
+                s = ShardSearcher(shard, self._files[shard], self._docstore, self.manifest.num_buckets)
             self._searchers[shard] = s
         return s
 
@@ -530,7 +619,7 @@ class IndexSearcher:
             from concurrent.futures import ThreadPoolExecutor
 
             def build(s: int) -> ShardSearcher:
-                se = ShardSearcher(s, self._files[s], self._docstore)
+                se = ShardSearcher(s, self._files[s], self._docstore, self.manifest.num_buckets)
                 # preload doc metadata too — Arrow reads release the GIL
                 se._load_meta(self.lang_col, self.url_col)
                 return se
@@ -552,10 +641,19 @@ class IndexSearcher:
 
     # ---- query assembly ----
     def warm(self) -> None:
-        """Instantiate every shard searcher (and its sorted vocab) up front —
+        """Instantiate every shard searcher AND load all bucket segments —
         the daemon cache-warm step; optional, queries lazy-load otherwise."""
-        for s in sorted(self._files):
-            self._searcher(s)
+        shards = sorted(self._files)
+        if self._remote:
+            import ray
+
+            ray.get([self._searcher(s).warm_buckets.remote() for s in shards])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self._prefetch_searchers(shards)
+            with ThreadPoolExecutor(max_workers=min(16, max(1, len(shards)))) as ex:
+                list(ex.map(lambda s: self._searcher(s).warm_buckets(), shards))
 
     def matcher(self) -> VocabMatcher:
         """Local-mode union matcher, cached.  In LOCAL mode the process

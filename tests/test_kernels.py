@@ -198,3 +198,20 @@ class TestBM25:
         got = duckdb.sql(f"SELECT {expr}").fetchone()[0]
         want = float(bm25.term_score(np.array([5.0]), np.array([120.0]), 17, 1000, 250.0)[0])
         assert got == pytest.approx(want, abs=1e-12)
+
+
+def test_scalar_fnv_matches_vectorized_hash():
+    """ShardSearcher._bucket_of's scalar FNV must be bit-identical to the
+    build's vectorized _hash64_batch (else bucket-lazy lookups miss terms)."""
+    import pyarrow as pa
+
+    from code_indexer_ray.index.build import _hash64_batch
+    from code_indexer_ray.query.engine import ShardSearcher
+
+    terms = ["", "a", "spark", "Grüße", "αβγ", "t000042", "x" * 39]
+    want = _hash64_batch(pa.array(terms))
+    s = ShardSearcher.__new__(ShardSearcher)
+    for nb in (1, 7, 16, 1024):
+        s._num_buckets = nb
+        for t, h in zip(terms, want):
+            assert s._bucket_of(t) == int(h) % nb, (t, nb)
