@@ -1023,6 +1023,22 @@ def q_distinct_users(sf_dir: str):
     return distinct_count(ds, "event_type", "user_id")
 
 
+def q_distinct_users_hll(sf_dir: str):
+    """HyperLogLog approximate distinct (p=12, ±1.6% σ): constant 4 KiB of
+    sketch state per (batch, key) crosses the shuffle instead of unique
+    pairs — the sketch path exact distinct_count can't take at 100 TB.
+    Deterministic (md5 hashing) but approximate → no SQL oracle; accuracy
+    vs the exact operator is gated in tests/test_hll.py."""
+    import ray.data as rd
+
+    from ..dedup.hll import approx_distinct
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "user_id"]
+    )
+    return approx_distinct(ds, "event_type", "user_id")
+
+
 def q_median_value(sf_dir: str):
     """Exact per-user median event value (numpy/DuckDB shared even-count
     interpolation convention)."""
@@ -1756,6 +1772,7 @@ def query_catalog():
         "topk_orders": q_topk_orders,
         "topk_orders_per_cust": q_topk_orders_per_cust,
         "distinct_users": q_distinct_users,
+        "distinct_users_hll": q_distinct_users_hll,  # sketch → no oracle; accuracy gate in tests
         "median_value": q_median_value,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,

@@ -69,7 +69,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
     missing = set(qs) - set(oracles)
     # approximate by design → rows-only checks (each has a measured recall
     # gate vs the exact ann_cosine result below)
-    assert missing == {"ann_lsh", "ann_ivf", "ann_store", "ann_pq"}
+    assert missing == {"ann_lsh", "ann_ivf", "ann_store", "ann_pq", "distinct_users_hll"}
 
 
 @pytest.mark.parametrize(
