@@ -1023,6 +1023,34 @@ def q_distinct_users(sf_dir: str):
     return distinct_count(ds, "event_type", "user_id")
 
 
+SAMPLE_PERMILLE = 200  # 20% consistent sample
+
+
+def q_sample_docs(sf_dir: str):
+    """Consistent (hash-threshold) sampling: keep a document iff
+    md5(doc_id) mod 1000 < rate — deterministic, stable across reruns,
+    cluster sizes and joins (two tables sampled on the same key stay
+    aligned), and embarrassingly parallel (pure per-batch filter, no
+    shuffle, no RNG state).  The scale-correct replacement for
+    random-sample-with-seed in a distributed pipeline."""
+    import ray.data as rd
+
+    from ..dedup.minhash import md5_lower64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = np.fromiter(
+            ((md5_lower64(str(int(i))) % 1000) < SAMPLE_PERMILLE for i in ids),
+            dtype=bool,
+            count=len(ids),
+        )
+        return batch.filter(pa.array(mask))
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"]).map_batches(
+        keep, batch_format="pyarrow"
+    )
+
+
 def q_distinct_users_hll(sf_dir: str):
     """HyperLogLog approximate distinct (p=12, ±1.6% σ): constant 4 KiB of
     sketch state per (batch, key) crosses the shuffle instead of unique
@@ -1624,6 +1652,11 @@ def oracle_catalog() -> dict[str, str]:
         "  FROM orders) WHERE rn <= 3"
     )
 
+    out["sample_docs"] = (
+        f"SELECT doc_id, lang FROM documents\n"
+        f"WHERE md5_number_lower(doc_id::VARCHAR) % 1000 < {SAMPLE_PERMILLE}"
+    )
+
     out["distinct_users"] = (
         "SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_distinct\n"
         "FROM events GROUP BY event_type"
@@ -1757,6 +1790,7 @@ def query_catalog():
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
         "curate_corpus": q_curate_corpus,
+        "sample_docs": q_sample_docs,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
