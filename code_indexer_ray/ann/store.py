@@ -129,6 +129,7 @@ class VectorStoreSearcher:
         with open(os.path.join(store_dir, VEC_MANIFEST)) as f:
             self.manifest = json.load(f)
         self.centroids = np.load(os.path.join(store_dir, CENTROIDS_FILE))
+        self.tombstones = np.array(sorted(load_tombstones(store_dir)), dtype=np.int64)
         self.store_dir = store_dir
         self._cell_dirs = {
             int(name.split("=", 1)[1]): os.path.join(store_dir, CELLS_DIR, name)
@@ -180,11 +181,26 @@ class VectorStoreSearcher:
         allow = np.zeros((len(query_ids), len(self.centroids)), dtype=bool)
         for qi in range(len(query_ids)):
             allow[qi, probes[qi]] = True
-        shared = ray.put((queries, query_ids.astype(np.int64), allow, self.centroids))
+        shared = ray.put(
+            (queries, query_ids.astype(np.int64), allow, self.centroids, self.tombstones)
+        )
 
         def local(batch: pa.Table) -> pa.Table:
-            q, qids, allow_m, cent = ray.get(shared)
+            q, qids, allow_m, cent, tombs = ray.get(shared)
             ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(tombs):
+                keep = ~np.isin(ids, tombs)
+                if not keep.all():
+                    batch = batch.filter(pa.array(keep))
+                    ids = ids[keep]
+                if len(ids) == 0:
+                    return pa.table(
+                        {
+                            "query_id": pa.array([], pa.int64()),
+                            "vec_id": pa.array([], pa.int64()),
+                            "cos": pa.array([], pa.float64()),
+                        }
+                    )
             m = _to_matrix(batch[vec_col])
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
             cells = np.argmax(mn @ cent.T, axis=1)
@@ -233,3 +249,108 @@ class VectorStoreSearcher:
                 "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
             }
         )
+
+
+TOMBSTONE_FILE = "tombstones.json"
+
+
+def add_to_vector_store(
+    store_dir: str,
+    input_paths,
+    *,
+    resurrect: bool = True,
+) -> dict:
+    """Incremental ADD: assign new vectors with the store's EXISTING
+    centroids (no retrain — the IVF analog of delta-merge keeping the base
+    index's layout) and append coalesced per-cell files.
+
+    New files are written atomically per cell and the manifest (n_vectors)
+    is republished last, so a crash mid-add leaves the previous manifest
+    pointing at a still-consistent store (extra cell files without a
+    manifest bump are harmless duplicates of the delta and are overwritten
+    by the re-run — file names are keyed by the delta's id range).
+    ``resurrect``: added ids are removed from the tombstone set.
+    """
+    import ray
+    import ray.data as rd
+
+    with open(os.path.join(store_dir, VEC_MANIFEST)) as f:
+        man = json.load(f)
+    cent = np.load(os.path.join(store_dir, CENTROIDS_FILE))
+    id_col, vec_col = man["id_col"], man["vec_col"]
+    cent_ref = ray.put(cent)
+
+    cells_dir = os.path.join(store_dir, CELLS_DIR)
+
+    def assign_write(batch: pa.Table) -> pa.Table:
+        import pyarrow.parquet as pq
+
+        c = ray.get(cent_ref)
+        m = _to_matrix(batch[vec_col])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = np.argmax(mn @ c.T, axis=1).astype(np.int32)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        for cell in np.unique(cells):
+            sel = batch.filter(pa.array(cells == cell)).sort_by(id_col)
+            d = os.path.join(cells_dir, f"cell={int(cell)}")
+            os.makedirs(d, exist_ok=True)
+            lo = int(ids[cells == cell].min())
+            hi = int(ids[cells == cell].max())
+            dst = os.path.join(d, f"part-{lo:012d}-{hi:012d}.parquet")
+            tmp = dst + f".tmp-{os.getpid()}"
+            pq.write_table(sel, tmp, compression="zstd")
+            os.replace(tmp, dst)
+        return pa.table({"n": pa.array([batch.num_rows], pa.int64())})
+
+    ds = rd.read_parquet(input_paths, columns=[id_col, vec_col])
+    n_added = sum(
+        t["n"][0].as_py()
+        for t in __import__("ray").get(
+            ds.map_batches(assign_write, batch_format="pyarrow").to_arrow_refs()
+        )
+        if t.num_rows
+    )
+
+    if resurrect:
+        added_ids = set(
+            pa.concat_tables(
+                __import__("ray").get(
+                    rd.read_parquet(input_paths, columns=[id_col]).to_arrow_refs()
+                )
+            )[id_col].to_pylist()
+        )
+        tombs = load_tombstones(store_dir)
+        if tombs & added_ids:
+            _write_tombstones(store_dir, tombs - added_ids)
+
+    man["n_vectors"] = int(man["n_vectors"]) + int(n_added)
+    man["fingerprint"] = man["fingerprint"] + f"+{n_added}"
+    tmp = os.path.join(store_dir, VEC_MANIFEST + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(man, f, indent=1)
+    os.replace(tmp, os.path.join(store_dir, VEC_MANIFEST))
+    return man
+
+
+def load_tombstones(store_dir: str) -> set[int]:
+    try:
+        with open(os.path.join(store_dir, TOMBSTONE_FILE)) as f:
+            return set(json.load(f))
+    except OSError:
+        return set()
+
+
+def _write_tombstones(store_dir: str, ids: set[int]) -> None:
+    tmp = os.path.join(store_dir, TOMBSTONE_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(sorted(int(i) for i in ids), f)
+    os.replace(tmp, os.path.join(store_dir, TOMBSTONE_FILE))
+
+
+def delete_from_vector_store(store_dir: str, ids) -> int:
+    """Tombstone DELETE: ids are masked at search time (the delete-then-add
+    half of the vector upsert path); physical removal happens when a cell is
+    rewritten by a future compaction/add.  Returns the tombstone count."""
+    tombs = load_tombstones(store_dir) | {int(i) for i in ids}
+    _write_tombstones(store_dir, tombs)
+    return len(tombs)

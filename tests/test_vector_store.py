@@ -104,3 +104,63 @@ def test_dim_mismatch_raises(store):
     s = VectorStoreSearcher(out)
     with pytest.raises(ValueError, match="dim"):
         s.topk(np.zeros((1, 3)), np.array([0]), 5)
+
+
+class TestVectorStoreUpsert:
+    def test_add_delete_resurrect(self, ray_session, tmp_path):
+        import pyarrow as pa
+
+        from code_indexer_ray.ann.store import (
+            add_to_vector_store,
+            delete_from_vector_store,
+            load_tombstones,
+        )
+
+        # base store over the first 400 vectors; delta adds the rest
+        t = pq.read_table(SRC)
+        base_src = str(tmp_path / "base.parquet")
+        delta_src = str(tmp_path / "delta.parquet")
+        pq.write_table(t.slice(0, 400).select(["vec_id", "embedding"]), base_src)
+        pq.write_table(t.slice(400).select(["vec_id", "embedding"]), delta_src)
+        out = str(tmp_path / "store")
+        build_vector_store(base_src, out, n_centroids=8)
+
+        qs, qids = _queries()
+        s0 = VectorStoreSearcher(out)
+        before = s0.topk(qs, qids, 10, nprobe=8)
+
+        man = add_to_vector_store(out, delta_src)
+        assert man["n_vectors"] == 500
+        s1 = VectorStoreSearcher(out)
+        after = s1.topk(qs, qids, 10, nprobe=8)
+        # full probe after the add == brute force over the FULL table
+        # (rank-identical; cos compared approximately — different GEMM batch
+        # shapes may differ in the last ulp)
+        brute = ann_cosine_topk(
+            rd.read_parquet(SRC, columns=["vec_id", "embedding"]), qs, qids, 10
+        )
+        assert after.select(["query_id", "rank", "vec_id"]).equals(
+            brute.select(["query_id", "rank", "vec_id"])
+        )
+        np.testing.assert_allclose(
+            after["cos"].to_numpy(), brute["cos"].to_numpy(), atol=1e-12
+        )
+        assert not after.equals(before)  # the delta actually changed results
+
+        # delete every vector that appears in the current top-10s
+        victims = set(after["vec_id"].to_pylist())
+        delete_from_vector_store(out, victims)
+        s2 = VectorStoreSearcher(out)
+        masked = s2.topk(qs, qids, 10, nprobe=8)
+        assert not (set(masked["vec_id"].to_pylist()) & victims)
+
+        # re-adding a deleted id resurrects it (tombstone cleared)
+        some = sorted(victims)[:3]
+        sel = t.filter(pa.compute.is_in(t["vec_id"], value_set=pa.array(some)))
+        readd = str(tmp_path / "readd.parquet")
+        pq.write_table(sel.select(["vec_id", "embedding"]), readd)
+        add_to_vector_store(out, readd)
+        assert not (set(some) & load_tombstones(out))
+        s3 = VectorStoreSearcher(out)
+        res = s3.topk(qs, qids, 10, nprobe=8)
+        assert set(res["vec_id"].to_pylist()) & set(some)
