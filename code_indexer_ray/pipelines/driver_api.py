@@ -633,6 +633,21 @@ def q_ann_pq(sf_dir: str):
     return pq_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10, m=16, ks=32)
 
 
+def q_ann_hnsw(sf_dir: str):
+    """HNSW graph ANN (the reference's actual index structure, implemented
+    from Malkov & Yashunin 2016): deterministic hash-seeded levels, greedy
+    beam search; recall gate in tests (measured 1.0 at this config)."""
+    import ray.data as rd
+
+    from ..ann.hnsw import hnsw_cosine_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qs = _load_queries(sf_dir)
+    return hnsw_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10)
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -1796,6 +1811,7 @@ def query_catalog():
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
         "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests
         "ann_pq": q_ann_pq,  # product quantization; recall gate in tests
+        "ann_hnsw": q_ann_hnsw,  # HNSW graph; recall gate in tests
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,
         "events_session": q_events_session,

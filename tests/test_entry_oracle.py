@@ -69,7 +69,9 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
     missing = set(qs) - set(oracles)
     # approximate by design → rows-only checks (each has a measured recall
     # gate vs the exact ann_cosine result below)
-    assert missing == {"ann_lsh", "ann_ivf", "ann_store", "ann_pq", "distinct_users_hll"}
+    assert missing == {
+        "ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw", "distinct_users_hll",
+    }
 
 
 @pytest.mark.parametrize(
@@ -124,7 +126,9 @@ def test_ann_lsh_rows_only(catalogs):
     assert set(out.schema.names) == {"query_id", "rank", "vec_id", "cos"}
 
 
-@pytest.mark.parametrize("approx_name", ["ann_lsh", "ann_ivf", "ann_store", "ann_pq"])
+@pytest.mark.parametrize(
+    "approx_name", ["ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw"]
+)
 def test_ann_recall_vs_brute(approx_name, catalogs):
     """Measured recall@10 of each approximate ANN config against the exact
     brute-force result on the driver's own embeddings table — converts the
