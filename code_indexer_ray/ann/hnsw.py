@@ -198,3 +198,93 @@ def hnsw_cosine_topk(
             "cos": pa.array([r[3] for r in rows], type=pa.float64()),
         }
     )
+
+
+def hnsw_cosine_topk_sharded(
+    ds,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_shards: int = 4,
+    m: int = 8,
+    ef_construction: int = 64,
+    ef_search: int = 64,
+    seed: int = 42,
+) -> pa.Table:
+    """Distributed HNSW: ONE hash shuffle partitions vectors into
+    ``num_shards`` groups, each group builds its own graph inside
+    ``map_groups`` (bounded by the shard, never the corpus) and answers the
+    broadcast queries; the driver merges ``num_shards × k`` rows — the same
+    per-shard fan-out the FTS path uses, and how a 100-TB corpus actually
+    deploys HNSW (one graph per doc-range shard in an actor).
+
+    Per-shard graphs are deterministic (hash-seeded levels keyed on vec_id),
+    so results are independent of Ray block layout AND of num_shards'
+    *placement* (though num_shards itself changes which candidates each
+    graph sees — it is part of the config, like nprobe)."""
+    import ray
+
+    qref = ray.put((queries, query_ids.astype(np.int64)))
+
+    def add_shard(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "_shard", pa.array((ids % num_shards).astype(np.int64))
+        )
+
+    def per_shard(g: pa.Table) -> pa.Table:
+        q, qids = ray.get(qref)
+        g = g.sort_by(id_col)  # pin insertion order
+        ids = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        mat = _to_matrix(g[vec_col])
+        idx = HNSWIndex(mat.shape[1], m=m, ef_construction=ef_construction, seed=seed)
+        for i, ext in enumerate(ids):
+            idx.add(int(ext), mat[i])
+        rows_q, rows_v, rows_c = [], [], []
+        for qi in range(len(qids)):
+            hits = idx.search(q[qi], k + 1, ef=ef_search)
+            hits = [(v, c) for v, c in hits if v != int(qids[qi])][:k]
+            rows_q.extend([int(qids[qi])] * len(hits))
+            rows_v.extend(v for v, _ in hits)
+            rows_c.extend(c for _, c in hits)
+        return pa.table(
+            {
+                "query_id": pa.array(rows_q, type=pa.int64()),
+                "vec_id": pa.array(rows_v, type=pa.int64()),
+                "cos": pa.array(rows_c, type=pa.float64()),
+            }
+        )
+
+    tbls = [
+        t.select(["query_id", "vec_id", "cos"])
+        for t in ray.get(
+            ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("_shard")
+            .map_groups(per_shard, batch_format="pyarrow")
+            .to_arrow_refs()
+        )
+        if t.num_rows  # empty groups emit schema-less/input-schema blocks
+    ]
+    parts = pa.concat_tables(tbls) if tbls else None
+    rows = []
+    if parts is not None and parts.num_rows:
+        qs_ = parts["query_id"].to_numpy(zero_copy_only=False)
+        vs = parts["vec_id"].to_numpy(zero_copy_only=False)
+        cs = parts["cos"].to_numpy(zero_copy_only=False)
+        for qid in np.unique(qs_):
+            mask = qs_ == qid
+            order = np.lexsort((vs[mask], -cs[mask]))[:k]
+            idx_ = np.flatnonzero(mask)[order]
+            for rank, i in enumerate(idx_, 1):
+                rows.append((int(qid), rank, int(vs[i]), float(cs[i])))
+    return pa.table(
+        {
+            "query_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[1] for r in rows], type=pa.int64()),
+            "vec_id": pa.array([r[2] for r in rows], type=pa.int64()),
+            "cos": pa.array([r[3] for r in rows], type=pa.float64()),
+        }
+    )

@@ -639,13 +639,16 @@ def q_ann_hnsw(sf_dir: str):
     beam search; recall gate in tests (measured 1.0 at this config)."""
     import ray.data as rd
 
-    from ..ann.hnsw import hnsw_cosine_topk
+    from ..ann.hnsw import hnsw_cosine_topk_sharded
 
     ds = rd.read_parquet(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     qs = _load_queries(sf_dir)
-    return hnsw_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10)
+    # the SHARDED form is the default (per-shard graphs built inside
+    # map_groups, driver merges num_shards × k rows — nothing corpus-sized
+    # ever reaches one process); hnsw_cosine_topk is the single-repo scope
+    return hnsw_cosine_topk_sharded(ds, qs, np.array(ANN_QUERY_IDS), k=10, num_shards=4)
 
 
 def q_simhash(sf_dir: str):

@@ -65,3 +65,40 @@ def test_empty_and_single():
     assert idx.search(np.ones(4), 5) == []
     idx.add(42, np.ones(4))
     assert idx.search(np.ones(4), 5) == [(42, pytest.approx(1.0))]
+
+
+def test_sharded_matches_union_of_per_shard_graphs(ray_session):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from code_indexer_ray.ann.hnsw import hnsw_cosine_topk, hnsw_cosine_topk_sharded
+
+    SRC = "/root/testdata/sf0.001/embeddings.parquet"
+    t = pq.read_table(SRC)
+    ids = t["vec_id"].to_numpy()
+    rows = np.flatnonzero(np.isin(ids, [0, 1, 2, 3]))
+    qs = np.stack([np.asarray(t["embedding"][int(i)].as_py(), np.float64) for i in rows])
+    qids = ids[rows]
+
+    ds = rd.read_parquet(SRC, columns=["vec_id", "embedding"])
+    sharded = hnsw_cosine_topk_sharded(ds, qs, qids, 10, num_shards=3)
+    # layout independence: different block structure, same result
+    ds2 = rd.read_parquet(SRC, columns=["vec_id", "embedding"]).repartition(5)
+    sharded2 = hnsw_cosine_topk_sharded(ds2, qs, qids, 10, num_shards=3)
+    assert sharded.equals(sharded2)
+
+    # equivalence: merging each shard's own single-graph answer reproduces it
+    per_shard = []
+    for s in range(3):
+        mask = (ids % 3) == s
+        sub = pa.table({"vec_id": t["vec_id"].filter(pa.array(mask)),
+                        "embedding": t["embedding"].filter(pa.array(mask))})
+        per_shard.append(hnsw_cosine_topk(rd.from_arrow(sub), qs, qids, 10).to_pandas())
+    import pandas as pd
+
+    merged = pd.concat(per_shard)
+    sp = sharded.to_pandas()
+    for q in [0, 1, 2, 3]:
+        g = merged[merged.query_id == q].sort_values(["cos", "vec_id"], ascending=[False, True]).head(10)
+        assert sp[sp.query_id == q].vec_id.tolist() == g.vec_id.tolist()
