@@ -595,6 +595,11 @@ class IndexSearcher:
         # reference fts_index_cache.py / <10ms repeated-query target)
         self._result_cache: dict[tuple, list[dict]] = {}
         self._result_cache_max = 256
+        # decoded doc-store row groups, LRU-bounded: Zipf workloads hit the
+        # same hot documents' row groups over and over (block-cache analog
+        # of Tantivy's store cache)
+        self._rg_cache: dict[tuple[str, int], pa.Table] = {}
+        self._rg_cache_max = 256
         if remote:
             import ray
 
@@ -946,9 +951,19 @@ class IndexSearcher:
         for (path, rg), sub in need.items():
             by_file.setdefault(path, []).append((rg, sub))
         for path, groups in by_file.items():
-            f = pq.ParquetFile(path)
             rgs = sorted({rg for rg, _ in groups})
-            tbl = f.read_row_groups(rgs, columns=["doc_id", text_col])
+            missing = [rg for rg in rgs if (path, rg) not in self._rg_cache]
+            if missing:
+                f = pq.ParquetFile(path)
+                for rg in missing:
+                    if len(self._rg_cache) >= self._rg_cache_max:
+                        self._rg_cache.pop(next(iter(self._rg_cache)))
+                    self._rg_cache[(path, rg)] = f.read_row_groups(
+                        [rg], columns=["doc_id", text_col]
+                    )
+            for rg in rgs:  # refresh recency (dict order = LRU order)
+                self._rg_cache[(path, rg)] = self._rg_cache.pop((path, rg))
+            tbl = pa.concat_tables(self._rg_cache[(path, rg)] for rg in rgs)
             want = {i for _, sub in groups for i in sub}
             mask = pc.is_in(tbl["doc_id"], value_set=pa.array(list(want), type=pa.int64()))
             sel = tbl.filter(mask)
