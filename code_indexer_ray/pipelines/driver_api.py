@@ -181,6 +181,14 @@ def q_bm25_and(sf_dir: str):
     return _bm25_table(searcher_for(sf_dir).search("spark merge", limit=10, snippet_lines=0), 10)
 
 
+def q_bm25_or(sf_dir: str):
+    """Boolean OR (Tantivy should-clause) form: docs containing ANY of the
+    terms, scored by the BM25 sum over the terms they contain."""
+    return _bm25_table(
+        searcher_for(sf_dir).search("spark merge", match_any=True, limit=10, snippet_lines=0), 10
+    )
+
+
 _PHRASE_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -1334,6 +1342,7 @@ def oracle_catalog() -> dict[str, str]:
 
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
+    out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
     out["fts_bm25_lang"] = _q(
         _scored_cte("'spark'", None, lang_pred="AND d.lang IN ('en','de')"), _ranked_topk(10)
     )
@@ -1778,6 +1787,7 @@ def query_catalog():
         "fts_doc_stats": q_doc_stats,
         "fts_bm25_single": q_bm25_single,
         "fts_bm25_and": q_bm25_and,
+        "fts_bm25_or": q_bm25_or,
         "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,

@@ -693,9 +693,16 @@ class IndexSearcher:
         return sorted(self.matcher().regex(pattern))
 
     def _build_groups(
-        self, query_text: str, edit_distance: int, use_regex: bool
+        self, query_text: str, edit_distance: int, use_regex: bool,
+        match_any: bool = False,
     ) -> list[list[str]] | None:
-        """None → a word matched no term anywhere (AND → zero results)."""
+        """None → a word matched no term anywhere (AND → zero results).
+
+        ``match_any=True`` is the OR (Tantivy BooleanQuery should-clause /
+        query-parser OR-default) form: every token lands in ONE union group,
+        a document matches if it contains ANY token, and its score is the
+        BM25 sum over the tokens it contains.  A word with no vocabulary
+        match simply drops out (it cannot zero the whole query as in AND)."""
         if use_regex:
             try:
                 re.compile(query_text)
@@ -721,11 +728,19 @@ class IndexSearcher:
             for word in query_text.split():
                 matched = self.expand_terms("fuzzy", word.lower(), edit_distance)
                 if not matched:
+                    if match_any:
+                        continue  # OR: an unmatched word drops, doesn't zero
                     return None
                 groups.append(matched)
+            if match_any and groups:
+                return [sorted({t for g in groups for t in g})]
             return groups or None
         tokens = tokenize_query(query_text)
-        return [[t] for t in tokens] if tokens else None
+        if not tokens:
+            return None
+        if match_any:
+            return [sorted(dict.fromkeys(tokens))]
+        return [[t] for t in tokens]
 
     def _global_df(self, terms: list[str]) -> dict[str, int]:
         out: dict[str, int] = {t: 0 for t in terms}
@@ -748,6 +763,7 @@ class IndexSearcher:
         exclude_languages: list[str] | None = None,
         use_regex: bool = False,
         phrase: bool = False,
+        match_any: bool = False,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -755,7 +771,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
-            phrase,
+            phrase, match_any,
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -763,7 +779,7 @@ class IndexSearcher:
         results = self._search_uncached(
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
-            phrase,
+            phrase, match_any,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -783,6 +799,7 @@ class IndexSearcher:
         exclude_languages: list[str] | None = None,
         use_regex: bool = False,
         phrase: bool = False,
+        match_any: bool = False,
     ) -> list[dict]:
         if use_regex and edit_distance > 0:
             raise ValueError(
@@ -790,12 +807,14 @@ class IndexSearcher:
             )
         if phrase and (use_regex or edit_distance > 0):
             raise ValueError("phrase queries cannot combine with regex or fuzzy matching")
+        if phrase and match_any:
+            raise ValueError("phrase queries are adjacency-AND; match_any does not apply")
         if not (0 <= edit_distance <= 3):
             raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
         languages = languages or None
         path_filters = path_filters or None
 
-        groups = self._build_groups(query_text, edit_distance, use_regex)
+        groups = self._build_groups(query_text, edit_distance, use_regex, match_any)
         if groups is None:
             return []
 

@@ -127,6 +127,56 @@ class TestExactQueries:
         assert [r["doc_id"] for r in res] == [e[0] for e in oracle.search_exact("needlepair", 2)]
 
 
+class TestMatchAny:
+    """OR semantics (Tantivy should-clauses): union of the terms' docs,
+    score = BM25 sum over the terms a doc contains."""
+
+    def test_or_matches_brute_union(self, built):
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for q in ["spark merge", "needlepair merge", "the fast key"]:
+            for limit in (3, 10, 50):
+                got = s.search(q, match_any=True, limit=limit, snippet_lines=0)
+                exp = oracle.search_groups([tokenize_query(q)], limit)
+                _check(got, exp)
+
+    def test_or_unmatched_word_drops(self, built):
+        """A no-vocab word must not zero the query in OR mode (it does in AND)."""
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        assert s.search("spark nosuchtermanywhere", limit=10, snippet_lines=0) == []
+        got = s.search("spark nosuchtermanywhere", match_any=True, limit=10, snippet_lines=0)
+        exp = oracle.search_groups([["spark"]], 10)
+        _check(got, exp)
+
+    def test_or_superset_of_and(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        and_ids = {r["doc_id"] for r in s.search("spark merge", limit=0, snippet_lines=0)}
+        or_ids = {r["doc_id"] for r in s.search("spark merge", match_any=True, limit=0, snippet_lines=0)}
+        assert and_ids <= or_ids and len(or_ids) > len(and_ids)
+
+    def test_or_fuzzy_union(self, built):
+        """match_any + fuzzy: union of every word's expansion, one group."""
+        from code_indexer_ray.query.expand import osa_distance
+
+        rows, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        g = sorted({t for w in ("mege", "nosuchtermxyz") for t in oracle.vocab
+                    if osa_distance(w, t, 1) <= 1})
+        got = s.search("mege nosuchtermxyz", match_any=True, edit_distance=1,
+                       limit=10, snippet_lines=0)
+        _check(got, oracle.search_groups([g], 10))
+
+    def test_phrase_match_any_raises(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        with pytest.raises(ValueError):
+            s.search("spark merge", phrase=True, match_any=True)
+
+
 class TestFuzzyRegex:
     def test_fuzzy_expansion(self, built):
         _, _, out, _, oracle = built
