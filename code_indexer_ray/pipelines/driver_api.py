@@ -406,6 +406,40 @@ def q_lang_map(sf_dir: str):
     )
 
 
+LANGID_TRAIN_MOD = 5
+LANGID_PROFILE_SIZE = 200
+
+
+def q_lang_id(sf_dir: str):
+    """Content-based language ID (Cavnar-Trenkle char-trigram profiles,
+    integer scoring → exact SQL twin): train on the deterministic
+    ``doc_id % 5 == 0`` labeled sample, classify every document via a
+    broadcast profile lookup inside map_batches (no shuffle)."""
+    import ray
+    import ray.data as rd
+
+    from ..text.langid import build_profiles_ray, classify_batch
+
+    cols = ["doc_id", "lang", "text"]
+
+    def train_only(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % LANGID_TRAIN_MOD == 0))
+
+    train = rd.read_parquet(_docs(sf_dir), columns=cols).map_batches(
+        train_only, batch_format="pyarrow"
+    )
+    profiles = build_profiles_ray(train, profile_size=LANGID_PROFILE_SIZE)
+    pref = ray.put(profiles)
+
+    def classify(batch: pa.Table) -> pa.Table:
+        return classify_batch(batch, ray.get(pref))
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        classify, batch_format="pyarrow"
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -1459,6 +1493,32 @@ def oracle_catalog() -> dict[str, str]:
         "FROM documents"
     )
 
+    # Cavnar-Trenkle char-trigram language ID, integer-exact twin of
+    # q_lang_id: train on doc_id % LANGID_TRAIN_MOD == 0, top-200 trigrams
+    # per lang by (count desc, trigram asc; binary UTF-8 order == the
+    # engine's packed-codepoint key order), score = Σ profile counts over a
+    # doc's trigram occurrences, argmax with lang-asc tiebreak.
+    out["lang_id"] = (
+        f"WITH tgt AS (SELECT lang, substr(text, i::INT, 3) AS tg\n"
+        f"  FROM (SELECT lang, text, unnest(range(1, length(text)-1)) AS i\n"
+        f"        FROM documents WHERE doc_id % {LANGID_TRAIN_MOD} = 0)),\n"
+        "cntt AS (SELECT lang, tg, count(*)::BIGINT AS c FROM tgt GROUP BY lang, tg),\n"
+        "prof AS (SELECT lang, tg, c FROM (\n"
+        "  SELECT lang, tg, c, row_number() OVER (PARTITION BY lang ORDER BY c DESC, tg ASC) AS rk\n"
+        f"  FROM cntt) WHERE rk <= {LANGID_PROFILE_SIZE}),\n"
+        f"langs AS (SELECT DISTINCT lang FROM documents WHERE doc_id % {LANGID_TRAIN_MOD} = 0),\n"
+        "tgd AS (SELECT doc_id, substr(text, i::INT, 3) AS tg\n"
+        "  FROM (SELECT doc_id, text, unnest(range(1, length(text)-1)) AS i FROM documents)),\n"
+        "hits AS (SELECT t.doc_id, p.lang, sum(p.c)::BIGINT AS s\n"
+        "  FROM tgd t JOIN prof p ON p.tg = t.tg GROUP BY t.doc_id, p.lang),\n"
+        "scores AS (SELECT d.doc_id, l.lang, coalesce(h.s, 0)::BIGINT AS score\n"
+        "  FROM documents d CROSS JOIN langs l\n"
+        "  LEFT JOIN hits h ON h.doc_id = d.doc_id AND h.lang = l.lang),\n"
+        "pred AS (SELECT doc_id, lang AS pred_lang, score,\n"
+        "  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk FROM scores)\n"
+        "SELECT doc_id, pred_lang, score FROM pred WHERE rk = 1"
+    )
+
     out["dedup_exact"] = (
         "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)"
     )
@@ -1803,6 +1863,7 @@ def query_catalog():
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,
         "lang_map": q_lang_map,
+        "lang_id": q_lang_id,
         "mm_frames": q_mm_frames,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_bands": q_minhash_bands,

@@ -83,6 +83,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "fts_bm25_limit0", "fts_fuzzy_terms", "fts_bm25_fuzzy",
         "fts_regex_terms", "fts_bm25_regex", "fts_match_positions",
         "fts_chunks", "fts_extract_roundtrip", "fts_extract_html", "lang_map",
+        "lang_id",
         "dedup_exact",
         "dedup_minhash_sig", "dedup_minhash_bands",
         "dedup_minhash_md5_sig", "dedup_minhash_md5_bands", "dedup_simhash",
