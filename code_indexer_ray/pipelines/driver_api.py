@@ -23,6 +23,7 @@ from ..ann.brute import ann_cosine_topk
 from ..ann.lsh import lsh_cosine_topk
 from ..dedup.exact import add_content_hash
 from ..dedup.minhash import (
+    HORNER_BASE,
     MERSENNE_31,
     MERSENNE_P,
     band_batch,
@@ -557,6 +558,83 @@ def q_dedup_near_pairs(sf_dir: str):
     for t, r in zip(toks.to_pylist(), rows):
         tok_lists[int(ids[r])].append(t)
     sets = {d: set(shingles_of(tl, DEFAULT_SHINGLE)) for d, tl in tok_lists.items()}
+    sets_ref = ray.put(sets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        s = ray.get(sets_ref)
+        a = batch["doc_a"].to_numpy(zero_copy_only=False)
+        b = batch["doc_b"].to_numpy(zero_copy_only=False)
+        jac = np.array(
+            [
+                (len(s[x] & s[y]) / len(s[x] | s[y])) if (s.get(x) or s.get(y)) else 1.0
+                for x, y in zip(a, b)
+            ]
+        )
+        keep = jac >= NEAR_DUP_TAU
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep]),
+                "doc_b": pa.array(b[keep]),
+                "jaccard_r": pa.array(np.round(jac[keep], 4)),
+            }
+        )
+
+    out = pa.concat_tables(
+        ray.get(rd.from_arrow(ptbl).map_batches(verify, batch_format="pyarrow").to_arrow_refs())
+    )
+    return out if out.num_rows else empty
+
+
+def q_dedup_ngram_jaccard(sf_dir: str):
+    """Character-4-gram Jaccard near-duplicates (tokenizer-free variant of
+    the near-dup family): unique gram Horner hashes → MinHash → LSH bands →
+    candidate pairs → exact gram-hash-set Jaccard ≥ τ.  Same one-shuffle
+    architecture as dedup_near_pairs; catches in-word edits the word-shingle
+    path misses."""
+    import ray
+    import ray.data as rd
+
+    from ..dedup.chargram import chargram_jaccard_sets, chargram_minhash_batch
+    from ..dedup.minhash import candidate_pairs
+
+    def bands(batch: pa.Table) -> pa.Table:
+        return band_batch(chargram_minhash_batch(batch), mod=MERSENNE_31)
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    pairs = candidate_pairs(ds.map_batches(bands, batch_format="pyarrow"))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
+    empty = pa.table(
+        {
+            "doc_a": pa.array([], pa.int64()),
+            "doc_b": pa.array([], pa.int64()),
+            "jaccard_r": pa.array([], pa.float64()),
+        }
+    )
+    blocks = [
+        t.select(["doc_a", "doc_b"]) for t in ray.get(pairs.to_arrow_refs()) if t.num_rows
+    ]
+    if not blocks:
+        return empty
+    ptbl = pa.concat_tables(blocks)
+    need = np.unique(
+        np.concatenate(
+            [
+                ptbl["doc_a"].to_numpy(zero_copy_only=False),
+                ptbl["doc_b"].to_numpy(zero_copy_only=False),
+            ]
+        )
+    )
+    import pyarrow.dataset as pads
+
+    cand = pads.dataset(_docs(sf_dir)).to_table(
+        columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need)
+    )
+    gram_sets = chargram_jaccard_sets([t or "" for t in cand["text"].to_pylist()])
+    sets = {int(d): s for d, s in zip(cand["doc_id"].to_pylist(), gram_sets)}
     sets_ref = ray.put(sets)
 
     def verify(batch: pa.Table) -> pa.Table:
@@ -1590,6 +1668,36 @@ def oracle_catalog() -> dict[str, str]:
         f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
     )
 
+    # char-4-gram Jaccard near-dups: Horner over codepoints (unicode() in
+    # SQL == the numpy UTF-32 kernel), then the identical sig/band/pair/verify
+    # algebra as dedup_near_pairs over gram-hash sets
+    cg_expr = "unicode(substr(tg, 1, 1))::BIGINT"
+    for _k in (2, 3, 4):
+        cg_expr = f"((({cg_expr}) * {HORNER_BASE} + unicode(substr(tg, {_k}, 1))) % {M31})"
+    out["dedup_ngram_jaccard"] = (
+        f"WITH cg AS (SELECT DISTINCT doc_id, {cg_expr} AS x\n"
+        "  FROM (SELECT doc_id, substr(text, i::INT, 4) AS tg\n"
+        "        FROM (SELECT doc_id, text, unnest(range(1, length(text) - 2)) AS i FROM documents))),\n"
+        f"perms(perm_id, a, b) AS (VALUES {_perm_values_fast()}),\n"
+        f"sig AS (SELECT doc_id, perm_id, min((a * x + b) % {M31}) AS minhash\n"
+        f"  FROM cg, perms GROUP BY doc_id, perm_id),\n"
+        f"bands AS (SELECT doc_id, perm_id // 2 AS band_id,\n"
+        f"  (sum((minhash * CASE WHEN perm_id % 2 = 0 THEN 1 ELSE 1000003 END) % {M31}) % {M31}) AS band_hash\n"
+        f"  FROM sig GROUP BY doc_id, perm_id // 2),\n"
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n"
+        "  FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash\n"
+        "  AND x.doc_id < y.doc_id),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM cg GROUP BY doc_id),\n"
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni\n"
+        "  FROM cand c JOIN cg sa ON sa.doc_id = c.doc_a JOIN cg sb ON sb.doc_id = c.doc_b\n"
+        "  AND sa.x = sb.x GROUP BY c.doc_a, c.doc_b)\n"
+        "SELECT c.doc_a, c.doc_b,\n"
+        "  round(coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)), 4) AS jaccard_r\n"
+        "FROM cand c JOIN sizes za ON za.doc_id = c.doc_a JOIN sizes zb ON zb.doc_id = c.doc_b\n"
+        "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b\n"
+        f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
+    )
+
     from ..text.tokencount import sql_token_count
 
     out["token_count"] = sql_token_count()
@@ -1870,6 +1978,7 @@ def query_catalog():
         "dedup_minhash_md5_sig": q_minhash_md5_sig,
         "dedup_minhash_md5_bands": q_minhash_md5_bands,
         "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
         "text_quality": q_text_quality,
