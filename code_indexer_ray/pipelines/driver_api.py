@@ -190,6 +190,18 @@ def q_bm25_or(sf_dir: str):
     )
 
 
+def q_bm25_not(sf_dir: str):
+    """Boolean MustNot (Lucene/Tantivy BooleanQuery must_not clause): docs
+    containing 'spark' but NOT 'merge', BM25-scored on 'spark' only — the
+    excluded term is a hard pre-ranking filter with no score contribution.
+    Exclusion is exact per shard because docs are sharded by id range
+    (reference analog: tantivy query-parser '-term')."""
+    return _bm25_table(
+        searcher_for(sf_dir).search("spark", exclude_terms=["merge"], limit=10, snippet_lines=0),
+        10,
+    )
+
+
 _PHRASE_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -1455,6 +1467,17 @@ def oracle_catalog() -> dict[str, str]:
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
     out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
+    out["fts_bm25_not"] = _q(
+        _scored_cte(
+            "'spark'",
+            None,
+            lang_pred=(
+                "AND NOT EXISTS (SELECT 1 FROM tf x"
+                " WHERE x.doc_id = tf.doc_id AND x.term = 'merge')"
+            ),
+        ),
+        _ranked_topk(10),
+    )
     out["fts_bm25_lang"] = _q(
         _scored_cte("'spark'", None, lang_pred="AND d.lang IN ('en','de')"), _ranked_topk(10)
     )
@@ -1956,6 +1979,7 @@ def query_catalog():
         "fts_bm25_single": q_bm25_single,
         "fts_bm25_and": q_bm25_and,
         "fts_bm25_or": q_bm25_or,
+        "fts_bm25_not": q_bm25_not,
         "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,

@@ -467,8 +467,15 @@ class ShardSearcher:
         include_langs: list[str] | None = None,
         lang_col: str | None = None,
         url_col: str | None = None,
+        exclude_terms: list[str] | None = None,
     ) -> list[tuple[int, float, str | None, str | None]]:
-        """Top-m (doc_id, score, lang, url) for AND-of-OR-groups in this shard."""
+        """Top-m (doc_id, score, lang, url) for AND-of-OR-groups in this shard.
+
+        ``exclude_terms`` is the Lucene/Tantivy BooleanQuery MustNot clause:
+        a candidate containing ANY excluded term is dropped BEFORE ranking
+        and contributes no score.  Docs are sharded by id range, so a doc's
+        postings for an excluded term live in this same shard — per-shard
+        exclusion is exact, no cross-shard pass needed."""
         group_posts: list[list[tuple[str, dict]]] = []
         for g in groups:
             posts = [(t, self.posting(t)) for t in dict.fromkeys(g)]
@@ -479,12 +486,13 @@ class ShardSearcher:
 
         # MaxScore pruning for wide single-group unions (fuzzy/regex
         # expansions): exact top-m without decoding every member's postings.
-        # Skipped under a pre-limit language filter — the threshold would be
-        # computed on unfiltered scores and pruning would no longer be safe.
+        # Skipped under a pre-limit language filter (threshold would be unsafe)
+        # and under MustNot (the excluded docs must drop before the heap).
         if (
             len(group_posts) == 1
             and len(group_posts[0]) >= 8
             and include_langs is None
+            and not exclude_terms
         ):
             return self._maxscore_union(
                 group_posts[0], n_docs, avgdl, global_df, m, lang_col, url_col
@@ -506,6 +514,17 @@ class ShardSearcher:
             cand = union if cand is None else np.intersect1d(cand, union, assume_unique=True)
             if len(cand) == 0:
                 return []
+
+        if exclude_terms:
+            for t in dict.fromkeys(exclude_terms):
+                p = self.posting(t)
+                if p is None:
+                    continue
+                d, _, _ = self._decode_for_candidates(p, cand)
+                if len(d):
+                    cand = cand[~np.isin(cand, d, assume_unique=True)]
+                if len(cand) == 0:
+                    return []
 
         scores = np.zeros(len(cand), dtype=np.float64)
         for _gi, t, d, tf, nm in decoded:
@@ -764,6 +783,7 @@ class IndexSearcher:
         use_regex: bool = False,
         phrase: bool = False,
         match_any: bool = False,
+        exclude_terms: list[str] | None = None,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -771,7 +791,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
-            phrase, match_any,
+            phrase, match_any, tuple(exclude_terms or ()),
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -779,7 +799,7 @@ class IndexSearcher:
         results = self._search_uncached(
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
-            phrase, match_any,
+            phrase, match_any, exclude_terms,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -800,6 +820,7 @@ class IndexSearcher:
         use_regex: bool = False,
         phrase: bool = False,
         match_any: bool = False,
+        exclude_terms: list[str] | None = None,
     ) -> list[dict]:
         if use_regex and edit_distance > 0:
             raise ValueError(
@@ -809,6 +830,8 @@ class IndexSearcher:
             raise ValueError("phrase queries cannot combine with regex or fuzzy matching")
         if phrase and match_any:
             raise ValueError("phrase queries are adjacency-AND; match_any does not apply")
+        if phrase and exclude_terms:
+            raise ValueError("exclude_terms is not supported with phrase queries")
         if not (0 <= edit_distance <= 3):
             raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
         languages = languages or None
@@ -817,6 +840,10 @@ class IndexSearcher:
         groups = self._build_groups(query_text, edit_distance, use_regex, match_any)
         if groups is None:
             return []
+        not_terms = (
+            sorted(dict.fromkeys(tokenize_query(" ".join(exclude_terms))))
+            if exclude_terms else None
+        )
 
         all_terms = sorted({t for g in groups for t in g})
         global_df = self._global_df(all_terms)
@@ -854,6 +881,7 @@ class IndexSearcher:
                 include_pre,
                 self.lang_col,
                 self.url_col,
+                not_terms,
             )
         hits = [h for sh in per_shard for h in sh]
         if not hits:

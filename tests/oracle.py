@@ -44,11 +44,15 @@ class BruteForceIndex:
         dl = self.dl[doc]
         return self.idf(term) * (tf * (K1 + 1.0) / (tf + K1 * (1.0 - B + B * dl / self.avgdl)))
 
-    def search_groups(self, groups: list[list[str]], limit: int, langs_in: list[str] | None = None):
-        """AND of OR-groups, score = Σ over groups Σ matched member terms."""
+    def search_groups(self, groups: list[list[str]], limit: int, langs_in: list[str] | None = None,
+                      exclude: list[str] | None = None):
+        """AND of OR-groups, score = Σ over groups Σ matched member terms;
+        ``exclude`` = MustNot terms (drop the doc, contribute no score)."""
         hits = []
         for d in self.tokens:
             if langs_in is not None and self.langs.get(d) not in langs_in:
+                continue
+            if exclude and any(self.tfs[d].get(t, 0) > 0 for t in exclude):
                 continue
             ok = all(any(self.tfs[d].get(t, 0) > 0 for t in g) for g in groups)
             if not ok or not groups:

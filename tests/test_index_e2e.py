@@ -177,6 +177,75 @@ class TestMatchAny:
             s.search("spark merge", phrase=True, match_any=True)
 
 
+class TestMustNot:
+    """exclude_terms (Lucene/Tantivy MustNot): hard pre-ranking filter, no
+    score contribution from the excluded terms."""
+
+    def test_matches_brute(self, built):
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for q, ex in [("spark", ["merge"]), ("the", ["spark", "merge"]),
+                      ("spark merge", ["key"])]:
+            for limit in (3, 10, 50):
+                got = s.search(q, exclude_terms=ex, limit=limit, snippet_lines=0)
+                exp = oracle.search_groups(
+                    [[t] for t in tokenize_query(q)], limit, exclude=ex
+                )
+                _check(got, exp)
+
+    def test_excluded_docs_absent_scores_unchanged(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        base = {r["doc_id"]: r["score"] for r in s.search("spark", limit=0, snippet_lines=0)}
+        merge_ids = {r["doc_id"] for r in s.search("merge", limit=0, snippet_lines=0)}
+        got = s.search("spark", exclude_terms=["merge"], limit=0, snippet_lines=0)
+        assert {r["doc_id"] for r in got} == set(base) - merge_ids
+        for r in got:  # scores identical to the unexcluded query's
+            assert r["score"] == pytest.approx(base[r["doc_id"]], abs=1e-12)
+
+    def test_unknown_exclude_term_is_noop(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        a = s.search("spark", limit=10, snippet_lines=0)
+        b = s.search("spark", exclude_terms=["nosuchtermanywhere"], limit=10, snippet_lines=0)
+        assert a == b
+
+    def test_match_any_with_exclusion(self, built):
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        got = s.search("spark merge", match_any=True, exclude_terms=["key"],
+                       limit=20, snippet_lines=0)
+        exp = oracle.search_groups(
+            [sorted(dict.fromkeys(tokenize_query("spark merge")))], 20, exclude=["key"]
+        )
+        _check(got, exp)
+
+    def test_wide_union_with_exclusion_skips_maxscore(self, built):
+        """Regex expansion (≥8 member group) + MustNot: the MaxScore fast
+        path is bypassed and results still match brute force."""
+        import re as _re
+
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        pat = ".*e.*"
+        rx = _re.compile(pat)
+        g = sorted({t for t in oracle.vocab if rx.fullmatch(t)})
+        assert len(g) >= 8  # sanity: wide union
+        got = s.search(pat, use_regex=True, exclude_terms=["spark"],
+                       limit=10, snippet_lines=0)
+        _check(got, oracle.search_groups([g], 10, exclude=["spark"]))
+
+    def test_phrase_exclude_raises(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        with pytest.raises(ValueError):
+            s.search("spark merge", phrase=True, exclude_terms=["key"])
+
+
 class TestFuzzyRegex:
     def test_fuzzy_expansion(self, built):
         _, _, out, _, oracle = built
