@@ -202,6 +202,20 @@ def q_bm25_not(sf_dir: str):
     )
 
 
+def q_facet_lang(sf_dir: str):
+    """Language facet counts over ALL docs matching 'spark' (FacetCollector
+    analog): exact per-shard counting, only {lang: count} maps cross the
+    wire — scale-independent result size."""
+    counts = searcher_for(sf_dir).facets("spark")
+    langs = sorted(counts)
+    return pa.table(
+        {
+            "lang": pa.array(langs, type=pa.string()),
+            "n_docs": pa.array([counts[la] for la in langs], type=pa.int64()),
+        }
+    )
+
+
 _PHRASE_SEARCHERS: dict[str, IndexSearcher] = {}
 
 
@@ -1467,6 +1481,12 @@ def oracle_catalog() -> dict[str, str]:
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
     out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
+    out["fts_facet_lang"] = (
+        pre + ",\n"
+        "m AS (SELECT DISTINCT tf.doc_id FROM tf WHERE tf.term = 'spark')\n"
+        "SELECT d.lang, count(*)::BIGINT AS n_docs FROM m JOIN documents d USING (doc_id)\n"
+        "GROUP BY d.lang"
+    )
     out["fts_bm25_not"] = _q(
         _scored_cte(
             "'spark'",
@@ -1980,6 +2000,7 @@ def query_catalog():
         "fts_bm25_and": q_bm25_and,
         "fts_bm25_or": q_bm25_or,
         "fts_bm25_not": q_bm25_not,
+        "fts_facet_lang": q_facet_lang,
         "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,

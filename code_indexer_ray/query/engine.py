@@ -558,6 +558,69 @@ class ShardSearcher:
         langs, urls = self._meta_for(cand)
         return list(zip(cand.tolist(), scores.tolist(), langs, urls))
 
+    def _match_candidates(
+        self,
+        groups: list[list[str]],
+        exclude_terms: list[str] | None = None,
+    ) -> np.ndarray:
+        """ALL matching doc ids in this shard for AND-of-OR-groups + MustNot
+        (the candidate computation of :meth:`search_groups` without scoring)."""
+        group_posts: list[list[tuple[str, dict]]] = []
+        for g in groups:
+            posts = [(t, self.posting(t)) for t in dict.fromkeys(g)]
+            posts = [(t, p) for t, p in posts if p is not None]
+            if not posts:
+                return np.empty(0, np.int64)
+            group_posts.append(posts)
+        order = np.argsort([sum(p["df"] for _, p in posts) for posts in group_posts])
+        cand: np.ndarray | None = None
+        for gi in order:
+            arrs = []
+            for _t, p in group_posts[gi]:
+                d, _, _ = (
+                    self._decode_full(p) if cand is None else self._decode_for_candidates(p, cand)
+                )
+                arrs.append(d)
+            union = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            cand = union if cand is None else np.intersect1d(cand, union, assume_unique=True)
+            if len(cand) == 0:
+                return np.empty(0, np.int64)
+        if exclude_terms:
+            for t in dict.fromkeys(exclude_terms):
+                p = self.posting(t)
+                if p is None:
+                    continue
+                d, _, _ = self._decode_for_candidates(p, cand)
+                if len(d):
+                    cand = cand[~np.isin(cand, d, assume_unique=True)]
+                if len(cand) == 0:
+                    break
+        return cand.astype(np.int64, copy=False)
+
+    def facet_counts(
+        self,
+        groups: list[list[str]],
+        lang_col: str | None,
+        exclude_terms: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Per-language match counts over ALL matching docs in this shard
+        (search-engine facet counting / Tantivy FacetCollector analog).
+        Only {lang: count} pairs cross the wire — never doc lists — so the
+        driver-side merge is O(#langs × #shards) regardless of corpus size."""
+        cand = self._match_candidates(groups, exclude_terms)
+        if len(cand) == 0:
+            return {}
+        self._load_meta(lang_col, None)
+        if self._meta is None or self._meta["lang"] is None:
+            return {"": int(len(cand))}
+        pos = np.searchsorted(self._meta["doc_id"], cand)
+        langs = self._meta["lang"].take(pa.array(pos))
+        vc = langs.value_counts()
+        return {
+            (v.as_py() or ""): c.as_py()
+            for v, c in zip(vc.field("values"), vc.field("counts"))
+        }
+
 
 def _union_exact_scores(
     posts: list[tuple[str, dict]],
@@ -766,6 +829,37 @@ class IndexSearcher:
         for local in self._fanout("df_of", terms):
             for t, df in local.items():
                 out[t] += df
+        return out
+
+    def facets(
+        self,
+        query_text: str,
+        *,
+        edit_distance: int = 0,
+        use_regex: bool = False,
+        match_any: bool = False,
+        exclude_terms: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Language facet counts over ALL documents matching the query
+        (FacetCollector analog): {lang: n_matching_docs}, exact, computed
+        shard-locally — each shard ships only its small count map and the
+        driver sums them.  Composes with fuzzy/regex/OR/MustNot exactly like
+        :meth:`search`."""
+        if use_regex and edit_distance > 0:
+            raise ValueError(
+                "Cannot combine regex matching with fuzzy matching (edit_distance > 0)."
+            )
+        groups = self._build_groups(query_text, edit_distance, use_regex, match_any)
+        if groups is None:
+            return {}
+        not_terms = (
+            sorted(dict.fromkeys(tokenize_query(" ".join(exclude_terms))))
+            if exclude_terms else None
+        )
+        out: dict[str, int] = {}
+        for local in self._fanout("facet_counts", groups, self.lang_col, not_terms):
+            for lang, n in local.items():
+                out[lang] = out.get(lang, 0) + n
         return out
 
     # ---- the reference-shaped search ----

@@ -246,6 +246,45 @@ class TestMustNot:
             s.search("spark merge", phrase=True, exclude_terms=["key"])
 
 
+class TestFacets:
+    """Exact language facet counts over all matches (FacetCollector analog)."""
+
+    def _brute(self, oracle, groups, exclude=None):
+        from collections import Counter
+
+        hits = oracle.search_groups(groups, 10**9, exclude=exclude)
+        return dict(Counter(oracle.langs.get(d, "") for d, _ in hits))
+
+    def test_counts_match_brute(self, built):
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for q in ["spark", "spark merge", "the"]:
+            got = s.facets(q)
+            assert got == self._brute(oracle, [[t] for t in tokenize_query(q)])
+
+    def test_facets_with_exclusion_and_or(self, built):
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        got = s.facets("spark merge", match_any=True, exclude_terms=["key"])
+        toks = sorted(dict.fromkeys(tokenize_query("spark merge")))
+        assert got == self._brute(oracle, [toks], exclude=["key"])
+
+    def test_no_match_empty(self, built):
+        _, _, out, _, _ = built
+        s = IndexSearcher(out)
+        assert s.facets("nosuchtermanywhere") == {}
+
+    def test_actor_mode_matches_local(self, built):
+        _, _, out, _, _ = built
+        local = IndexSearcher(out).facets("spark")
+        remote = IndexSearcher(out, remote=True).facets("spark")
+        assert local == remote
+
+
 class TestFuzzyRegex:
     def test_fuzzy_expansion(self, built):
         _, _, out, _, oracle = built
