@@ -202,6 +202,16 @@ def q_bm25_not(sf_dir: str):
     )
 
 
+def q_bm25_page(sf_dir: str):
+    """Pagination (offset=5, limit=5 — 'page 2'): each shard returns its
+    top-(offset+limit), the driver merges and skips the first ``offset``
+    rows, so deep pages cost O(offset+limit) per shard, never a full
+    re-rank (Tantivy TopDocs::with_offset analog)."""
+    return _bm25_table(
+        searcher_for(sf_dir).search("spark", offset=5, limit=5, snippet_lines=0), 5
+    )
+
+
 def q_facet_lang(sf_dir: str):
     """Language facet counts over ALL docs matching 'spark' (FacetCollector
     analog): exact per-shard counting, only {lang: count} maps cross the
@@ -1481,6 +1491,13 @@ def oracle_catalog() -> dict[str, str]:
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
     out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
+    out["fts_bm25_page"] = (
+        pre + ",\n" + _scored_cte("'spark'", None) + ",\n"
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored)\n"
+        "SELECT doc_id, (rank - 5)::BIGINT AS rank, round(score, 4) AS score_r\n"
+        "FROM ranked WHERE rank BETWEEN 6 AND 10"
+    )
     out["fts_facet_lang"] = (
         pre + ",\n"
         "m AS (SELECT DISTINCT tf.doc_id FROM tf WHERE tf.term = 'spark')\n"
@@ -2001,6 +2018,7 @@ def query_catalog():
         "fts_bm25_or": q_bm25_or,
         "fts_bm25_not": q_bm25_not,
         "fts_facet_lang": q_facet_lang,
+        "fts_bm25_page": q_bm25_page,
         "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,

@@ -878,6 +878,7 @@ class IndexSearcher:
         phrase: bool = False,
         match_any: bool = False,
         exclude_terms: list[str] | None = None,
+        offset: int = 0,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -885,7 +886,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
-            phrase, match_any, tuple(exclude_terms or ()),
+            phrase, match_any, tuple(exclude_terms or ()), offset,
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -893,7 +894,7 @@ class IndexSearcher:
         results = self._search_uncached(
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
-            phrase, match_any, exclude_terms,
+            phrase, match_any, exclude_terms, offset,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -915,7 +916,10 @@ class IndexSearcher:
         phrase: bool = False,
         match_any: bool = False,
         exclude_terms: list[str] | None = None,
+        offset: int = 0,
     ) -> list[dict]:
+        if offset < 0:
+            raise ValueError(f"offset must be >= 0, got {offset}")
         if use_regex and edit_distance > 0:
             raise ValueError(
                 "Cannot combine regex matching with fuzzy matching (edit_distance > 0)."
@@ -949,7 +953,8 @@ class IndexSearcher:
             snippet_lines = 0
         else:
             needs_increased = bool(path_filters or exclude_paths or exclude_languages)
-            search_limit = limit * 3 if needs_increased else limit
+            depth = limit + offset  # pagination: rank depth includes skipped rows
+            search_limit = depth * 3 if needs_increased else depth
 
         include_pre = languages if (languages and not exclude_languages) else None
         if phrase:
@@ -1005,8 +1010,9 @@ class IndexSearcher:
             if path_filters and url is not None and not matches_any(url, path_filters):
                 continue
             selected.append((doc_id, score, lang, url))
-            if limit > 0 and len(selected) >= limit:
+            if limit > 0 and len(selected) >= limit + offset:
                 break
+        selected = selected[offset:]
         if limit > 0:
             selected = selected[:limit]
         if not selected:

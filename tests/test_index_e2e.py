@@ -246,6 +246,48 @@ class TestMustNot:
             s.search("spark merge", phrase=True, exclude_terms=["key"])
 
 
+class TestPagination:
+    """offset: per-shard fetch depth offset+limit, global skip at the driver."""
+
+    def test_pages_tile_the_full_ranking(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        full = oracle.search_exact("the", 100)
+        for page, size in [(0, 3), (1, 3), (2, 3), (1, 7)]:
+            got = s.search("the", offset=page * size, limit=size, snippet_lines=0)
+            _check(got, full[page * size:(page + 1) * size])
+
+    def test_offset_past_end_empty(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        n = len(oracle.search_exact("spark", 10**6))
+        assert s.search("spark", offset=n, limit=10, snippet_lines=0) == []
+
+    def test_offset_with_postfilter_overfetch(self, built):
+        """Pagination under a post-filter must still tile the filtered ranking."""
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        full = [
+            (d, sc) for d, sc in oracle.search_exact("the", 10**6)
+            if oracle.langs.get(d) != "en"
+        ]
+        a = s.search("the", exclude_languages=["en"], offset=0, limit=4, snippet_lines=0)
+        b = s.search("the", exclude_languages=["en"], offset=4, limit=4, snippet_lines=0)
+        _check(a + b, full[:8])
+
+    def test_offset_limit0_unlimited_tail(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        full = oracle.search_exact("the", 10**6)
+        got = s.search("the", offset=2, limit=0, snippet_lines=0)
+        _check(got, full[2:])
+
+    def test_negative_offset_raises(self, built):
+        _, _, out, _, _ = built
+        with pytest.raises(ValueError):
+            IndexSearcher(out).search("spark", offset=-1)
+
+
 class TestFacets:
     """Exact language facet counts over all matches (FacetCollector analog)."""
 
