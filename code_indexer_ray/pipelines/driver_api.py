@@ -202,6 +202,14 @@ def q_bm25_not(sf_dir: str):
     )
 
 
+def q_more_like_this(sf_dir: str):
+    """Similar docs to doc 42 (Lucene MoreLikeThis analog): top-10 tf·idf
+    terms of the source doc → BM25 OR query, source excluded."""
+    return _bm25_table(
+        searcher_for(sf_dir).more_like_this(42, max_terms=10, limit=10), 10
+    )
+
+
 def q_bm25_page(sf_dir: str):
     """Pagination (offset=5, limit=5 — 'page 2'): each shard returns its
     top-(offset+limit), the driver merges and skips the first ``offset``
@@ -1491,6 +1499,16 @@ def oracle_catalog() -> dict[str, str]:
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
     out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
+    out["fts_more_like_this"] = (
+        pre + ",\n"
+        "src AS (SELECT term, tf FROM tf WHERE doc_id = 42),\n"
+        "mlt AS (SELECT src.term,\n"
+        "  round(src.tf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 9) AS tscore\n"
+        "  FROM src JOIN df USING (term), stats s),\n"
+        "mlt_top AS (SELECT term FROM mlt ORDER BY tscore DESC, term LIMIT 10),\n"
+        + _scored_cte("SELECT term FROM mlt_top", None, lang_pred="AND tf.doc_id <> 42")
+        + ",\n" + _ranked_topk(10)
+    )
     out["fts_bm25_page"] = (
         pre + ",\n" + _scored_cte("'spark'", None) + ",\n"
         "ranked AS (SELECT doc_id, score,\n"
@@ -2019,6 +2037,7 @@ def query_catalog():
         "fts_bm25_not": q_bm25_not,
         "fts_facet_lang": q_facet_lang,
         "fts_bm25_page": q_bm25_page,
+        "fts_more_like_this": q_more_like_this,
         "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,

@@ -862,6 +862,48 @@ class IndexSearcher:
                 out[lang] = out.get(lang, 0) + n
         return out
 
+    def more_like_this(
+        self,
+        doc_id: int,
+        *,
+        max_terms: int = 10,
+        limit: int = 10,
+        snippet_lines: int = 0,
+    ) -> list[dict]:
+        """Similar-document search (Lucene MoreLikeThis analog): point-read
+        the source doc's stored text, rank its terms by tf·idf (idf from the
+        CORPUS df, one metadata fanout), keep the top ``max_terms``
+        (round-9 score, term-asc tiebreak — pinned for determinism), then
+        run a BM25 OR query over them with the source doc excluded.
+
+        Scale shape: one stored-field point read + one df lookup fanout +
+        one normal top-k search — nothing corpus-sized on the driver."""
+        content = self._fetch_texts([doc_id]).get(doc_id)
+        if not content:
+            return []
+        from collections import Counter
+
+        tf = Counter(tokenize_query(content))
+        if not tf:
+            return []
+        dfs = self._global_df(sorted(tf))
+        n = self.manifest.num_docs
+        scored = [
+            (t, round(c * float(bm25.idf(dfs[t], n)), 9))
+            for t, c in tf.items()
+            if dfs[t] > 0
+        ]
+        scored.sort(key=lambda x: (-x[1], x[0]))
+        terms = [t for t, _ in scored[:max_terms]]
+        if not terms:
+            return []
+        fetch = limit + 1 if limit > 0 else 0  # the source doc may rank
+        res = self.search(
+            " ".join(terms), match_any=True, limit=fetch, snippet_lines=snippet_lines
+        )
+        res = [r for r in res if r["doc_id"] != doc_id]
+        return res[:limit] if limit > 0 else res
+
     # ---- the reference-shaped search ----
     def search(
         self,

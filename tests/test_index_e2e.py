@@ -246,6 +246,48 @@ class TestMustNot:
             s.search("spark merge", phrase=True, exclude_terms=["key"])
 
 
+class TestMoreLikeThis:
+    """Lucene MLT analog: tf·idf term selection + OR search minus source."""
+
+    def _brute_mlt(self, oracle, doc_id, max_terms=10, limit=10):
+        import math
+
+        tf = oracle.tfs[doc_id]
+        scored = sorted(
+            ((t, round(c * math.log(1 + (oracle.n_docs - oracle.df[t] + 0.5)
+                                    / (oracle.df[t] + 0.5)), 9))
+             for t, c in tf.items() if oracle.df.get(t, 0) > 0),
+            key=lambda x: (-x[1], x[0]),
+        )
+        terms = sorted(dict.fromkeys(t for t, _ in scored[:max_terms]))
+        hits = [h for h in oracle.search_groups([terms], 10**6) if h[0] != doc_id]
+        return hits[:limit]
+
+    def test_matches_brute(self, built):
+        rows, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for doc_id in list(oracle.tokens)[:5]:
+            got = s.more_like_this(doc_id, max_terms=10, limit=10)
+            _check(got, self._brute_mlt(oracle, doc_id))
+
+    def test_source_never_in_results(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        for doc_id in list(oracle.tokens)[:5]:
+            assert doc_id not in {r["doc_id"] for r in s.more_like_this(doc_id, limit=0)}
+
+    def test_max_terms_one(self, built):
+        _, _, out, _, oracle = built
+        s = IndexSearcher(out)
+        doc_id = next(iter(oracle.tokens))
+        got = s.more_like_this(doc_id, max_terms=1, limit=10)
+        _check(got, self._brute_mlt(oracle, doc_id, max_terms=1))
+
+    def test_unknown_doc_empty(self, built):
+        _, _, out, _, _ = built
+        assert IndexSearcher(out).more_like_this(10**9) == []
+
+
 class TestPagination:
     """offset: per-shard fetch depth offset+limit, global skip at the driver."""
 
