@@ -202,6 +202,67 @@ def q_bm25_not(sf_dir: str):
     )
 
 
+RRF_K = 60
+RRF_DEPTH = 20
+
+
+def q_hybrid_search(sf_dir: str):
+    """Hybrid retrieval with reciprocal rank fusion (Cormack et al. 2009):
+    the sharded BM25 engine's OR ranking and a feature-hash-embedding cosine
+    ranking, each to depth 20, fused by Σ 1/(60 + rank), top-10.
+
+    Scale shape: the lexical leg is the per-shard top-m engine; the vector
+    leg broadcasts ONE query vector (``ray.put``) and merges per-batch local
+    top-k; fusion touches ≤ 2·depth rows on the driver."""
+    import ray.data as rd
+
+    from ..ann.brute import ann_cosine_topk
+    from ..text.embed import SEMANTIC_DIM, TextEmbedStage
+
+    query = "spark merge"
+
+    bm = searcher_for(sf_dir).search(
+        query, match_any=True, limit=RRF_DEPTH, snippet_lines=0
+    )
+    bm = sorted(bm, key=lambda r: (-round(r["score"], 9), r["doc_id"]))[:RRF_DEPTH]
+    bm_rank = {r["doc_id"]: i for i, r in enumerate(bm, 1)}
+
+    embedder = TextEmbedStage(dim=SEMANTIC_DIM, output="list")
+    qvec = embedder(pa.table({"doc_id": pa.array([0], pa.int64()), "text": [query]}))
+    q = np.asarray(qvec["embedding"][0].as_py(), dtype=np.float64)
+
+    ds = (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+        .map_batches(
+            TextEmbedStage,
+            fn_constructor_kwargs={"dim": SEMANTIC_DIM, "output": "list"},
+            concurrency=2,
+            batch_format="pyarrow",
+        )
+        .filter(expr="norm > 0")
+        .drop_columns(["norm"])
+    )
+    vec = ann_cosine_topk(ds, np.stack([q]), np.array([0]), RRF_DEPTH, id_col="doc_id")
+    vr = vec["rank"].to_numpy(zero_copy_only=False)
+    vi = vec["vec_id"].to_numpy(zero_copy_only=False)
+    vec_rank = {int(d): int(r) for d, r in zip(vi, vr)}
+
+    fused = {}
+    for d in set(bm_rank) | set(vec_rank):
+        rb, rv = bm_rank.get(d), vec_rank.get(d)
+        fused[d] = (1.0 / (RRF_K + rb) if rb else 0.0) + (
+            1.0 / (RRF_K + rv) if rv else 0.0
+        )
+    top = sorted(fused.items(), key=lambda kv: (-round(kv[1], 9), kv[0]))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in top], type=pa.int64()),
+            "rank": pa.array(range(1, len(top) + 1), type=pa.int64()),
+            "rrf_r": pa.array([round(s, 6) for _, s in top], type=pa.float64()),
+        }
+    )
+
+
 def q_more_like_this(sf_dir: str):
     """Similar docs to doc 42 (Lucene MoreLikeThis analog): top-10 tf·idf
     terms of the source doc → BM25 OR query, source excluded."""
@@ -1499,6 +1560,39 @@ def oracle_catalog() -> dict[str, str]:
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
     out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
+    from ..text.embed import SEMANTIC_DIM as D  # noqa: N811 — oracle twin dim
+
+    out["fts_hybrid_rrf"] = (
+        pre + ",\n" + _scored_cte("'spark','merge'", None) + ",\n"
+        "bmr AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored),\n"
+        f"bmtop AS (SELECT doc_id, rank FROM bmr WHERE rank <= {RRF_DEPTH}),\n"
+        "h2 AS (SELECT doc_id, md5_number_lower(term) AS h FROM toks),\n"
+        f"bu2 AS (SELECT doc_id, (h % {D})::BIGINT AS bucket,\n"
+        f"  CASE WHEN ((h // {D}) % 2) = 0 THEN 1.0 ELSE -1.0 END AS sgn FROM h2),\n"
+        "acc2 AS (SELECT doc_id, bucket, sum(sgn)::DOUBLE AS v FROM bu2 GROUP BY doc_id, bucket),\n"
+        f"dense2 AS (SELECT t.doc_id, g.b AS i, coalesce(a.v, 0)::DOUBLE AS v\n"
+        f"  FROM (SELECT DISTINCT doc_id FROM toks) t\n"
+        f"  CROSS JOIN (SELECT unnest(generate_series(0, {D - 1})) AS b) g\n"
+        f"  LEFT JOIN acc2 a ON a.doc_id = t.doc_id AND a.bucket = g.b),\n"
+        "vecs2 AS (SELECT doc_id, list(v ORDER BY i) AS e FROM dense2 GROUP BY doc_id),\n"
+        "nz2 AS (SELECT doc_id, e FROM vecs2 WHERE len(list_filter(e, x -> x <> 0)) > 0),\n"
+        f"qbu AS (SELECT (md5_number_lower(t) % {D})::BIGINT AS bucket,\n"
+        f"  CASE WHEN ((md5_number_lower(t) // {D}) % 2) = 0 THEN 1.0 ELSE -1.0 END AS sgn\n"
+        "  FROM (VALUES ('spark'), ('merge')) v(t)),\n"
+        "qacc AS (SELECT bucket, sum(sgn)::DOUBLE AS v FROM qbu GROUP BY bucket),\n"
+        f"qdense AS (SELECT g.b AS i, coalesce(q.v, 0)::DOUBLE AS v\n"
+        f"  FROM (SELECT unnest(generate_series(0, {D - 1})) AS b) g\n"
+        "  LEFT JOIN qacc q ON q.bucket = g.b),\n"
+        "qv AS (SELECT list(v ORDER BY i) AS qe FROM qdense),\n"
+        "vc AS (SELECT n.doc_id, list_cosine_similarity(qv.qe, n.e) AS cos FROM nz2 n, qv),\n"
+        "vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS rank FROM vc),\n"
+        f"vectop AS (SELECT doc_id, rank FROM vr WHERE rank <= {RRF_DEPTH}),\n"
+        f"fused AS (SELECT doc_id,\n"
+        f"  coalesce(1.0 / ({RRF_K} + b.rank), 0) + coalesce(1.0 / ({RRF_K} + v.rank), 0) AS rrf\n"
+        "  FROM bmtop b FULL OUTER JOIN vectop v USING (doc_id)),\n"
+        "frank AS (SELECT doc_id, rrf, row_number() OVER (ORDER BY round(rrf, 9) DESC, doc_id) AS rank FROM fused)\n"
+        "SELECT doc_id, rank::BIGINT AS rank, round(rrf, 6) AS rrf_r FROM frank WHERE rank <= 10"
+    )
     out["fts_more_like_this"] = (
         pre + ",\n"
         "src AS (SELECT term, tf FROM tf WHERE doc_id = 42),\n"
@@ -2038,6 +2132,7 @@ def query_catalog():
         "fts_facet_lang": q_facet_lang,
         "fts_bm25_page": q_bm25_page,
         "fts_more_like_this": q_more_like_this,
+        "fts_hybrid_rrf": q_hybrid_search,
         "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,
