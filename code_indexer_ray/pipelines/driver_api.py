@@ -202,6 +202,32 @@ def q_bm25_not(sf_dir: str):
     )
 
 
+def q_gopher_repetition(sf_dir: str):
+    """Gopher-style per-doc repetition signals (Rae et al. 2021 §A1.1, token
+    n-gram variant): top-2-gram multiplicity/share + duplicate-5-gram
+    count/share, all exact integers.  Embarrassingly parallel, no shuffle."""
+    import ray.data as rd
+
+    from ..text.repetition import repetition_stats_batch
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        repetition_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_span_dedup(sf_dir: str):
+    """Corpus-level duplicated-span stats (C4/RefinedWeb span-dedup family):
+    per doc, how many of its distinct 10-token spans appear in >1 document.
+    One coarse hash-partition shuffle on the span hash with map-side
+    DISTINCT-(span, doc), per-partition vectorized multiplicity counting,
+    small final per-doc groupby."""
+    import ray.data as rd
+
+    from ..text.repetition import span_dedup_stats
+
+    return span_dedup_stats(rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]))
+
+
 RRF_K = 60
 RRF_DEPTH = 20
 
@@ -1560,6 +1586,37 @@ def oracle_catalog() -> dict[str, str]:
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
     out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
+    from ..text.repetition import sql_ngram_hash_cte, sql_token_hash_cte
+
+    out["gopher_repetition"] = (
+        "WITH " + sql_token_hash_cte() + ",\n"
+        + sql_ngram_hash_cte(2, "g2") + ",\n"
+        + sql_ngram_hash_cte(5, "g5") + ",\n"
+        "c2 AS (SELECT doc_id, x, count(*) AS c FROM g2 GROUP BY doc_id, x),\n"
+        "a2 AS (SELECT doc_id, sum(c)::BIGINT AS n2, max(c)::BIGINT AS top2 FROM c2 GROUP BY doc_id),\n"
+        "c5 AS (SELECT doc_id, x, count(*) AS c FROM g5 GROUP BY doc_id, x),\n"
+        "a5 AS (SELECT doc_id, sum(c)::BIGINT AS n5, count(*)::BIGINT AS u5 FROM c5 GROUP BY doc_id),\n"
+        "nt AS (SELECT doc_id, len(tks)::BIGINT AS n_tokens FROM tokarr)\n"
+        "SELECT nt.doc_id, nt.n_tokens,\n"
+        "  coalesce(a2.n2, 0)::BIGINT AS n_2grams, coalesce(a2.top2, 0)::BIGINT AS top2_cnt,\n"
+        "  coalesce(CASE WHEN a2.n2 > 0 THEN (a2.top2 * 10000) // a2.n2 END, 0)::BIGINT AS top2_frac_e4,\n"
+        "  coalesce(a5.n5, 0)::BIGINT AS n_5grams,\n"
+        "  coalesce(a5.n5 - a5.u5, 0)::BIGINT AS dup5_cnt,\n"
+        "  coalesce(CASE WHEN a5.n5 > 0 THEN ((a5.n5 - a5.u5) * 10000) // a5.n5 END, 0)::BIGINT AS dup5_frac_e4\n"
+        "FROM nt LEFT JOIN a2 USING (doc_id) LEFT JOIN a5 USING (doc_id)"
+    )
+
+    out["span_dedup"] = (
+        "WITH " + sql_token_hash_cte() + ",\n"
+        + sql_ngram_hash_cte(10, "g10") + ",\n"
+        "dsx AS (SELECT DISTINCT doc_id, x FROM g10),\n"
+        "sc AS (SELECT x, count(*) AS nd FROM dsx GROUP BY x)\n"
+        "SELECT dsx.doc_id, count(*)::BIGINT AS n_spans,\n"
+        "  sum(CASE WHEN sc.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_shared,\n"
+        "  ((sum(CASE WHEN sc.nd > 1 THEN 1 ELSE 0 END) * 10000) // count(*))::BIGINT AS shared_frac_e4\n"
+        "FROM dsx JOIN sc USING (x) GROUP BY dsx.doc_id"
+    )
+
     from ..text.embed import SEMANTIC_DIM as D  # noqa: N811 — oracle twin dim
 
     out["fts_hybrid_rrf"] = (
@@ -2133,6 +2190,8 @@ def query_catalog():
         "fts_bm25_page": q_bm25_page,
         "fts_more_like_this": q_more_like_this,
         "fts_hybrid_rrf": q_hybrid_search,
+        "gopher_repetition": q_gopher_repetition,
+        "span_dedup": q_span_dedup,
         "fts_phrase": q_bm25_phrase,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,
