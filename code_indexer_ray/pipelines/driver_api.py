@@ -716,6 +716,19 @@ def q_dedup_near_pairs(sf_dir: str):
     return out if out.num_rows else empty
 
 
+def q_dedup_components(sf_dir: str):
+    """Near-duplicate CLUSTERS: transitive closure of the LSH-verified pair
+    list (dedup_near_pairs) via distributed min-label propagation — the unit
+    real dedup keeps/drops is the component, not the pair (A~B, B~C ⇒ one
+    cluster of three even though A,C never collide in a band).  Returns
+    (doc_id, cluster_id=min doc id of the component) for every doc that
+    appears in at least one verified pair."""
+    from ..dedup.components import components_table
+
+    pairs = q_dedup_near_pairs(sf_dir)
+    return components_table(pairs)
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     """Character-4-gram Jaccard near-duplicates (tokenizer-free variant of
     the near-dup family): unique gram Horner hashes → MinHash → LSH bands →
@@ -1897,6 +1910,21 @@ def oracle_catalog() -> dict[str, str]:
         f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
     )
 
+    # transitive closure of the verified pair list: symmetric reachability via
+    # a recursive CTE (set-semantics UNION terminates on cycles), cluster id =
+    # min reachable node (self included via the symmetric u→v→u path)
+    out["dedup_components"] = (
+        "WITH RECURSIVE "
+        f"pairs AS (SELECT doc_a, doc_b FROM ({out['dedup_near_pairs']})),\n"
+        "edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs\n"
+        "  UNION SELECT doc_b, doc_a FROM pairs),\n"
+        "reach(u, v) AS (SELECT u, v FROM edges\n"
+        "  UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u),\n"
+        "nodes AS (SELECT DISTINCT u AS node FROM edges)\n"
+        "SELECT n.node AS doc_id, least(n.node, min(r.v))::BIGINT AS cluster_id\n"
+        "FROM nodes n JOIN reach r ON r.u = n.node GROUP BY n.node"
+    )
+
     # char-4-gram Jaccard near-dups: Horner over codepoints (unicode() in
     # SQL == the numpy UTF-32 kernel), then the identical sig/band/pair/verify
     # algebra as dedup_near_pairs over gram-hash sets
@@ -2214,6 +2242,7 @@ def query_catalog():
         "dedup_minhash_md5_sig": q_minhash_md5_sig,
         "dedup_minhash_md5_bands": q_minhash_md5_bands,
         "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_components": q_dedup_components,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
