@@ -716,6 +716,21 @@ def q_dedup_near_pairs(sf_dir: str):
     return out if out.num_rows else empty
 
 
+def q_decontam(sf_dir: str):
+    """Benchmark decontamination (GPT-3 appendix-C style): the deterministic
+    ``doc_id % 83 == 0`` slice plays the eval set; its distinct 13-token-gram
+    hashes are broadcast once, and one shuffle-free corpus pass counts each
+    remaining doc's distinct grams that appear in the eval set."""
+    import ray
+    import ray.data as rd
+
+    from ..text.decontam import benchmark_gram_set, decontam_flags
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    bench = benchmark_gram_set(ds)
+    return decontam_flags(ds, ray.put(bench))
+
+
 def q_dedup_components(sf_dir: str):
     """Near-duplicate CLUSTERS: transitive closure of the LSH-verified pair
     list (dedup_near_pairs) via distributed min-label propagation — the unit
@@ -1910,6 +1925,10 @@ def oracle_catalog() -> dict[str, str]:
         f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
     )
 
+    from ..text.decontam import sql_decontam
+
+    out["decontam_flags"] = sql_decontam()
+
     # transitive closure of the verified pair list: symmetric reachability via
     # a recursive CTE (set-semantics UNION terminates on cycles), cluster id =
     # min reachable node (self included via the symmetric u→v→u path)
@@ -2243,6 +2262,7 @@ def query_catalog():
         "dedup_minhash_md5_bands": q_minhash_md5_bands,
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_components": q_dedup_components,
+        "decontam_flags": q_decontam,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
