@@ -716,6 +716,43 @@ def q_dedup_near_pairs(sf_dir: str):
     return out if out.num_rows else empty
 
 
+def q_domain_stats(sf_dir: str):
+    """Per-domain corpus statistics (C4 §2.2 / Documenting-C4 style) over the
+    ``source`` column: doc count, chars, exact token count, distinct langs —
+    map-side partial rows only through the shuffle."""
+    import ray.data as rd
+
+    from .domain import domain_stats
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text", "lang", "source", "n_chars"])
+    return domain_stats(ds)
+
+
+def q_domain_filter(sf_dir: str):
+    """Domain-blocklist filtering: deterministic synthetic blocklist
+    (``md5(source) % 7 == 0``) broadcast once, corpus filtered by a
+    shuffle-free anti-join — the C4 bad-URL-list pattern."""
+    import ray
+    import ray.data as rd
+
+    from .domain import blocked_sources
+    from .ops import broadcast_antijoin
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "source"])
+    srcs = sorted(
+        set(
+            s
+            for t in ray.get(ds.map_batches(
+                lambda b: pa.table({"source": b["source"].unique()}),
+                batch_format="pyarrow",
+            ).to_arrow_refs())
+            for s in t["source"].to_pylist()
+        )
+    )
+    blocked = blocked_sources(srcs)
+    return broadcast_antijoin(ds, "source", ray.put(np.array(blocked)))
+
+
 def q_decontam(sf_dir: str):
     """Benchmark decontamination (GPT-3 appendix-C style): the deterministic
     ``doc_id % 83 == 0`` slice plays the eval set; its distinct 13-token-gram
@@ -1929,6 +1966,11 @@ def oracle_catalog() -> dict[str, str]:
 
     out["decontam_flags"] = sql_decontam()
 
+    from .domain import sql_domain_filter, sql_domain_stats
+
+    out["domain_stats"] = sql_domain_stats()
+    out["domain_filter"] = sql_domain_filter()
+
     # transitive closure of the verified pair list: symmetric reachability via
     # a recursive CTE (set-semantics UNION terminates on cycles), cluster id =
     # min reachable node (self included via the symmetric u→v→u path)
@@ -2263,6 +2305,8 @@ def query_catalog():
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_components": q_dedup_components,
         "decontam_flags": q_decontam,
+        "domain_stats": q_domain_stats,
+        "domain_filter": q_domain_filter,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
