@@ -716,6 +716,36 @@ def q_dedup_near_pairs(sf_dir: str):
     return out if out.num_rows else empty
 
 
+def q_tfidf_keywords(sf_dir: str):
+    """Per-doc top-5 tf·idf keywords (Lucene MLT term-selection math over the
+    whole corpus): one small term-stats aggregate, (term→df) broadcast once,
+    shuffle-free vectorized scoring pass."""
+    import ray.data as rd
+
+    from ..text.termweights import corpus_term_counts, tfidf_top_terms
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    stats = corpus_term_counts(ds)
+    import pyarrow.dataset as pads
+
+    n_docs = pads.dataset(_docs(sf_dir)).count_rows()
+    return tfidf_top_terms(ds, stats, n_docs)
+
+
+def q_unigram_bits(sf_dir: str):
+    """Per-doc bits-per-token under the corpus unigram LM (CCNet-style LM
+    quality signal with an exact unigram model): top-50k-vocab broadcast,
+    count-1 OOV floor, one shuffle-free scoring pass."""
+    import ray.data as rd
+
+    from ..text.termweights import corpus_term_counts, unigram_bits
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    stats = corpus_term_counts(ds)
+    total = int(pc.sum(stats["cf"]).as_py() or 0)
+    return unigram_bits(ds, stats, total)
+
+
 def q_domain_stats(sf_dir: str):
     """Per-domain corpus statistics (C4 §2.2 / Documenting-C4 style) over the
     ``source`` column: doc count, chars, exact token count, distinct langs —
@@ -1971,6 +2001,11 @@ def oracle_catalog() -> dict[str, str]:
     out["domain_stats"] = sql_domain_stats()
     out["domain_filter"] = sql_domain_filter()
 
+    from ..text.termweights import sql_tfidf_top_terms, sql_unigram_bits
+
+    out["tfidf_keywords"] = sql_tfidf_top_terms()
+    out["unigram_bits"] = sql_unigram_bits()
+
     # transitive closure of the verified pair list: symmetric reachability via
     # a recursive CTE (set-semantics UNION terminates on cycles), cluster id =
     # min reachable node (self included via the symmetric u→v→u path)
@@ -2307,6 +2342,8 @@ def query_catalog():
         "decontam_flags": q_decontam,
         "domain_stats": q_domain_stats,
         "domain_filter": q_domain_filter,
+        "tfidf_keywords": q_tfidf_keywords,
+        "unigram_bits": q_unigram_bits,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
