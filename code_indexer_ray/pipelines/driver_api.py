@@ -716,6 +716,80 @@ def q_dedup_near_pairs(sf_dir: str):
     return out if out.num_rows else empty
 
 
+def q_join_orders_customer(sf_dir: str):
+    """Fact ⋈ dimension broadcast join: orders enriched with customer name and
+    nation name — both dimension tables ship to the object store once,
+    every task joins by sorted-key searchsorted; zero shuffles."""
+    import ray
+    import ray.data as rd
+
+    from .ops import broadcast_hash_join
+
+    cust = pa.concat_tables(
+        ray.get(rd.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name", "c_nationkey"]
+        ).to_arrow_refs())
+    )
+    nat = pa.concat_tables(
+        ray.get(rd.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_arrow_refs())
+    )
+    orders = rd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    ds = broadcast_hash_join(
+        orders, "o_custkey", ray.put(cust), dim_key="c_custkey",
+        dim_cols=["c_name", "c_nationkey"],
+    )
+    ds = broadcast_hash_join(
+        ds, "c_nationkey", ray.put(nat), dim_key="n_nationkey", dim_cols=["n_name"]
+    )
+    return ds.map_batches(
+        lambda b: b.select(["o_orderkey", "o_custkey", "c_name", "n_name"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_join_lineitem_agg(sf_dir: str):
+    """Large × large shuffle equi-join (lineitem ⋈ orders on orderkey, both
+    sides streamed through ONE co-partitioning bucket shuffle) folded into a
+    per-priority revenue aggregate — the TPC-H join+agg shape."""
+    import ray.data as rd
+
+    from .ops import partial_agg_sum, shuffle_equi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    )
+    joined = shuffle_equi_join(
+        li, orders, key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_extendedprice", "l_discount"], right_cols=["o_orderpriority"],
+    )
+
+    def revenue(b: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        return pa.table({"o_orderpriority": b["o_orderpriority"], "rev": rev})
+
+    agg = partial_agg_sum(
+        joined.map_batches(revenue, batch_format="pyarrow"),
+        keys=["o_orderpriority"], sums=["rev"], count_alias="n_items",
+    )
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "o_orderpriority": b["o_orderpriority"],
+                "n_items": b["n_items"].cast(pa.int64()),
+                "revenue_r": pc.round(b["rev"], 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_tfidf_keywords(sf_dir: str):
     """Per-doc top-5 tf·idf keywords (Lucene MLT term-selection math over the
     whole corpus): one small term-stats aggregate, (term→df) broadcast once,
@@ -2006,6 +2080,18 @@ def oracle_catalog() -> dict[str, str]:
     out["tfidf_keywords"] = sql_tfidf_top_terms()
     out["unigram_bits"] = sql_unigram_bits()
 
+    out["join_orders_customer"] = (
+        "SELECT o.o_orderkey, o.o_custkey, c.c_name, n.n_name\n"
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
+        "JOIN nation n ON c.c_nationkey = n.n_nationkey"
+    )
+    out["join_lineitem_agg"] = (
+        "SELECT o.o_orderpriority, count(*)::BIGINT AS n_items,\n"
+        "  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue_r\n"
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey\n"
+        "GROUP BY o.o_orderpriority"
+    )
+
     # transitive closure of the verified pair list: symmetric reachability via
     # a recursive CTE (set-semantics UNION terminates on cycles), cluster id =
     # min reachable node (self included via the symmetric u→v→u path)
@@ -2344,6 +2430,8 @@ def query_catalog():
         "domain_filter": q_domain_filter,
         "tfidf_keywords": q_tfidf_keywords,
         "unigram_bits": q_unigram_bits,
+        "join_orders_customer": q_join_orders_customer,
+        "join_lineitem_agg": q_join_lineitem_agg,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,

@@ -501,3 +501,136 @@ def range_join_window(
         return pa.table(cols)
 
     return both.groupby([key, "_bkt"]).map_groups(per_group, batch_format="pyarrow")
+
+
+def broadcast_hash_join(
+    ds,
+    key_col: str,
+    dim_ref,
+    *,
+    dim_key: str,
+    dim_cols: list[str],
+    how: str = "inner",
+):
+    """Equi-join against a broadcast dimension table (the TPC-H
+    fact ⋈ dimension shape).  ``dim_ref`` is a ``ray.put`` ref of a pyarrow
+    Table — shipped to the object store ONCE, read zero-copy in every task;
+    lookup is a sorted-key ``searchsorted`` gather, no shuffle at all.
+
+    ``how``: 'inner' drops misses, 'left' keeps them with nulls.
+    Assumes the dimension key is unique (it is a dimension).
+    """
+    import ray
+
+    def join(batch: pa.Table) -> pa.Table:
+        dim = ray.get(dim_ref)
+        order = pc.sort_indices(dim, sort_keys=[(dim_key, "ascending")])
+        dim_s = dim.take(order)
+        dkeys = dim_s[dim_key].to_numpy(zero_copy_only=False)
+        keys = batch[key_col].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(dkeys, keys)
+        pos_c = np.minimum(pos, len(dkeys) - 1) if len(dkeys) else pos
+        hit = (dkeys[pos_c] == keys) if len(dkeys) else np.zeros(len(keys), bool)
+        if how == "inner":
+            batch = batch.filter(pa.array(hit))
+            take = pa.array(pos_c[hit], type=pa.int64())
+            cols = {c: batch[c] for c in batch.column_names}
+            for c in dim_cols:
+                cols[c] = dim_s[c].take(take)
+        else:
+            take = pa.array(np.where(hit, pos_c, 0), type=pa.int64())
+            miss = pa.array(~hit)
+            cols = {c: batch[c] for c in batch.column_names}
+            for c in dim_cols:
+                taken = dim_s[c].take(take)
+                cols[c] = pc.if_else(miss, pa.nulls(batch.num_rows, type=taken.type), taken)
+        return pa.table(cols)
+
+    return ds.map_batches(join, batch_format="pyarrow")
+
+
+def shuffle_equi_join(
+    left,
+    right,
+    *,
+    key: str,
+    right_key: str | None = None,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = 64,
+):
+    """Large × large inner equi-join: ONE co-partitioning shuffle on
+    ``hash-bucket(key)`` (both sides tagged, schemas harmonized, unioned),
+    then a vectorized sort-merge inside each bucket group — match ranges via
+    two ``searchsorted`` calls, rows materialized with ``np.repeat``/gather.
+
+    Bucketing (instead of grouping by the raw key) keeps the number of groups
+    fixed at ``num_buckets`` regardless of key cardinality — no
+    tiny-group-per-key overhead; a bucket holds both sides' rows for its key
+    range.  One-to-many and many-to-many keys both work (the match range is
+    a cross product per key).  Skew note: a single pathological hot key lands
+    in one bucket; salt upstream if a key exceeds a worker's memory.
+    """
+    right_key = right_key or key
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_types = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_types = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+
+    def tag(side: int, key_name: str, own: list[str], other: list[str], other_t):
+        def fn(b: pa.Table) -> pa.Table:
+            n = b.num_rows
+            k = b[key_name].cast(pa.int64())
+            cols = {
+                "_k": k,
+                "_bkt": pc.cast(
+                    pc.bit_wise_and(k, pa.scalar(num_buckets - 1, pa.int64())), pa.int64()
+                ),
+                "_side": pa.array(np.full(n, side, np.int8)),
+            }
+            for c in own:
+                cols[c] = b[c]
+            for c in other:
+                cols[c] = pa.nulls(n, type=other_t[c])
+            return pa.table(cols)
+
+        return fn
+
+    both = left.map_batches(
+        tag(0, key, left_cols, right_cols, r_types), batch_format="pyarrow"
+    ).union(
+        right.map_batches(tag(1, right_key, right_cols, left_cols, l_types), batch_format="pyarrow")
+    )
+
+    def per_bucket(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0))
+        rt = g.filter(pa.array(side == 1))
+        out_cols = [key] + left_cols + right_cols
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            types = {key: pa.int64(), **{c: l_types[c] for c in left_cols},
+                     **{c: r_types[c] for c in right_cols}}
+            return pa.table({c: pa.chunked_array([], type=types[c]) for c in out_cols})
+        lt = lt.take(pc.sort_indices(lt, sort_keys=[("_k", "ascending")]))
+        rt = rt.take(pc.sort_indices(rt, sort_keys=[("_k", "ascending")]))
+        lk = lt["_k"].to_numpy(zero_copy_only=False)
+        rk = rt["_k"].to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        l_idx = np.repeat(np.arange(lt.num_rows), counts)
+        # ragged ranges [lo_i, hi_i) without a Python loop
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]]) if len(counts) else counts
+        r_idx = (
+            np.repeat(lo, counts) + np.arange(total) - np.repeat(offs, counts)
+            if total else np.empty(0, np.int64)
+        )
+        cols = {key: lt["_k"].take(pa.array(l_idx))}
+        for c in left_cols:
+            cols[c] = lt[c].take(pa.array(l_idx))
+        for c in right_cols:
+            cols[c] = rt[c].take(pa.array(r_idx))
+        return pa.table(cols)
+
+    return both.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
