@@ -716,6 +716,18 @@ def q_dedup_near_pairs(sf_dir: str):
     return out if out.num_rows else empty
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact global top-20 terms via a Misra-Gries candidate sketch + exact
+    recount: O(m) rows per batch cross the wire instead of the full
+    vocabulary, soundness condition checked at runtime."""
+    import ray.data as rd
+
+    from ..text.heavy import heavy_hitters_topk
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    return heavy_hitters_topk(ds)
+
+
 def q_join_orders_customer(sf_dir: str):
     """Fact ⋈ dimension broadcast join: orders enriched with customer name and
     nation name — both dimension tables ship to the object store once,
@@ -2080,6 +2092,10 @@ def oracle_catalog() -> dict[str, str]:
     out["tfidf_keywords"] = sql_tfidf_top_terms()
     out["unigram_bits"] = sql_unigram_bits()
 
+    from ..text.heavy import sql_heavy_hitters
+
+    out["heavy_hitters"] = sql_heavy_hitters()
+
     out["join_orders_customer"] = (
         "SELECT o.o_orderkey, o.o_custkey, c.c_name, n.n_name\n"
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
@@ -2432,6 +2448,7 @@ def query_catalog():
         "unigram_bits": q_unigram_bits,
         "join_orders_customer": q_join_orders_customer,
         "join_lineitem_agg": q_join_lineitem_agg,
+        "heavy_hitters": q_heavy_hitters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
         "dedup_simhash": q_simhash,
