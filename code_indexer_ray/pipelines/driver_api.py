@@ -1532,6 +1532,70 @@ def q_median_value(sf_dir: str):
     return pa.Table.from_pandas(out.drop(columns=["median_value"]), preserve_index=False)
 
 
+def q_events_cumsum(sf_dir: str):
+    """Distributed window function: per-user running sum of event values in
+    (ts, event_id) order — one hash shuffle on user_id, lexsort + np.cumsum
+    inside each group (the SUM ... OVER (PARTITION BY ... ORDER BY ...)
+    analog; reference has no window functions, this is the training-data-
+    pipeline extension)."""
+    import ray.data as rd
+
+    from .ops import grouped_running_sum
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    out = grouped_running_sum(ds, "user_id", "ts", "value", "event_id").to_pandas()
+    out["run_sum_r"] = out["run_sum"].round(4)
+    out = out.drop(columns=["run_sum", "value"])
+    return _ts_us(pa.Table.from_pandas(out, preserve_index=False), ("ts",))
+
+
+def q_percentiles_by_lang(sf_dir: str):
+    """Exact per-language length percentiles (p25/p50/p90/p99 of n_chars)
+    from map-side value histograms — the shuffle moves (lang, n_chars, count)
+    partials, never the documents; the final per-lang group is a tiny sorted
+    histogram (scale-independent of corpus size)."""
+    import ray.data as rd
+
+    from .ops import grouped_quantiles
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["lang", "n_chars"])
+    out = grouped_quantiles(
+        ds, "lang", "n_chars", [0.25, 0.5, 0.9, 0.99], ["p25", "p50", "p90", "p99"]
+    ).to_pandas()
+    for c in ("p25", "p50", "p90", "p99"):
+        out[c] = out[c].round(4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
+def q_events_json_agg(sf_dir: str):
+    """Semi-structured payload aggregation: extract the integer field ``k``
+    from the JSON ``props`` column with ONE vectorized RE2 pass
+    (pc.extract_regex — pyarrow and DuckDB both embed RE2, so the oracle is
+    exact), then per-event-type sum/count via map-side partial aggregation."""
+    import ray.data as rd
+
+    from .ops import partial_agg_sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.struct_field(m, "k").cast(pa.int64())
+        return pa.table({"event_type": batch["event_type"],
+                         "k": pc.fill_null(k, 0)})
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
+    ).map_batches(extract, batch_format="pyarrow")
+    out = partial_agg_sum(ds, ["event_type"], ["k"], count_alias="n_events")
+    import ray as _ray
+
+    parts = [x for x in _ray.get(out.to_arrow_refs()) if x.num_rows]
+    tbl = pa.concat_tables(parts)
+    return tbl.rename_columns(["event_type", "sum_k", "n_events"])
+
+
 def q_range_events(sf_dir: str):
     """Range (interval) join, self-join form: every pair (event, earlier
     event of the same user within the previous hour) — co-partitioned by
@@ -2317,6 +2381,29 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY user_id"
     )
 
+    out["events_cumsum"] = (
+        "SELECT user_id, ts, event_id,\n"
+        "  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum_r\n"
+        "FROM events"
+    )
+
+    out["percentiles_by_lang"] = (
+        "SELECT lang,\n"
+        "  round(quantile_cont(n_chars, 0.25), 4) AS p25,\n"
+        "  round(quantile_cont(n_chars, 0.5), 4) AS p50,\n"
+        "  round(quantile_cont(n_chars, 0.9), 4) AS p90,\n"
+        "  round(quantile_cont(n_chars, 0.99), 4) AS p99\n"
+        "FROM documents GROUP BY lang"
+    )
+
+    out["events_json_agg"] = (
+        "SELECT event_type,\n"
+        "  sum(coalesce(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT), 0))::BIGINT AS sum_k,\n"
+        "  count(*)::BIGINT AS n_events\n"
+        "FROM events GROUP BY event_type"
+    )
+
     out["range_events"] = (
         "SELECT a.user_id, a.event_id, b.event_id AS event_id_b\n"
         "FROM events a JOIN events b ON b.user_id = a.user_id\n"
@@ -2478,6 +2565,9 @@ def query_catalog():
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,  # sketch → no oracle; accuracy gate in tests
         "median_value": q_median_value,
+        "events_cumsum": q_events_cumsum,
+        "percentiles_by_lang": q_percentiles_by_lang,
+        "events_json_agg": q_events_json_agg,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
     }

@@ -634,3 +634,77 @@ def shuffle_equi_join(
         return pa.table(cols)
 
     return both.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
+
+
+def grouped_running_sum(ds, key_col: str, ts_col: str, value_col: str, tiebreak_col: str):
+    """Per-key running (cumulative) sum in event-time order — the distributed
+    window function ``SUM(value) OVER (PARTITION BY key ORDER BY ts, tiebreak
+    ROWS UNBOUNDED PRECEDING)``.
+
+    Shape: ONE hash shuffle on ``key_col`` (``groupby.map_groups``); inside a
+    group one lexsort + ``np.cumsum`` — no driver-side pass, no per-row loop.
+    Partitioning assumption: one key's events fit a worker (same as
+    ``sessionize``); the accumulation order is pinned by the (ts, tiebreak)
+    sort so the result is deterministic across layouts and reruns.
+    """
+
+    def per_key(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        tb = g[tiebreak_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts))
+        g = g.take(pa.array(order))
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        return g.append_column("run_sum", pa.array(np.cumsum(v)))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def grouped_quantiles(ds, key_col: str, value_col: str, qs: list[float],
+                      aliases: list[str]):
+    """Exact per-group quantiles (numpy/DuckDB shared linear-interpolation
+    convention) of an INTEGER-ish value column, computed from map-side value
+    histograms — the scale-safe form of a grouped percentile.
+
+    A plain ``groupby(key).map_groups(np.quantile)`` puts every row of a key
+    in one group (a "lang" key at 100 TB = billions of rows on one worker).
+    Instead each batch pre-folds to ``(key, value, count)`` rows, the shuffle
+    moves O(keys x distinct-values x batches), and the final per-key group is
+    a tiny sorted histogram: order statistic i = first value whose cumulative
+    count exceeds i, interpolated at position (n-1)*q exactly as
+    ``np.quantile(..., method='linear')`` / DuckDB ``quantile_cont``.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: batch[key_col],
+            value_col: batch[value_col],
+            "_n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        agg = t.group_by([key_col, value_col]).aggregate([("_n", "sum")])
+        return agg.rename_columns([key_col, value_col, "_n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+
+    def quant(g: pa.Table) -> pa.Table:
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        n = g["_n"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(v, kind="stable")
+        v, n = v[order], n[order]
+        c = np.cumsum(n)
+        total = int(c[-1])
+        cols = {key_col: g[key_col].slice(0, 1)}
+        for q, alias in zip(qs, aliases):
+            pos = (total - 1) * float(q)
+            i0, i1 = int(np.floor(pos)), int(np.ceil(pos))
+            lo = v[int(np.searchsorted(c, i0 + 1, side="left"))]
+            hi = v[int(np.searchsorted(c, i1 + 1, side="left"))]
+            val = lo + (hi - lo) * (pos - i0)
+            cols[alias] = pa.array([float(val)])
+        return pa.table(cols)
+
+    return hist.groupby(key_col).map_groups(quant, batch_format="pyarrow")

@@ -97,7 +97,8 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "ann_cosine", "events_keep_latest", "events_window",
         "events_session", "events_hopping", "asof_orders", "range_events",
         "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
-        "median_value", "antijoin_customers", "mm_decode",
+        "median_value", "events_cumsum", "percentiles_by_lang",
+        "events_json_agg", "antijoin_customers", "mm_decode",
         "mm_frames",
     ],
 )
