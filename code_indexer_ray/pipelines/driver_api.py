@@ -1501,6 +1501,57 @@ def q_sample_docs(sf_dir: str):
     )
 
 
+STRATIFIED_RATES = {"en": 300, "de": 150, "fr": 75}
+STRATIFIED_DEFAULT = 50
+
+
+def q_sample_stratified(sf_dir: str):
+    """Stratified consistent sampling: per-language keep rates (permille)
+    over the same md5 threshold — per-language corpus budgeting with zero
+    shuffles and no RNG state."""
+    import ray.data as rd
+
+    from .ops import stratified_sample
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+    return stratified_sample(
+        ds, "doc_id", "lang", STRATIFIED_RATES, STRATIFIED_DEFAULT
+    )
+
+
+def _pii_augment(batch: pa.Table) -> pa.Table:
+    """Deterministically inject synthetic PII derived from doc_id (the test
+    corpus carries none) — the SQL twin concatenates the identical suffix."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    a = np.char.add(" contact u", ids.astype(str))
+    a = np.char.add(a, "@ex.org ip 10.")
+    a = np.char.add(a, (ids % 256).astype(str))
+    a = np.char.add(a, ".0.")
+    a = np.char.add(a, (ids % 100).astype(str))
+    a = np.char.add(a, " tel +555 010-")
+    a = np.char.add(a, (1000 + ids % 9000).astype(str))
+    text = pc.binary_join_element_wise(batch["text"], pa.array(a), "")
+    return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+
+def q_pii_redact(sf_dir: str):
+    """PII redaction (emails / IPv4 / phone numbers → placeholders) with
+    per-pattern match counts: one vectorized RE2 pass per pattern inside
+    map_batches — stateless, shuffle-free, exact DuckDB twin via nested
+    regexp_replace in the same fixed order."""
+    import ray.data as rd
+
+    from ..text.pii import redact_batch
+
+    def run(batch: pa.Table) -> pa.Table:
+        out = redact_batch(_pii_augment(batch), "text")
+        return out.drop_columns(["text"])
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
 def q_distinct_users_hll(sf_dir: str):
     """HyperLogLog approximate distinct (p=12, ±1.6% σ): constant 4 KiB of
     sketch state per (batch, key) crosses the shuffle instead of unique
@@ -2376,6 +2427,33 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY event_type"
     )
 
+    rate_cases = " ".join(
+        f"WHEN '{k}' THEN {v}" for k, v in STRATIFIED_RATES.items()
+    )
+    out["sample_stratified"] = (
+        "SELECT doc_id, lang FROM documents\n"
+        "WHERE md5_number_lower(doc_id::VARCHAR) % 1000 <\n"
+        f"  (CASE lang {rate_cases} ELSE {STRATIFIED_DEFAULT} END)"
+    )
+
+    from ..text.pii import sql_count_exprs, sql_redact_expr
+
+    aug = (
+        "text || ' contact u' || doc_id || '@ex.org ip 10.' || (doc_id % 256)"
+        " || '.0.' || (doc_id % 100) || ' tel +555 010-' || (1000 + doc_id % 9000)"
+    )
+    pii_counts = sql_count_exprs("t")
+    count_cols = ",\n  ".join(f"{expr} AS {alias}" for alias, expr in pii_counts)
+    total = " + ".join(alias for alias, _ in pii_counts)
+    out["pii_redact"] = (
+        f"WITH aug AS (SELECT doc_id, {aug} AS t FROM documents),\n"
+        f"c AS (SELECT doc_id, {sql_redact_expr('t')} AS redacted,\n"
+        f"  {count_cols}\n"
+        "FROM aug)\n"
+        f"SELECT doc_id, redacted, n_email, n_ipv4, n_phone,\n"
+        f"  ({total})::BIGINT AS n_pii FROM c"
+    )
+
     out["median_value"] = (
         "SELECT user_id, round(median(value), 4) AS median_value_r\n"
         "FROM events GROUP BY user_id"
@@ -2547,6 +2625,8 @@ def query_catalog():
         "sample_token_budget": q_sample_token_budget,
         "curate_corpus": q_curate_corpus,
         "sample_docs": q_sample_docs,
+        "sample_stratified": q_sample_stratified,
+        "pii_redact": q_pii_redact,
         "ann_cosine": q_ann_cosine,
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests

@@ -708,3 +708,33 @@ def grouped_quantiles(ds, key_col: str, value_col: str, qs: list[float],
         return pa.table(cols)
 
     return hist.groupby(key_col).map_groups(quant, batch_format="pyarrow")
+
+
+def stratified_sample(ds, id_col: str, stratum_col: str,
+                      rates_permille: dict[str, int], default_permille: int = 0):
+    """Deterministic per-stratum hash-threshold sampling: keep a row iff
+    ``md5(id) mod 1000 < rate[stratum]`` — the stratified form of consistent
+    sampling (per-language corpus budgets in a curation pipeline).
+
+    The rate map is a tiny constant captured in the task closure (shipped
+    once per task, never per batch); the filter itself is embarrassingly
+    parallel — no shuffle, no RNG state, stable across reruns, cluster
+    sizes and joins on the same key.
+    """
+    from ..dedup.minhash import md5_lower64
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        strata = batch[stratum_col].to_pylist()
+        mask = np.fromiter(
+            (
+                (md5_lower64(str(int(i))) % 1000)
+                < rates_permille.get(s, default_permille)
+                for i, s in zip(ids, strata)
+            ),
+            dtype=bool,
+            count=len(ids),
+        )
+        return batch.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
