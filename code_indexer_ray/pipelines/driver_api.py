@@ -394,6 +394,51 @@ def q_fuzzy_terms(sf_dir: str):
     )
 
 
+def q_prefix_terms(sf_dir: str):
+    """PrefixQuery expansion (two bisects on the sorted dictionary — the
+    FST-range analog): every term starting with 's' plus its corpus df."""
+    s = searcher_for(sf_dir)
+    terms = s.expand_terms("prefix", "s")
+    df = s._global_df(terms)
+    return pa.table(
+        {
+            "term": pa.array(terms, type=pa.string()),
+            "df": pa.array([df[t] for t in terms], type=pa.int64()),
+        }
+    )
+
+
+def q_bm25_prefix(sf_dir: str):
+    """BM25 ranking over a prefix query: 's*' expands to an OR group of all
+    matching terms, scored like any union query."""
+    return _bm25_table(
+        searcher_for(sf_dir).search("s", prefix=True, limit=10, snippet_lines=0), 10
+    )
+
+
+SPELL_WORDS = ["mege", "windw", "tabel", "zzzqx"]
+
+
+def q_spell_suggest(sf_dir: str):
+    """Spell suggestion: closest vocabulary term by PLAIN Levenshtein ≤ 2
+    (DuckDB ``levenshtein`` semantics — no transposition, so 'tabel'→'table'
+    is distance 2), ties df-desc then term-asc; unmatched words drop.
+    Shard-local candidate scan + one df fanout — nothing dictionary-sized at
+    the driver."""
+    s = searcher_for(sf_dir)
+    rows = [(w, r["term"], r["distance"], r["df"])
+            for w in SPELL_WORDS
+            if (r := s.suggest(w, max_distance=2)) is not None]
+    return pa.table(
+        {
+            "word": pa.array([r[0] for r in rows], type=pa.string()),
+            "suggestion": pa.array([r[1] for r in rows], type=pa.string()),
+            "distance": pa.array([r[2] for r in rows], type=pa.int64()),
+            "df": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def q_regex_terms(sf_dir: str):
     s = searcher_for(sf_dir)
     terms = s.expand_terms("regex", "w.*w")
@@ -2019,6 +2064,28 @@ def oracle_catalog() -> dict[str, str]:
         + ",\n"
         + _ranked_topk(10)
     )
+    out["fts_prefix_terms"] = (
+        f"{pre}\nSELECT term, df FROM df WHERE term LIKE 's%'"
+    )
+    out["fts_bm25_prefix"] = (
+        pre
+        + ",\npx AS (SELECT term FROM df WHERE term LIKE 's%'),\n"
+        + _scored_cte("SELECT term FROM px", None)
+        + ",\n"
+        + _ranked_topk(10)
+    )
+    spell_vals = ",".join(f"('{w}')" for w in SPELL_WORDS)
+    out["spell_suggest"] = (
+        pre + ",\n"
+        f"words(w) AS (VALUES {spell_vals}),\n"
+        "cand AS (SELECT words.w, df.term, df.df,\n"
+        "  levenshtein(df.term, words.w) AS dist FROM words, df\n"
+        "  WHERE levenshtein(df.term, words.w) <= 2),\n"
+        "best AS (SELECT w, term, dist, df,\n"
+        "  row_number() OVER (PARTITION BY w ORDER BY dist, df DESC, term) AS rn FROM cand)\n"
+        "SELECT w AS word, term AS suggestion, dist::BIGINT AS distance, df\n"
+        "FROM best WHERE rn = 1"
+    )
     out["fts_regex_terms"] = (
         f"{pre}\nSELECT term, df FROM df WHERE regexp_full_match(term, 'w.*w')"
     )
@@ -2592,6 +2659,9 @@ def query_catalog():
         "fts_bm25_fuzzy": q_bm25_fuzzy,
         "fts_regex_terms": q_regex_terms,
         "fts_bm25_regex": q_bm25_regex,
+        "fts_prefix_terms": q_prefix_terms,
+        "fts_bm25_prefix": q_bm25_prefix,
+        "spell_suggest": q_spell_suggest,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,

@@ -214,7 +214,16 @@ class ShardSearcher:
             self._matcher = VocabMatcher(self.vocab())
         if kind == "fuzzy":
             return self._matcher.fuzzy(pattern, distance)
+        if kind == "prefix":
+            return self._matcher.prefix(pattern)
         return self._matcher.regex(pattern)
+
+    def suggest_candidates(self, word: str, cutoff: int) -> list[tuple[str, int]]:
+        """Shard-local (term, plain-Levenshtein distance ≤ cutoff) pairs for
+        spell suggestion — the dictionary never leaves the shard."""
+        if self._matcher is None:
+            self._matcher = VocabMatcher(self.vocab())
+        return self._matcher.within_distance_plain(word, cutoff)
 
     def posting(self, term: str) -> dict | None:
         st = self._state_for(term)
@@ -772,11 +781,34 @@ class IndexSearcher:
             )
         if kind == "fuzzy":
             return sorted(self.matcher().fuzzy(pattern, distance))
+        if kind == "prefix":
+            return sorted(self.matcher().prefix(pattern))
         return sorted(self.matcher().regex(pattern))
+
+    def suggest(self, word: str, max_distance: int = 2) -> dict | None:
+        """Spell suggestion ("did you mean"): the vocabulary term closest to
+        ``word`` by PLAIN Levenshtein distance (≤ ``max_distance``), ties
+        broken by corpus df (desc) then term (asc) — the Lucene
+        DirectSpellChecker policy shape.  Scale: candidates are computed
+        shard-locally (remote mode) and only (term, distance) pairs plus one
+        df fanout cross to the driver; never the dictionary."""
+        w = word.lower()
+        if self._remote:
+            cands: dict[str, int] = {}
+            for local in self._fanout("suggest_candidates", w, max_distance):
+                for t, d in local:
+                    cands[t] = int(d)
+        else:
+            cands = {t: d for t, d in self.matcher().within_distance_plain(w, max_distance)}
+        if not cands:
+            return None
+        dfs = self._global_df(sorted(cands))
+        best = min(cands, key=lambda t: (cands[t], -dfs[t], t))
+        return {"term": best, "distance": cands[best], "df": dfs[best]}
 
     def _build_groups(
         self, query_text: str, edit_distance: int, use_regex: bool,
-        match_any: bool = False,
+        match_any: bool = False, prefix: bool = False,
     ) -> list[list[str]] | None:
         """None → a word matched no term anywhere (AND → zero results).
 
@@ -785,6 +817,21 @@ class IndexSearcher:
         a document matches if it contains ANY token, and its score is the
         BM25 sum over the tokens it contains.  A word with no vocabulary
         match simply drops out (it cannot zero the whole query as in AND)."""
+        if prefix:
+            # PrefixQuery semantics: every whitespace word is a prefix, the
+            # expansion is one OR group per word (AND across words, OR across
+            # a word's expansions — exactly the fuzzy-group shape)
+            groups = []
+            for word in query_text.split():
+                matched = self.expand_terms("prefix", word.lower())
+                if not matched:
+                    if match_any:
+                        continue
+                    return None
+                groups.append(matched)
+            if match_any and groups:
+                return [sorted({t for g in groups for t in g})]
+            return groups or None
         if use_regex:
             try:
                 re.compile(query_text)
@@ -921,6 +968,7 @@ class IndexSearcher:
         match_any: bool = False,
         exclude_terms: list[str] | None = None,
         offset: int = 0,
+        prefix: bool = False,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -928,7 +976,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
-            phrase, match_any, tuple(exclude_terms or ()), offset,
+            phrase, match_any, tuple(exclude_terms or ()), offset, prefix,
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -936,7 +984,7 @@ class IndexSearcher:
         results = self._search_uncached(
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
-            phrase, match_any, exclude_terms, offset,
+            phrase, match_any, exclude_terms, offset, prefix,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -959,9 +1007,12 @@ class IndexSearcher:
         match_any: bool = False,
         exclude_terms: list[str] | None = None,
         offset: int = 0,
+        prefix: bool = False,
     ) -> list[dict]:
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
+        if prefix and (use_regex or edit_distance > 0 or phrase):
+            raise ValueError("prefix queries cannot combine with regex, fuzzy or phrase matching")
         if use_regex and edit_distance > 0:
             raise ValueError(
                 "Cannot combine regex matching with fuzzy matching (edit_distance > 0)."
@@ -977,7 +1028,9 @@ class IndexSearcher:
         languages = languages or None
         path_filters = path_filters or None
 
-        groups = self._build_groups(query_text, edit_distance, use_regex, match_any)
+        groups = self._build_groups(
+            query_text, edit_distance, use_regex, match_any, prefix=prefix
+        )
         if groups is None:
             return []
         not_terms = (

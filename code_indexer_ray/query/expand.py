@@ -268,3 +268,52 @@ class VocabMatcher:
             return [t for t, ok in zip(self.vocab, m) if ok]
         except Exception:
             return expand_regex(self.vocab, pattern)
+
+    def prefix(self, p: str) -> list[str]:
+        """All vocabulary terms starting with ``p`` (Lucene/Tantivy
+        PrefixQuery expansion).  Sorted dictionaries use two bisects —
+        O(log V) plus the result size, the FST-range analog and the scale
+        path; unsorted fall back to one vectorized ``starts_with`` pass."""
+        import pyarrow.compute as pc
+
+        p = p.lower()
+        if not p or len(self.vocab) == 0:
+            return []
+        if self._sorted:
+            lo = int(np.searchsorted(self.vocab, p, side="left"))
+            hi = int(np.searchsorted(self.vocab, p + "\U0010ffff", side="left"))
+            return list(self.vocab[lo:hi])
+        mask = pc.starts_with(self._arr, pattern=p).to_numpy(zero_copy_only=False)
+        return [t for t, ok in zip(self.vocab, mask) if ok]
+
+    def within_distance_plain(self, word: str, cutoff: int) -> list[tuple[str, int]]:
+        """(term, distance) for every term with PLAIN Levenshtein distance
+        ≤ ``cutoff`` (NO transposition — DuckDB's ``levenshtein`` semantics,
+        used by the spell-suggestion operator so its SQL twin is exact).
+        Same banded dense DP as :meth:`fuzzy` minus the transposition term."""
+        if not self._mat_built:
+            self._build_mat()
+        w = word.lower()
+        lw = len(w)
+        keep = np.abs(self._lens - lw) <= cutoff
+        if not keep.any():
+            return []
+        mat = self._mat[keep]
+        clens = self._lens[keep]
+        cand = self.vocab[keep]
+        lmax = self._mat.shape[1]
+        a = np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32) if lw else np.empty(0, np.uint32)
+        M = len(cand)
+        prev = np.broadcast_to(np.arange(lmax + 1, dtype=np.int32), (M, lmax + 1)).copy()
+        cur = np.empty_like(prev)
+        for i in range(1, lw + 1):
+            cur[:, 0] = i
+            for j in range(1, lmax + 1):
+                cost = (mat[:, j - 1] != a[i - 1]).astype(np.int32)
+                d = np.minimum(prev[:, j] + 1, prev[:, j - 1] + cost)
+                np.minimum(d, cur[:, j - 1] + 1, out=d)
+                cur[:, j] = d
+            prev, cur = cur, prev
+        dist = prev[np.arange(M), clens]
+        ok = dist <= cutoff
+        return [(t, int(d)) for t, d in zip(cand[ok], dist[ok])]
