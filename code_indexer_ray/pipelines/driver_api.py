@@ -111,6 +111,46 @@ def searcher_for(sf_dir: str) -> IndexSearcher:
     return s
 
 
+_MULTI: dict[str, "object"] = {}
+
+
+def multi_searcher_for(sf_dir: str):
+    """Two per-repo indexes over the doc_id-parity split of the corpus
+    (multi-repo fan-out fixture).  BM25 stats (N, df, avgdl) are REPO-LOCAL —
+    the reference never merges corpus statistics across repositories."""
+    ms = _MULTI.get(sf_dir)
+    if ms is None:
+        import shutil
+
+        import ray.data as rd
+
+        from ..query.multi import MultiIndexSearcher
+
+        root = os.path.join(_corpus_dir(sf_dir), "multi")
+        indexes = {}
+        for repo in (0, 1):
+            cdir = os.path.join(root, f"corpus{repo}")
+            done = os.path.join(cdir, "_SUCCESS")
+            if not os.path.exists(done):
+                shutil.rmtree(cdir, ignore_errors=True)
+
+                def keep(batch: pa.Table, r=repo) -> pa.Table:
+                    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                    return batch.filter(pa.array(ids % 2 == r))
+
+                rd.read_parquet(derived_corpus(sf_dir)).map_batches(
+                    keep, batch_format="pyarrow"
+                ).write_parquet(cdir)
+                with open(done, "w") as f:
+                    f.write("ok")
+            idx = os.path.join(root, f"index{repo}")
+            build_index(cdir, idx, store_cols=("lang", "url"), num_shards=2, num_buckets=2)
+            indexes[f"r{repo}"] = idx
+        ms = MultiIndexSearcher(indexes, lang_col="lang", url_col="url")
+        _MULTI[sf_dir] = ms
+    return ms
+
+
 def _bm25_table(results: list[dict], limit: int) -> pa.Table:
     rows = sorted(results, key=lambda r: (-round(r["score"], 9), r["doc_id"]))[: limit or None]
     return pa.table(
@@ -435,6 +475,29 @@ def q_spell_suggest(sf_dir: str):
             "suggestion": pa.array([r[1] for r in rows], type=pa.string()),
             "distance": pa.array([r[2] for r in rows], type=pa.int64()),
             "df": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_multi_repo(sf_dir: str):
+    """Multi-repo federated search (server fan-out analog): two repo indexes
+    (doc_id parity split), each searched top-5 with REPO-LOCAL BM25 stats,
+    min_score=0.5 filtered before the per-repo limit, results grouped per
+    repo (never rank-merged across repos — the reference's aggregation
+    contract)."""
+    ms = multi_searcher_for(sf_dir)
+    agg, errors = ms.search("spark merge", limit=5, min_score=0.5, snippet_lines=0)
+    assert not errors, errors
+    rows = []
+    for rid in sorted(agg):
+        for i, r in enumerate(agg[rid]):
+            rows.append((int(rid[1]), r["doc_id"], i + 1, round(r["score"], 4)))
+    return pa.table(
+        {
+            "repo": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array([r[2] for r in rows], type=pa.int64()),
+            "score_r": pa.array([r[3] for r in rows], type=pa.float64()),
         }
     )
 
@@ -2086,6 +2149,35 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT w AS word, term AS suggestion, dist::BIGINT AS distance, df\n"
         "FROM best WHERE rn = 1"
     )
+    score_r = bm25.sql_score_expr("tf.tf", "dl.dl", "rdf.df", "s.n", "s.avgdl")
+    out["fts_multi_repo"] = (
+        f"WITH toks AS ({sql_tokens_cte()}),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "rn AS (SELECT doc_id % 2 AS repo, count(*)::DOUBLE AS n FROM documents GROUP BY 1),\n"
+        "rt AS (SELECT doc_id % 2 AS repo, count(*)::DOUBLE AS tt FROM toks GROUP BY 1),\n"
+        "rstats AS (SELECT rn.repo, rn.n, rt.tt / rn.n AS avgdl FROM rn JOIN rt USING (repo)),\n"
+        "doclen AS (SELECT d.doc_id, coalesce(t.nt, 0)::BIGINT AS n_tokens FROM documents d\n"
+        "  LEFT JOIN (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id) t USING (doc_id)),\n"
+        "dl AS (SELECT doclen.doc_id, q.dec::BIGINT AS dl FROM doclen\n"
+        "  JOIN fnorm q ON doclen.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),\n"
+        "rdf AS (SELECT doc_id % 2 AS repo, term, count(*)::BIGINT AS df FROM tf GROUP BY 1, 2),\n"
+        "scored AS (SELECT tf.doc_id, tf.doc_id % 2 AS repo,\n"
+        f"  sum({score_r}) AS score\n"
+        "  FROM tf JOIN rdf ON rdf.term = tf.term AND rdf.repo = tf.doc_id % 2\n"
+        "  JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  JOIN rstats s ON s.repo = tf.doc_id % 2\n"
+        "  WHERE tf.term IN ('spark','merge')\n"
+        "  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = 2),\n"
+        "ranked AS (SELECT repo, doc_id, score,\n"
+        "  row_number() OVER (PARTITION BY repo ORDER BY round(score, 9) DESC, doc_id) AS rn\n"
+        "  FROM scored),\n"
+        "kept AS (SELECT repo, doc_id, score,\n"
+        "  row_number() OVER (PARTITION BY repo ORDER BY rn) AS rank\n"
+        "  FROM ranked WHERE rn <= 5 AND score >= 0.5)\n"
+        "SELECT repo::BIGINT AS repo, doc_id, rank::BIGINT AS rank,\n"
+        "  round(score, 4) AS score_r FROM kept"
+    )
     out["fts_regex_terms"] = (
         f"{pre}\nSELECT term, df FROM df WHERE regexp_full_match(term, 'w.*w')"
     )
@@ -2662,6 +2754,7 @@ def query_catalog():
         "fts_prefix_terms": q_prefix_terms,
         "fts_bm25_prefix": q_bm25_prefix,
         "spell_suggest": q_spell_suggest,
+        "fts_multi_repo": q_multi_repo,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,
