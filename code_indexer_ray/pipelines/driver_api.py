@@ -479,6 +479,20 @@ def q_spell_suggest(sf_dir: str):
     )
 
 
+def q_collocations(sf_dir: str):
+    """Top-20 adjacent-bigram collocations by PMI (count floor 5): fused
+    unigram+bigram partial counts, one groupby, two hash-bucketed shuffle
+    joins to attach unigram counts (string equality re-checked in-bucket),
+    per-block top-k merge — no dictionary broadcast, nothing corpus-sized
+    at the driver."""
+    import ray.data as rd
+
+    from ..text.collocations import bigram_pmi_topk
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["text"])
+    return bigram_pmi_topk(ds, "text", min_count=5, k=20)
+
+
 def q_multi_repo(sf_dir: str):
     """Multi-repo federated search (server fan-out analog): two repo indexes
     (doc_id parity split), each searched top-5 with REPO-LOCAL BM25 stats,
@@ -1676,6 +1690,27 @@ def q_distinct_users_hll(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id")
 
 
+def q_approx_quantiles(sf_dir: str):
+    """Approximate per-event-type value quantiles (p50/p95) from a mergeable
+    bottom-k-by-hash sample sketch (k=512): constant-size state per
+    (batch, key) crosses the shuffle — the sketch path exact quantiles can't
+    take for FLOAT columns at 100 TB.  Deterministic (splitmix64 coins) but
+    approximate → no SQL oracle; rank-error accuracy vs the exact operator
+    is gated in tests/test_sketch_quantiles.py."""
+    import ray.data as rd
+
+    from .ops import approx_grouped_quantiles
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value", "event_id"],
+    )
+    return approx_grouped_quantiles(
+        ds, "event_type", "value", "event_id", [0.5, 0.95], ["p50_est", "p95_est"],
+        k=512,
+    )
+
+
 def q_median_value(sf_dir: str):
     """Exact per-user median event value (numpy/DuckDB shared even-count
     interpolation convention)."""
@@ -2149,6 +2184,26 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT w AS word, term AS suggestion, dist::BIGINT AS distance, df\n"
         "FROM best WHERE rn = 1"
     )
+    out["collocations"] = (
+        "WITH tokarr AS (SELECT d.doc_id,\n"
+        "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
+        "    x -> strlen(x) > 0 AND strlen(x) < 40), x -> lower(x)) AS tks FROM documents d),\n"
+        "tpos AS (SELECT doc_id, unnest(tks) AS term, generate_subscripts(tks, 1) AS pos FROM tokarr),\n"
+        "uni AS (SELECT term, count(*)::BIGINT AS c FROM tpos GROUP BY term),\n"
+        "tu AS (SELECT count(*)::DOUBLE AS t FROM tpos),\n"
+        "pairs AS (SELECT doc_id, term AS a, lead(term) OVER (PARTITION BY doc_id ORDER BY pos) AS b FROM tpos),\n"
+        "bc AS (SELECT a, b, count(*)::BIGINT AS n FROM pairs WHERE b IS NOT NULL GROUP BY a, b),\n"
+        "tb AS (SELECT sum(n)::DOUBLE AS t FROM bc),\n"
+        "pmi AS (SELECT bc.a, bc.b, bc.n,\n"
+        "  round(ln((bc.n / tb.t) / ((ua.c / tu.t) * (ub.c / tu.t))), 9) AS p9\n"
+        "  FROM bc JOIN uni ua ON ua.term = bc.a JOIN uni ub ON ub.term = bc.b, tu, tb\n"
+        "  WHERE bc.n >= 5),\n"
+        "ranked AS (SELECT a, b, n, p9,\n"
+        "  row_number() OVER (ORDER BY p9 DESC, a, b) AS rank FROM pmi)\n"
+        "SELECT a, b, n AS n_ab, rank::BIGINT AS rank, round(p9, 4) AS pmi_r\n"
+        "FROM ranked WHERE rank <= 20"
+    )
+
     score_r = bm25.sql_score_expr("tf.tf", "dl.dl", "rdf.df", "s.n", "s.avgdl")
     out["fts_multi_repo"] = (
         f"WITH toks AS ({sql_tokens_cte()}),\n"
@@ -2755,6 +2810,7 @@ def query_catalog():
         "fts_bm25_prefix": q_bm25_prefix,
         "spell_suggest": q_spell_suggest,
         "fts_multi_repo": q_multi_repo,
+        "collocations": q_collocations,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,
@@ -2807,6 +2863,7 @@ def query_catalog():
         "topk_orders_per_cust": q_topk_orders_per_cust,
         "distinct_users": q_distinct_users,
         "distinct_users_hll": q_distinct_users_hll,  # sketch → no oracle; accuracy gate in tests
+        "approx_quantiles": q_approx_quantiles,  # sketch → no oracle; accuracy gate in tests
         "median_value": q_median_value,
         "events_cumsum": q_events_cumsum,
         "percentiles_by_lang": q_percentiles_by_lang,

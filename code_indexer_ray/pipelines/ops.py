@@ -62,7 +62,11 @@ def local_then_global_topk(ds, by: str, k: int, tiebreak: str, descending: bool 
     import ray
 
     refs = ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
-    tbl = pa.concat_tables(ray.get(refs))
+    parts = ray.get(refs)
+    # drop zero-row blocks: upstream group/join stages can emit blocks with
+    # an EMPTY schema, which poisons concat_tables
+    nonempty = [p for p in parts if p.num_rows]
+    tbl = pa.concat_tables(nonempty or parts[:1])
     v = tbl[by].to_numpy(zero_copy_only=False)
     t = tbl[tiebreak].to_numpy(zero_copy_only=False)
     order = np.lexsort((t, -v if descending else v))[:k]
@@ -738,3 +742,66 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
         return batch.filter(pa.array(mask))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer — a deterministic uniform hash of the
+    row id used as the sampling coin (no RNG state, layout-independent)."""
+    with np.errstate(over="ignore"):
+        z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def approx_grouped_quantiles(ds, key_col: str, value_col: str, id_col: str,
+                             qs: list[float], aliases: list[str], k: int = 1024):
+    """Approximate per-group quantiles from a BOTTOM-K-BY-HASH value sample
+    (the KMV idea applied to quantiles): every row flips a deterministic coin
+    ``splitmix64(id)``; each group keeps the k rows with the smallest coins —
+    a uniform k-sample without replacement that is EXACTLY mergeable
+    (bottom-k of a union == bottom-k of merged bottom-k's), layout- and
+    rerun-independent, and constant-size per (batch, key) across the shuffle.
+
+    Works for any value type numpy can sort (floats included — unlike the
+    integer-histogram exact path of :func:`grouped_quantiles`).  Rank error
+    of the q-quantile estimate is ~ n·sqrt(q(1-q)/k) (sampling theory), so
+    k=1024 gives ~1.5 % rank error — gated in tests against the exact
+    operator.  No SQL oracle (approximate by design).
+    """
+
+    def _bottomk(keys: np.ndarray, h: np.ndarray, take_cols: dict) -> pa.Table:
+        order = np.lexsort((h, keys))
+        ks, hs = keys[order], h[order]
+        starts = np.r_[True, ks[1:] != ks[:-1]]
+        group_start = np.maximum.accumulate(np.where(starts, np.arange(len(ks)), 0))
+        occ = np.arange(len(ks)) - group_start
+        keep = order[occ < k]
+        keep.sort()
+        return pa.table({c: a.take(pa.array(keep)) for c, a in take_cols.items()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(ids)
+        keys = batch[key_col].dictionary_encode().combine_chunks().indices.to_numpy(
+            zero_copy_only=False
+        )
+        t = batch.append_column("_h", pa.array(h.view(np.int64)))
+        return _bottomk(
+            keys, h,
+            {key_col: t[key_col], value_col: t[value_col], "_h": t["_h"]},
+        )
+
+    sampled = ds.map_batches(partial, batch_format="pyarrow")
+
+    def quant(g: pa.Table) -> pa.Table:
+        h = g["_h"].to_numpy(zero_copy_only=False).view(np.uint64)
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        order = np.lexsort((v, h))[:k]
+        sample = v[order]
+        cols = {key_col: g[key_col].slice(0, 1)}
+        for q, alias in zip(qs, aliases):
+            cols[alias] = pa.array([float(np.quantile(sample, q, method="linear"))])
+        return pa.table(cols)
+
+    return sampled.groupby(key_col).map_groups(quant, batch_format="pyarrow")
