@@ -479,6 +479,20 @@ def q_spell_suggest(sf_dir: str):
     )
 
 
+def q_bm25_should(sf_dir: str):
+    """BooleanQuery MUST + SHOULD: 'spark merge' required, 'window' optional
+    — candidates gated by the MUST terms only, a candidate containing the
+    SHOULD term gains its BM25 contribution (Lucene's must+should scoring
+    contract; completes the MUST/SHOULD/MUST_NOT triad next to
+    fts_bm25_and and fts_bm25_not)."""
+    return _bm25_table(
+        searcher_for(sf_dir).search(
+            "spark merge", should_terms=["window"], limit=10, snippet_lines=0
+        ),
+        10,
+    )
+
+
 def q_collocations(sf_dir: str):
     """Top-20 adjacent-bigram collocations by PMI (count floor 5): fused
     unigram+bigram partial counts, one groupby, two hash-bucketed shuffle
@@ -2184,6 +2198,19 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT w AS word, term AS suggestion, dist::BIGINT AS distance, df\n"
         "FROM best WHERE rn = 1"
     )
+    should_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
+    out["fts_bm25_should"] = (
+        pre + ",\n"
+        "scored AS (SELECT tf.doc_id, sum(" + should_score + ") AS score\n"
+        "  FROM tf JOIN df USING(term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+        "  JOIN documents d ON d.doc_id = tf.doc_id, stats s\n"
+        "  WHERE tf.term IN ('spark','merge','window')\n"
+        "  GROUP BY tf.doc_id\n"
+        "  HAVING count(DISTINCT CASE WHEN tf.term IN ('spark','merge')\n"
+        "    THEN tf.term END) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     out["collocations"] = (
         "WITH tokarr AS (SELECT d.doc_id,\n"
         "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
@@ -2811,6 +2838,7 @@ def query_catalog():
         "spell_suggest": q_spell_suggest,
         "fts_multi_repo": q_multi_repo,
         "collocations": q_collocations,
+        "fts_bm25_should": q_bm25_should,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,

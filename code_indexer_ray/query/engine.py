@@ -477,8 +477,14 @@ class ShardSearcher:
         lang_col: str | None = None,
         url_col: str | None = None,
         exclude_terms: list[str] | None = None,
+        should_terms: list[str] | None = None,
     ) -> list[tuple[int, float, str | None, str | None]]:
         """Top-m (doc_id, score, lang, url) for AND-of-OR-groups in this shard.
+
+        ``should_terms`` is the BooleanQuery SHOULD clause: optional terms
+        that never gate matching (candidates come from the MUST groups
+        alone) but add their BM25 contribution to candidates containing
+        them — Lucene's must+should scoring contract.
 
         ``exclude_terms`` is the Lucene/Tantivy BooleanQuery MustNot clause:
         a candidate containing ANY excluded term is dropped BEFORE ranking
@@ -502,6 +508,7 @@ class ShardSearcher:
             and len(group_posts[0]) >= 8
             and include_langs is None
             and not exclude_terms
+            and not should_terms
         ):
             return self._maxscore_union(
                 group_posts[0], n_docs, avgdl, global_df, m, lang_col, url_col
@@ -534,6 +541,16 @@ class ShardSearcher:
                     cand = cand[~np.isin(cand, d, assume_unique=True)]
                 if len(cand) == 0:
                     return []
+
+        if should_terms:
+            # optional scoring terms: decoded only over the surviving
+            # candidates (block-skip decode), never widen the match set
+            for t in dict.fromkeys(should_terms):
+                p = self.posting(t)
+                if p is None:
+                    continue
+                d, tf, nm = self._decode_for_candidates(p, cand)
+                decoded.append((-1, t, d, tf, nm))
 
         scores = np.zeros(len(cand), dtype=np.float64)
         for _gi, t, d, tf, nm in decoded:
@@ -969,6 +986,7 @@ class IndexSearcher:
         exclude_terms: list[str] | None = None,
         offset: int = 0,
         prefix: bool = False,
+        should_terms: list[str] | None = None,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -977,6 +995,7 @@ class IndexSearcher:
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
             phrase, match_any, tuple(exclude_terms or ()), offset, prefix,
+            tuple(should_terms or ()),
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -984,7 +1003,7 @@ class IndexSearcher:
         results = self._search_uncached(
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
-            phrase, match_any, exclude_terms, offset, prefix,
+            phrase, match_any, exclude_terms, offset, prefix, should_terms,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -1008,6 +1027,7 @@ class IndexSearcher:
         exclude_terms: list[str] | None = None,
         offset: int = 0,
         prefix: bool = False,
+        should_terms: list[str] | None = None,
     ) -> list[dict]:
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
@@ -1023,6 +1043,8 @@ class IndexSearcher:
             raise ValueError("phrase queries are adjacency-AND; match_any does not apply")
         if phrase and exclude_terms:
             raise ValueError("exclude_terms is not supported with phrase queries")
+        if phrase and should_terms:
+            raise ValueError("should_terms is not supported with phrase queries")
         if not (0 <= edit_distance <= 3):
             raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
         languages = languages or None
@@ -1039,7 +1061,16 @@ class IndexSearcher:
         )
 
         all_terms = sorted({t for g in groups for t in g})
-        global_df = self._global_df(all_terms)
+        # SHOULD clause: optional scoring terms; duplicates of MUST terms are
+        # dropped (the IN-set SQL/scoring model counts a term once)
+        should_tokens = None
+        if should_terms:
+            should_tokens = [
+                t
+                for t in sorted(dict.fromkeys(tokenize_query(" ".join(should_terms))))
+                if t not in set(all_terms)
+            ] or None
+        global_df = self._global_df(all_terms + (should_tokens or []))
         if any(all(global_df[t] == 0 for t in g) for g in groups):
             return []
 
@@ -1076,6 +1107,7 @@ class IndexSearcher:
                 self.lang_col,
                 self.url_col,
                 not_terms,
+                should_tokens,
             )
         hits = [h for sh in per_shard for h in sh]
         if not hits:
