@@ -479,6 +479,78 @@ def q_spell_suggest(sf_dir: str):
     )
 
 
+def _url_augment(batch: pa.Table) -> pa.Table:
+    """Deterministic messy-URL synthesis from doc_id (the corpus has no URL
+    column): mixed-case scheme/host, utm params, fragments, trailing slashes;
+    (doc_id % 7, doc_id % 50) collisions make canonical duplicates real."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    a = np.char.add("HTTPS://WWW.Host", (ids % 7).astype(str))
+    a = np.char.add(a, ".COM/Page/")
+    a = np.char.add(a, (ids % 50).astype(str))
+    m = ids % 4
+    sfx = np.select(
+        [m == 0, m == 1, m == 2],
+        ["/", "?utm_source=abc&ref=1", "#sec"],
+        default="?utm_a=1",
+    )
+    a = np.char.add(a, sfx.astype(a.dtype.type))
+    return pa.table({"doc_id": batch["doc_id"], "url": pa.array(a, type=pa.string())})
+
+
+_URL_AUG_SQL = (
+    "'HTTPS://WWW.Host' || (doc_id % 7) || '.COM/Page/' || (doc_id % 50) ||\n"
+    "  (CASE doc_id % 4 WHEN 0 THEN '/' WHEN 1 THEN '?utm_source=abc&ref=1'\n"
+    "   WHEN 2 THEN '#sec' ELSE '?utm_a=1' END)"
+)
+
+
+def q_url_canonical(sf_dir: str):
+    """URL canonicalization (C4-style pre-dedup key): fragment/utm/scheme
+    stripping, host lowercasing, www/trailing-slash removal — one vectorized
+    RE2 chain per batch, exact DuckDB twin (shared RE2)."""
+    import ray.data as rd
+
+    from ..text.urlnorm import canonicalize_batch
+
+    def run(batch: pa.Table) -> pa.Table:
+        t = _url_augment(batch)
+        return pa.table({"doc_id": t["doc_id"], "url_canon": canonicalize_batch(t["url"])})
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
+        run, batch_format="pyarrow"
+    )
+
+
+def q_url_dedup(sf_dir: str):
+    """URL-level dedup over the canonical key: per-key variant count and
+    min-doc_id keeper — map-side partial (count, min) per batch so the
+    shuffle moves O(keys × batches) rows, never the corpus."""
+    import ray.data as rd
+    from ray.data.aggregate import Min, Sum
+
+    from ..text.urlnorm import canonicalize_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = _url_augment(batch)
+        canon = canonicalize_batch(t["url"])
+        g = pa.table(
+            {"url_canon": canon, "n": pa.array(np.ones(len(canon), dtype=np.int64)),
+             "keeper": t["doc_id"]}
+        ).group_by("url_canon").aggregate([("n", "sum"), ("keeper", "min")])
+        return g.rename_columns(["url_canon", "n", "keeper"])
+
+    ds = (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("url_canon")
+        .aggregate(Sum("n", alias_name="n_variants"), Min("keeper", alias_name="keeper"))
+    )
+    import ray as _ray
+
+    parts = [x for x in _ray.get(ds.to_arrow_refs()) if x.num_rows]
+    return pa.concat_tables(parts)
+
+
 def q_bm25_should(sf_dir: str):
     """BooleanQuery MUST + SHOULD: 'spark merge' required, 'window' optional
     — candidates gated by the MUST terms only, a candidate containing the
@@ -2198,6 +2270,19 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT w AS word, term AS suggestion, dist::BIGINT AS distance, df\n"
         "FROM best WHERE rn = 1"
     )
+    from ..text.urlnorm import sql_canonical_expr
+
+    out["url_canonical"] = (
+        f"WITH aug AS (SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents)\n"
+        f"SELECT doc_id, {sql_canonical_expr('url')} AS url_canon FROM aug"
+    )
+    out["url_dedup"] = (
+        f"WITH aug AS (SELECT doc_id, {_URL_AUG_SQL} AS url FROM documents),\n"
+        f"c AS (SELECT doc_id, {sql_canonical_expr('url')} AS url_canon FROM aug)\n"
+        "SELECT url_canon, count(*)::BIGINT AS n_variants, min(doc_id) AS keeper\n"
+        "FROM c GROUP BY url_canon"
+    )
+
     should_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
     out["fts_bm25_should"] = (
         pre + ",\n"
@@ -2839,6 +2924,8 @@ def query_catalog():
         "fts_multi_repo": q_multi_repo,
         "collocations": q_collocations,
         "fts_bm25_should": q_bm25_should,
+        "url_canonical": q_url_canonical,
+        "url_dedup": q_url_dedup,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,

@@ -87,3 +87,45 @@ class TestStratifiedSample:
             if md5_lower64(str(i)) % 1000 < rates.get(s, 0)
         ]
         assert a["doc_id"].tolist() == sorted(keep)
+
+
+class TestUrlCanonicalize:
+    CASES = [
+        ("HTTPS://WWW.Example.COM/Path/To/Page/", "example.com/Path/To/Page"),
+        ("http://example.com/a?utm_source=x&q=1", "example.com/a?q=1"),
+        ("http://example.com/a?q=1&utm_campaign=z#frag", "example.com/a?q=1"),
+        ("https://sub.Example.org/a/b/?utm_a=1&utm_b=2", "sub.example.org/a/b"),
+        ("example.com/bare", "example.com/bare"),
+        ("http://HOST.com", "host.com"),
+        ("http://host.com/?utm_x=1", "host.com"),
+        ("", ""),
+        ("https://www.h.com///", "h.com"),
+        ("ftp://not-http.com/x", "ftp://not-http.com/x"),  # non-http scheme: untouched host part
+    ]
+
+    def test_rule_chain(self):
+        from code_indexer_ray.text.urlnorm import canonicalize_batch
+
+        got = canonicalize_batch(pa.array([u for u, _ in self.CASES])).to_pylist()
+        for (u, want), g in zip(self.CASES, got):
+            assert g == want, u
+
+    def test_sql_twin_identical(self):
+        import duckdb
+
+        from code_indexer_ray.text.urlnorm import canonicalize_batch, sql_canonical_expr
+
+        urls = [u for u, _ in self.CASES]
+        got = canonicalize_batch(pa.array(urls)).to_pylist()
+        con = duckdb.connect()
+        vals = ",".join("('" + u.replace("'", "''") + "')" for u in urls)
+        con.sql(f"CREATE TABLE t AS SELECT * FROM (VALUES {vals}) v(u)")
+        want = [r[0] for r in con.sql(f"SELECT {sql_canonical_expr('u')} FROM t").fetchall()]
+        assert got == want
+
+    def test_idempotent(self):
+        from code_indexer_ray.text.urlnorm import canonicalize_batch
+
+        once = canonicalize_batch(pa.array([u for u, _ in self.CASES]))
+        twice = canonicalize_batch(once)
+        assert once.to_pylist() == twice.to_pylist()
