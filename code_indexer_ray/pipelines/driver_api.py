@@ -565,6 +565,18 @@ def q_bm25_should(sf_dir: str):
     )
 
 
+def q_bm25_boost(sf_dir: str):
+    """Query-time term boosting (Lucene 'merge^2'): multiplicative per-term
+    score weights that never change the candidate set — re-ranks 'spark
+    merge' with merge weighted 2x."""
+    return _bm25_table(
+        searcher_for(sf_dir).search(
+            "spark merge", boosts={"merge": 2.0}, limit=10, snippet_lines=0
+        ),
+        10,
+    )
+
+
 def q_collocations(sf_dir: str):
     """Top-20 adjacent-bigram collocations by PMI (count floor 5): fused
     unigram+bigram partial counts, one groupby, two hash-bucketed shuffle
@@ -2296,6 +2308,18 @@ def oracle_catalog() -> dict[str, str]:
         + _ranked_topk(10)
     )
 
+    boost_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
+    out["fts_bm25_boost"] = (
+        pre + ",\n"
+        "scored AS (SELECT tf.doc_id,\n"
+        f"  sum(({boost_score}) * (CASE tf.term WHEN 'merge' THEN 2.0 ELSE 1.0 END)) AS score\n"
+        "  FROM tf JOIN df USING(term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+        "  JOIN documents d ON d.doc_id = tf.doc_id, stats s\n"
+        "  WHERE tf.term IN ('spark','merge')\n"
+        "  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     out["collocations"] = (
         "WITH tokarr AS (SELECT d.doc_id,\n"
         "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
@@ -2926,6 +2950,7 @@ def query_catalog():
         "fts_bm25_should": q_bm25_should,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
+        "fts_bm25_boost": q_bm25_boost,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,

@@ -478,8 +478,13 @@ class ShardSearcher:
         url_col: str | None = None,
         exclude_terms: list[str] | None = None,
         should_terms: list[str] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[tuple[int, float, str | None, str | None]]:
         """Top-m (doc_id, score, lang, url) for AND-of-OR-groups in this shard.
+
+        ``boosts`` maps index terms to multiplicative score weights (Lucene
+        query-time boost: ``term^2``); unlisted terms weigh 1.0.  Boosts
+        never change the candidate set, only contributions.
 
         ``should_terms`` is the BooleanQuery SHOULD clause: optional terms
         that never gate matching (candidates come from the MUST groups
@@ -509,6 +514,7 @@ class ShardSearcher:
             and include_langs is None
             and not exclude_terms
             and not should_terms
+            and not boosts
         ):
             return self._maxscore_union(
                 group_posts[0], n_docs, avgdl, global_df, m, lang_col, url_col
@@ -563,6 +569,8 @@ class ShardSearcher:
                 continue
             dl = id_to_fieldnorm(nm[pos_c[hit]])
             contrib = bm25.term_score(tf[pos_c[hit]], dl, global_df[t], n_docs, avgdl)
+            if boosts:
+                contrib = contrib * boosts.get(t, 1.0)
             scores[hit] += contrib
 
         langs = urls = None
@@ -987,6 +995,7 @@ class IndexSearcher:
         offset: int = 0,
         prefix: bool = False,
         should_terms: list[str] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -995,7 +1004,7 @@ class IndexSearcher:
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
             phrase, match_any, tuple(exclude_terms or ()), offset, prefix,
-            tuple(should_terms or ()),
+            tuple(should_terms or ()), tuple(sorted((boosts or {}).items())),
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -1004,6 +1013,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
             phrase, match_any, exclude_terms, offset, prefix, should_terms,
+            boosts,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -1028,6 +1038,7 @@ class IndexSearcher:
         offset: int = 0,
         prefix: bool = False,
         should_terms: list[str] | None = None,
+        boosts: dict[str, float] | None = None,
     ) -> list[dict]:
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
@@ -1045,6 +1056,19 @@ class IndexSearcher:
             raise ValueError("exclude_terms is not supported with phrase queries")
         if phrase and should_terms:
             raise ValueError("should_terms is not supported with phrase queries")
+        if boosts:
+            if phrase:
+                raise ValueError("boosts are not supported with phrase queries")
+            if any(v <= 0 for v in boosts.values()):
+                raise ValueError("boost weights must be > 0")
+            # normalize boost keys through the analyzer (index terms are lowercase)
+            norm_boosts = {}
+            for key, v in boosts.items():
+                toks = tokenize_query(key)
+                if len(toks) != 1:
+                    raise ValueError(f"boost key must analyze to one term: {key!r}")
+                norm_boosts[toks[0]] = float(v)
+            boosts = norm_boosts
         if not (0 <= edit_distance <= 3):
             raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
         languages = languages or None
@@ -1108,6 +1132,7 @@ class IndexSearcher:
                 self.url_col,
                 not_terms,
                 should_tokens,
+                boosts,
             )
         hits = [h for sh in per_shard for h in sh]
         if not hits:

@@ -106,3 +106,61 @@ class TestShould:
         a = _ids_scores(remote.search("spark merge", should_terms=["window"], limit=10, snippet_lines=0))
         b = _ids_scores(s.search("spark merge", should_terms=["window"], limit=10, snippet_lines=0))
         assert a == b
+
+
+class TestBoosts:
+    def test_scores_match_brute_oracle(self, built):
+        _, s, o = built
+        res = s.search("spark merge", boosts={"merge": 2.0}, limit=10, snippet_lines=0)
+        for r in res:
+            d = r["doc_id"]
+            want = o.term_score("spark", d) + 2.0 * o.term_score("merge", d)
+            assert r["score"] == pytest.approx(want, abs=1e-9), d
+
+    def test_candidate_set_unchanged(self, built):
+        _, s, _ = built
+        a = {r["doc_id"] for r in s.search("spark merge", limit=10, snippet_lines=0)}
+        b = {r["doc_id"] for r in s.search("spark merge", boosts={"spark": 5.0}, limit=10, snippet_lines=0)}
+        assert a == b
+
+    def test_boost_one_is_identity(self, built):
+        _, s, _ = built
+        a = _ids_scores(s.search("spark merge", limit=10, snippet_lines=0))
+        b = _ids_scores(s.search("spark merge", boosts={"merge": 1.0}, limit=10, snippet_lines=0))
+        assert a == b
+
+    def test_key_analyzed_and_validated(self, built):
+        _, s, _ = built
+        # mixed case key folds to the index term
+        a = _ids_scores(s.search("spark merge", boosts={"MERGE": 2.0}, limit=10, snippet_lines=0))
+        b = _ids_scores(s.search("spark merge", boosts={"merge": 2.0}, limit=10, snippet_lines=0))
+        assert a == b
+        with pytest.raises(ValueError):
+            s.search("spark", boosts={"merge": -1.0})
+        with pytest.raises(ValueError):
+            s.search("spark", boosts={"two words": 2.0})
+        with pytest.raises(ValueError):
+            s.search("spark merge", phrase=True, boosts={"merge": 2.0})
+
+    def test_composes_with_should(self, built):
+        _, s, o = built
+        res = s.search(
+            "spark merge", should_terms=["window"], boosts={"window": 3.0},
+            limit=10, snippet_lines=0,
+        )
+        for r in res:
+            d = r["doc_id"]
+            want = (
+                o.term_score("spark", d) + o.term_score("merge", d)
+                + 3.0 * o.term_score("window", d)
+            )
+            assert r["score"] == pytest.approx(want, abs=1e-9), d
+
+    def test_remote_identity(self, built):
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        _, s, _ = built
+        remote = IndexSearcher(s.index_dir, lang_col="lang", url_col="url", remote=True)
+        a = _ids_scores(remote.search("spark merge", boosts={"merge": 2.0}, limit=10, snippet_lines=0))
+        b = _ids_scores(s.search("spark merge", boosts={"merge": 2.0}, limit=10, snippet_lines=0))
+        assert a == b
