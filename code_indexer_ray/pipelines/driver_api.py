@@ -388,6 +388,18 @@ def q_bm25_phrase(sf_dir: str):
     )
 
 
+def q_bm25_phrase_slop(sf_dir: str):
+    """Proximity phrase (SpanNear inOrder=true, slop=2): 'spark' then
+    'merge' within 3 positions, in order — position-chain verification with
+    a slop window instead of exact adjacency."""
+    return _bm25_table(
+        phrase_searcher_for(sf_dir).search(
+            "spark merge", phrase=True, slop=2, limit=0, snippet_lines=0
+        ),
+        0,
+    )
+
+
 def q_bm25_lang(sf_dir: str):
     return _bm25_table(
         searcher_for(sf_dir).search("spark", languages=["en", "de"], limit=10, snippet_lines=0), 10
@@ -2232,6 +2244,23 @@ def oracle_catalog() -> dict[str, str]:
     )
     out["fts_bm25_limit0"] = _q(_scored_cte("'window'", None), _ranked_topk(100000))
 
+    # proximity phrase: 'spark' then 'merge' within slop+1 positions (ordered)
+    out["fts_phrase_slop"] = (
+        pre + ",\n"
+        "tokarr2 AS (SELECT d.doc_id,\n"
+        "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
+        "    x -> strlen(x) > 0 AND strlen(x) < 40), x -> lower(x)) AS tks FROM documents d),\n"
+        "tpos2 AS (SELECT doc_id, unnest(tks) AS term, generate_subscripts(tks, 1) AS pos FROM tokarr2),\n"
+        "phr AS (SELECT DISTINCT a.doc_id FROM tpos2 a JOIN tpos2 b\n"
+        "  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 3\n"
+        "  WHERE a.term = 'spark' AND b.term = 'merge'),\n"
+        + _scored_cte("'spark','merge'", 2) + ",\n"
+        "scored_phr AS (SELECT s.* FROM scored s JOIN phr USING (doc_id)),\n"
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored_phr)\n"
+        "SELECT doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r FROM ranked"
+    )
+
     # phrase: 'spark' immediately followed by 'merge' (token positions),
     # BM25-sum ranked like the AND query but adjacency-filtered
     out["fts_phrase"] = (
@@ -2934,6 +2963,7 @@ def query_catalog():
         "gopher_repetition": q_gopher_repetition,
         "span_dedup": q_span_dedup,
         "fts_phrase": q_bm25_phrase,
+        "fts_phrase_slop": q_bm25_phrase_slop,
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,
         "fts_bm25_source_filter": q_bm25_source_filter,

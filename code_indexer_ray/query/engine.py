@@ -305,11 +305,15 @@ class ShardSearcher:
         include_langs: list[str] | None = None,
         lang_col: str | None = None,
         url_col: str | None = None,
+        slop: int = 0,
     ) -> list[tuple[int, float, str | None, str | None]]:
-        """Top-m docs containing the EXACT token sequence (Tantivy phrase
-        semantics: every term at consecutive positions).  Requires an index
-        built with ``index_positions=True``; scoring is the BM25 sum of the
-        phrase terms over adjacency-verified documents."""
+        """Top-m docs containing the token sequence (Tantivy phrase
+        semantics: every term at consecutive positions).  ``slop`` relaxes
+        adjacency to an ORDERED window (SpanNear inOrder=true shape): each
+        next term may sit 1..slop+1 positions after the previous one;
+        slop=0 is the exact phrase.  Requires an index built with
+        ``index_positions=True``; scoring is the BM25 sum of the phrase
+        terms over position-verified documents."""
         posts: list[tuple[str, dict]] = []
         for t in terms:
             p = self.posting(t)
@@ -337,9 +341,16 @@ class ShardSearcher:
             pos = self._decode_positions_batch(p, ix, tf_at)
             ci = np.repeat(np.arange(len(cand), dtype=np.int64), tf_at)
             keysets.append(ci * STRIDE + pos)
-        cur = keysets[0]  # keys stay anchored at the FIRST term's position
-        for k, ks in enumerate(keysets[1:], 1):
-            cur = cur[np.isin(cur + k, ks)]  # term k must sit at pos₀ + k
+        # chain keyed on the CURRENT term's occurrences: an occurrence of
+        # term i+1 survives iff some surviving occurrence of term i sits
+        # 1..slop+1 positions before it (slop=0 → 1 membership pass/step,
+        # identical cost to the exact-adjacency chain)
+        cur = keysets[0]
+        for ks in keysets[1:]:
+            mask = np.zeros(len(ks), dtype=bool)
+            for d in range(1, slop + 2):
+                mask |= np.isin(ks - d, cur)
+            cur = ks[mask]
             if len(cur) == 0:
                 return []
         keep = np.zeros(len(cand), dtype=bool)
@@ -996,6 +1007,7 @@ class IndexSearcher:
         prefix: bool = False,
         should_terms: list[str] | None = None,
         boosts: dict[str, float] | None = None,
+        slop: int = 0,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -1005,6 +1017,7 @@ class IndexSearcher:
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
             phrase, match_any, tuple(exclude_terms or ()), offset, prefix,
             tuple(should_terms or ()), tuple(sorted((boosts or {}).items())),
+            slop,
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -1013,7 +1026,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
             phrase, match_any, exclude_terms, offset, prefix, should_terms,
-            boosts,
+            boosts, slop,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -1039,7 +1052,12 @@ class IndexSearcher:
         prefix: bool = False,
         should_terms: list[str] | None = None,
         boosts: dict[str, float] | None = None,
+        slop: int = 0,
     ) -> list[dict]:
+        if slop and not phrase:
+            raise ValueError("slop requires phrase=True")
+        if not (0 <= slop <= 8):
+            raise ValueError(f"slop must be 0-8, got {slop}")
         if offset < 0:
             raise ValueError(f"offset must be >= 0, got {offset}")
         if prefix and (use_regex or edit_distance > 0 or phrase):
@@ -1118,6 +1136,7 @@ class IndexSearcher:
                 include_pre,
                 self.lang_col,
                 self.url_col,
+                slop,
             )
         else:
             per_shard = self._fanout(

@@ -220,3 +220,65 @@ class TestPositionsMerge:
 
         with pytest.raises(ray.exceptions.RayTaskError, match="positions mismatch"):
             merge_indexes(with_pos, without, str(tmp_path / "out"))
+
+
+def _brute_slop(texts: list[str], terms: list[str], slop: int) -> set[int]:
+    """Ordered window: each next term 1..slop+1 positions after the previous."""
+    out = set()
+    for i, t in enumerate(texts):
+        toks = []
+        for w in t.split():
+            toks.extend(tokenize_query(w))
+        # chains ending at each occurrence of terms[j]
+        cur = {p for p, tok in enumerate(toks) if tok == terms[0]}
+        for term in terms[1:]:
+            nxt = set()
+            for p, tok in enumerate(toks):
+                if tok == term and any(p - d in cur for d in range(1, slop + 2)):
+                    nxt.add(p)
+            cur = nxt
+        if cur:
+            out.add(i)
+    return out
+
+
+class TestSloppyPhrase:
+    def test_slop_zero_identical_to_exact(self, phrase_index):
+        _, out = phrase_index
+        s = IndexSearcher(out)
+        a = [(r["doc_id"], round(r["score"], 9)) for r in s.search("quick brown", phrase=True, limit=0, snippet_lines=0)]
+        b = [(r["doc_id"], round(r["score"], 9)) for r in s.search("quick brown", phrase=True, slop=0, limit=0, snippet_lines=0)]
+        assert a == b
+
+    def test_slop_matches_brute(self, phrase_index):
+        texts, out = phrase_index
+        s = IndexSearcher(out)
+        for slop in (1, 2, 3):
+            res = s.search("quick brown", phrase=True, slop=slop, limit=0, snippet_lines=0)
+            assert {r["doc_id"] for r in res} == _brute_slop(texts, ["quick", "brown"], slop), slop
+
+    def test_slop_bridges_gap(self, phrase_index):
+        texts, out = phrase_index
+        s = IndexSearcher(out)
+        # doc 1 'quick and brown': gap of one word — slop 1 reaches it
+        exact = {r["doc_id"] for r in s.search("quick brown", phrase=True, limit=0, snippet_lines=0)}
+        slop1 = {r["doc_id"] for r in s.search("quick brown", phrase=True, slop=1, limit=0, snippet_lines=0)}
+        assert 1 not in exact and 1 in slop1
+        assert exact <= slop1
+        # order still required: doc 2 'brown quick' never matches
+        assert 2 not in slop1
+
+    def test_three_term_slop(self, phrase_index):
+        texts, out = phrase_index
+        s = IndexSearcher(out)
+        for slop in (0, 1, 2):
+            res = s.search("quick brown quick", phrase=True, slop=slop, limit=0, snippet_lines=0)
+            assert {r["doc_id"] for r in res} == _brute_slop(texts, ["quick", "brown", "quick"], slop), slop
+
+    def test_slop_validation(self, phrase_index):
+        _, out = phrase_index
+        s = IndexSearcher(out)
+        with pytest.raises(ValueError):
+            s.search("quick brown", slop=1)  # slop without phrase
+        with pytest.raises(ValueError):
+            s.search("quick brown", phrase=True, slop=9)
