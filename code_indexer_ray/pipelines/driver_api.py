@@ -1800,6 +1800,37 @@ def q_distinct_users_hll(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id")
 
 
+def q_mode_event_type(sf_dir: str):
+    """Exact per-user modal event type (ties → lexicographically smallest):
+    map-side (key,value,count) partials, tiny per-key argmax."""
+    import ray.data as rd
+
+    from .ops import grouped_mode
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    )
+    return grouped_mode(ds, "user_id", "event_type")
+
+
+def q_events_rolling(sf_dir: str):
+    """Rolling mean of the previous 5 event values per user (event-time
+    order, pinned tiebreak): one hash shuffle, cumsum-difference rolling
+    sums inside each group."""
+    import ray.data as rd
+
+    from .ops import grouped_rolling_mean
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "ts", "value", "event_id"],
+    )
+    out = grouped_rolling_mean(ds, "user_id", "ts", "value", "event_id", window=5).to_pandas()
+    out["roll_mean_r"] = out["roll_mean"].round(4)
+    out = out.drop(columns=["roll_mean", "value"])
+    return _ts_us(pa.Table.from_pandas(out, preserve_index=False), ("ts",))
+
+
 def q_approx_quantiles(sf_dir: str):
     """Approximate per-event-type value quantiles (p50/p95) from a mergeable
     bottom-k-by-hash sample sketch (k=512): constant-size state per
@@ -2838,6 +2869,21 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY user_id"
     )
 
+    out["mode_event_type"] = (
+        "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n\n"
+        "  FROM events GROUP BY user_id, event_type),\n"
+        "r AS (SELECT user_id, event_type, n,\n"
+        "  row_number() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rn FROM c)\n"
+        "SELECT user_id, event_type AS mode_value, n FROM r WHERE rn = 1"
+    )
+
+    out["events_rolling"] = (
+        "SELECT user_id, ts, event_id,\n"
+        "  round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
+        "    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS roll_mean_r\n"
+        "FROM events"
+    )
+
     out["events_cumsum"] = (
         "SELECT user_id, ts, event_id,\n"
         "  round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id\n"
@@ -3038,6 +3084,8 @@ def query_catalog():
         "events_cumsum": q_events_cumsum,
         "percentiles_by_lang": q_percentiles_by_lang,
         "events_json_agg": q_events_json_agg,
+        "mode_event_type": q_mode_event_type,
+        "events_rolling": q_events_rolling,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
     }

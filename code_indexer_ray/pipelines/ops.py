@@ -805,3 +805,65 @@ def approx_grouped_quantiles(ds, key_col: str, value_col: str, id_col: str,
         return pa.table(cols)
 
     return sampled.groupby(key_col).map_groups(quant, batch_format="pyarrow")
+
+
+def grouped_mode(ds, key_col: str, value_col: str):
+    """Exact per-group mode (most frequent value; ties → smallest value —
+    pinned for determinism): map-side (key, value, count) partials so the
+    shuffle moves O(keys × distinct-values × batches), then a tiny per-key
+    argmax — same scale shape as :func:`grouped_quantiles`."""
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            key_col: batch[key_col],
+            value_col: batch[value_col],
+            "_n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+        })
+        agg = t.group_by([key_col, value_col]).aggregate([("_n", "sum")])
+        return agg.rename_columns([key_col, value_col, "_n"])
+
+    hist = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby([key_col, value_col])
+        .aggregate(Sum("_n", alias_name="_n"))
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        n = g["_n"].to_numpy(zero_copy_only=False)
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((v, -n))
+        i = int(order[0])
+        return pa.table(
+            {
+                key_col: g[key_col].slice(0, 1),
+                "mode_value": g[value_col].slice(i, 1),
+                "n": pa.array([int(n[i])], type=pa.int64()),
+            }
+        )
+
+    return hist.groupby(key_col).map_groups(pick, batch_format="pyarrow")
+
+
+def grouped_rolling_mean(ds, key_col: str, ts_col: str, value_col: str,
+                         tiebreak_col: str, window: int):
+    """Per-key rolling mean over the previous ``window`` rows (inclusive) in
+    event-time order — ``AVG(v) OVER (PARTITION BY key ORDER BY ts, tb ROWS
+    BETWEEN window-1 PRECEDING AND CURRENT ROW)``.  One hash shuffle; inside
+    a group the rolling sum is two cumsum reads (prefix[i] − prefix[i−w]),
+    no per-row loop."""
+
+    def per_key(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        tb = g[tiebreak_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tb, ts))
+        g = g.take(pa.array(order))
+        v = g[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        c = np.concatenate(([0.0], np.cumsum(v)))
+        n = len(v)
+        lo = np.maximum(np.arange(n) - window + 1, 0)
+        sums = c[np.arange(n) + 1] - c[lo]
+        counts = np.arange(n) + 1 - lo
+        return g.append_column("roll_mean", pa.array(sums / counts))
+
+    return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -115,3 +115,69 @@ class TestGroupedQuantiles:
         a = _collect(grouped_quantiles(_ds_from_pandas(df, 1), "k", "v", [0.5], ["p50"]))
         b = _collect(grouped_quantiles(_ds_from_pandas(df, 7), "k", "v", [0.5], ["p50"]))
         assert a["p50"].tolist() == b["p50"].tolist()
+
+
+class TestGroupedMode:
+    def test_matches_pandas(self, ray_session, rng):
+        from code_indexer_ray.pipelines.ops import grouped_mode
+
+        n = 6000
+        df = pd.DataFrame(
+            {
+                "k": rng.integers(0, 30, n),
+                "v": rng.choice(["a", "b", "c", "d"], n),
+            }
+        )
+        got = _collect(grouped_mode(_ds_from_pandas(df), "k", "v")).sort_values("k").reset_index(drop=True)
+        for _, row in got.iterrows():
+            counts = df.loc[df["k"] == row["k"], "v"].value_counts()
+            top = counts.max()
+            # tie policy: smallest value among max-count values
+            want = sorted(counts[counts == top].index)[0]
+            assert row["mode_value"] == want and row["n"] == top
+
+    def test_tie_goes_to_smallest(self, ray_session):
+        from code_indexer_ray.pipelines.ops import grouped_mode
+
+        df = pd.DataFrame({"k": [1] * 4, "v": ["z", "z", "a", "a"]})
+        got = _collect(grouped_mode(_ds_from_pandas(df, 2), "k", "v"))
+        assert got["mode_value"].tolist() == ["a"] and got["n"].tolist() == [2]
+
+
+class TestRollingMean:
+    def test_matches_pandas_rolling(self, ray_session, rng):
+        from code_indexer_ray.pipelines.ops import grouped_rolling_mean
+
+        n = 4000
+        df = pd.DataFrame(
+            {
+                "u": rng.integers(0, 25, n),
+                "ts": rng.integers(0, 10_000, n).astype("datetime64[us]"),
+                "value": rng.normal(size=n),
+                "eid": np.arange(n, dtype=np.int64),
+            }
+        )
+        W = 5
+        got = (
+            _collect(grouped_rolling_mean(_ds_from_pandas(df), "u", "ts", "value", "eid", W))
+            .sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+        )
+        want = df.sort_values(["u", "ts", "eid"]).reset_index(drop=True)
+        want["roll"] = (
+            want.groupby("u")["value"].rolling(W, min_periods=1).mean().reset_index(level=0, drop=True)
+        )
+        np.testing.assert_allclose(got["roll_mean"], want["roll"], atol=1e-9)
+
+    def test_window_one_is_identity(self, ray_session):
+        from code_indexer_ray.pipelines.ops import grouped_rolling_mean
+
+        df = pd.DataFrame(
+            {
+                "u": [1, 1, 1],
+                "ts": np.arange(3).astype("datetime64[us]"),
+                "value": [3.0, 5.0, 7.0],
+                "eid": [0, 1, 2],
+            }
+        )
+        got = _collect(grouped_rolling_mean(_ds_from_pandas(df, 1), "u", "ts", "value", "eid", 1))
+        assert got.sort_values("eid")["roll_mean"].tolist() == [3.0, 5.0, 7.0]

@@ -103,7 +103,8 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "events_session", "events_hopping", "asof_orders", "range_events",
         "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
         "median_value", "events_cumsum", "percentiles_by_lang",
-        "events_json_agg", "antijoin_customers", "mm_decode",
+        "events_json_agg", "mode_event_type", "events_rolling",
+        "antijoin_customers", "mm_decode",
         "mm_frames",
     ],
 )
