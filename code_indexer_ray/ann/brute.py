@@ -67,7 +67,10 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
         q, qids = ray.get(qref)
         return cosine_topk_batch(batch, q, qids, k, id_col=id_col, vec_col=vec_col)
 
-    parts = pa.concat_tables(ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs()))
+    blocks = ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
+    # drop zero-row blocks (an upstream filter can emit empty-schema blocks)
+    nonempty = [b for b in blocks if b.num_rows]
+    parts = pa.concat_tables(nonempty or blocks[:1])
     if parts.num_rows == 0:
         return parts
     qs = parts["query_id"].to_numpy(zero_copy_only=False)

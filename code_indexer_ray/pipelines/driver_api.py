@@ -434,6 +434,42 @@ def q_bm25_regex(sf_dir: str):
     )
 
 
+WILDCARD_PATTERN = "w?ndow*"
+
+
+def q_bm25_wildcard(sf_dir: str):
+    """WildcardQuery ('w?ndow*'): glob → anchored regex translation feeding
+    the regex term-expansion path — '*' any run, '?' one char, literals
+    escaped; RE2 on both sides so the twin is exact by construction."""
+    from ..query.globmatch import wildcard_to_regex
+
+    return _bm25_table(
+        searcher_for(sf_dir).search(
+            wildcard_to_regex(WILDCARD_PATTERN), use_regex=True, limit=10, snippet_lines=0
+        ),
+        10,
+    )
+
+
+def q_ann_cosine_filtered(sf_dir: str):
+    """Metadata-filtered exact ANN: cosine top-k restricted to label=1
+    vectors — the filter is applied INSIDE the batch kernel before the
+    matmul (prune-at-the-read shape), queries broadcast once."""
+    import ray.data as rd
+
+    def keep_label(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["label"], 1)).select(["vec_id", "embedding"])
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding", "label"],
+    ).map_batches(keep_label, batch_format="pyarrow")
+    qs = _load_queries(sf_dir)
+    out = ann_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10)
+    cos_r = pa.array(np.round(out["cos"].to_numpy(zero_copy_only=False), 4), type=pa.float64())
+    return out.drop_columns(["cos"]).append_column("cos_r", cos_r)
+
+
 def q_fuzzy_terms(sf_dir: str):
     s = searcher_for(sf_dir)
     terms = s.expand_terms("fuzzy", "merg", 1)
@@ -2796,7 +2832,26 @@ def oracle_catalog() -> dict[str, str]:
         f"SELECT doc_id, lang, n_tokens FROM cum WHERE c <= {SAMPLE_TOKEN_BUDGET}"
     )
 
+    from ..query.globmatch import wildcard_to_regex
+
+    wc = wildcard_to_regex(WILDCARD_PATTERN).replace("'", "''")
+    out["fts_bm25_wildcard"] = (
+        pre
+        + f",\nwc AS (SELECT term FROM df WHERE regexp_full_match(term, '{wc}')),\n"
+        + _scored_cte("SELECT term FROM wc", None)
+        + ",\n"
+        + _ranked_topk(10)
+    )
+
     qids = ",".join(str(i) for i in ANN_QUERY_IDS)
+    out["ann_cosine_filtered"] = (
+        f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN ({qids})),\n"
+        "pairs AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos\n"
+        "  FROM q, embeddings e WHERE e.vec_id <> q.qid AND e.label = 1),\n"
+        "ranked AS (SELECT qid, vec_id, cos, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, vec_id) AS rank FROM pairs)\n"
+        "SELECT qid::BIGINT AS query_id, rank::BIGINT AS rank, vec_id::BIGINT AS vec_id, round(cos, 4) AS cos_r\n"
+        "FROM ranked WHERE rank <= 10"
+    )
     out["ann_cosine"] = (
         f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN ({qids})),\n"
         "pairs AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos\n"
@@ -3063,6 +3118,8 @@ def query_catalog():
         "sample_stratified": q_sample_stratified,
         "pii_redact": q_pii_redact,
         "ann_cosine": q_ann_cosine,
+        "ann_cosine_filtered": q_ann_cosine_filtered,
+        "fts_bm25_wildcard": q_bm25_wildcard,
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
         "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests

@@ -94,3 +94,21 @@ def matches_pattern(path: str, pattern: str) -> bool:
 
 def matches_any(path: str, patterns) -> bool:
     return any(matches_pattern(path, p) for p in patterns)
+
+
+def wildcard_to_regex(pattern: str) -> str:
+    """Lucene/Tantivy WildcardQuery → anchored term regex: ``*`` matches any
+    run, ``?`` one char, everything else literal.  The translated pattern
+    feeds the existing regex term-expansion path (RE2 on both the engine and
+    the DuckDB oracle side, so wildcard semantics are exact by construction)."""
+    import re as _re
+
+    out = []
+    for ch in pattern:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(_re.escape(ch))
+    return "".join(out)

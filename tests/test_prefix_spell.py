@@ -156,3 +156,27 @@ class TestActorModeIdentity:
         assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
             (r["doc_id"], round(r["score"], 9)) for r in b
         ]
+
+
+class TestWildcardTranslation:
+    def test_translation(self):
+        from code_indexer_ray.query.globmatch import wildcard_to_regex
+
+        assert wildcard_to_regex("w?ndow*") == "w.ndow.*"
+        assert wildcard_to_regex("a*b") == "a.*b"
+        assert wildcard_to_regex("plain") == "plain"
+        # regex metacharacters in the literal part are escaped
+        assert wildcard_to_regex("a.b?") == r"a\.b."
+
+    def test_expansion_matches_fnmatch(self):
+        import fnmatch
+
+        from code_indexer_ray.query.expand import VocabMatcher
+        from code_indexer_ray.query.globmatch import wildcard_to_regex
+
+        vocab = sorted(["window", "windows", "widow", "wind", "won", "w.ndow"])
+        m = VocabMatcher(vocab)
+        for pat in ["w?ndow*", "w*", "*dow", "w.ndow", "?on"]:
+            got = sorted(m.regex(wildcard_to_regex(pat)))
+            want = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+            assert got == want, pat
