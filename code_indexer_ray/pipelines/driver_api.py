@@ -1836,6 +1836,86 @@ def q_distinct_users_hll(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id")
 
 
+CONTENT_GREP_PATTERN = r"\bspark\s+\w+\s+merge\b"
+
+
+def q_content_grep(sf_dir: str):
+    """Distributed grep over stored text (the raw-scan complement of the
+    index path): one vectorized RE2 pass per batch emits per-doc match
+    counts plus the first match; shuffle-free, prune-at-the-read columns."""
+    import ray.data as rd
+
+    pat = CONTENT_GREP_PATTERN
+
+    def grep(batch: pa.Table) -> pa.Table:
+        n = pc.count_substring_regex(batch["text"], pat)
+        first = pc.extract_regex(batch["text"], pattern=f"(?P<m>{pat})")
+        first_s = pc.fill_null(pc.struct_field(first, "m"), "")
+        t = pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_matches": n.cast(pa.int64()),
+                "first_match": first_s,
+            }
+        )
+        return t.filter(pc.greater(t["n_matches"], 0))
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        grep, batch_format="pyarrow"
+    )
+
+
+def q_events_zscore(sf_dir: str):
+    """Per-event-type value outliers (|z| > 2): two-pass mean/std — map-side
+    (sum, sum-of-squares, count) partials fold to per-type moments, the tiny
+    moment table broadcasts back into a second shuffle-free scoring pass
+    (population std, the shared numpy/DuckDB convention)."""
+    import ray
+    import ray.data as rd
+
+    from .ops import partial_agg_sum
+
+    src = os.path.join(sf_dir, "events.parquet")
+
+    def with_sq(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {"event_type": batch["event_type"], "v": batch["value"],
+             "v2": pa.array(v * v)}
+        )
+
+    ds = rd.read_parquet(src, columns=["event_type", "value"]).map_batches(
+        with_sq, batch_format="pyarrow"
+    )
+    mom = partial_agg_sum(ds, ["event_type"], ["v", "v2"], count_alias="n")
+    parts = [x for x in ray.get(mom.to_arrow_refs()) if x.num_rows]
+    mt = pa.concat_tables(parts).to_pandas()
+    mt["mean"] = mt["v"] / mt["n"]
+    mt["std"] = np.sqrt(np.maximum(mt["v2"] / mt["n"] - mt["mean"] ** 2, 0.0))
+    stats = {r["event_type"]: (r["mean"], r["std"]) for _, r in mt.iterrows()}
+    sref = ray.put(stats)
+
+    def score(batch: pa.Table) -> pa.Table:
+        st = ray.get(sref)
+        et = batch["event_type"].to_pylist()
+        mean = np.array([st[e][0] for e in et])
+        std = np.array([st[e][1] for e in et])
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            z = np.where(std > 0, (v - mean) / std, 0.0)
+        t = pa.table(
+            {"event_id": batch["event_id"], "event_type": batch["event_type"],
+             "z_r": pa.array(np.round(z, 4))}
+        )
+        return t.filter(pc.greater(pc.abs(t["z_r"]), 2.0))
+
+    out = rd.read_parquet(src, columns=["event_id", "event_type", "value"]).map_batches(
+        score, batch_format="pyarrow"
+    )
+    parts = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    return pa.concat_tables(parts)
+
+
 def q_mode_event_type(sf_dir: str):
     """Exact per-user modal event type (ties → lexicographically smallest):
     map-side (key,value,count) partials, tiny per-key argmax."""
@@ -2924,6 +3004,25 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY user_id"
     )
 
+    cg = CONTENT_GREP_PATTERN.replace("'", "''")
+    out["content_grep"] = (
+        f"WITH g AS (SELECT doc_id,\n"
+        f"  len(regexp_extract_all(text, '{cg}'))::BIGINT AS n_matches,\n"
+        f"  coalesce(regexp_extract(text, '{cg}'), '') AS first_match\n"
+        "FROM documents)\n"
+        "SELECT doc_id, n_matches, first_match FROM g WHERE n_matches > 0"
+    )
+
+    out["events_zscore"] = (
+        "WITH m AS (SELECT event_type, avg(value) AS mean, stddev_pop(value) AS std\n"
+        "  FROM events GROUP BY event_type),\n"
+        "z AS (SELECT e.event_id, e.event_type,\n"
+        "  CASE WHEN m.std > 0 THEN (e.value - m.mean) / m.std ELSE 0 END AS z\n"
+        "  FROM events e JOIN m USING (event_type))\n"
+        "SELECT event_id, event_type, round(z, 4) AS z_r FROM z\n"
+        "WHERE abs(round(z, 4)) > 2.0"
+    )
+
     out["mode_event_type"] = (
         "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n\n"
         "  FROM events GROUP BY user_id, event_type),\n"
@@ -3143,6 +3242,8 @@ def query_catalog():
         "events_json_agg": q_events_json_agg,
         "mode_event_type": q_mode_event_type,
         "events_rolling": q_events_rolling,
+        "content_grep": q_content_grep,
+        "events_zscore": q_events_zscore,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
     }
