@@ -1836,6 +1836,35 @@ def q_distinct_users_hll(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id")
 
 
+def q_pagerank(sf_dir: str):
+    """Distributed PageRank (5 power iterations, d=0.85) over a
+    deterministic synthetic link graph (3 out-links per doc): each
+    iteration is one hash-bucket co-partitioning join of the rank Dataset
+    onto the edge list plus one partial-combined groupby — the rank vector
+    is never broadcast or driver-resident (the iterative-algorithm shape
+    at 100 TB).  Exact SQL twin: the same edges with 5 unrolled CTE
+    iterations."""
+    import ray
+    import ray.data as rd
+
+    from .graph import pagerank, synth_edges
+
+    n_docs_tbl = rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+    n = n_docs_tbl.count()
+    edges = n_docs_tbl.map_batches(
+        lambda b: synth_edges(b, n), batch_format="pyarrow"
+    )
+    ranks = pagerank(edges, n, iters=5)
+
+    def rounded(b: pa.Table) -> pa.Table:
+        r = b["rank"].to_numpy(zero_copy_only=False)
+        return pa.table({"doc_id": b["doc_id"], "rank_r": pa.array(np.round(r, 9))})
+
+    out = ranks.map_batches(rounded, batch_format="pyarrow")
+    parts = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    return pa.concat_tables(parts)
+
+
 CONTENT_GREP_PATTERN = r"\bspark\s+\w+\s+merge\b"
 
 
@@ -3004,6 +3033,10 @@ def oracle_catalog() -> dict[str, str]:
         "FROM events GROUP BY user_id"
     )
 
+    from .graph import pagerank_sql
+
+    out["pagerank"] = pagerank_sql(iters=5)
+
     cg = CONTENT_GREP_PATTERN.replace("'", "''")
     out["content_grep"] = (
         f"WITH g AS (SELECT doc_id,\n"
@@ -3244,6 +3277,7 @@ def query_catalog():
         "events_rolling": q_events_rolling,
         "content_grep": q_content_grep,
         "events_zscore": q_events_zscore,
+        "pagerank": q_pagerank,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
     }
