@@ -1836,6 +1836,46 @@ def q_distinct_users_hll(sf_dir: str):
     return approx_distinct(ds, "event_type", "user_id")
 
 
+def q_export_partitioned(sf_dir: str):
+    """Resumable partitioned-export sink: documents written as hive
+    ``lang=XX`` parquet (one directory per partition — the 'never one giant
+    file' output contract; a failed run reruns only missing partitions, the
+    _SUCCESS marker makes the whole export idempotent), then re-read back —
+    the oracle is the source table itself, so the round-trip is the
+    correctness gate."""
+    import ray
+    import ray.data as rd
+
+    out = os.path.join(_corpus_dir(sf_dir), "export")
+    done = os.path.join(out, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "n_chars"]).write_parquet(
+            out, partition_cols=["lang"]
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    back = rd.read_parquet(out)
+
+    def norm(b: pa.Table) -> pa.Table:
+        # hive partitioning returns the partition key as a column again
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"].cast(pa.string()),
+                "n_chars": b["n_chars"].cast(pa.int64()),
+            }
+        )
+
+    parts = [
+        x for x in ray.get(back.map_batches(norm, batch_format="pyarrow").to_arrow_refs())
+        if x.num_rows
+    ]
+    return pa.concat_tables(parts)
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (5 power iterations, d=0.85) over a
     deterministic synthetic link graph (3 out-links per doc): each
@@ -3037,6 +3077,8 @@ def oracle_catalog() -> dict[str, str]:
 
     out["pagerank"] = pagerank_sql(iters=5)
 
+    out["export_partitioned"] = "SELECT doc_id, lang, n_chars FROM documents"
+
     cg = CONTENT_GREP_PATTERN.replace("'", "''")
     out["content_grep"] = (
         f"WITH g AS (SELECT doc_id,\n"
@@ -3278,6 +3320,7 @@ def query_catalog():
         "content_grep": q_content_grep,
         "events_zscore": q_events_zscore,
         "pagerank": q_pagerank,
+        "export_partitioned": q_export_partitioned,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
     }
