@@ -1070,6 +1070,73 @@ def q_join_lineitem_agg(sf_dir: str):
     )
 
 
+def q_revenue_by_nation(sf_dir: str):
+    """TPC-H Q5-shaped chained join: lineitem ⋈ orders (shuffle) ⋈ customer
+    (second shuffle, custkey) ⋈ nation (25-row broadcast) → revenue per
+    nation.  Two co-partitioning bucket shuffles for the two large joins;
+    the nation map rides as a broadcast; the aggregate is map-side partial.
+    Filter pushed to the read: only 'F'-status orders."""
+    import ray
+    import ray.data as rd
+
+    from .ops import broadcast_hash_join, partial_agg_sum, shuffle_equi_join
+
+    li = rd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+    orders = rd.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_orderstatus"]
+    ).map_batches(
+        lambda b: b.filter(pc.equal(b["o_orderstatus"], "F")).select(
+            ["o_orderkey", "o_custkey"]
+        ),
+        batch_format="pyarrow",
+    )
+    j1 = shuffle_equi_join(
+        li, orders, key="l_orderkey", right_key="o_orderkey",
+        left_cols=["l_extendedprice", "l_discount"], right_cols=["o_custkey"],
+    )
+    cust = rd.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    j2 = shuffle_equi_join(
+        j1, cust, key="o_custkey", right_key="c_custkey",
+        left_cols=["l_extendedprice", "l_discount"], right_cols=["c_nationkey"],
+    )
+    import pyarrow.parquet as _pq
+
+    nation = _pq.read_table(f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+    nref = ray.put(nation)
+    j3 = broadcast_hash_join(
+        j2.map_batches(
+            lambda b: pa.table(
+                {
+                    "c_nationkey": b["c_nationkey"].cast(pa.int64()),
+                    "rev": pc.multiply(
+                        b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        "c_nationkey",
+        nref,
+        dim_key="n_nationkey",
+        dim_cols=["n_name"],
+    )
+    agg = partial_agg_sum(j3, keys=["n_name"], sums=["rev"], count_alias="n_items")
+    return agg.map_batches(
+        lambda b: pa.table(
+            {
+                "n_name": b["n_name"],
+                "n_items": b["n_items"].cast(pa.int64()),
+                "revenue_r": pc.round(b["rev"], 4),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_tfidf_keywords(sf_dir: str):
     """Per-doc top-5 tf·idf keywords (Lucene MLT term-selection math over the
     whole corpus): one small term-stats aggregate, (term→df) broadcast once,
@@ -3098,6 +3165,16 @@ def oracle_catalog() -> dict[str, str]:
         "WHERE abs(round(z, 4)) > 2.0"
     )
 
+    out["revenue_by_nation"] = (
+        "SELECT n.n_name, count(*)::BIGINT AS n_items,\n"
+        "  round(sum(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue_r\n"
+        "FROM lineitem l\n"
+        "JOIN orders o ON o.o_orderkey = l.l_orderkey AND o.o_orderstatus = 'F'\n"
+        "JOIN customer c ON c.c_custkey = o.o_custkey\n"
+        "JOIN nation n ON n.n_nationkey = c.c_nationkey\n"
+        "GROUP BY n.n_name"
+    )
+
     out["mode_event_type"] = (
         "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n\n"
         "  FROM events GROUP BY user_id, event_type),\n"
@@ -3276,6 +3353,7 @@ def query_catalog():
         "tfidf_keywords": q_tfidf_keywords,
         "unigram_bits": q_unigram_bits,
         "join_orders_customer": q_join_orders_customer,
+        "revenue_by_nation": q_revenue_by_nation,
         "join_lineitem_agg": q_join_lineitem_agg,
         "heavy_hitters": q_heavy_hitters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,

@@ -93,7 +93,8 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_minhash_md5_sig", "dedup_minhash_md5_bands", "dedup_simhash",
         "dedup_near_pairs", "dedup_components", "decontam_flags",
         "domain_stats", "domain_filter", "tfidf_keywords", "unigram_bits",
-        "join_orders_customer", "join_lineitem_agg", "heavy_hitters",
+        "join_orders_customer", "join_lineitem_agg", "revenue_by_nation",
+        "heavy_hitters",
         "dedup_ngram_jaccard",
         "dedup_embed_cosine",
         "text_quality", "quality_filter", "sample_token_budget", "token_count",
