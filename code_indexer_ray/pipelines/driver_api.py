@@ -2052,6 +2052,70 @@ def q_events_zscore(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def q_docs_rollup(sf_dir: str):
+    """ROLLUP aggregate (lang, source → subtotals → grand total): three
+    map-side-partial aggregations over ONE shared pre-aggregated pass —
+    the (lang, source) cells fold first, then the two coarser levels fold
+    FROM THE CELLS (O(cells), never re-reading the corpus); 'ALL' marks
+    rolled-up dimensions like SQL GROUPING SETS output."""
+    import ray
+    import ray.data as rd
+
+    from .ops import partial_agg_sum
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["lang", "source", "n_chars"])
+    cells = partial_agg_sum(ds, ["lang", "source"], ["n_chars"], count_alias="n_docs")
+    parts = [x for x in ray.get(cells.to_arrow_refs()) if x.num_rows]
+    ct = pa.concat_tables(parts).to_pandas()  # O(|langs|x|sources|) — tiny
+
+    rows = []
+    for _, r in ct.iterrows():
+        rows.append((r["lang"], r["source"], int(r["n_chars"]), int(r["n_docs"])))
+    lang_tot = ct.groupby("lang", as_index=False).agg(
+        n_chars=("n_chars", "sum"), n_docs=("n_docs", "sum")
+    )
+    for _, r in lang_tot.iterrows():
+        rows.append((r["lang"], "ALL", int(r["n_chars"]), int(r["n_docs"])))
+    rows.append(("ALL", "ALL", int(ct["n_chars"].sum()), int(ct["n_docs"].sum())))
+    return pa.table(
+        {
+            "lang": pa.array([r[0] for r in rows], type=pa.string()),
+            "source": pa.array([r[1] for r in rows], type=pa.string()),
+            "sum_chars": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_docs": pa.array([r[3] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_events_rank(sf_dir: str):
+    """RANK() with ties per user over event values (desc): one hash shuffle,
+    vectorized tie-aware rank assignment inside each group."""
+    import ray
+    import ray.data as rd
+
+    def per_key(g: pa.Table) -> pa.Table:
+        v = g["value"].to_numpy(zero_copy_only=False)
+        eid = g["event_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((eid, -v))
+        g = g.take(pa.array(order))
+        v = v[order]
+        # RANK(): 1 + number of strictly-greater values
+        n = len(v)
+        is_new = np.r_[True, v[1:] != v[:-1]]
+        rank = np.maximum.accumulate(np.where(is_new, np.arange(n), 0)) + 1
+        return g.append_column("rnk", pa.array(rank.astype(np.int64)))
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["user_id", "value", "event_id"],
+    )
+    out = ds.groupby("user_id").map_groups(per_key, batch_format="pyarrow")
+    parts = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
+    tbl = pa.concat_tables(parts)
+    v_r = pa.array(np.round(tbl["value"].to_numpy(zero_copy_only=False), 4))
+    return tbl.drop_columns(["value"]).append_column("value_r", v_r)
+
+
 def q_mode_event_type(sf_dir: str):
     """Exact per-user modal event type (ties → lexicographically smallest):
     map-side (key,value,count) partials, tiny per-key argmax."""
@@ -3175,6 +3239,19 @@ def oracle_catalog() -> dict[str, str]:
         "GROUP BY n.n_name"
     )
 
+    out["docs_rollup"] = (
+        "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,\n"
+        "  sum(n_chars)::BIGINT AS sum_chars, count(*)::BIGINT AS n_docs\n"
+        "FROM documents GROUP BY ROLLUP (lang, source)"
+    )
+
+    out["events_rank"] = (
+        "SELECT user_id, event_id,\n"
+        "  rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS rnk,\n"
+        "  round(value, 4) AS value_r\n"
+        "FROM events"
+    )
+
     out["mode_event_type"] = (
         "WITH c AS (SELECT user_id, event_type, count(*)::BIGINT AS n\n"
         "  FROM events GROUP BY user_id, event_type),\n"
@@ -3395,6 +3472,8 @@ def query_catalog():
         "events_json_agg": q_events_json_agg,
         "mode_event_type": q_mode_event_type,
         "events_rolling": q_events_rolling,
+        "docs_rollup": q_docs_rollup,
+        "events_rank": q_events_rank,
         "content_grep": q_content_grep,
         "events_zscore": q_events_zscore,
         "pagerank": q_pagerank,
