@@ -2052,6 +2052,51 @@ def q_events_zscore(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+def q_events_corr(sf_dir: str):
+    """Per-event-type Pearson correlation between the value column and the
+    JSON payload field k: ONE pass of map-side (Σx, Σy, Σxy, Σx², Σy², n)
+    moment partials — the textbook distributed-statistics shape (nothing
+    row-sized crosses the shuffle); sample-covariance algebra matches
+    DuckDB's corr() exactly."""
+    import ray
+    import ray.data as rd
+
+    from .ops import partial_agg_sum
+
+    def extract(batch: pa.Table) -> pa.Table:
+        m = pc.extract_regex(batch["props"], pattern=r'"k":\s*(?P<k>\d+)')
+        k = pc.fill_null(pc.struct_field(m, "k").cast(pa.float64()), 0.0)
+        x = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = k.to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "x": pa.array(x), "y": pa.array(y),
+                "xy": pa.array(x * y), "xx": pa.array(x * x), "yy": pa.array(y * y),
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["event_type", "value", "props"],
+    ).map_batches(extract, batch_format="pyarrow")
+    mom = partial_agg_sum(ds, ["event_type"], ["x", "y", "xy", "xx", "yy"], count_alias="n")
+    parts = [t for t in ray.get(mom.to_arrow_refs()) if t.num_rows]
+    df = pa.concat_tables(parts).to_pandas()
+    n = df["n"].astype(float)
+    cov = df["xy"] - df["x"] * df["y"] / n
+    vx = df["xx"] - df["x"] ** 2 / n
+    vy = df["yy"] - df["y"] ** 2 / n
+    corr = cov / np.sqrt(vx * vy)
+    return pa.table(
+        {
+            "event_type": pa.array(df["event_type"], type=pa.string()),
+            "n": pa.array(df["n"].astype(np.int64)),
+            "corr_r": pa.array(np.round(corr, 6)),
+        }
+    )
+
+
 def q_docs_rollup(sf_dir: str):
     """ROLLUP aggregate (lang, source → subtotals → grand total): three
     map-side-partial aggregations over ONE shared pre-aggregated pass —
@@ -3239,6 +3284,14 @@ def oracle_catalog() -> dict[str, str]:
         "GROUP BY n.n_name"
     )
 
+    out["events_corr"] = (
+        "WITH x AS (SELECT event_type, value AS x,\n"
+        "  coalesce(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS DOUBLE), 0.0) AS y\n"
+        "FROM events)\n"
+        "SELECT event_type, count(*)::BIGINT AS n, round(corr(x, y), 6) AS corr_r\n"
+        "FROM x GROUP BY event_type"
+    )
+
     out["docs_rollup"] = (
         "SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,\n"
         "  sum(n_chars)::BIGINT AS sum_chars, count(*)::BIGINT AS n_docs\n"
@@ -3474,6 +3527,7 @@ def query_catalog():
         "events_rolling": q_events_rolling,
         "docs_rollup": q_docs_rollup,
         "events_rank": q_events_rank,
+        "events_corr": q_events_corr,
         "content_grep": q_content_grep,
         "events_zscore": q_events_zscore,
         "pagerank": q_pagerank,

@@ -106,7 +106,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
         "median_value", "events_cumsum", "percentiles_by_lang",
         "events_json_agg", "mode_event_type", "events_rolling",
-        "docs_rollup", "events_rank",
+        "docs_rollup", "events_rank", "events_corr",
         "content_grep", "events_zscore", "pagerank", "export_partitioned",
         "antijoin_customers", "mm_decode",
         "mm_frames",
