@@ -599,6 +599,81 @@ def q_url_dedup(sf_dir: str):
     return pa.concat_tables(parts)
 
 
+_TITLE_SEARCHERS: dict[str, IndexSearcher] = {}
+TITLE_CHARS = 80
+MULTIFIELD_WEIGHTS = {"title": 2.0, "body": 1.0}
+
+
+def title_searcher_for(sf_dir: str) -> IndexSearcher:
+    """Index over the synthetic title field (first TITLE_CHARS chars) — the
+    second field of the multi-field search fixture."""
+    s = _TITLE_SEARCHERS.get(sf_dir)
+    if s is None:
+        import ray.data as rd
+
+        tdir = os.path.join(_corpus_dir(sf_dir), "title_corpus")
+        done = os.path.join(tdir, "_SUCCESS")
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(tdir, ignore_errors=True)
+
+            def mk_title(batch: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "text": pc.utf8_slice_codeunits(batch["text"], 0, TITLE_CHARS),
+                        "lang": batch["lang"],
+                    }
+                )
+
+            rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text", "lang"]).map_batches(
+                mk_title, batch_format="pyarrow"
+            ).write_parquet(tdir)
+            with open(done, "w") as f:
+                f.write("ok")
+        idx = os.path.join(_corpus_dir(sf_dir), "title_index")
+        build_index(idx_src := tdir, idx, store_cols=("lang",), num_shards=2, num_buckets=2)
+        s = IndexSearcher(idx, lang_col="lang")
+        _TITLE_SEARCHERS[sf_dir] = s
+    return s
+
+
+def q_bm25_multifield(sf_dir: str):
+    """Multi-field weighted search (Lucene MultiFieldQueryParser shape):
+    query 'spark merge' over title^2 + body — a term matches in EITHER
+    field (OR across fields per term), ALL terms must match somewhere (AND
+    across terms), score = Σ_field weight_f · BM25_f with per-field df /
+    avgdl / quantized lengths.  Composition: one single-term limit=0 search
+    per (field, term) — four index probes, the cross-field union/intersect
+    and weighted sum fold at the driver over the small per-term match
+    lists."""
+    terms = ["spark", "merge"]
+    fields = {"title": title_searcher_for(sf_dir), "body": searcher_for(sf_dir)}
+    per_term_scores: list[dict[int, float]] = []
+    for t in terms:
+        acc: dict[int, float] = {}
+        for fname, s in fields.items():
+            w = MULTIFIELD_WEIGHTS[fname]
+            for r in s.search(t, limit=0, snippet_lines=0):
+                acc[r["doc_id"]] = acc.get(r["doc_id"], 0.0) + w * r["score"]
+        per_term_scores.append(acc)
+    cand = set(per_term_scores[0])
+    for acc in per_term_scores[1:]:
+        cand &= set(acc)
+    rows = sorted(
+        ((d, sum(acc[d] for acc in per_term_scores)) for d in cand),
+        key=lambda x: (-round(x[1], 9), x[0]),
+    )[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(v, 4) for _, v in rows], type=pa.float64()),
+        }
+    )
+
+
 def q_bm25_should(sf_dir: str):
     """BooleanQuery MUST + SHOULD: 'spark merge' required, 'window' optional
     — candidates gated by the MUST terms only, a candidate containing the
@@ -2716,6 +2791,41 @@ def oracle_catalog() -> dict[str, str]:
         "FROM c GROUP BY url_canon"
     )
 
+    tw, bw = MULTIFIELD_WEIGHTS["title"], MULTIFIELD_WEIGHTS["body"]
+    b_score = bm25.sql_score_expr("btf.tf", "bdl.dl", "bdf.df", "st0.n", "st0.avgdl")
+    t_score = bm25.sql_score_expr("ttf.tf", "tdl.dl", "tdf.df", "st0.n", "st0.avgdl_t")
+    out["fts_bm25_multifield"] = (
+        f"WITH btok AS ({sql_tokens_cte()}),\n"
+        f"ttok AS ({sql_tokens_cte('documents', 'doc_id', f'substr(text, 1, {TITLE_CHARS})')}),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "st0 AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,\n"
+        "  (SELECT count(*) FROM btok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,\n"
+        "  (SELECT count(*) FROM ttok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_t),\n"
+        "bdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM btok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "tdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM ttok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok GROUP BY doc_id, term),\n"
+        "bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),\n"
+        "ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttok GROUP BY doc_id, term),\n"
+        "tdf AS (SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY term),\n"
+        f"sb AS (SELECT btf.doc_id, btf.term, {bw} * ({b_score}) AS s\n"
+        "  FROM btf JOIN bdf USING (term) JOIN bdl ON bdl.doc_id = btf.doc_id, st0\n"
+        "  WHERE btf.term IN ('spark','merge')),\n"
+        f"stt AS (SELECT ttf.doc_id, ttf.term, {tw} * ({t_score}) AS s\n"
+        "  FROM ttf JOIN tdf USING (term) JOIN tdl ON tdl.doc_id = ttf.doc_id, st0\n"
+        "  WHERE ttf.term IN ('spark','merge')),\n"
+        "u AS (SELECT doc_id, term, sum(s) AS s FROM\n"
+        "  (SELECT * FROM sb UNION ALL SELECT * FROM stt) GROUP BY doc_id, term),\n"
+        "scored AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id\n"
+        "  HAVING count(DISTINCT term) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     should_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
     out["fts_bm25_should"] = (
         pre + ",\n"
@@ -3463,6 +3573,7 @@ def query_catalog():
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
         "fts_bm25_boost": q_bm25_boost,
+        "fts_bm25_multifield": q_bm25_multifield,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,
