@@ -1725,6 +1725,51 @@ def q_curate_corpus(sf_dir: str):
     return surv.groupby("lang").map_groups(take, batch_format="pandas")
 
 
+_CURATED_SEARCHERS: dict[str, IndexSearcher] = {}
+CURATED_QUERY = "data"
+
+
+def q_curated_search(sf_dir: str):
+    """FLAGSHIP END-TO-END: curation → index → retrieval.  The curated
+    survivor set (quality gate → exact dedup → near-dup removal → token
+    budget, all oracle-gated) becomes the corpus of a fresh FTS index whose
+    BM25 statistics (N, df, avgdl) are CURATED-corpus-local; the ranked
+    search runs against that index.  This is the full pipeline a reference
+    user runs: filter the crawl, index the survivors, query the index."""
+    s = _CURATED_SEARCHERS.get(sf_dir)
+    if s is None:
+        import ray
+        import ray.data as rd
+
+        surv = q_curate_corpus(sf_dir)
+        parts = [t for t in ray.get(surv.to_arrow_refs()) if t.num_rows]
+        ids = np.sort(pa.concat_tables(parts)["doc_id"].to_numpy(zero_copy_only=False))
+        cdir = os.path.join(_corpus_dir(sf_dir), "curated_corpus")
+        done = os.path.join(cdir, "_SUCCESS")
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(cdir, ignore_errors=True)
+            idref = ray.put(ids)
+
+            def keep(batch: pa.Table) -> pa.Table:
+                keep_ids = ray.get(idref)
+                return batch.filter(
+                    pc.is_in(batch["doc_id"], value_set=pa.array(keep_ids))
+                )
+
+            rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text", "lang"]).map_batches(
+                keep, batch_format="pyarrow"
+            ).write_parquet(cdir)
+            with open(done, "w") as f:
+                f.write("ok")
+        idx = os.path.join(_corpus_dir(sf_dir), "curated_index")
+        build_index(cdir, idx, store_cols=("lang",), num_shards=2, num_buckets=2)
+        s = IndexSearcher(idx, lang_col="lang")
+        _CURATED_SEARCHERS[sf_dir] = s
+    return _bm25_table(s.search(CURATED_QUERY, limit=10, snippet_lines=0), 10)
+
+
 ANN_QUERY_IDS = (0, 1, 2, 3)
 
 
@@ -3267,6 +3312,27 @@ def oracle_catalog() -> dict[str, str]:
         f"SELECT doc_id, lang, n_tokens FROM cum WHERE c <= {SAMPLE_TOKEN_BUDGET}"
     )
 
+    c_score = bm25.sql_score_expr("ctf.tf", "cdl.dl", "cdf.df", "cs.n", "cs.avgdl")
+    out["curated_search"] = (
+        f"WITH surv AS (SELECT doc_id FROM ({out['curate_corpus']})),\n"
+        f"ctok0 AS ({sql_tokens_cte()}),\n"
+        "ctok AS (SELECT t.* FROM ctok0 t JOIN surv USING (doc_id)),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "cs AS (SELECT (SELECT count(*) FROM surv)::DOUBLE AS n,\n"
+        "  (SELECT count(*) FROM ctok)::DOUBLE / (SELECT count(*) FROM surv)::DOUBLE AS avgdl),\n"
+        "cdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT s.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM surv s\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM ctok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "ctf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ctok GROUP BY doc_id, term),\n"
+        "cdf AS (SELECT term, count(*)::BIGINT AS df FROM ctf GROUP BY term),\n"
+        f"scored AS (SELECT ctf.doc_id, sum({c_score}) AS score\n"
+        "  FROM ctf JOIN cdf USING (term) JOIN cdl ON cdl.doc_id = ctf.doc_id, cs\n"
+        f"  WHERE ctf.term IN ('{CURATED_QUERY}')\n"
+        "  GROUP BY ctf.doc_id),\n"
+        + _ranked_topk(10)
+    )
+
     from ..query.globmatch import wildcard_to_regex
 
     wc = wildcard_to_regex(WILDCARD_PATTERN).replace("'", "''")
@@ -3607,6 +3673,7 @@ def query_catalog():
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
         "curate_corpus": q_curate_corpus,
+        "curated_search": q_curated_search,
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,
         "pii_redact": q_pii_redact,

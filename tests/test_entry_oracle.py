@@ -98,7 +98,8 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_ngram_jaccard",
         "dedup_embed_cosine",
         "text_quality", "quality_filter", "sample_token_budget", "token_count",
-        "embed_text", "semantic_search", "curate_corpus", "sample_docs",
+        "embed_text", "semantic_search", "curate_corpus", "curated_search",
+        "sample_docs",
         "sample_stratified", "pii_redact", "url_canonical", "url_dedup",
         "ann_cosine", "ann_cosine_filtered", "fts_bm25_wildcard",
         "events_keep_latest", "events_window",
