@@ -68,9 +68,13 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
         return cosine_topk_batch(batch, q, qids, k, id_col=id_col, vec_col=vec_col)
 
     blocks = ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
-    # drop zero-row blocks (an upstream filter can emit empty-schema blocks)
+    # drop zero-row blocks (an upstream filter can emit empty-schema blocks);
+    # all-empty input → empty result, keeping a schema'd block if any exists
     nonempty = [b for b in blocks if b.num_rows]
-    parts = pa.concat_tables(nonempty or blocks[:1])
+    if not nonempty:
+        schemaful = [b for b in blocks if b.num_columns]
+        return schemaful[0] if schemaful else pa.table({})
+    parts = pa.concat_tables(nonempty)
     if parts.num_rows == 0:
         return parts
     qs = parts["query_id"].to_numpy(zero_copy_only=False)

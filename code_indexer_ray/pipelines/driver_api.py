@@ -53,6 +53,21 @@ CACHE_ROOT = "/tmp/cidx_ray_entry"
 _SEARCHERS: dict[str, IndexSearcher] = {}
 
 
+def _collect_table(ds) -> pa.Table:
+    """Materialize a small result Dataset into one Arrow table, dropping the
+    zero-row empty-SCHEMA blocks group/join stages can emit (they poison
+    concat_tables); an all-empty dataset returns an empty table."""
+    import ray
+
+    parts = ray.get(ds.to_arrow_refs())
+    nonempty = [t for t in parts if t.num_rows]
+    if nonempty:
+        return pa.concat_tables(nonempty)
+    schemaful = [t for t in parts if t.num_columns]
+    return schemaful[0] if schemaful else pa.table({})
+
+
+
 def _docs(sf_dir: str) -> str:
     return os.path.join(sf_dir, "documents.parquet")
 
@@ -593,10 +608,7 @@ def q_url_dedup(sf_dir: str):
         .groupby("url_canon")
         .aggregate(Sum("n", alias_name="n_variants"), Min("keeper", alias_name="keeper"))
     )
-    import ray as _ray
-
-    parts = [x for x in _ray.get(ds.to_arrow_refs()) if x.num_rows]
-    return pa.concat_tables(parts)
+    return _collect_table(ds)
 
 
 _TITLE_SEARCHERS: dict[str, IndexSearcher] = {}
@@ -1741,15 +1753,18 @@ def q_curated_search(sf_dir: str):
         import ray
         import ray.data as rd
 
-        surv = q_curate_corpus(sf_dir)
-        parts = [t for t in ray.get(surv.to_arrow_refs()) if t.num_rows]
-        ids = np.sort(pa.concat_tables(parts)["doc_id"].to_numpy(zero_copy_only=False))
         cdir = os.path.join(_corpus_dir(sf_dir), "curated_corpus")
         done = os.path.join(cdir, "_SUCCESS")
         if not os.path.exists(done):
             import shutil
 
             shutil.rmtree(cdir, ignore_errors=True)
+            # the (expensive) curation pipeline runs only on a cache miss
+            ids = np.sort(
+                _collect_table(q_curate_corpus(sf_dir))["doc_id"].to_numpy(
+                    zero_copy_only=False
+                )
+            )
             idref = ray.put(ids)
 
             def keep(batch: pa.Table) -> pa.Table:
@@ -2056,11 +2071,7 @@ def q_export_partitioned(sf_dir: str):
             }
         )
 
-    parts = [
-        x for x in ray.get(back.map_batches(norm, batch_format="pyarrow").to_arrow_refs())
-        if x.num_rows
-    ]
-    return pa.concat_tables(parts)
+    return _collect_table(back.map_batches(norm, batch_format="pyarrow"))
 
 
 def q_pagerank(sf_dir: str):
@@ -2088,8 +2099,7 @@ def q_pagerank(sf_dir: str):
         return pa.table({"doc_id": b["doc_id"], "rank_r": pa.array(np.round(r, 9))})
 
     out = ranks.map_batches(rounded, batch_format="pyarrow")
-    parts = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
-    return pa.concat_tables(parts)
+    return _collect_table(out)
 
 
 CONTENT_GREP_PATTERN = r"\bspark\s+\w+\s+merge\b"
@@ -2168,8 +2178,7 @@ def q_events_zscore(sf_dir: str):
     out = rd.read_parquet(src, columns=["event_id", "event_type", "value"]).map_batches(
         score, batch_format="pyarrow"
     )
-    parts = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
-    return pa.concat_tables(parts)
+    return _collect_table(out)
 
 
 def q_events_corr(sf_dir: str):
@@ -2201,18 +2210,25 @@ def q_events_corr(sf_dir: str):
         columns=["event_type", "value", "props"],
     ).map_batches(extract, batch_format="pyarrow")
     mom = partial_agg_sum(ds, ["event_type"], ["x", "y", "xy", "xx", "yy"], count_alias="n")
-    parts = [t for t in ray.get(mom.to_arrow_refs()) if t.num_rows]
-    df = pa.concat_tables(parts).to_pandas()
+    df = _collect_table(mom).to_pandas()
     n = df["n"].astype(float)
     cov = df["xy"] - df["x"] * df["y"] / n
-    vx = df["xx"] - df["x"] ** 2 / n
-    vy = df["yy"] - df["y"] ** 2 / n
-    corr = cov / np.sqrt(vx * vy)
+    # clamp float-cancellation negatives; a degenerate group (constant x or
+    # y, or n < 2) gets NULL — DuckDB corr()'s convention
+    vx = np.maximum((df["xx"] - df["x"] ** 2 / n).to_numpy(), 0.0)
+    vy = np.maximum((df["yy"] - df["y"] ** 2 / n).to_numpy(), 0.0)
+    ok = (vx > 0) & (vy > 0) & (n.to_numpy() >= 2)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        corr = np.where(ok, cov.to_numpy() / np.sqrt(vx * vy), np.nan)
+    corr_col = pa.array(
+        [round(float(c), 6) if k else None for c, k in zip(corr, ok)],
+        type=pa.float64(),
+    )
     return pa.table(
         {
             "event_type": pa.array(df["event_type"], type=pa.string()),
             "n": pa.array(df["n"].astype(np.int64)),
-            "corr_r": pa.array(np.round(corr, 6)),
+            "corr_r": corr_col,
         }
     )
 
@@ -2230,8 +2246,7 @@ def q_docs_rollup(sf_dir: str):
 
     ds = rd.read_parquet(_docs(sf_dir), columns=["lang", "source", "n_chars"])
     cells = partial_agg_sum(ds, ["lang", "source"], ["n_chars"], count_alias="n_docs")
-    parts = [x for x in ray.get(cells.to_arrow_refs()) if x.num_rows]
-    ct = pa.concat_tables(parts).to_pandas()  # O(|langs|x|sources|) — tiny
+    ct = _collect_table(cells).to_pandas()  # O(|langs|x|sources|) — tiny
 
     rows = []
     for _, r in ct.iterrows():
@@ -2275,8 +2290,7 @@ def q_events_rank(sf_dir: str):
         columns=["user_id", "value", "event_id"],
     )
     out = ds.groupby("user_id").map_groups(per_key, batch_format="pyarrow")
-    parts = [x for x in ray.get(out.to_arrow_refs()) if x.num_rows]
-    tbl = pa.concat_tables(parts)
+    tbl = _collect_table(out)
     v_r = pa.array(np.round(tbl["value"].to_numpy(zero_copy_only=False), 4))
     return tbl.drop_columns(["value"]).append_column("value_r", v_r)
 
@@ -2405,11 +2419,7 @@ def q_events_json_agg(sf_dir: str):
         os.path.join(sf_dir, "events.parquet"), columns=["event_type", "props"]
     ).map_batches(extract, batch_format="pyarrow")
     out = partial_agg_sum(ds, ["event_type"], ["k"], count_alias="n_events")
-    import ray as _ray
-
-    parts = [x for x in _ray.get(out.to_arrow_refs()) if x.num_rows]
-    tbl = pa.concat_tables(parts)
-    return tbl.rename_columns(["event_type", "sum_k", "n_events"])
+    return _collect_table(out).rename_columns(["event_type", "sum_k", "n_events"])
 
 
 def q_range_events(sf_dir: str):

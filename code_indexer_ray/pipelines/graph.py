@@ -16,8 +16,11 @@ per-key accumulation order can vary — results are compared at 1e-6 rounding
 test on floats) keeps both sides on the same schedule.
 
 PageRank math (Brin & Page 1998): r'(v) = (1−d)/N + d·Σ_{u→v} r(u)/deg(u).
-The synthetic graph gives every node out-degree exactly ``N_LINKS`` (no
-dangling-mass term needed — asserted).
+Preconditions: every vertex has out-degree exactly ``N_LINKS`` (the synthetic
+graph guarantees it; dangling nodes — in-edges but no out-edges — would leak
+mass and are NOT redistributed).  Zero-IN-degree vertices are handled: each
+fold unions a zero-contribution row per vertex so they keep their (1−d)/N
+rank row and their outgoing mass survives the next join.
 """
 
 from __future__ import annotations
@@ -61,6 +64,20 @@ def pagerank(edges, n_docs: int, iters: int = 5, damping: float = DAMPING):
     edges = edges.materialize()  # reused every iteration
     base = (1.0 - damping) / n_docs
 
+    # vertex set = distinct src (constant out-degree ⇒ every vertex appears
+    # as a src).  Each fold unions one ZERO contribution row per vertex so a
+    # zero-in-degree vertex still gets its rank row (= base) — without it
+    # the vertex would vanish from the groupby and its OUT-going mass would
+    # be silently dropped from the next iteration's join.
+    def vrow(b: pa.Table) -> pa.Table:
+        agg = b.select(["src"]).group_by("src").aggregate([])
+        n = agg.num_rows
+        return pa.table(
+            {"dst": agg["src"], "c": pa.array(np.zeros(n, dtype=np.float64))}
+        )
+
+    vertices = edges.map_batches(vrow, batch_format="pyarrow").materialize()
+
     # iteration 0: uniform ranks — contributions need only a constant, so the
     # first round skips the join entirely
     def first_contrib(b: pa.Table) -> pa.Table:
@@ -71,7 +88,11 @@ def pagerank(edges, n_docs: int, iters: int = 5, damping: float = DAMPING):
         )
 
     def fold(contrib_ds):
-        agg = contrib_ds.groupby("dst").aggregate(Sum("c", alias_name="s"))
+        agg = (
+            contrib_ds.union(vertices)
+            .groupby("dst")
+            .aggregate(Sum("c", alias_name="s"))
+        )
 
         def to_rank(b: pa.Table) -> pa.Table:
             s = b["s"].to_numpy(zero_copy_only=False)
@@ -110,17 +131,23 @@ def pagerank_sql(iters: int = 5, damping: float = DAMPING) -> str:
     base = f"(1.0 - {damping}) / nn.n"
     sql = ["WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),"]
     sql.append(f"edges AS ({edge_parts}),")
+    # every iteration LEFT JOINs from the full vertex set so zero-in-degree
+    # vertices keep a (base) rank row — mirrors the Ray fold's zero-row union
     sql.append(
-        f"r1 AS (SELECT dst AS doc_id, {base} + {damping} * sum((1.0 / nn.n) / {N_LINKS}) AS rank\n"
-        "  FROM edges, nn GROUP BY dst, nn.n)"
+        f"r1 AS (SELECT d.doc_id, {base} + {damping} * coalesce(c.s, 0) AS rank\n"
+        "  FROM documents d CROSS JOIN nn LEFT JOIN (\n"
+        f"    SELECT dst, sum((1.0 / nn2.n) / {N_LINKS}) AS s FROM edges, nn nn2 GROUP BY dst\n"
+        "  ) c ON c.dst = d.doc_id)"
     )
     prev = "r1"
     for i in range(2, iters + 1):
         cur = f"r{i}"
         sql.append(
-            f", {cur} AS (SELECT e.dst AS doc_id,\n"
-            f"  {base} + {damping} * sum(p.rank / {N_LINKS}) AS rank\n"
-            f"  FROM edges e JOIN {prev} p ON p.doc_id = e.src, nn GROUP BY e.dst, nn.n)"
+            f", {cur} AS (SELECT d.doc_id, {base} + {damping} * coalesce(c.s, 0) AS rank\n"
+            "  FROM documents d CROSS JOIN nn LEFT JOIN (\n"
+            f"    SELECT e.dst, sum(p.rank / {N_LINKS}) AS s FROM edges e\n"
+            f"    JOIN {prev} p ON p.doc_id = e.src GROUP BY e.dst\n"
+            "  ) c ON c.dst = d.doc_id)"
         )
         prev = cur
     sql.append(f"\nSELECT doc_id, round(rank, 9) AS rank_r FROM {prev}")

@@ -64,9 +64,13 @@ def local_then_global_topk(ds, by: str, k: int, tiebreak: str, descending: bool 
     refs = ds.map_batches(local_topk, batch_format="pyarrow").to_arrow_refs()
     parts = ray.get(refs)
     # drop zero-row blocks: upstream group/join stages can emit blocks with
-    # an EMPTY schema, which poisons concat_tables
+    # an EMPTY schema, which poisons concat_tables.  All-empty input → empty
+    # result (prefer a block that still carries the schema).
     nonempty = [p for p in parts if p.num_rows]
-    tbl = pa.concat_tables(nonempty or parts[:1])
+    if not nonempty:
+        schemaful = [p for p in parts if p.num_columns]
+        return schemaful[0] if schemaful else pa.table({})
+    tbl = pa.concat_tables(nonempty)
     v = tbl[by].to_numpy(zero_copy_only=False)
     t = tbl[tiebreak].to_numpy(zero_copy_only=False)
     order = np.lexsort((t, -v if descending else v))[:k]

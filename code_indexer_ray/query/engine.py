@@ -309,9 +309,9 @@ class ShardSearcher:
     ) -> list[tuple[int, float, str | None, str | None]]:
         """Top-m docs containing the token sequence (Tantivy phrase
         semantics: every term at consecutive positions).  ``slop`` relaxes
-        adjacency to an ORDERED window (SpanNear inOrder=true shape): each
-        next term may sit 1..slop+1 positions after the previous one;
-        slop=0 is the exact phrase.  Requires an index built with
+        adjacency in-order with a TOTAL gap budget (Lucene SpanNear
+        inOrder=true): the sum of extra gaps across ALL steps must stay
+        ≤ slop; slop=0 is the exact phrase.  Requires an index built with
         ``index_positions=True``; scoring is the BM25 sum of the phrase
         terms over position-verified documents."""
         posts: list[tuple[str, dict]] = []
@@ -341,16 +341,28 @@ class ShardSearcher:
             pos = self._decode_positions_batch(p, ix, tf_at)
             ci = np.repeat(np.arange(len(cand), dtype=np.int64), tf_at)
             keysets.append(ci * STRIDE + pos)
-        # chain keyed on the CURRENT term's occurrences: an occurrence of
-        # term i+1 survives iff some surviving occurrence of term i sits
-        # 1..slop+1 positions before it (slop=0 → 1 membership pass/step,
-        # identical cost to the exact-adjacency chain)
+        # chain keyed on the CURRENT term's occurrences, carrying the MIN
+        # total gap consumed so far: Lucene SpanNear(inOrder) semantics —
+        # ``slop`` is a TOTAL budget across the whole phrase, each step may
+        # spend 0..slop extra positions and the sum must stay ≤ slop
+        # (slop=0 → one lookup pass/step, identical cost to the exact chain).
+        # keysets are sorted (candidate index asc, positions asc within it),
+        # and filtering preserves order, so budget lookups are searchsorted.
+        BIG = np.iinfo(np.int64).max
         cur = keysets[0]
+        bud = np.zeros(len(cur), dtype=np.int64)
         for ks in keysets[1:]:
-            mask = np.zeros(len(ks), dtype=bool)
-            for d in range(1, slop + 2):
-                mask |= np.isin(ks - d, cur)
-            cur = ks[mask]
+            nb = np.full(len(ks), BIG, dtype=np.int64)
+            if len(cur):
+                for d in range(1, slop + 2):
+                    want = ks - d
+                    idx = np.minimum(np.searchsorted(cur, want), len(cur) - 1)
+                    hit = cur[idx] == want
+                    ok = hit & (bud[idx] + (d - 1) <= slop)
+                    np.minimum(nb, np.where(ok, bud[idx] + (d - 1), BIG), out=nb)
+            keep_occ = nb <= slop
+            cur = ks[keep_occ]
+            bud = nb[keep_occ]
             if len(cur) == 0:
                 return []
         keep = np.zeros(len(cand), dtype=bool)

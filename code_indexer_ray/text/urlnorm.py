@@ -51,9 +51,10 @@ def sql_canonical_expr(col: str) -> str:
     patterns in the same order; submatch lowercasing via regexp_extract)."""
     s = col
     for pat, repl in ((_FRAGMENT, ""), (_UTM, ""), (_SEAM, r"\1?"), (_EMPTY_Q, ""), (_SCHEME, "")):
+        # standard SQL single-quoted strings: backslashes (and the \1
+        # backreference in the replacement) pass through literally
         p = pat.replace("'", "''")
-        r = repl.replace("\\", "\\")
-        s = f"regexp_replace({s}, '{p}', '{r}', 'g')"
+        s = f"regexp_replace({s}, '{p}', '{repl}', 'g')"
     split = _SPLIT.replace("(?P<host>", "(").replace("(?P<rest>", "(")
     host = f"regexp_replace(lower(regexp_extract({s}, '{split}', 1)), '{_WWW}', '', 'g')"
     rest = f"regexp_replace(coalesce(regexp_extract({s}, '{split}', 2), ''), '{_TRAIL}', '', 'g')"

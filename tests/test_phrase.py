@@ -223,19 +223,26 @@ class TestPositionsMerge:
 
 
 def _brute_slop(texts: list[str], terms: list[str], slop: int) -> set[int]:
-    """Ordered window: each next term 1..slop+1 positions after the previous."""
+    """In-order with a TOTAL gap budget (Lucene SpanNear inOrder=true):
+    the sum of extra gaps across all steps must stay <= slop."""
     out = set()
     for i, t in enumerate(texts):
         toks = []
         for w in t.split():
             toks.extend(tokenize_query(w))
-        # chains ending at each occurrence of terms[j]
-        cur = {p for p, tok in enumerate(toks) if tok == terms[0]}
+        # chains ending at each occurrence: position -> min budget consumed
+        cur = {p: 0 for p, tok in enumerate(toks) if tok == terms[0]}
         for term in terms[1:]:
-            nxt = set()
+            nxt: dict[int, int] = {}
             for p, tok in enumerate(toks):
-                if tok == term and any(p - d in cur for d in range(1, slop + 2)):
-                    nxt.add(p)
+                if tok != term:
+                    continue
+                best = min(
+                    (cur[p - d] + (d - 1) for d in range(1, slop + 2) if p - d in cur),
+                    default=None,
+                )
+                if best is not None and best <= slop:
+                    nxt[p] = best
             cur = nxt
         if cur:
             out.add(i)
@@ -282,3 +289,25 @@ class TestSloppyPhrase:
             s.search("quick brown", slop=1)  # slop without phrase
         with pytest.raises(ValueError):
             s.search("quick brown", phrase=True, slop=9)
+
+
+class TestSlopTotalBudget:
+    def test_total_budget_not_per_gap(self, ray_session, tmp_path):
+        # 'a x b y c': each gap costs 1, total 2 — slop=1 must REJECT
+        # (per-gap windows would wrongly accept), slop=2 accepts
+        texts = ["alpha xx bravo yy charlie", "alpha bravo charlie"]
+        rows = [{"doc_id": i, "text": t, "lang": "en", "url": f"u{i}"}
+                for i, t in enumerate(texts)]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        out = str(tmp_path / "idx")
+        build_index(src, out, store_cols=("lang", "url"), num_shards=1,
+                    num_buckets=1, index_positions=True, resume=False)
+        s = IndexSearcher(out)
+        q = "alpha bravo charlie"
+        assert {r["doc_id"] for r in s.search(q, phrase=True, slop=0, limit=0, snippet_lines=0)} == {1}
+        assert {r["doc_id"] for r in s.search(q, phrase=True, slop=1, limit=0, snippet_lines=0)} == {1}
+        assert {r["doc_id"] for r in s.search(q, phrase=True, slop=2, limit=0, snippet_lines=0)} == {0, 1}
+        # brute reference agrees
+        assert _brute_slop(texts, ["alpha", "bravo", "charlie"], 1) == {1}
+        assert _brute_slop(texts, ["alpha", "bravo", "charlie"], 2) == {0, 1}
