@@ -2537,6 +2537,66 @@ def q_mm_frames(sf_dir: str):
     return media_frames(ds, concurrency=2, batch_size=128)
 
 
+_INCR: dict[str, IndexSearcher] = {}
+
+
+def q_fts_incremental(sf_dir: str):
+    """Oracle-gated incremental maintenance (T4/J2 end-to-end): the corpus is
+    split deterministically by doc_id — every 5th document is HELD OUT of the
+    base build and arrives later as a delta through ``apply_delta`` (delta
+    index build with the base's pinned layout → delete-then-add segment
+    merge) — then ranked search runs against the MERGED index.  The DuckDB
+    twin scores the full corpus directly, so merge correctness is gated by
+    rank/score identity against the oracle, not only by the byte-equality
+    pytest suite (reference guarantee: per-document atomic replace,
+    ``tantivy_index_manager.py:25-33``)."""
+    s = _INCR.get(sf_dir)
+    if s is None:
+        import shutil
+
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        from .incremental import apply_delta
+
+        corpus = derived_corpus(sf_dir)
+        root = os.path.join(_corpus_dir(sf_dir), "incr")
+        shutil.rmtree(root, ignore_errors=True)
+        base_src = os.path.join(root, "base_src")
+        delta_src = os.path.join(root, "delta_src")
+        # doc_id_upper from the FULL corpus so base shard ranges already
+        # reserve the delta's id space (fixed boundaries across increments)
+        max_id = pads.dataset(corpus).to_table(columns=["doc_id"])["doc_id"]
+        doc_id_upper = int(pc.max(max_id).as_py())
+
+        def _split(keep_delta: bool):
+            def f(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+                m = (ids % 5) == 0
+                return batch.filter(pa.array(m if keep_delta else ~m))
+
+            return f
+
+        src = rd.read_parquet(corpus)
+        src.map_batches(_split(False), batch_format="pyarrow").write_parquet(base_src)
+        src.map_batches(_split(True), batch_format="pyarrow").write_parquet(delta_src)
+
+        base_idx = os.path.join(root, "base_idx")
+        merged = os.path.join(root, "merged")
+        build_index(
+            base_src,
+            base_idx,
+            store_cols=("lang", "url"),
+            num_shards=4,
+            num_buckets=4,
+            doc_id_upper=doc_id_upper,
+        )
+        apply_delta(base_idx, delta_src, merged, work_dir=os.path.join(root, "work"))
+        s = IndexSearcher(merged, lang_col="lang", url_col="url")
+        _INCR[sf_dir] = s
+    return _bm25_table(s.search("spark window", limit=10, snippet_lines=0), 10)
+
+
 # ---------------------------------------------------------------------------
 # Oracle SQL
 # ---------------------------------------------------------------------------
@@ -2656,6 +2716,9 @@ def oracle_catalog() -> dict[str, str]:
 
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
+    # the incremental base+delta merge must equal a direct full-corpus build,
+    # so its twin scores the full corpus with the same AND semantics
+    out["fts_incremental"] = _q(_scored_cte("'spark','window'", 2), _ranked_topk(10))
     out["fts_bm25_or"] = _q(_scored_cte("'spark','merge'", None), _ranked_topk(10))
     from ..text.repetition import sql_ngram_hash_cte, sql_token_hash_cte
 
@@ -3644,6 +3707,7 @@ def query_catalog():
         "fts_bm25_prefix": q_bm25_prefix,
         "spell_suggest": q_spell_suggest,
         "fts_multi_repo": q_multi_repo,
+        "fts_incremental": q_fts_incremental,
         "collocations": q_collocations,
         "fts_bm25_should": q_bm25_should,
         "url_canonical": q_url_canonical,
