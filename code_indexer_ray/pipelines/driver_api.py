@@ -2537,6 +2537,22 @@ def q_mm_frames(sf_dir: str):
     return media_frames(ds, concurrency=2, batch_size=128)
 
 
+def q_kmeans(sf_dir: str):
+    """Distributed fixed-point k-means over the embeddings table (k=8, two
+    Lloyd updates + final labeling): centroids broadcast per iteration via
+    ray.put, map-side k×dim moment partials, integer distances — the DuckDB
+    twin unrolls the same iterations and matches bit-exactly (see
+    ``ann/kmeans.py``)."""
+    import ray.data as rd
+
+    from ..ann.kmeans import kmeans_fixed
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    return kmeans_fixed(ds, k=8, iters=2)
+
+
 _INCR: dict[str, IndexSearcher] = {}
 
 
@@ -3435,6 +3451,10 @@ def oracle_catalog() -> dict[str, str]:
         "FROM ranked WHERE rank <= 10"
     )
 
+    from ..ann.kmeans import kmeans_sql
+
+    out["kmeans_embed"] = kmeans_sql(k=8, iters=2)
+
     out["events_keep_latest"] = (
         "SELECT user_id, event_type, event_id, ts, value FROM (\n"
         "  SELECT user_id, event_type, event_id, ts, value,\n"
@@ -3751,6 +3771,7 @@ def query_catalog():
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,
         "pii_redact": q_pii_redact,
+        "kmeans_embed": q_kmeans,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_filtered": q_ann_cosine_filtered,
         "fts_bm25_wildcard": q_bm25_wildcard,
