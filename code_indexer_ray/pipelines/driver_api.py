@@ -2537,6 +2537,25 @@ def q_mm_frames(sf_dir: str):
     return media_frames(ds, concurrency=2, batch_size=128)
 
 
+def q_query_dsl(sf_dir: str):
+    """Lucene-classic query-string front-end end-to-end: the string
+    ``+spark +merge batch^2 -window lang:en`` parses to MUST(spark, merge) +
+    SHOULD(batch, boost 2.0) + MUST_NOT(window) + language facet, and runs
+    through the sharded engine (``query/parser.py``; reference analog:
+    tantivy parse_query, ``tantivy_index_manager.py:330-420``)."""
+    from ..query.parser import search_query_string
+
+    return _bm25_table(
+        search_query_string(
+            searcher_for(sf_dir),
+            "+spark +merge batch^2 -window lang:en",
+            limit=10,
+            snippet_lines=0,
+        ),
+        10,
+    )
+
+
 def q_kmeans(sf_dir: str):
     """Distributed fixed-point k-means over the embeddings table (k=8, two
     Lloyd updates + final labeling): centroids broadcast per iteration via
@@ -3455,6 +3474,20 @@ def oracle_catalog() -> dict[str, str]:
 
     out["kmeans_embed"] = kmeans_sql(k=8, iters=2)
 
+    dsl_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
+    out["fts_query_dsl"] = (
+        pre + ",\n"
+        "scored AS (SELECT tf.doc_id,\n"
+        f"  sum(({dsl_score}) * (CASE tf.term WHEN 'batch' THEN 2.0 ELSE 1.0 END)) AS score\n"
+        "  FROM tf JOIN df USING(term) JOIN dl ON tf.doc_id = dl.doc_id\n"
+        "  JOIN documents d ON d.doc_id = tf.doc_id, stats s\n"
+        "  WHERE tf.term IN ('spark','merge','batch') AND d.lang IN ('en')\n"
+        "    AND NOT EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = tf.doc_id AND x.term = 'window')\n"
+        "  GROUP BY tf.doc_id\n"
+        "  HAVING count(DISTINCT CASE WHEN tf.term IN ('spark','merge') THEN tf.term END) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     out["events_keep_latest"] = (
         "SELECT user_id, event_type, event_id, ts, value FROM (\n"
         "  SELECT user_id, event_type, event_id, ts, value,\n"
@@ -3728,6 +3761,7 @@ def query_catalog():
         "spell_suggest": q_spell_suggest,
         "fts_multi_repo": q_multi_repo,
         "fts_incremental": q_fts_incremental,
+        "fts_query_dsl": q_query_dsl,
         "collocations": q_collocations,
         "fts_bm25_should": q_bm25_should,
         "url_canonical": q_url_canonical,

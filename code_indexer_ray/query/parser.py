@@ -1,0 +1,198 @@
+"""Lucene-classic-QueryParser-style query strings compiled onto the engine.
+
+Grammar (the subset the sharded engine executes exactly; anything it cannot
+express raises ``ValueError`` instead of silently degrading):
+
+    spark merge               bare terms — default operator OR (Lucene default)
+    spark AND merge           explicit AND → every term required
+    +spark batch              '+' = MUST; remaining bare terms become SHOULD
+    -window                   '-' = MUST_NOT (hard filter, no score)
+    term^2.5                  query-time boost (multiplicative weight)
+    "big scan"                phrase (requires an index_positions=True build)
+    "big scan"~2              phrase with a total-gap slop budget
+    spark~  /  spark~2        fuzzy (OSA edit distance 1 / 2)
+    spar*                     trailing-star prefix (FST-range path)
+    s?ark / s*k               general wildcard (glob → anchored RE2)
+    lang:en   -lang:de        language facet include / exclude
+    path:src1/*  -path:x/*    stored-path glob include / exclude
+
+Reference analog: the tantivy ``parse_query`` front-end builds term / fuzzy /
+phrase queries from the user string (``tantivy_index_manager.py:330-420``);
+the grammar itself follows the public Lucene classic QueryParser syntax.
+
+Engine-mapping constraints (documented, tested):
+- ``AND`` and ``OR`` keywords cannot be mixed (no nested boolean precedence).
+- fuzzy applies one edit budget to the whole query, so every scoring term
+  must carry the same ``~N`` (per-term mixed budgets are unsupported).
+- wildcard / prefix / fuzzy / phrase are whole-query modes: they cannot be
+  combined with each other or with plain scoring terms.
+- pure negation (only '-' clauses) has no candidate generator → error.
+"""
+
+from __future__ import annotations
+
+import re
+
+_TOKEN = re.compile(r'"[^"]*"(?:~\d+)?|\S+')
+_BOOST = re.compile(r"^(.+)\^(\d+(?:\.\d+)?)$")
+_FUZZY = re.compile(r"^(.+?)~(\d?)$")
+_PHRASE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
+
+MUST, SHOULD, MUST_NOT = "+", "", "-"
+
+
+def parse_query(q: str) -> dict:
+    """Compile a query string into ``IndexSearcher.search`` kwargs."""
+    raw = _TOKEN.findall(q)
+    if not raw:
+        return {"query_text": ""}
+
+    terms: list[tuple[str, str]] = []  # (occur, term)
+    boosts: dict[str, float] = {}
+    langs_in: list[str] = []
+    langs_ex: list[str] = []
+    paths_in: list[str] = []
+    paths_ex: list[str] = []
+    phrase: tuple[str, int] | None = None
+    fuzzy_d: set[int] = set()
+    saw_and = saw_or = saw_plus = False
+
+    for tok in raw:
+        if tok == "AND":
+            saw_and = True
+            continue
+        if tok == "OR":
+            saw_or = True
+            continue
+        occur = SHOULD
+        if tok[0] in "+-":
+            occur = MUST if tok[0] == "+" else MUST_NOT
+            tok = tok[1:]
+            if not tok:
+                raise ValueError("dangling +/- operator")
+            saw_plus = saw_plus or occur == MUST
+
+        m = _PHRASE.match(tok)
+        if m:
+            if occur != SHOULD and occur != MUST:
+                raise ValueError("negated phrases are unsupported")
+            if phrase is not None:
+                raise ValueError("at most one phrase clause is supported")
+            phrase = (m.group(1), int(m.group(2) or 0))
+            continue
+
+        if ":" in tok:
+            field, val = tok.split(":", 1)
+            if field == "lang":
+                (langs_ex if occur == MUST_NOT else langs_in).append(val)
+                continue
+            if field == "path":
+                (paths_ex if occur == MUST_NOT else paths_in).append(val)
+                continue
+            raise ValueError(f"unknown field {field!r} (supported: lang, path)")
+
+        boost_val = None
+        m = _BOOST.match(tok)
+        if m:
+            tok = m.group(1)
+            if occur == MUST_NOT:
+                raise ValueError("boosting a MUST_NOT clause has no effect")
+            boost_val = float(m.group(2))
+
+        m = _FUZZY.match(tok)
+        if m and not _has_wildcard(tok):
+            tok = m.group(1)
+            fuzzy_d.add(int(m.group(2) or 1))
+
+        if boost_val is not None:
+            boosts[tok] = boost_val
+        terms.append((occur, tok))
+
+    if saw_and and saw_or:
+        raise ValueError("mixing AND and OR needs nested boolean groups (unsupported)")
+
+    must = [t for o, t in terms if o == MUST]
+    bare = [t for o, t in terms if o == SHOULD]
+    nots = [t for o, t in terms if o == MUST_NOT]
+
+    # Lucene occurrence defaulting: with any '+' present (or explicit AND),
+    # bare terms stay optional / become required respectively; otherwise the
+    # default operator is OR.
+    if saw_and:
+        must, bare = must + bare, []
+
+    kwargs: dict = {}
+    if langs_in:
+        kwargs["languages"] = langs_in
+    if langs_ex:
+        kwargs["exclude_languages"] = langs_ex
+    if paths_in:
+        kwargs["path_filters"] = paths_in
+    if paths_ex:
+        kwargs["exclude_paths"] = paths_ex
+
+    if phrase is not None:
+        if must or bare or nots or boosts or fuzzy_d:
+            raise ValueError("a phrase clause cannot combine with other term clauses")
+        kwargs.update(query_text=phrase[0], phrase=True, slop=phrase[1])
+        return kwargs
+
+    scoring = must + bare
+    if not scoring:
+        if nots:
+            raise ValueError("pure negation has no candidate generator")
+        return {**kwargs, "query_text": ""}
+
+    wild = [t for t in scoring if _has_wildcard(t)]
+    if fuzzy_d:
+        if wild:
+            raise ValueError("fuzzy and wildcard clauses cannot combine")
+        if len(fuzzy_d) > 1:
+            raise ValueError("all fuzzy terms must share one edit budget")
+        kwargs["edit_distance"] = fuzzy_d.pop()
+    if wild:
+        if len(scoring) != len(wild):
+            raise ValueError("wildcard queries cannot mix with plain scoring terms")
+        if all(t.endswith("*") and not _has_wildcard(t[:-1]) for t in scoring):
+            kwargs["prefix"] = True
+            scoring = [t[:-1] for t in scoring]
+            must = [t[:-1] for t in must]
+            bare = [t[:-1] for t in bare]
+        else:
+            kwargs["use_regex"] = True
+            scoring = [_glob_to_regex(t) for t in scoring]
+            must = [_glob_to_regex(t) for t in must]
+            bare = [_glob_to_regex(t) for t in bare]
+
+    if must and bare:
+        kwargs.update(query_text=" ".join(must), should_terms=bare)
+    elif must:
+        kwargs["query_text"] = " ".join(must)
+    else:  # default operator OR
+        kwargs.update(query_text=" ".join(bare), match_any=True)
+    if nots:
+        kwargs["exclude_terms"] = nots
+    if boosts:
+        kwargs["boosts"] = boosts
+    return kwargs
+
+
+def _has_wildcard(t: str) -> bool:
+    return "*" in t or "?" in t
+
+
+def _glob_to_regex(glob: str) -> str:
+    out = []
+    for ch in glob:
+        if ch == "*":
+            out.append(".*")
+        elif ch == "?":
+            out.append(".")
+        else:
+            out.append(re.escape(ch))
+    return "".join(out)
+
+
+def search_query_string(searcher, q: str, **extra) -> list[dict]:
+    """Parse ``q`` and execute it on an :class:`IndexSearcher`."""
+    return searcher.search(**parse_query(q), **extra)

@@ -1,0 +1,114 @@
+"""Query-string parser: grammar → kwargs, error cases, engine equivalence."""
+
+from __future__ import annotations
+
+import pytest
+
+from code_indexer_ray.query.parser import parse_query, search_query_string
+
+SF = "/root/testdata/sf0.01"
+
+
+# --- pure grammar (no Ray) -------------------------------------------------
+
+
+def test_default_operator_is_or():
+    assert parse_query("spark merge") == {"query_text": "spark merge", "match_any": True}
+
+
+def test_explicit_and():
+    assert parse_query("spark AND merge") == {"query_text": "spark merge"}
+
+
+def test_plus_makes_bare_terms_should():
+    k = parse_query("+spark batch")
+    assert k == {"query_text": "spark", "should_terms": ["batch"]}
+
+
+def test_must_not_and_boost():
+    k = parse_query("+spark +merge batch^2 -window")
+    assert k["query_text"] == "spark merge"
+    assert k["should_terms"] == ["batch"]
+    assert k["exclude_terms"] == ["window"]
+    assert k["boosts"] == {"batch": 2.0}
+
+
+def test_fields_and_negated_fields():
+    k = parse_query("spark lang:en -lang:de path:src1/* -path:tmp/*")
+    assert k["languages"] == ["en"]
+    assert k["exclude_languages"] == ["de"]
+    assert k["path_filters"] == ["src1/*"]
+    assert k["exclude_paths"] == ["tmp/*"]
+    assert k["query_text"] == "spark"
+
+
+def test_phrase_and_slop():
+    assert parse_query('"big scan"') == {"query_text": "big scan", "phrase": True, "slop": 0}
+    assert parse_query('"big scan"~2')["slop"] == 2
+
+
+def test_fuzzy_suffix():
+    assert parse_query("sparc~")["edit_distance"] == 1
+    assert parse_query("sparc~2")["edit_distance"] == 2
+
+
+def test_prefix_vs_general_wildcard():
+    assert parse_query("spar*") == {"query_text": "spar", "prefix": True, "match_any": True}
+    k = parse_query("s?ark")
+    assert k["use_regex"] and k["query_text"] == "s.ark"
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "a AND b OR c",          # mixed operators need nesting
+        "-window",               # pure negation
+        '"a b" spark',           # phrase + terms
+        "sparc~1 merge~2",       # mixed fuzzy budgets
+        "spar* merge",           # wildcard + plain term
+        "sparc~ spar*",          # fuzzy + wildcard
+        "size:10",               # unknown field
+        "+",                     # dangling operator
+    ],
+)
+def test_unsupported_raises(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad)
+
+
+# --- engine equivalence ----------------------------------------------------
+
+
+def _ids(rows):
+    return [(r["doc_id"], round(r["score"], 9)) for r in rows]
+
+
+def test_parsed_equals_direct_calls(ray_session):
+    from code_indexer_ray.pipelines.driver_api import searcher_for
+
+    s = searcher_for(SF)
+    cases = [
+        ("spark AND merge", dict(query_text="spark merge")),
+        ("spark merge", dict(query_text="spark merge", match_any=True)),
+        ("+spark -merge", dict(query_text="spark", exclude_terms=["merge"])),
+        ("spark lang:en", dict(query_text="spark", languages=["en"])),
+        ("sparc~1", dict(query_text="sparc", edit_distance=1)),
+        ("spar*", dict(query_text="spar", prefix=True, match_any=True)),
+        (
+            "+spark +merge batch^2",
+            dict(query_text="spark merge", should_terms=["batch"], boosts={"batch": 2.0}),
+        ),
+    ]
+    for qs, kwargs in cases:
+        got = search_query_string(s, qs, limit=10, snippet_lines=0)
+        want = s.search(limit=10, snippet_lines=0, **kwargs)
+        assert _ids(got) == _ids(want), qs
+
+
+def test_parsed_phrase_equals_direct(ray_session):
+    from code_indexer_ray.pipelines.driver_api import phrase_searcher_for
+
+    s = phrase_searcher_for(SF)
+    got = search_query_string(s, '"spark merge"', limit=0, snippet_lines=0)
+    want = s.search("spark merge", phrase=True, limit=0, snippet_lines=0)
+    assert _ids(got) == _ids(want) and len(got) > 0
