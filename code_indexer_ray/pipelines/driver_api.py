@@ -2537,6 +2537,40 @@ def q_mm_frames(sf_dir: str):
     return media_frames(ds, concurrency=2, batch_size=128)
 
 
+FUNNEL_STAGES = ["view", "click", "purchase"]
+FUNNEL_WINDOW_SECS = 86400  # each conversion must land within 24h of the previous stage
+
+
+def q_events_funnel(sf_dir: str):
+    """Ordered-funnel analysis (view → click → purchase within 24h per step):
+    per-user min-time cascade (stage i+1 must occur STRICTLY after the
+    earliest stage-i event and inside the conversion window), one hash
+    shuffle on user_id, O(stages) output rows."""
+    import ray.data as rd
+
+    from .ops import funnel_depths
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    depths = _collect_table(
+        funnel_depths(
+            ds, "user_id", "ts", "event_type", FUNNEL_STAGES, within_secs=FUNNEL_WINDOW_SECS
+        )
+    )
+    d = depths["depth"].to_numpy(zero_copy_only=False)
+    return pa.table(
+        {
+            "stage": pa.array(np.arange(1, len(FUNNEL_STAGES) + 1, dtype=np.int64)),
+            "event_type": pa.array(FUNNEL_STAGES),
+            "n_users": pa.array(
+                [int((d >= i).sum()) for i in range(1, len(FUNNEL_STAGES) + 1)],
+                type=pa.int64(),
+            ),
+        }
+    )
+
+
 def q_query_dsl(sf_dir: str):
     """Lucene-classic query-string front-end end-to-end: the string
     ``+spark +merge batch^2 -window lang:en`` parses to MUST(spark, merge) +
@@ -3488,6 +3522,19 @@ def oracle_catalog() -> dict[str, str]:
         + _ranked_topk(10)
     )
 
+    W = FUNNEL_WINDOW_SECS
+    out["events_funnel"] = (
+        "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),\n"
+        "t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t1 USING (user_id)\n"
+        f"  WHERE e.event_type = 'click' AND e.ts > t1.t AND e.ts <= t1.t + INTERVAL {W} SECOND GROUP BY e.user_id),\n"
+        "t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN t2 USING (user_id)\n"
+        f"  WHERE e.event_type = 'purchase' AND e.ts > t2.t AND e.ts <= t2.t + INTERVAL {W} SECOND GROUP BY e.user_id)\n"
+        "SELECT * FROM (VALUES\n"
+        "  (1::BIGINT, 'view', (SELECT count(*) FROM t1)::BIGINT),\n"
+        "  (2::BIGINT, 'click', (SELECT count(*) FROM t2)::BIGINT),\n"
+        "  (3::BIGINT, 'purchase', (SELECT count(*) FROM t3)::BIGINT)) AS v(stage, event_type, n_users)"
+    )
+
     out["events_keep_latest"] = (
         "SELECT user_id, event_type, event_id, ts, value FROM (\n"
         "  SELECT user_id, event_type, event_id, ts, value,\n"
@@ -3814,6 +3861,7 @@ def query_catalog():
         "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests
         "ann_pq": q_ann_pq,  # product quantization; recall gate in tests
         "ann_hnsw": q_ann_hnsw,  # HNSW graph; recall gate in tests
+        "events_funnel": q_events_funnel,
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,
         "events_session": q_events_session,

@@ -871,3 +871,45 @@ def grouped_rolling_mean(ds, key_col: str, ts_col: str, value_col: str,
         return g.append_column("roll_mean", pa.array(sums / counts))
 
     return ds.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def funnel_depths(ds, user_col: str, ts_col: str, type_col: str, stages: list[str],
+                  within_secs: int | None = None):
+    """Per-user ordered-funnel depth (view → click → purchase …): a user
+    reaches stage i+1 iff an event of that type occurs at a timestamp
+    STRICTLY after the earliest stage-i time — and, when ``within_secs`` is
+    set, no later than that many seconds after it — the classic min-time
+    funnel cascade with a conversion window (each stage pins the earliest
+    qualifying event, so the result is deterministic and layout-independent;
+    same-timestamp events do NOT chain).
+
+    Shape: ONE hash shuffle on the user key (``groupby.map_groups``); inside
+    a group the cascade is ``len(stages)`` vectorized min-over-mask passes,
+    no per-event Python.  Output is one (user, depth) row per user — the
+    stage fold downstream is O(users), and the final result O(len(stages))."""
+
+    def per_user(g: pa.Table) -> pa.Table:
+        ts = g[ts_col].to_numpy(zero_copy_only=False)
+        et = g[type_col].to_numpy(zero_copy_only=False)
+        w = None if within_secs is None else np.timedelta64(within_secs, "s")
+        t = None
+        depth = 0
+        for s in stages:
+            if t is None:
+                mask = et == s
+            else:
+                mask = (et == s) & (ts > t)
+                if w is not None:
+                    mask &= ts <= t + w
+            if not mask.any():
+                break
+            t = ts[mask].min()
+            depth += 1
+        return pa.table(
+            {
+                "user_id": g[user_col].slice(0, 1).cast(pa.int64()),
+                "depth": pa.array([depth], type=pa.int64()),
+            }
+        )
+
+    return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
