@@ -2571,6 +2571,16 @@ def q_events_funnel(sf_dir: str):
     )
 
 
+def q_lmdirichlet(sf_dir: str):
+    """Second ranking model (pluggable Similarity): Dirichlet-smoothed query
+    likelihood over the same index — per-term cf from segment metadata, |C|
+    from the manifest, same quantized dl; AND semantics, μ=2000 (Lucene
+    LMDirichletSimilarity default)."""
+    return _bm25_table(
+        searcher_for(sf_dir).search_lm("spark merge", limit=10), 10
+    )
+
+
 def q_query_dsl(sf_dir: str):
     """Lucene-classic query-string front-end end-to-end: the string
     ``+spark +merge batch^2 -window lang:en`` parses to MUST(spark, merge) +
@@ -3508,6 +3518,17 @@ def oracle_catalog() -> dict[str, str]:
 
     out["kmeans_embed"] = kmeans_sql(k=8, iters=2)
 
+    lm_score = bm25.sql_lm_score_expr("tf.tf", "dl.dl", "cfq.cf", "s.total_tokens")
+    out["fts_lmdirichlet"] = (
+        pre + ",\n"
+        "cfq AS (SELECT term, sum(tf)::BIGINT AS cf FROM tf GROUP BY term),\n"
+        f"scored AS (SELECT tf.doc_id, sum({lm_score}) AS score\n"
+        "  FROM tf JOIN cfq USING(term) JOIN dl ON tf.doc_id = dl.doc_id, stats s\n"
+        "  WHERE tf.term IN ('spark','merge')\n"
+        "  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     dsl_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
     out["fts_query_dsl"] = (
         pre + ",\n"
@@ -3809,6 +3830,7 @@ def query_catalog():
         "fts_multi_repo": q_multi_repo,
         "fts_incremental": q_fts_incremental,
         "fts_query_dsl": q_query_dsl,
+        "fts_lmdirichlet": q_lmdirichlet,
         "collocations": q_collocations,
         "fts_bm25_should": q_bm25_should,
         "url_canonical": q_url_canonical,

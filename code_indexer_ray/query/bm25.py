@@ -54,3 +54,31 @@ def sql_score_expr(tf: str, dl: str, df: str, n: str, avgdl: str) -> str:
         f"ln(1 + ({n} - {df} + 0.5) / ({df} + 0.5)) * "
         f"({tf} * (1.2 + 1.0) / ({tf} + 1.2 * (1.0 - 0.75 + 0.75 * {dl} / {avgdl})))"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dirichlet-smoothed query likelihood (second Similarity, Zhai & Lafferty
+# 2001; Lucene ships the same model as LMDirichletSimilarity).  We rank by
+# the plain QL form  Σ_t ln((tf + μ·p(t|C)) / (dl + μ))  — Lucene's variant
+# differs only by a document-independent additive constant per query term,
+# so the ranking is identical.  ``dl`` is the same 1-byte-quantized field
+# length BM25 uses; ``p(t|C) = cf_t / |C|`` comes from the per-term collection
+# frequency stored in every segment.
+# ---------------------------------------------------------------------------
+
+MU = 2000.0
+
+
+def lm_dirichlet_score(
+    tf: np.ndarray, dl: np.ndarray, cf: int, total_tokens: int, mu: float = MU
+) -> np.ndarray:
+    """ln((tf + μ·(cf/|C|)) / (dl + μ)) — written in the exact op order of
+    :func:`sql_lm_score_expr` so doubles agree bitwise up to last-ulp ln()."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    return np.log((tf + mu * (float(cf) / float(total_tokens))) / (dl + mu))
+
+
+def sql_lm_score_expr(tf: str, dl: str, cf: str, total_tokens: str, mu: str = "2000.0") -> str:
+    """DuckDB expression computing the identical Dirichlet QL term score."""
+    return f"ln(({tf} + {mu} * ({cf}::DOUBLE / {total_tokens}::DOUBLE)) / ({dl} + {mu}))"

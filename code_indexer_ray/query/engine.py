@@ -206,6 +206,18 @@ class ShardSearcher:
                 out[t] = int(st[3][i])
         return out
 
+    def stats_of(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (df, cf) from this shard's segment metadata (cf is the
+        collection frequency the build stores per term — summing across
+        shards gives the exact corpus cf, same as df)."""
+        out: dict[str, tuple[int, int]] = {}
+        for t in terms:
+            st = self._state_for(t)
+            i = self._find_in(st, t)
+            if i is not None:
+                out[t] = (int(st[3][i]), int(st[0]["cf"][i].as_py()))
+        return out
+
     def expand(self, kind: str, pattern: str, distance: int = 0) -> list[str]:
         """Shard-local fuzzy/regex expansion (the DEFAULT path: the term
         dictionary never leaves the shard/actor, matching Tantivy's
@@ -615,6 +627,62 @@ class ShardSearcher:
         langs, urls = self._meta_for(cand)
         return list(zip(cand.tolist(), scores.tolist(), langs, urls))
 
+    def search_lm(
+        self,
+        terms: list[str],
+        cf_map: dict[str, int],
+        total_tokens: int,
+        mu: float,
+        m: int,
+        include_langs: list[str] | None = None,
+        lang_col: str | None = None,
+        url_col: str | None = None,
+    ) -> list[tuple[int, float, str | None, str | None]]:
+        """Top-m under the Dirichlet query-likelihood model (pluggable
+        Similarity; see :mod:`..query.bm25` for the formula).  AND semantics
+        over ``terms``; candidates and block-skip decodes are the exact same
+        machinery as BM25 — only the per-term contribution changes.  Global
+        stats (corpus cf per term, |C|) ship from the driver; dl is the same
+        quantized fieldnorm BM25 uses."""
+        posts: list[tuple[str, dict]] = []
+        for t in dict.fromkeys(terms):
+            p = self.posting(t)
+            if p is None:
+                return []  # AND semantics: a missing term in this shard → no hits here
+            posts.append((t, p))
+        order = np.argsort([p["df"] for _, p in posts])
+        cand: np.ndarray | None = None
+        decoded: list[tuple[str, np.ndarray, np.ndarray, np.ndarray]] = []
+        for i in order:
+            t, p = posts[int(i)]
+            d, tf, nm = (
+                self._decode_full(p) if cand is None else self._decode_for_candidates(p, cand)
+            )
+            decoded.append((t, d, tf, nm))
+            cand = d if cand is None else np.intersect1d(cand, d, assume_unique=True)
+            if len(cand) == 0:
+                return []
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for t, d, tf, nm in decoded:
+            pos = np.searchsorted(d, cand)  # cand ⊆ d under AND
+            dl = id_to_fieldnorm(nm[pos])
+            scores += bm25.lm_dirichlet_score(tf[pos], dl, cf_map[t], total_tokens, mu)
+        if include_langs is not None or lang_col or url_col:
+            self._load_meta(lang_col, url_col)
+        if include_langs is not None and self._meta is not None and self._meta["lang"] is not None:
+            pos = np.searchsorted(self._meta["doc_id"], cand)
+            keep = pc.is_in(
+                self._meta["lang"].take(pa.array(pos)),
+                value_set=pa.array(list(include_langs), type=pa.string()),
+            ).to_numpy(zero_copy_only=False)
+            cand, scores = cand[keep], scores[keep]
+            if len(cand) == 0:
+                return []
+        sel = np.lexsort((cand, -scores))[:m]
+        cand, scores = cand[sel], scores[sel]
+        langs, urls = self._meta_for(cand)
+        return list(zip(cand.tolist(), scores.tolist(), langs, urls))
+
     def _match_candidates(
         self,
         groups: list[list[str]],
@@ -925,6 +993,54 @@ class IndexSearcher:
             for t, df in local.items():
                 out[t] += df
         return out
+
+    def _global_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
+        """term → (corpus df, corpus cf) by summing per-shard metadata."""
+        out: dict[str, list[int]] = {t: [0, 0] for t in terms}
+        for local in self._fanout("stats_of", terms):
+            for t, (df, cf) in local.items():
+                out[t][0] += df
+                out[t][1] += cf
+        return {t: (v[0], v[1]) for t, v in out.items()}
+
+    def search_lm(
+        self,
+        query_text: str,
+        *,
+        mu: float = bm25.MU,
+        limit: int = 10,
+        languages: list[str] | None = None,
+        snippet_lines: int = 0,
+    ) -> list[dict]:
+        """Ranked retrieval under the Dirichlet-smoothed query-likelihood
+        language model (Zhai & Lafferty 2001; Lucene LMDirichletSimilarity up
+        to a doc-independent constant — ranking identical) instead of BM25:
+        the pluggable-Similarity surface.  AND semantics; dl is the same
+        quantized fieldnorm; per-term collection frequency comes from segment
+        metadata (one stats fanout), |C| from the manifest.  ``limit=0``
+        returns every match (reference O1 semantics)."""
+        if snippet_lines:
+            raise ValueError("search_lm returns ranked ids; snippets unsupported")
+        tokens = tokenize_query(query_text)
+        if not tokens:
+            return []
+        terms = sorted(dict.fromkeys(tokens))
+        stats = self._global_stats(terms)
+        if any(stats[t][0] == 0 for t in terms):
+            return []  # AND semantics with an unseen term
+        cf_map = {t: s[1] for t, s in stats.items()}
+        total = self.manifest.total_tokens
+        m = limit if limit > 0 else UNLIMITED_LIMIT
+        locs = self._fanout(
+            "search_lm", terms, cf_map, total, mu, m, languages, self.lang_col, self.url_col
+        )
+        rows = [r for loc in locs for r in loc]
+        rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
+        rows = rows[: limit or None]
+        return [
+            {"doc_id": int(d), "score": float(s), "language": lg, "path": u}
+            for d, s, lg, u in rows
+        ]
 
     def facets(
         self,

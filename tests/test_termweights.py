@@ -116,3 +116,35 @@ def test_empty_doc(ray_session):
     got = _collect(unigram_bits(ds, stats, sum(stats["cf"].to_pylist())))
     gm = dict(zip(got["doc_id"].to_pylist(), got["bits_r"].to_pylist()))
     assert gm[0] == 0.0 and gm[1] > 0.0
+
+
+def test_lmdirichlet_same_matches_different_ranking(ray_session):
+    """search_lm is a second Similarity over the same index: the AND match
+    set equals BM25's limit=0 match set; scores are the Dirichlet QL form
+    (negative, higher = better) and strictly order the same candidates."""
+    from code_indexer_ray.pipelines.driver_api import searcher_for
+
+    s = searcher_for("/root/testdata/sf0.01")
+    lm = s.search_lm("spark merge", limit=0)
+    bm = s.search("spark merge", limit=0, snippet_lines=0)
+    assert {r["doc_id"] for r in lm} == {r["doc_id"] for r in bm}
+    assert all(r["score"] < 0 for r in lm)  # ln of a probability-like ratio
+    scores = [round(r["score"], 9) for r in lm]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_lmdirichlet_remote_matches_local(ray_session):
+    """Actor-mode fanout (stats_of + search_lm on the shard actor) returns
+    the same ranking as the in-process path."""
+    from code_indexer_ray.pipelines.driver_api import _corpus_dir, searcher_for
+    import os
+
+    from code_indexer_ray.query.engine import IndexSearcher
+
+    searcher_for("/root/testdata/sf0.01")  # ensure the index exists
+    idx = os.path.join(_corpus_dir("/root/testdata/sf0.01"), "index")
+    local = IndexSearcher(idx, lang_col="lang", url_col="url")
+    remote = IndexSearcher(idx, lang_col="lang", url_col="url", remote=True)
+    a = [(r["doc_id"], round(r["score"], 9)) for r in local.search_lm("spark merge", limit=10)]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in remote.search_lm("spark merge", limit=10)]
+    assert a == b and len(a) == 10
