@@ -2537,6 +2537,82 @@ def q_mm_frames(sf_dir: str):
     return media_frames(ds, concurrency=2, batch_size=128)
 
 
+PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(sf_dir: str):
+    """Long→wide pivot: per-user event counts with one column per event type
+    (map-side indicator partials fold per batch, so the one shuffle moves a
+    row per (user, batch), never per event)."""
+    import ray.data as rd
+
+    from .ops import partial_agg_sum
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        et = batch["event_type"].to_numpy(zero_copy_only=False)
+        cols = {"user_id": batch["user_id"]}
+        for t in PIVOT_TYPES:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        return pa.table(cols)
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "event_type"]
+    ).map_batches(indicators, batch_format="pyarrow")
+    out = partial_agg_sum(ds, ["user_id"], [f"n_{t}" for t in PIVOT_TYPES], count_alias="n_total")
+    return out
+
+
+def q_top_terms_per_lang(sf_dir: str):
+    """Grouped top-k over a wide key space: the 5 most frequent terms per
+    language (count desc, term asc ties).  Map-side (lang, term, cnt)
+    partials pre-fold per batch; the groupby(lang, term) shuffle moves
+    vocab-sized partials, and the per-lang top-5 pick is a second tiny
+    groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..text.analysis import term_frequencies
+
+    def partial(batch: pa.Table) -> pa.Table:
+        parts = []
+        # per-batch per-lang fold: group rows by lang first (few langs)
+        langs = batch["lang"].to_numpy(zero_copy_only=False)
+        for lg in np.unique(langs):
+            sub = batch.filter(pa.array(langs == lg))
+            terms, _rows, tfs, _ = term_frequencies(sub["text"])
+            parts.append(
+                pa.table(
+                    {
+                        "lang": pa.array(np.repeat(lg, len(tfs))),
+                        "term": terms.cast(pa.string()),
+                        "cnt": pa.array(tfs),
+                    }
+                )
+            )
+        t = pa.concat_tables(parts) if parts else pa.table(
+            {"lang": pa.array([], pa.string()), "term": pa.array([], pa.string()),
+             "cnt": pa.array([], pa.int64())}
+        )
+        agg = t.group_by(["lang", "term"]).aggregate([("cnt", "sum")])
+        return pa.table({"lang": agg["lang"], "term": agg["term"], "cnt": agg["cnt_sum"]})
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["lang", "text"])
+    counts = (
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "term"])
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+
+    def top5(g: pa.Table) -> pa.Table:
+        c = g["cnt"].to_numpy(zero_copy_only=False)
+        terms = g["term"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((terms, -c))[:5]
+        g = g.take(pa.array(order))
+        return g.append_column("rank", pa.array(np.arange(1, len(order) + 1, dtype=np.int64)))
+
+    return counts.groupby("lang").map_groups(top5, batch_format="pyarrow")
+
+
 FUNNEL_STAGES = ["view", "click", "purchase"]
 FUNNEL_WINDOW_SECS = 86400  # each conversion must land within 24h of the previous stage
 
@@ -3543,6 +3619,24 @@ def oracle_catalog() -> dict[str, str]:
         + _ranked_topk(10)
     )
 
+    out["events_pivot"] = (
+        "SELECT user_id,\n"
+        + ",\n".join(
+            f"  count(*) FILTER (WHERE event_type = '{t}')::BIGINT AS n_{t}"
+            for t in PIVOT_TYPES
+        )
+        + ",\n  count(*)::BIGINT AS n_total\nFROM events GROUP BY user_id"
+    )
+
+    out["top_terms_per_lang"] = (
+        f"WITH toks AS ({sql_tokens_cte()}),\n"
+        "ct AS (SELECT d.lang, t.term, count(*)::BIGINT AS cnt\n"
+        "  FROM toks t JOIN documents d USING (doc_id) GROUP BY d.lang, t.term),\n"
+        "rk AS (SELECT lang, term, cnt,\n"
+        "  row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term) AS rank FROM ct)\n"
+        "SELECT lang, term, cnt, rank::BIGINT AS rank FROM rk WHERE rank <= 5"
+    )
+
     W = FUNNEL_WINDOW_SECS
     out["events_funnel"] = (
         "WITH t1 AS (SELECT user_id, min(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id),\n"
@@ -3884,6 +3978,8 @@ def query_catalog():
         "ann_pq": q_ann_pq,  # product quantization; recall gate in tests
         "ann_hnsw": q_ann_hnsw,  # HNSW graph; recall gate in tests
         "events_funnel": q_events_funnel,
+        "events_pivot": q_events_pivot,
+        "top_terms_per_lang": q_top_terms_per_lang,
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,
         "events_session": q_events_session,

@@ -103,7 +103,8 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "sample_docs",
         "sample_stratified", "pii_redact", "url_canonical", "url_dedup",
         "ann_cosine", "ann_cosine_filtered", "fts_bm25_wildcard", "kmeans_embed",
-        "events_funnel", "events_keep_latest", "events_window",
+        "events_funnel", "events_pivot", "top_terms_per_lang",
+        "events_keep_latest", "events_window",
         "events_session", "events_hopping", "asof_orders", "range_events",
         "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
         "median_value", "events_cumsum", "percentiles_by_lang",
