@@ -2647,6 +2647,15 @@ def q_events_funnel(sf_dir: str):
     )
 
 
+def q_bm25_near(sf_dir: str):
+    """Unordered proximity (SpanNearQuery inOrder=false): 'spark' and
+    'merge' within 5 token positions in either order, BM25-sum ranked over
+    the positions-enabled index; all matches (limit=0)."""
+    return _bm25_table(
+        phrase_searcher_for(sf_dir).search_near("spark merge", window=5, limit=0), 0
+    )
+
+
 def q_lmdirichlet(sf_dir: str):
     """Second ranking model (pluggable Similarity): Dirichlet-smoothed query
     likelihood over the same index — per-term cf from segment metadata, |C|
@@ -3016,6 +3025,22 @@ def oracle_catalog() -> dict[str, str]:
         "scored_phr AS (SELECT s.* FROM scored s JOIN phr USING (doc_id)),\n"
         "ranked AS (SELECT doc_id, score,\n"
         "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored_phr)\n"
+        "SELECT doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r FROM ranked"
+    )
+
+    out["fts_near"] = (
+        pre + ",\n"
+        "tokarr2 AS (SELECT d.doc_id,\n"
+        "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
+        "    x -> strlen(x) > 0 AND strlen(x) < 40), x -> lower(x)) AS tks FROM documents d),\n"
+        "tpos2 AS (SELECT doc_id, unnest(tks) AS term, generate_subscripts(tks, 1) AS pos FROM tokarr2),\n"
+        "near AS (SELECT DISTINCT a.doc_id FROM tpos2 a JOIN tpos2 b\n"
+        "  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 5\n"
+        "  WHERE a.term = 'spark' AND b.term = 'merge'),\n"
+        + _scored_cte("'spark','merge'", 2) + ",\n"
+        "scored_near AS (SELECT s.* FROM scored s JOIN near USING (doc_id)),\n"
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored_near)\n"
         "SELECT doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r FROM ranked"
     )
 
@@ -3925,6 +3950,7 @@ def query_catalog():
         "fts_incremental": q_fts_incremental,
         "fts_query_dsl": q_query_dsl,
         "fts_lmdirichlet": q_lmdirichlet,
+        "fts_near": q_bm25_near,
         "collocations": q_collocations,
         "fts_bm25_should": q_bm25_should,
         "url_canonical": q_url_canonical,

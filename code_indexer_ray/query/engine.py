@@ -404,6 +404,84 @@ class ShardSearcher:
         langs, urls = self._meta_for(cand)
         return list(zip(cand.tolist(), scores.tolist(), langs, urls))
 
+    def search_near(
+        self,
+        terms: list[str],
+        window: int,
+        n_docs: int,
+        avgdl: float,
+        global_df: dict[str, int],
+        m: int,
+        include_langs: list[str] | None = None,
+        lang_col: str | None = None,
+        url_col: str | None = None,
+    ) -> list[tuple[int, float, str | None, str | None]]:
+        """Unordered proximity (Lucene SpanNearQuery inOrder=false, two
+        clauses): docs where the two terms occur within ``window`` token
+        positions of each other IN EITHER ORDER; scoring is the BM25 sum of
+        both terms over verified docs (same contract as :meth:`search_phrase`).
+
+        Verification is fully vectorized: occurrences pack into
+        (candidate_index << 32 | position) keys; for every occurrence of term
+        A one searchsorted against B's sorted keys checks the nearest
+        neighbours on both sides for |Δpos| ≤ window within the same
+        candidate.  Requires an ``index_positions=True`` build."""
+        if len(terms) != 2:
+            raise ValueError("search_near supports exactly two terms")
+        posts: list[tuple[str, dict]] = []
+        for t in terms:
+            p = self.posting(t)
+            if p is None:
+                return []
+            if p.get("positions_enc") is None:
+                raise ValueError(
+                    "near query requires an index built with index_positions=True"
+                )
+            posts.append((t, p))
+        decs = [self._decode_full(p) for _, p in posts]
+        cand = np.intersect1d(decs[0][0], decs[1][0], assume_unique=True)
+        if len(cand) == 0:
+            return []
+        STRIDE = np.int64(1) << np.int64(32)
+        keysets = []
+        for (t, p), (d, tf, nm) in zip(posts, decs):
+            ix = np.searchsorted(d, cand)
+            tf_at = tf[ix].astype(np.int64)
+            pos = self._decode_positions_batch(p, ix, tf_at)
+            ci = np.repeat(np.arange(len(cand), dtype=np.int64), tf_at)
+            keysets.append(ci * STRIDE + pos)
+        a, b = keysets
+        w = np.int64(window)
+        idx = np.searchsorted(b, a)
+        right = np.minimum(idx, len(b) - 1)
+        ok = (b[right] - a <= w) & (b[right] >= a) & (b[right] // STRIDE == a // STRIDE)
+        left = np.maximum(idx - 1, 0)
+        ok |= (a - b[left] <= w) & (b[left] <= a) & (b[left] // STRIDE == a // STRIDE)
+        hits = np.unique(a[ok] // STRIDE)
+        if len(hits) == 0:
+            return []
+        cand = cand[hits]
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for (t, p), (d, tf, nm) in zip(posts, decs):
+            pos = np.searchsorted(d, cand)
+            dl = id_to_fieldnorm(nm[pos])
+            scores += bm25.term_score(tf[pos], dl, global_df[t], n_docs, avgdl)
+        if include_langs is not None or lang_col or url_col:
+            self._load_meta(lang_col, url_col)
+        if include_langs is not None and self._meta is not None and self._meta["lang"] is not None:
+            mpos = np.searchsorted(self._meta["doc_id"], cand)
+            lkeep = pc.is_in(
+                self._meta["lang"].take(pa.array(mpos)),
+                value_set=pa.array(list(include_langs), type=pa.string()),
+            ).to_numpy(zero_copy_only=False)
+            cand, scores = cand[lkeep], scores[lkeep]
+            if len(cand) == 0:
+                return []
+        sel = np.lexsort((cand, -scores))[:m]
+        cand, scores = cand[sel], scores[sel]
+        langs, urls = self._meta_for(cand)
+        return list(zip(cand.tolist(), scores.tolist(), langs, urls))
+
     # ---- postings decode with block skipping ----
     @staticmethod
     def _decode_full(p: dict) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -1002,6 +1080,44 @@ class IndexSearcher:
                 out[t][0] += df
                 out[t][1] += cf
         return {t: (v[0], v[1]) for t, v in out.items()}
+
+    def search_near(
+        self,
+        query_text: str,
+        *,
+        window: int = 5,
+        limit: int = 10,
+        languages: list[str] | None = None,
+    ) -> list[dict]:
+        """Unordered two-term proximity search (SpanNearQuery inOrder=false):
+        both terms within ``window`` positions in either order, BM25-sum
+        ranked.  ``limit=0`` returns every match."""
+        tokens = tokenize_query(query_text)
+        if len(tokens) != 2:
+            raise ValueError("near queries take exactly two terms")
+        global_df = self._global_df(sorted(dict.fromkeys(tokens)))
+        if any(v == 0 for v in global_df.values()):
+            return []
+        m = limit if limit > 0 else UNLIMITED_LIMIT
+        locs = self._fanout(
+            "search_near",
+            tokens,
+            int(window),
+            self.manifest.num_docs,
+            self.manifest.avgdl,
+            global_df,
+            m,
+            languages,
+            self.lang_col,
+            self.url_col,
+        )
+        rows = [r for loc in locs for r in loc]
+        rows.sort(key=lambda r: (-round(r[1], 9), r[0]))
+        rows = rows[: limit or None]
+        return [
+            {"doc_id": int(d), "score": float(s), "language": lg, "path": u}
+            for d, s, lg, u in rows
+        ]
 
     def search_lm(
         self,

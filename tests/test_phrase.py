@@ -311,3 +311,26 @@ class TestSlopTotalBudget:
         # brute reference agrees
         assert _brute_slop(texts, ["alpha", "bravo", "charlie"], 1) == {1}
         assert _brute_slop(texts, ["alpha", "bravo", "charlie"], 2) == {0, 1}
+
+
+def test_near_contains_phrase_and_converges_to_and(ray_session):
+    """Unordered NEAR sanity: phrase matches (in-order adjacent) are a subset
+    of near(window=1); a window wider than any doc equals the plain AND set."""
+    from code_indexer_ray.pipelines.driver_api import phrase_searcher_for
+
+    s = phrase_searcher_for("/root/testdata/sf0.01")
+    phrase = {r["doc_id"] for r in s.search("spark merge", phrase=True, limit=0, snippet_lines=0)}
+    near1 = {r["doc_id"] for r in s.search_near("spark merge", window=1, limit=0)}
+    assert phrase <= near1
+    wide = {r["doc_id"] for r in s.search_near("spark merge", window=10_000, limit=0)}
+    land = {r["doc_id"] for r in s.search("spark merge", limit=0, snippet_lines=0)}
+    assert wide == land
+
+
+def test_near_order_insensitive(ray_session):
+    from code_indexer_ray.pipelines.driver_api import phrase_searcher_for
+
+    s = phrase_searcher_for("/root/testdata/sf0.01")
+    a = [(r["doc_id"], round(r["score"], 9)) for r in s.search_near("spark merge", window=5, limit=0)]
+    b = [(r["doc_id"], round(r["score"], 9)) for r in s.search_near("merge spark", window=5, limit=0)]
+    assert a == b and len(a) > 0
