@@ -2537,6 +2537,83 @@ def q_mm_frames(sf_dir: str):
     return media_frames(ds, concurrency=2, batch_size=128)
 
 
+Q3_SEGMENT = "BUILDING"
+Q3_CUTOFF = "1995-03-15"
+
+
+def q3_shipping(sf_dir: str):
+    """TPC-H Q3 shape (shipping-priority): customer ⋈ orders ⋈ lineitem with
+    date/segment predicates, revenue per order, top-10.
+
+    Scale plan: the filtered customer side is a BROADCAST semijoin key set
+    (``ray.put`` once, ``pc.is_in`` per batch — never a shuffle); orders ⋈
+    lineitem is the ONE co-partitioning bucket shuffle; revenue folds
+    map-side per (orderkey, date) before the tiny final groupby; top-10 is a
+    driver sort over the already-aggregated handful of rows."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+
+    from .ops import partial_agg_sum, shuffle_equi_join
+
+    cutoff = np.datetime64(Q3_CUTOFF)
+
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    keys = cust.filter(pc.equal(cust["c_mktsegment"], Q3_SEGMENT))["c_custkey"]
+    keys_ref = ray.put(keys.to_numpy(zero_copy_only=False))
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        ks = ray.get(keys_ref)
+        m = pc.and_(
+            pc.is_in(b["o_custkey"], value_set=pa.array(ks)),
+            pc.less(b["o_orderdate"], pa.scalar(cutoff.astype("datetime64[us]").item())),
+        )
+        return b.filter(m).select(["o_orderkey", "o_orderdate"])
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(filter_orders, batch_format="pyarrow")
+
+    def filter_items(b: pa.Table) -> pa.Table:
+        m = pc.greater(b["l_shipdate"], pa.scalar(cutoff.astype("datetime64[us]").item()))
+        b = b.filter(m)
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    items = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(filter_items, batch_format="pyarrow")
+
+    joined = shuffle_equi_join(
+        items, orders, key="l_orderkey", right_key="o_orderkey",
+        left_cols=["rev"], right_cols=["o_orderdate"],
+    )
+    agg = _collect_table(
+        partial_agg_sum(joined, keys=["l_orderkey", "o_orderdate"], sums=["rev"])
+    )
+    if agg.num_rows == 0:
+        return pa.table({"l_orderkey": pa.array([], pa.int64())})
+    df = agg.to_pandas()
+    df["r9"] = df["rev"].round(9)
+    df = df.sort_values(
+        ["r9", "o_orderdate", "l_orderkey"], ascending=[False, True, True], kind="mergesort"
+    ).head(10)
+    out = pa.table(
+        {
+            "l_orderkey": pa.array(df["l_orderkey"].astype("int64")),
+            "o_orderdate": pa.array(df["o_orderdate"]),
+            "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+            "revenue_r": pa.array(df["rev"].round(4).astype(np.float64)),
+        }
+    )
+    return _ts_us(out, ("o_orderdate",))
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -3644,6 +3721,21 @@ def oracle_catalog() -> dict[str, str]:
         + _ranked_topk(10)
     )
 
+    out["q3_shipping"] = (
+        "WITH agg AS (SELECT l_orderkey, o_orderdate,\n"
+        "    sum(l_extendedprice * (1.0 - l_discount)) AS revenue\n"
+        "  FROM customer JOIN orders ON c_custkey = o_custkey\n"
+        "  JOIN lineitem ON l_orderkey = o_orderkey\n"
+        f"  WHERE c_mktsegment = '{Q3_SEGMENT}' AND o_orderdate < DATE '{Q3_CUTOFF}'\n"
+        f"    AND l_shipdate > DATE '{Q3_CUTOFF}'\n"
+        "  GROUP BY l_orderkey, o_orderdate),\n"
+        "ranked AS (SELECT l_orderkey, o_orderdate, revenue,\n"
+        "  row_number() OVER (ORDER BY round(revenue, 9) DESC, o_orderdate, l_orderkey) AS rank\n"
+        "  FROM agg)\n"
+        "SELECT l_orderkey, o_orderdate, rank::BIGINT AS rank, round(revenue, 4) AS revenue_r\n"
+        "FROM ranked WHERE rank <= 10"
+    )
+
     out["events_pivot"] = (
         "SELECT user_id,\n"
         + ",\n".join(
@@ -3979,6 +4071,7 @@ def query_catalog():
         "join_orders_customer": q_join_orders_customer,
         "revenue_by_nation": q_revenue_by_nation,
         "join_lineitem_agg": q_join_lineitem_agg,
+        "q3_shipping": q3_shipping,
         "heavy_hitters": q_heavy_hitters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,

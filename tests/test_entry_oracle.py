@@ -95,6 +95,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_near_pairs", "dedup_components", "decontam_flags",
         "domain_stats", "domain_filter", "tfidf_keywords", "unigram_bits",
         "join_orders_customer", "join_lineitem_agg", "revenue_by_nation",
+        "q3_shipping",
         "heavy_hitters",
         "dedup_ngram_jaccard",
         "dedup_embed_cosine",
