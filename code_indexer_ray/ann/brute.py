@@ -95,3 +95,44 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
             "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
         }
     )
+
+
+def cosine_range(ds, queries: np.ndarray, query_ids: np.ndarray, tau: float,
+                 *, id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Range similarity search: ALL corpus vectors with cosine ≥ ``tau`` to
+    each query (the ε-neighbourhood dual of top-k).  Same broadcast shape as
+    :func:`ann_cosine_topk` — queries ship once via ``ray.put``, each batch
+    emits only its qualifying rows, the driver concatenates (result size is
+    data-dependent, not k-bounded).  Self-matches excluded."""
+    import ray
+
+    qref = ray.put((queries, query_ids))
+
+    def local(batch: pa.Table) -> pa.Table:
+        q, qids = ray.get(qref)
+        ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _to_matrix(batch[vec_col])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+        cos = qn @ mn.T
+        out_q, out_v, out_c = [], [], []
+        for qi in range(len(qids)):
+            row = cos[qi]
+            sel = np.flatnonzero((row >= tau) & (ids != qids[qi]))
+            out_q.extend([int(qids[qi])] * len(sel))
+            out_v.extend(ids[sel].tolist())
+            out_c.extend(row[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "vec_id": pa.array(out_v, type=pa.int64()),
+                "cos": pa.array(out_c, type=pa.float64()),
+            }
+        )
+
+    blocks = ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
+    nonempty = [b for b in blocks if b.num_rows]
+    if not nonempty:
+        schemaful = [b for b in blocks if b.num_columns]
+        return schemaful[0] if schemaful else pa.table({})
+    return pa.concat_tables(nonempty)

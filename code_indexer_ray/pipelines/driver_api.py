@@ -1811,6 +1811,24 @@ def q_ann_cosine(sf_dir: str):
     return out.drop_columns(["cos"]).append_column("cos_r", cos_r)
 
 
+ANN_RANGE_TAU = 0.2
+
+
+def q_ann_range(sf_dir: str):
+    """Range similarity search (ε-neighbourhood dual of top-k): every vector
+    with cosine ≥ 0.2 to each query — result size data-dependent, broadcast
+    queries + per-batch filter, no shuffle."""
+    import ray.data as rd
+
+    from ..ann.brute import cosine_range
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"])
+    qs = _load_queries(sf_dir)
+    out = cosine_range(ds, qs, np.array(ANN_QUERY_IDS), tau=ANN_RANGE_TAU)
+    cos_r = pa.array(np.round(out["cos"].to_numpy(zero_copy_only=False), 4), type=pa.float64())
+    return out.drop_columns(["cos"]).append_column("cos_r", cos_r)
+
+
 def q_ann_lsh(sf_dir: str):
     """Approximate ANN (LSH-bucketed) — no SQL oracle (approximate by design)."""
     import ray.data as rd
@@ -2535,6 +2553,31 @@ def q_mm_frames(sf_dir: str):
 
     ds = rd.read_parquet(_docs(sf_dir)).map_batches(to_payload, batch_format="pyarrow")
     return media_frames(ds, concurrency=2, batch_size=128)
+
+
+def q_events_retention(sf_dir: str):
+    """Cohort retention matrix: users cohorted by the ISO week of their first
+    signup; per (cohort_week, week-offset 0..3) the count of users with any
+    activity in that week.  One user_id shuffle; O(users × offsets) rows into
+    a tiny count groupby."""
+    import ray.data as rd
+
+    from .ops import cohort_retention
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_type"]
+    )
+    out = _collect_table(
+        cohort_retention(ds, "user_id", "ts", "event_type", "signup", max_offset=3)
+    )
+    out = pa.table(
+        {
+            "cohort_week": out["cohort_week"],
+            "off_w": out["off_w"].cast(pa.int64()),
+            "n_users": out["n_users"].cast(pa.int64()),
+        }
+    )
+    return _ts_us(out, ("cohort_week",))
 
 
 Q3_SEGMENT = "BUILDING"
@@ -3721,6 +3764,26 @@ def oracle_catalog() -> dict[str, str]:
         + _ranked_topk(10)
     )
 
+    out["events_retention"] = (
+        "WITH fs AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort_week\n"
+        "  FROM events WHERE event_type = 'signup' GROUP BY user_id),\n"
+        "act AS (SELECT DISTINCT e.user_id, fs.cohort_week,\n"
+        "    date_diff('day', fs.cohort_week, date_trunc('week', e.ts)) // 7 AS off_w\n"
+        "  FROM events e JOIN fs USING (user_id))\n"
+        "SELECT cohort_week::TIMESTAMP AS cohort_week, off_w::BIGINT AS off_w,\n"
+        "  count(*)::BIGINT AS n_users\n"
+        "FROM act WHERE off_w BETWEEN 0 AND 3 GROUP BY cohort_week, off_w"
+    )
+
+    qret = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    out["ann_range"] = (
+        f"WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id IN ({qret})),\n"
+        "pairs AS (SELECT q.qid, e.vec_id, list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cos\n"
+        "  FROM q, embeddings e WHERE e.vec_id <> q.qid)\n"
+        "SELECT qid::BIGINT AS query_id, vec_id::BIGINT AS vec_id, round(cos, 4) AS cos_r\n"
+        f"FROM pairs WHERE cos >= {ANN_RANGE_TAU}"
+    )
+
     out["q3_shipping"] = (
         "WITH agg AS (SELECT l_orderkey, o_orderdate,\n"
         "    sum(l_extendedprice * (1.0 - l_discount)) AS revenue\n"
@@ -4090,6 +4153,7 @@ def query_catalog():
         "kmeans_embed": q_kmeans,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_filtered": q_ann_cosine_filtered,
+        "ann_range": q_ann_range,
         "fts_bm25_wildcard": q_bm25_wildcard,
         "ann_lsh": q_ann_lsh,  # approximate → no oracle (rows-only check)
         "ann_ivf": q_ann_ivf,  # approximate → no oracle; recall gate in tests
@@ -4098,6 +4162,7 @@ def query_catalog():
         "ann_hnsw": q_ann_hnsw,  # HNSW graph; recall gate in tests
         "events_funnel": q_events_funnel,
         "events_pivot": q_events_pivot,
+        "events_retention": q_events_retention,
         "top_terms_per_lang": q_top_terms_per_lang,
         "events_keep_latest": q_events_keep_latest,
         "events_window": q_events_window,

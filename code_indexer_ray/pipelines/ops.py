@@ -913,3 +913,47 @@ def funnel_depths(ds, user_col: str, ts_col: str, type_col: str, stages: list[st
         )
 
     return ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+
+
+def cohort_retention(ds, user_col: str, ts_col: str, type_col: str,
+                     signup_type: str, max_offset: int = 3):
+    """Cohort-retention rows: each user's cohort is the ISO week (Monday
+    truncation, = DuckDB ``date_trunc('week', ts)``) of their FIRST
+    ``signup_type`` event; for week offsets 0..max_offset the user counts as
+    retained in offset w iff they have ANY event in cohort_week + w weeks.
+
+    Shape: ONE hash shuffle on the user key; per group two vectorized
+    truncations (no per-event Python); output is one (cohort_week, off_w)
+    row per retained (user, offset) — O(users × offsets) before the final
+    tiny count groupby."""
+
+    def _monday(days: np.ndarray) -> np.ndarray:
+        # epoch day 0 = Thursday; ISO Monday truncation
+        return days - ((days + 3) % 7)
+
+    def per_user(g: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "cohort_week": pa.array([], type=pa.timestamp("us")),
+                "off_w": pa.array([], type=pa.int64()),
+            }
+        )
+        ts = g[ts_col].cast(pa.timestamp("us")).to_numpy(zero_copy_only=False)
+        et = g[type_col].to_numpy(zero_copy_only=False)
+        signup = ts[et == signup_type]
+        if len(signup) == 0:
+            return empty
+        days = ts.astype("datetime64[D]").astype(np.int64)
+        cohort_day = int(_monday(signup.min().astype("datetime64[D]").astype(np.int64)))
+        offs = np.unique((_monday(days) - cohort_day) // 7)
+        offs = offs[(offs >= 0) & (offs <= max_offset)]
+        cw = np.datetime64(cohort_day, "D").astype("datetime64[us]")
+        return pa.table(
+            {
+                "cohort_week": pa.array(np.full(len(offs), cw)),
+                "off_w": pa.array(offs.astype(np.int64)),
+            }
+        )
+
+    rows = ds.groupby(user_col).map_groups(per_user, batch_format="pyarrow")
+    return partial_agg_sum(rows, keys=["cohort_week", "off_w"], sums=[], count_alias="n_users")

@@ -103,8 +103,9 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "embed_text", "semantic_search", "curate_corpus", "curated_search",
         "sample_docs",
         "sample_stratified", "pii_redact", "url_canonical", "url_dedup",
-        "ann_cosine", "ann_cosine_filtered", "fts_bm25_wildcard", "kmeans_embed",
-        "events_funnel", "events_pivot", "top_terms_per_lang",
+        "ann_cosine", "ann_cosine_filtered", "ann_range", "fts_bm25_wildcard",
+        "kmeans_embed",
+        "events_funnel", "events_pivot", "events_retention", "top_terms_per_lang",
         "events_keep_latest", "events_window",
         "events_session", "events_hopping", "asof_orders", "range_events",
         "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
