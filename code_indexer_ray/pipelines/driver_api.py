@@ -362,6 +362,73 @@ def q_bm25_page(sf_dir: str):
     )
 
 
+def q_bm25_search_after(sf_dir: str):
+    """Cursor deep pagination (Lucene/Elasticsearch searchAfter): page 1 of
+    'spark' yields the (score, doc_id) cursor of its last hit; page 2 passes
+    it back and every shard prunes to docs STRICTLY after the cursor in the
+    pinned (round-9 score desc, doc_id) order — page N costs O(limit) per
+    shard at any depth, unlike offset paging's O(offset+limit)."""
+    s = searcher_for(sf_dir)
+    page1 = s.search("spark", limit=10, snippet_lines=0)
+    cursor = (page1[-1]["score"], page1[-1]["doc_id"])
+    return _bm25_table(s.search("spark", limit=10, snippet_lines=0, after=cursor), 10)
+
+
+def q_order_by_field(sf_dir: str):
+    """Matches of 'spark' ranked by the quantized document-length fast field
+    (Tantivy TopDocs::order_by_u64_field): dl DESC, doc_id ASC — the norm
+    byte already in every posting IS the fast-field read."""
+    rows = searcher_for(sf_dir).search_by_field("spark", limit=10)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "dl": pa.array([r["dl"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_bm25_dismax(sf_dir: str):
+    """Disjunction-max ranking (Lucene DisMaxQuery, tie_breaker=0.1): docs
+    matching ANY of 'spark merge', scored max-per-term BM25 + 0.1 × the
+    rest — terms compete instead of summing."""
+    return _bm25_table(
+        searcher_for(sf_dir).search_dismax("spark merge", tie=0.1, limit=10), 10
+    )
+
+
+def q_explain(sf_dir: str):
+    """Score breakdown for the top-5 hits of 'spark merge' (Lucene explain):
+    one row per (hit, term) with tf, quantized dl, and the term's BM25
+    contribution — one search + one block-skip probe per term over 5 ids."""
+    rows = searcher_for(sf_dir).explain("spark merge", limit=5)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+            "term": pa.array([r["term"] for r in rows], type=pa.string()),
+            "tf": pa.array([r["tf"] for r in rows], type=pa.int64()),
+            "dl": pa.array([r["dl"] for r in rows], type=pa.int64()),
+            "contrib_r": pa.array([round(r["contrib"], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_facet_domain(sf_dir: str):
+    """Domain terms-aggregation over ALL docs matching 'spark' (Elasticsearch
+    terms agg / Tantivy TermsAggregation): the stored url's prefix before the
+    first '/', counted shard-locally — only {domain: count} maps cross the
+    wire."""
+    counts = searcher_for(sf_dir).facets_domain("spark")
+    keys = sorted(counts)
+    return pa.table(
+        {
+            "domain": pa.array(keys, type=pa.string()),
+            "n_docs": pa.array([counts[k] for k in keys], type=pa.int64()),
+        }
+    )
+
+
 def q_facet_lang(sf_dir: str):
     """Language facet counts over ALL docs matching 'spark' (FacetCollector
     analog): exact per-shard counting, only {lang: count} maps cross the
@@ -3091,6 +3158,47 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT d.lang, count(*)::BIGINT AS n_docs FROM m JOIN documents d USING (doc_id)\n"
         "GROUP BY d.lang"
     )
+    out["fts_search_after"] = (
+        pre + ",\n" + _scored_cte("'spark'", None) + ",\n"
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored)\n"
+        "SELECT doc_id, (rank - 10)::BIGINT AS rank, round(score, 4) AS score_r\n"
+        "FROM ranked WHERE rank BETWEEN 11 AND 20"
+    )
+    out["fts_order_by_field"] = (
+        pre + ",\n"
+        "m AS (SELECT DISTINCT tf.doc_id FROM tf WHERE tf.term = 'spark'),\n"
+        "o AS (SELECT m.doc_id, dl.dl,\n"
+        "  row_number() OVER (ORDER BY dl.dl DESC, m.doc_id) AS rank\n"
+        "  FROM m JOIN dl USING (doc_id))\n"
+        "SELECT doc_id, rank::BIGINT AS rank, dl::BIGINT AS dl FROM o WHERE rank <= 10"
+    )
+    _dismax_term_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "st.n", "st.avgdl")
+    out["fts_dismax"] = (
+        pre + ",\n"
+        f"pscore AS (SELECT tf.doc_id, tf.term, {_dismax_term_score} AS ts\n"
+        "  FROM tf JOIN df USING(term) JOIN dl ON tf.doc_id = dl.doc_id, stats st\n"
+        "  WHERE tf.term IN ('spark','merge')),\n"
+        "scored AS (SELECT doc_id, max(ts) + 0.1 * (sum(ts) - max(ts)) AS score\n"
+        "  FROM pscore GROUP BY doc_id),\n" + _ranked_topk(10)
+    )
+    out["fts_explain"] = (
+        pre + ",\n" + _scored_cte("'spark','merge'", 2) + ",\n"
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored),\n"
+        "top5 AS (SELECT doc_id, rank FROM ranked WHERE rank <= 5)\n"
+        "SELECT t5.doc_id, t5.rank::BIGINT AS rank, tf.term, tf.tf::BIGINT AS tf,\n"
+        f"  dl.dl::BIGINT AS dl, round({_dismax_term_score}, 4) AS contrib_r\n"
+        "FROM top5 t5\n"
+        "JOIN tf ON tf.doc_id = t5.doc_id AND tf.term IN ('spark','merge')\n"
+        "JOIN df USING (term) JOIN dl ON dl.doc_id = t5.doc_id, stats st"
+    )
+    out["fts_facet_domain"] = (
+        pre + ",\n"
+        "m AS (SELECT DISTINCT tf.doc_id FROM tf WHERE tf.term = 'spark')\n"
+        "SELECT d.source AS domain, count(*)::BIGINT AS n_docs\n"
+        "FROM m JOIN documents d USING (doc_id) GROUP BY d.source"
+    )
     out["fts_bm25_not"] = _q(
         _scored_cte(
             "'spark'",
@@ -4083,7 +4191,12 @@ def query_catalog():
         "fts_bm25_or": q_bm25_or,
         "fts_bm25_not": q_bm25_not,
         "fts_facet_lang": q_facet_lang,
+        "fts_facet_domain": q_facet_domain,
         "fts_bm25_page": q_bm25_page,
+        "fts_search_after": q_bm25_search_after,
+        "fts_order_by_field": q_order_by_field,
+        "fts_dismax": q_bm25_dismax,
+        "fts_explain": q_explain,
         "fts_more_like_this": q_more_like_this,
         "fts_hybrid_rrf": q_hybrid_search,
         "gopher_repetition": q_gopher_repetition,

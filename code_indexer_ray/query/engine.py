@@ -592,8 +592,15 @@ class ShardSearcher:
         exclude_terms: list[str] | None = None,
         should_terms: list[str] | None = None,
         boosts: dict[str, float] | None = None,
+        after: tuple[float, int] | None = None,
     ) -> list[tuple[int, float, str | None, str | None]]:
         """Top-m (doc_id, score, lang, url) for AND-of-OR-groups in this shard.
+
+        ``after`` is the search-after cursor (Lucene/Elasticsearch
+        ``searchAfter``): a ``(score, doc_id)`` position in the engine's
+        pinned ordering (round-9 score desc, doc_id asc); only docs STRICTLY
+        after it are returned, so deep paging costs O(limit) per shard at any
+        depth — the cursor prunes inside the shard, never on the driver.
 
         ``boosts`` maps index terms to multiplicative score weights (Lucene
         query-time boost: ``term^2``); unlisted terms weigh 1.0.  Boosts
@@ -628,6 +635,7 @@ class ShardSearcher:
             and not exclude_terms
             and not should_terms
             and not boosts
+            and after is None
         ):
             return self._maxscore_union(
                 group_posts[0], n_docs, avgdl, global_df, m, lang_col, url_col
@@ -685,6 +693,17 @@ class ShardSearcher:
             if boosts:
                 contrib = contrib * boosts.get(t, 1.0)
             scores[hit] += contrib
+
+        if after is not None:
+            # keep docs strictly after the cursor in (round-9 score desc,
+            # doc_id asc) order — score equality at 9 dp is the engine's
+            # pinning policy everywhere, so the comparison is exact
+            a_s, a_d = round(float(after[0]), 9), int(after[1])
+            rs = np.round(scores, 9)
+            keep = (rs < a_s) | ((rs == a_s) & (cand > a_d))
+            cand, scores = cand[keep], scores[keep]
+            if len(cand) == 0:
+                return []
 
         langs = urls = None
         if include_langs is not None or lang_col or url_col:
@@ -823,6 +842,136 @@ class ShardSearcher:
             (v.as_py() or ""): c.as_py()
             for v, c in zip(vc.field("values"), vc.field("counts"))
         }
+
+    def facet_domain_counts(
+        self,
+        groups: list[list[str]],
+        lang_col: str | None,
+        url_col: str | None,
+        exclude_terms: list[str] | None = None,
+    ) -> dict[str, int]:
+        """Per-domain match counts over ALL matching docs in this shard — a
+        terms aggregation on a stored field (Elasticsearch terms-agg /
+        Tantivy TermsAggregation analog).  The domain is the url prefix
+        before the first '/'; extraction is one vectorized Arrow split over
+        the matched rows only, and only {domain: count} maps cross the wire."""
+        cand = self._match_candidates(groups, exclude_terms)
+        if len(cand) == 0:
+            return {}
+        self._load_meta(lang_col, url_col)
+        if self._meta is None or self._meta["url"] is None:
+            return {"": int(len(cand))}
+        pos = np.searchsorted(self._meta["doc_id"], cand)
+        urls = self._meta["url"].take(pa.array(pos))
+        domains = pc.list_element(pc.split_pattern(urls, "/", max_splits=1), 0)
+        vc = domains.value_counts()
+        return {
+            (v.as_py() or ""): c.as_py()
+            for v, c in zip(vc.field("values"), vc.field("counts"))
+        }
+
+    def match_norms(
+        self,
+        groups: list[list[str]],
+        m: int,
+        exclude_terms: list[str] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Top-m (doc_id, dl) of matching docs ordered by decoded fieldnorm
+        length DESC, doc_id ASC — Tantivy ``TopDocs::order_by_u64_field``
+        (rank matches by a numeric fast field instead of relevance).  The
+        quantized length already rides in every posting as the norm byte, so
+        no extra column is read; every candidate matches at least one term of
+        group 0, so that group's postings cover all the norms needed."""
+        cand = self._match_candidates(groups, exclude_terms)
+        if len(cand) == 0:
+            return []
+        norms = np.zeros(len(cand), dtype=np.int64)
+        filled = np.zeros(len(cand), dtype=bool)
+        for t in dict.fromkeys(groups[0]):
+            if filled.all():
+                break
+            p = self.posting(t)
+            if p is None:
+                continue
+            d, _tf, nm = self._decode_for_candidates(p, cand)
+            if len(d) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+            hit = (d[pos] == cand) & ~filled
+            norms[hit] = nm[pos[hit]]
+            filled |= hit
+        dl = id_to_fieldnorm(norms).astype(np.int64)
+        sel = np.lexsort((cand, -dl))[:m]
+        return list(zip(cand[sel].tolist(), dl[sel].tolist()))
+
+    def search_dismax(
+        self,
+        terms: list[str],
+        n_docs: int,
+        avgdl: float,
+        global_df: dict[str, int],
+        m: int,
+        tie: float,
+    ) -> list[tuple[int, float]]:
+        """Top-m disjunction-max scores (Lucene DisjunctionMaxQuery):
+        candidates are the union of the terms' postings, score = best
+        per-term BM25 + tie × (sum of the rest) — terms COMPETE instead of
+        summing; the tie-breaker rewards multi-term docs without letting many
+        weak contributions outrank one strong match (tie=0 pure max, tie=1
+        degenerates to the OR-sum)."""
+        posts = [(t, self.posting(t)) for t in dict.fromkeys(terms)]
+        posts = [(t, p) for t, p in posts if p is not None]
+        if not posts:
+            return []
+        decoded = [(t, *self._decode_full(p)) for t, p in posts]
+        cand = np.unique(np.concatenate([d for _t, d, _tf, _nm in decoded]))
+        best = np.zeros(len(cand), dtype=np.float64)
+        total = np.zeros(len(cand), dtype=np.float64)
+        for t, d, tf, nm in decoded:
+            if len(d) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(d, cand), len(d) - 1)
+            hit = d[pos] == cand
+            if not hit.any():
+                continue
+            dl = id_to_fieldnorm(nm[pos[hit]])
+            contrib = np.zeros(len(cand), dtype=np.float64)
+            contrib[hit] = bm25.term_score(tf[pos[hit]], dl, global_df[t], n_docs, avgdl)
+            best = np.maximum(best, contrib)
+            total += contrib
+        scores = best + tie * (total - best)
+        sel = np.lexsort((cand, -scores))[:m]
+        return list(zip(cand[sel].tolist(), scores[sel].tolist()))
+
+    def term_postings_for_docs(
+        self, terms: list[str], doc_ids: list[int]
+    ) -> dict[str, list[tuple[int, int, int]]]:
+        """Per-term (doc_id, tf, norm_id) restricted to ``doc_ids`` — the raw
+        inputs of a Lucene ``Explanation``.  Block-skip decode touches only
+        the posting blocks that can contain the requested docs, so explaining
+        k hits costs O(k) block reads per term, not a full list decode."""
+        want = np.asarray(sorted(doc_ids), dtype=np.int64)
+        out: dict[str, list[tuple[int, int, int]]] = {}
+        if len(want) == 0:
+            return out
+        for t in dict.fromkeys(terms):
+            p = self.posting(t)
+            if p is None:
+                continue
+            d, tf, nm = self._decode_for_candidates(p, want)
+            if len(d) == 0:
+                continue
+            pos = np.minimum(np.searchsorted(d, want), len(d) - 1)
+            hit = d[pos] == want
+            if hit.any():
+                out[t] = list(
+                    zip(
+                        want[hit].tolist(),
+                        tf[pos[hit]].astype(int).tolist(),
+                        nm[pos[hit]].astype(int).tolist(),
+                    )
+                )
+        return out
 
 
 def _union_exact_scores(
@@ -1189,6 +1338,108 @@ class IndexSearcher:
                 out[lang] = out.get(lang, 0) + n
         return out
 
+    def facets_domain(self, query_text: str, *, match_any: bool = False) -> dict[str, int]:
+        """Domain (url prefix) match counts over ALL docs matching the query
+        — a terms aggregation on a stored field.  Exact, shard-local counting
+        with an O(#domains × #shards) driver merge."""
+        groups = self._build_groups(query_text, 0, False, match_any)
+        if groups is None:
+            return {}
+        out: dict[str, int] = {}
+        for local in self._fanout(
+            "facet_domain_counts", groups, self.lang_col, self.url_col
+        ):
+            for k, n in local.items():
+                out[k] = out.get(k, 0) + n
+        return out
+
+    def search_by_field(self, query_text: str, *, limit: int = 10) -> list[dict]:
+        """Matching docs ordered by the quantized document-length fast field
+        (dl DESC, doc_id ASC) instead of relevance — Tantivy
+        ``TopDocs::order_by_u64_field``.  Each shard returns its top-limit
+        (doc_id, dl) pairs from the norm bytes already in the postings; the
+        driver merges limit × n_shards rows."""
+        groups = self._build_groups(query_text, 0, False, False)
+        if groups is None:
+            return []
+        m = limit if limit > 0 else UNLIMITED_LIMIT
+        per_shard = self._fanout("match_norms", groups, m)
+        rows = [r for sh in per_shard for r in sh]
+        if not rows:
+            return []
+        ids = np.array([r[0] for r in rows], dtype=np.int64)
+        dls = np.array([r[1] for r in rows], dtype=np.int64)
+        sel = np.lexsort((ids, -dls))[:m]
+        return [{"doc_id": int(ids[i]), "dl": int(dls[i])} for i in sel]
+
+    def search_dismax(
+        self, query_text: str, *, tie: float = 0.1, limit: int = 10
+    ) -> list[dict]:
+        """Disjunction-max ranking (Lucene DisMaxQuery): docs containing ANY
+        query term, scored max-per-term BM25 + tie × (sum of the others).
+        Same fan-out shape as :meth:`search` — per-shard top-m, driver heap
+        merge."""
+        if not (0.0 <= tie <= 1.0):
+            raise ValueError(f"tie_breaker must be in [0, 1], got {tie}")
+        terms = sorted(dict.fromkeys(tokenize_query(query_text)))
+        if not terms:
+            return []
+        global_df = self._global_df(terms)
+        terms = [t for t in terms if global_df[t] > 0]
+        if not terms:
+            return []
+        m = limit if limit > 0 else UNLIMITED_LIMIT
+        per_shard = self._fanout(
+            "search_dismax",
+            terms,
+            self.manifest.num_docs,
+            self.manifest.avgdl,
+            global_df,
+            m,
+            float(tie),
+        )
+        hits = [h for sh in per_shard for h in sh]
+        if not hits:
+            return []
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        scores = np.array([h[1] for h in hits], dtype=np.float64)
+        sel = np.lexsort((ids, -scores))[:m]
+        return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
+
+    def explain(self, query_text: str, *, limit: int = 10, **kwargs) -> list[dict]:
+        """Score breakdown for the top-``limit`` hits (Lucene ``explain``):
+        one row per (hit, matched term) with the raw scoring inputs (tf, the
+        quantized dl) and the term's BM25 contribution.  Costs one normal
+        search plus one block-skip postings probe per term over just the k
+        winning doc ids."""
+        hits = self.search(query_text, limit=limit, snippet_lines=0, **kwargs)
+        if not hits:
+            return []
+        terms = sorted(dict.fromkeys(tokenize_query(query_text)))
+        global_df = self._global_df(terms)
+        rank_of = {h["doc_id"]: i + 1 for i, h in enumerate(hits)}
+        doc_ids = list(rank_of)
+        n, avgdl = self.manifest.num_docs, self.manifest.avgdl
+        rows: list[dict] = []
+        for local in self._fanout("term_postings_for_docs", terms, doc_ids):
+            for t, entries in local.items():
+                e = np.array(entries, dtype=np.int64).reshape(-1, 3)
+                dl = id_to_fieldnorm(e[:, 2])
+                contrib = bm25.term_score(e[:, 1], dl, global_df[t], n, avgdl)
+                for (doc_id, tf, _nm), d, c in zip(e.tolist(), dl.tolist(), contrib.tolist()):
+                    rows.append(
+                        {
+                            "doc_id": int(doc_id),
+                            "rank": rank_of[int(doc_id)],
+                            "term": t,
+                            "tf": int(tf),
+                            "dl": int(d),
+                            "contrib": float(c),
+                        }
+                    )
+        rows.sort(key=lambda r: (r["rank"], r["term"]))
+        return rows
+
     def more_like_this(
         self,
         doc_id: int,
@@ -1252,6 +1503,7 @@ class IndexSearcher:
         should_terms: list[str] | None = None,
         boosts: dict[str, float] | None = None,
         slop: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -1261,7 +1513,7 @@ class IndexSearcher:
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
             phrase, match_any, tuple(exclude_terms or ()), offset, prefix,
             tuple(should_terms or ()), tuple(sorted((boosts or {}).items())),
-            slop,
+            slop, after,
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -1270,7 +1522,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
             phrase, match_any, exclude_terms, offset, prefix, should_terms,
-            boosts, slop,
+            boosts, slop, after,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -1297,7 +1549,14 @@ class IndexSearcher:
         should_terms: list[str] | None = None,
         boosts: dict[str, float] | None = None,
         slop: int = 0,
+        after: tuple[float, int] | None = None,
     ) -> list[dict]:
+        if after is not None:
+            if phrase:
+                raise ValueError("search_after is not supported with phrase queries")
+            if offset:
+                raise ValueError("search_after and offset are alternative paging modes; pass one")
+            after = (float(after[0]), int(after[1]))
         if slop and not phrase:
             raise ValueError("slop requires phrase=True")
         if not (0 <= slop <= 8):
@@ -1396,6 +1655,7 @@ class IndexSearcher:
                 not_terms,
                 should_tokens,
                 boosts,
+                after,
             )
         hits = [h for sh in per_shard for h in sh]
         if not hits:

@@ -1,0 +1,190 @@
+"""Fifth-session query-surface features: search_after cursor pagination,
+order-by-fast-field ranking, DisMax scoring, explain breakdowns, and the
+domain terms aggregation — each vs first-principles recomputation, plus
+local/actor fan-out parity."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from tests.oracle import BruteForceIndex
+
+
+@pytest.fixture(scope="module")
+def built(ray_session, tmp_path_factory):
+    from code_indexer_ray.index.build import build_index
+    from code_indexer_ray.query.engine import IndexSearcher
+
+    rng = np.random.default_rng(7)
+    vocab = ["spark", "merge", "window", "batch", "row", "scan", "agg", "key"]
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(3, 30))
+        docs.append(" ".join(vocab[j] for j in rng.integers(0, len(vocab), n)))
+    rows = [
+        {"doc_id": i, "text": t, "lang": "en" if i % 3 else "de", "url": f"site{i % 5}/p/{i}"}
+        for i, t in enumerate(docs)
+    ]
+    tmp = tmp_path_factory.mktemp("qf2")
+    src = str(tmp / "c.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = str(tmp / "idx")
+    build_index(src, out, store_cols=("lang", "url"), num_shards=3, num_buckets=2)
+    oracle = BruteForceIndex(
+        {r["doc_id"]: r["text"] for r in rows}, {r["doc_id"]: r["lang"] for r in rows}
+    )
+    return rows, IndexSearcher(out, lang_col="lang", url_col="url"), oracle
+
+
+def _key(r):
+    return (-round(r["score"], 9), r["doc_id"])
+
+
+class TestSearchAfter:
+    def test_cursor_chain_equals_limit0_ranking(self, built):
+        """Walking pages by cursor reproduces the full pinned ranking."""
+        _, s, _ = built
+        full = s.search("spark", limit=0, snippet_lines=0)
+        full.sort(key=_key)
+        pages, cursor = [], None
+        while True:
+            page = s.search("spark", limit=7, snippet_lines=0, after=cursor)
+            if not page:
+                break
+            pages.extend(page)
+            cursor = (page[-1]["score"], page[-1]["doc_id"])
+        assert [r["doc_id"] for r in pages] == [r["doc_id"] for r in full]
+
+    def test_matches_offset_paging(self, built):
+        _, s, _ = built
+        page1 = s.search("spark merge", limit=5, snippet_lines=0)
+        cur = (page1[-1]["score"], page1[-1]["doc_id"])
+        by_cursor = s.search("spark merge", limit=5, snippet_lines=0, after=cur)
+        by_offset = s.search("spark merge", limit=5, offset=5, snippet_lines=0)
+        assert [r["doc_id"] for r in by_cursor] == [r["doc_id"] for r in by_offset]
+
+    def test_rejects_offset_and_phrase_combos(self, built):
+        _, s, _ = built
+        with pytest.raises(ValueError):
+            s.search("spark", after=(1.0, 3), offset=2, limit=5)
+
+    def test_tie_handling_is_strict(self, built):
+        """A cursor on a tied score returns only larger doc_ids at that score."""
+        _, s, _ = built
+        full = s.search("spark", limit=0, snippet_lines=0)
+        full.sort(key=_key)
+        mid = len(full) // 2
+        cur = (full[mid]["score"], full[mid]["doc_id"])
+        rest = s.search("spark", limit=0, snippet_lines=0, after=cur)
+        rest.sort(key=_key)
+        assert [r["doc_id"] for r in rest] == [r["doc_id"] for r in full[mid + 1 :]]
+
+
+class TestOrderByField:
+    def test_matches_brute_dl_order(self, built):
+        rows, s, _ = built
+        from code_indexer_ray.index.fieldnorm import quantize_length
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        got = s.search_by_field("spark", limit=10)
+        want = []
+        for r in rows:
+            toks = tokenize_query(r["text"])
+            if "spark" in toks:
+                want.append((r["doc_id"], int(quantize_length([len(toks)])[0])))
+        want.sort(key=lambda x: (-x[1], x[0]))
+        assert [(g["doc_id"], g["dl"]) for g in got] == want[:10]
+
+    def test_and_query_norms_covered(self, built):
+        """Multi-term AND: every hit still gets a dl (norms come from group 0)."""
+        _, s, _ = built
+        got = s.search_by_field("spark merge window", limit=0)
+        and_ids = {r["doc_id"] for r in s.search("spark merge window", limit=0, snippet_lines=0)}
+        assert {g["doc_id"] for g in got} == and_ids
+        assert all(g["dl"] > 0 for g in got)
+
+
+class TestDisMax:
+    def test_tie_zero_is_pure_max(self, built):
+        _, s, o = built
+        res = s.search_dismax("spark merge", tie=0.0, limit=0)
+        for r in res:
+            want = max(o.term_score("spark", r["doc_id"]), o.term_score("merge", r["doc_id"]))
+            assert abs(r["score"] - want) < 1e-9
+
+    def test_tie_one_equals_or_sum(self, built):
+        _, s, _ = built
+        dm = s.search_dismax("spark merge", tie=1.0, limit=0)
+        orq = s.search("spark merge", match_any=True, limit=0, snippet_lines=0)
+        a = {r["doc_id"]: round(r["score"], 9) for r in dm}
+        b = {r["doc_id"]: round(r["score"], 9) for r in orq}
+        assert a == b
+
+    def test_candidates_are_the_union(self, built):
+        _, s, _ = built
+        dm = {r["doc_id"] for r in s.search_dismax("spark merge", tie=0.3, limit=0)}
+        orq = {r["doc_id"] for r in s.search("spark merge", match_any=True, limit=0, snippet_lines=0)}
+        assert dm == orq
+
+    def test_tie_validation(self, built):
+        _, s, _ = built
+        with pytest.raises(ValueError):
+            s.search_dismax("spark", tie=1.5)
+
+
+class TestExplain:
+    def test_contributions_sum_to_score(self, built):
+        _, s, _ = built
+        hits = s.search("spark merge", limit=5, snippet_lines=0)
+        rows = s.explain("spark merge", limit=5)
+        by_doc: dict[int, float] = {}
+        for r in rows:
+            by_doc[r["doc_id"]] = by_doc.get(r["doc_id"], 0.0) + r["contrib"]
+        for h in hits:
+            assert abs(by_doc[h["doc_id"]] - h["score"]) < 1e-9
+
+    def test_ranks_and_terms(self, built):
+        _, s, _ = built
+        hits = s.search("spark merge", limit=5, snippet_lines=0)
+        rows = s.explain("spark merge", limit=5)
+        assert {r["term"] for r in rows} == {"spark", "merge"}
+        rank_of = {h["doc_id"]: i + 1 for i, h in enumerate(hits)}
+        assert all(r["rank"] == rank_of[r["doc_id"]] for r in rows)
+
+
+class TestFacetDomain:
+    def test_counts_match_brute(self, built):
+        rows, s, _ = built
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        got = s.facets_domain("spark")
+        want: dict[str, int] = {}
+        for r in rows:
+            if "spark" in tokenize_query(r["text"]):
+                d = r["url"].split("/", 1)[0]
+                want[d] = want.get(d, 0) + 1
+        assert got == want
+
+
+class TestActorModeParity:
+    def test_remote_fanout_identical(self, built, tmp_path_factory):
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        _, s, _ = built
+        rs = IndexSearcher(s.index_dir, lang_col="lang", url_col="url", remote=True)
+        p1 = s.search("spark", limit=5, snippet_lines=0)
+        cur = (p1[-1]["score"], p1[-1]["doc_id"])
+        for a, b in (
+            (s.search("spark", limit=5, snippet_lines=0, after=cur),
+             rs.search("spark", limit=5, snippet_lines=0, after=cur)),
+            (s.search_by_field("spark merge", limit=10),
+             rs.search_by_field("spark merge", limit=10)),
+            (s.search_dismax("spark merge", tie=0.1, limit=10),
+             rs.search_dismax("spark merge", tie=0.1, limit=10)),
+            (s.explain("spark merge", limit=5), rs.explain("spark merge", limit=5)),
+            (s.facets_domain("spark"), rs.facets_domain("spark")),
+        ):
+            assert a == b
