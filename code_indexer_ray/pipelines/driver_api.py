@@ -429,6 +429,107 @@ def q_facet_domain(sf_dir: str):
     )
 
 
+def q_stats_agg(sf_dir: str):
+    """Stats aggregation over all matches of 'spark' (Elasticsearch stats
+    agg on the quantized-length fast field): each shard ships ONE
+    (n, Σdl, min, max) tuple — result size is independent of match count."""
+    st = searcher_for(sf_dir).stats_agg("spark")
+    return pa.table(
+        {
+            "n_docs": pa.array([st["n_docs"]], type=pa.int64()),
+            "dl_min": pa.array([st["dl_min"]], type=pa.int64()),
+            "dl_max": pa.array([st["dl_max"]], type=pa.int64()),
+            "dl_avg_r": pa.array([round(st["dl_avg"], 4)], type=pa.float64()),
+        }
+    )
+
+
+def q_collapse_domain(sf_dir: str):
+    """Field collapsing (Elasticsearch collapse): top-10 domains by their
+    best 'spark' hit, at most one result per domain.  Shards score ALL
+    candidates but ship only one row per local domain."""
+    rows = searcher_for(sf_dir).search_collapse_domain("spark", limit=10)
+    return pa.table(
+        {
+            "domain": pa.array([r["domain"] for r in rows], type=pa.string()),
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r["score"], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_significant_terms(sf_dir: str):
+    """Significant-terms aggregation (Elasticsearch significant_terms):
+    terms over-represented in docs matching 'spark' vs the corpus
+    background, scored by the log foreground/background df-rate ratio.
+    One corpus pass of per-batch (term, df, fg_df) partials → one small
+    term groupby; the driver folds only vocabulary-sized counts.  n_fg is
+    read off the folded table itself (every foreground doc contains the
+    query term, so fg_df['spark'] IS the foreground size)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from ..text.analysis import term_frequencies, tokenize_flat
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, rows, _tfs, _ = term_frequencies(batch["text"])
+        # foreground membership: docs whose token set contains 'spark'
+        tokens, parents = tokenize_flat(
+            batch["text"].combine_chunks()
+            if isinstance(batch["text"], pa.ChunkedArray)
+            else batch["text"]
+        )
+        fg_rows = np.zeros(batch.num_rows, dtype=bool)
+        is_q = pc.equal(tokens, "spark").to_numpy(zero_copy_only=False)
+        if is_q.any():
+            fg_rows[np.unique(parents[is_q])] = True
+        t = pa.table(
+            {
+                "term": terms.cast(pa.string()),
+                "df": pa.array(np.ones(len(rows), dtype=np.int64)),
+                "fg_df": pa.array(fg_rows[rows].astype(np.int64)),
+            }
+        )
+        agg = t.group_by("term").aggregate([("df", "sum"), ("fg_df", "sum")])
+        return pa.table(
+            {"term": agg["term"], "df": agg["df_sum"], "fg_df": agg["fg_df_sum"]}
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    n_docs = ds.count()
+    folded = _collect_table(
+        ds.map_batches(partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("df", alias_name="df"), Sum("fg_df", alias_name="fg_df"))
+    )
+    terms = folded["term"].to_pylist()
+    df = folded["df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    fg = folded["fg_df"].to_numpy(zero_copy_only=False).astype(np.int64)
+    n_fg = int(fg[terms.index("spark")]) if "spark" in terms else 0
+    if n_fg == 0:
+        return pa.table(
+            {"term": pa.array([], type=pa.string()), "fg_df": pa.array([], type=pa.int64()),
+             "bg_df": pa.array([], type=pa.int64()), "rank": pa.array([], type=pa.int64()),
+             "score_r": pa.array([], type=pa.float64())}
+        )
+    keep = fg >= 5
+    score = np.log((fg[keep] / n_fg) / (df[keep] / n_docs))
+    kept_terms = np.array(terms, dtype=object)[keep]
+    order = sorted(
+        range(len(score)), key=lambda i: (-round(float(score[i]), 9), kept_terms[i])
+    )[:15]
+    return pa.table(
+        {
+            "term": pa.array([kept_terms[i] for i in order], type=pa.string()),
+            "fg_df": pa.array([int(fg[keep][i]) for i in order], type=pa.int64()),
+            "bg_df": pa.array([int(df[keep][i]) for i in order], type=pa.int64()),
+            "rank": pa.array(range(1, len(order) + 1), type=pa.int64()),
+            "score_r": pa.array([round(float(score[i]), 4) for i in order], type=pa.float64()),
+        }
+    )
+
+
 def q_facet_lang(sf_dir: str):
     """Language facet counts over ALL docs matching 'spark' (FacetCollector
     analog): exact per-shard counting, only {lang: count} maps cross the
@@ -3199,6 +3300,39 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT d.source AS domain, count(*)::BIGINT AS n_docs\n"
         "FROM m JOIN documents d USING (doc_id) GROUP BY d.source"
     )
+    out["fts_stats_agg"] = (
+        pre + ",\n"
+        "m AS (SELECT DISTINCT tf.doc_id FROM tf WHERE tf.term = 'spark')\n"
+        "SELECT count(*)::BIGINT AS n_docs, min(dl.dl)::BIGINT AS dl_min,\n"
+        "  max(dl.dl)::BIGINT AS dl_max,\n"
+        "  round(sum(dl.dl)::DOUBLE / count(*), 4) AS dl_avg_r\n"
+        "FROM m JOIN dl USING (doc_id)"
+    )
+    out["fts_collapse_domain"] = (
+        pre + ",\n" + _scored_cte("'spark'", None) + ",\n"
+        "dom AS (SELECT s.doc_id, s.score, d.source AS domain FROM scored s\n"
+        "  JOIN documents d USING (doc_id)),\n"
+        "best AS (SELECT domain, doc_id, score, row_number() OVER (\n"
+        "  PARTITION BY domain ORDER BY round(score, 9) DESC, doc_id) AS rn FROM dom),\n"
+        "ranked AS (SELECT domain, doc_id, score, row_number() OVER (\n"
+        "  ORDER BY round(score, 9) DESC, doc_id) AS rank FROM best WHERE rn = 1)\n"
+        "SELECT domain, doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r\n"
+        "FROM ranked WHERE rank <= 10"
+    )
+    out["significant_terms"] = (
+        pre + ",\n"
+        "fgd AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),\n"
+        "nfg AS (SELECT count(*)::DOUBLE AS c FROM fgd),\n"
+        "fgdf AS (SELECT term, count(*)::BIGINT AS fg_df FROM tf JOIN fgd USING (doc_id)\n"
+        "  GROUP BY term HAVING count(*) >= 5),\n"
+        "sc AS (SELECT f.term, f.fg_df, df.df AS bg_df,\n"
+        "  ln((f.fg_df / nfg.c) / (df.df / st.n)) AS sig\n"
+        "  FROM fgdf f JOIN df USING (term), nfg, stats st),\n"
+        "ranked AS (SELECT term, fg_df, bg_df, sig, row_number() OVER (\n"
+        "  ORDER BY round(sig, 9) DESC, term) AS rank FROM sc)\n"
+        "SELECT term, fg_df, bg_df, rank::BIGINT AS rank, round(sig, 4) AS score_r\n"
+        "FROM ranked WHERE rank <= 15"
+    )
     out["fts_bm25_not"] = _q(
         _scored_cte(
             "'spark'",
@@ -4197,6 +4331,9 @@ def query_catalog():
         "fts_order_by_field": q_order_by_field,
         "fts_dismax": q_bm25_dismax,
         "fts_explain": q_explain,
+        "fts_stats_agg": q_stats_agg,
+        "fts_collapse_domain": q_collapse_domain,
+        "significant_terms": q_significant_terms,
         "fts_more_like_this": q_more_like_this,
         "fts_hybrid_rrf": q_hybrid_search,
         "gopher_repetition": q_gopher_repetition,

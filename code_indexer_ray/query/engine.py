@@ -870,21 +870,18 @@ class ShardSearcher:
             for v, c in zip(vc.field("values"), vc.field("counts"))
         }
 
-    def match_norms(
+    def _match_with_norms(
         self,
         groups: list[list[str]],
-        m: int,
         exclude_terms: list[str] | None = None,
-    ) -> list[tuple[int, int]]:
-        """Top-m (doc_id, dl) of matching docs ordered by decoded fieldnorm
-        length DESC, doc_id ASC — Tantivy ``TopDocs::order_by_u64_field``
-        (rank matches by a numeric fast field instead of relevance).  The
-        quantized length already rides in every posting as the norm byte, so
-        no extra column is read; every candidate matches at least one term of
-        group 0, so that group's postings cover all the norms needed."""
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """(candidate doc ids, decoded dl) for AND-of-OR-groups.  The
+        quantized length rides in every posting as the norm byte, so no extra
+        column is read; every candidate matches at least one term of group 0,
+        so that group's postings cover all the norms needed."""
         cand = self._match_candidates(groups, exclude_terms)
         if len(cand) == 0:
-            return []
+            return cand, np.empty(0, np.int64)
         norms = np.zeros(len(cand), dtype=np.int64)
         filled = np.zeros(len(cand), dtype=bool)
         for t in dict.fromkeys(groups[0]):
@@ -900,9 +897,78 @@ class ShardSearcher:
             hit = (d[pos] == cand) & ~filled
             norms[hit] = nm[pos[hit]]
             filled |= hit
-        dl = id_to_fieldnorm(norms).astype(np.int64)
+        return cand, id_to_fieldnorm(norms).astype(np.int64)
+
+    def match_norms(
+        self,
+        groups: list[list[str]],
+        m: int,
+        exclude_terms: list[str] | None = None,
+    ) -> list[tuple[int, int]]:
+        """Top-m (doc_id, dl) of matching docs ordered by decoded fieldnorm
+        length DESC, doc_id ASC — Tantivy ``TopDocs::order_by_u64_field``
+        (rank matches by a numeric fast field instead of relevance)."""
+        cand, dl = self._match_with_norms(groups, exclude_terms)
+        if len(cand) == 0:
+            return []
         sel = np.lexsort((cand, -dl))[:m]
         return list(zip(cand[sel].tolist(), dl[sel].tolist()))
+
+    def match_dl_stats(
+        self,
+        groups: list[list[str]],
+        exclude_terms: list[str] | None = None,
+    ) -> tuple[int, int, int, int]:
+        """(n, Σdl, min dl, max dl) over ALL matching docs — the shard-local
+        partial of an Elasticsearch stats aggregation on the length fast
+        field.  Constant-size payload per shard; the driver folds."""
+        cand, dl = self._match_with_norms(groups, exclude_terms)
+        if len(cand) == 0:
+            return (0, 0, 0, 0)
+        return (int(len(cand)), int(dl.sum()), int(dl.min()), int(dl.max()))
+
+    def collapse_best(
+        self,
+        groups: list[list[str]],
+        n_docs: int,
+        avgdl: float,
+        global_df: dict[str, int],
+        lang_col: str | None,
+        url_col: str | None,
+        exclude_terms: list[str] | None = None,
+    ) -> list[tuple[str, int, float]]:
+        """Per-domain best hit in this shard (Elasticsearch field collapsing):
+        ALL candidates are scored (exactness — a shard-local top-m cut could
+        hide a domain's true best), then one (domain, doc_id, score) row per
+        domain ships, best chosen by the pinned (round-9 score desc, doc_id)
+        order.  Payload is O(#domains in shard), never O(#matches)."""
+        cand = self._match_candidates(groups, exclude_terms)
+        if len(cand) == 0:
+            return []
+        terms = dict.fromkeys(t for g in groups for t in g)
+        posts = [(t, self.posting(t)) for t in terms]
+        posts = [(t, p) for t, p in posts if p is not None]
+        scores = _union_exact_scores(
+            posts, cand, n_docs, avgdl, global_df, self._decode_for_candidates
+        )
+        self._load_meta(lang_col, url_col)
+        if self._meta is None or self._meta["url"] is None:
+            doms = pa.array([""] * len(cand), type=pa.string())
+        else:
+            pos = np.searchsorted(self._meta["doc_id"], cand)
+            urls = self._meta["url"].take(pa.array(pos))
+            doms = pc.list_element(pc.split_pattern(urls, "/", max_splits=1), 0)
+        codes = pc.dictionary_encode(doms)
+        idx = codes.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        rs = np.round(scores, 9)
+        order = np.lexsort((cand, -rs, idx))  # per-domain pinned best first
+        first = np.concatenate(([True], idx[order][1:] != idx[order][:-1]))
+        sel = order[first]
+        dom_dict = codes.dictionary
+        return [
+            (dom_dict[int(idx[i])].as_py() or "", int(cand[i]), float(scores[i]))
+            for i in sel
+        ]
 
     def search_dismax(
         self,
@@ -1371,6 +1437,62 @@ class IndexSearcher:
         dls = np.array([r[1] for r in rows], dtype=np.int64)
         sel = np.lexsort((ids, -dls))[:m]
         return [{"doc_id": int(ids[i]), "dl": int(dls[i])} for i in sel]
+
+    def stats_agg(self, query_text: str, *, match_any: bool = False) -> dict:
+        """Stats aggregation over ALL matches (Elasticsearch stats agg on the
+        quantized-length fast field): count / min / max / avg of dl.  Each
+        shard ships a constant-size (n, Σ, min, max) partial."""
+        groups = self._build_groups(query_text, 0, False, match_any)
+        if groups is None:
+            return {"n_docs": 0, "dl_min": 0, "dl_max": 0, "dl_avg": 0.0}
+        n = s = 0
+        mn, mx = None, None
+        for pn, ps, pmn, pmx in self._fanout("match_dl_stats", groups):
+            if pn == 0:
+                continue
+            n += pn
+            s += ps
+            mn = pmn if mn is None else min(mn, pmn)
+            mx = pmx if mx is None else max(mx, pmx)
+        return {
+            "n_docs": n,
+            "dl_min": mn or 0,
+            "dl_max": mx or 0,
+            "dl_avg": (s / n) if n else 0.0,
+        }
+
+    def search_collapse_domain(self, query_text: str, *, limit: int = 10) -> list[dict]:
+        """Field collapsing (Elasticsearch ``collapse``): the best hit per
+        domain, ranked by that best score — at most one result per site.
+        Shards ship one row per local domain; the driver folds per-domain
+        bests by the pinned order and cuts the top-``limit`` domains."""
+        groups = self._build_groups(query_text, 0, False, False)
+        if groups is None:
+            return []
+        all_terms = sorted({t for g in groups for t in g})
+        global_df = self._global_df(all_terms)
+        if any(all(global_df[t] == 0 for t in g) for g in groups):
+            return []
+        best: dict[str, tuple[float, int]] = {}
+        for sh in self._fanout(
+            "collapse_best",
+            groups,
+            self.manifest.num_docs,
+            self.manifest.avgdl,
+            global_df,
+            self.lang_col,
+            self.url_col,
+        ):
+            for dom, doc, score in sh:
+                cur = best.get(dom)
+                key = (-round(score, 9), doc)
+                if cur is None or key < (-round(cur[0], 9), cur[1]):
+                    best[dom] = (score, doc)
+        rows = sorted(
+            ((dom, doc, score) for dom, (score, doc) in best.items()),
+            key=lambda r: (-round(r[2], 9), r[1]),
+        )[: limit or None]
+        return [{"domain": d, "doc_id": i, "score": s} for d, i, s in rows]
 
     def search_dismax(
         self, query_text: str, *, tie: float = 0.1, limit: int = 10

@@ -169,6 +169,46 @@ class TestFacetDomain:
         assert got == want
 
 
+class TestStatsAgg:
+    def test_matches_brute(self, built):
+        rows, s, _ = built
+        from code_indexer_ray.index.fieldnorm import quantize_length
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        got = s.stats_agg("spark merge")
+        dls = []
+        for r in rows:
+            toks = tokenize_query(r["text"])
+            if "spark" in toks and "merge" in toks:
+                dls.append(int(quantize_length([len(toks)])[0]))
+        assert got["n_docs"] == len(dls)
+        assert got["dl_min"] == min(dls) and got["dl_max"] == max(dls)
+        assert abs(got["dl_avg"] - sum(dls) / len(dls)) < 1e-12
+
+    def test_empty_match(self, built):
+        _, s, _ = built
+        assert s.stats_agg("nosuchterm")["n_docs"] == 0
+
+
+class TestCollapseDomain:
+    def test_one_hit_per_domain_and_it_is_the_best(self, built):
+        _, s, _ = built
+        full = s.search("spark", limit=0, snippet_lines=0)
+        best: dict[str, tuple] = {}
+        for r in full:
+            d = r["path"].split("/", 1)[0] if r.get("path") else ""
+            key = (-round(r["score"], 9), r["doc_id"])
+            if d not in best or key < best[d][0]:
+                best[d] = (key, r["doc_id"], r["score"])
+        want = sorted(best.items(), key=lambda kv: kv[1][0])
+        got = s.search_collapse_domain("spark", limit=10)
+        assert len(got) == min(10, len(want))
+        for g, (dom, (_k, doc, score)) in zip(got, want):
+            assert (g["domain"], g["doc_id"], round(g["score"], 9)) == (
+                dom, doc, round(score, 9)
+            )
+
+
 class TestActorModeParity:
     def test_remote_fanout_identical(self, built, tmp_path_factory):
         from code_indexer_ray.query.engine import IndexSearcher
@@ -186,5 +226,8 @@ class TestActorModeParity:
              rs.search_dismax("spark merge", tie=0.1, limit=10)),
             (s.explain("spark merge", limit=5), rs.explain("spark merge", limit=5)),
             (s.facets_domain("spark"), rs.facets_domain("spark")),
+            (s.stats_agg("spark"), rs.stats_agg("spark")),
+            (s.search_collapse_domain("spark", limit=10),
+             rs.search_collapse_domain("spark", limit=10)),
         ):
             assert a == b
