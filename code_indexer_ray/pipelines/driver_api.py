@@ -530,6 +530,83 @@ def q_significant_terms(sf_dir: str):
     )
 
 
+def q_vocab_range(sf_dir: str):
+    """Term-dictionary range scan (Tantivy TermDictionary / FST range
+    stream): first 50 terms in ['s', 'u') with exact global df — two bisects
+    per shard, O(limit × shards) payload, never vocabulary-sized."""
+    rows = searcher_for(sf_dir).vocab_range("s", "u", limit=50)
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], type=pa.string()),
+            "df": pa.array([r["df"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+MGET_IDS = [7, 42, 123, 400, 499, 998877]  # last id does not exist
+
+
+def q_mget(sf_dir: str):
+    """Stored-field multi-get (Elasticsearch mget): full rows for a set of
+    doc ids — shard-meta fan-out for lang/url, metadata-pruned docstore
+    point reads for text; missing ids silently absent."""
+    rows = searcher_for(sf_dir).mget(MGET_IDS)
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+            "url": pa.array([r["url"] for r in rows], type=pa.string()),
+            "text": pa.array([r["text"] for r in rows], type=pa.string()),
+        }
+    )
+
+
+PERCOLATE_QUERIES = [
+    ("q_spark_merge", ["spark", "merge"]),
+    ("q_window_batch", ["window", "batch"]),
+    ("q_scan_fast_row", ["scan", "fast", "row"]),
+]
+
+
+def q_percolate(sf_dir: str):
+    """Percolation (Elasticsearch percolator / reverse search): a SMALL
+    registered query set is matched against the document STREAM — queries
+    are a broadcast constant, docs flow through one shuffle-free
+    map_batches pass, output is (query_id, doc_id) pairs.  AND semantics
+    per query; per-batch cost is one tokenize + one boolean mask per
+    (query, term)."""
+    import ray.data as rd
+
+    from ..text.analysis import term_frequencies
+
+    def match(batch: pa.Table) -> pa.Table:
+        terms, rows, _tfs, _ = term_frequencies(batch["text"])
+        tstr = terms.cast(pa.string())
+        doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        out_q: list[str] = []
+        out_d: list[int] = []
+        for qid, qterms in PERCOLATE_QUERIES:
+            has = None
+            for t in qterms:
+                m = pc.equal(tstr, t).to_numpy(zero_copy_only=False)
+                rows_with = np.zeros(batch.num_rows, dtype=bool)
+                rows_with[rows[m]] = True
+                has = rows_with if has is None else (has & rows_with)
+            sel = np.flatnonzero(has)
+            out_q.extend([qid] * len(sel))
+            out_d.extend(doc_ids[sel].tolist())
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.string()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        match, batch_format="pyarrow"
+    )
+
+
 def q_facet_lang(sf_dir: str):
     """Language facet counts over ALL docs matching 'spark' (FacetCollector
     analog): exact per-shard counting, only {lang: count} maps cross the
@@ -3319,6 +3396,26 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT domain, doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r\n"
         "FROM ranked WHERE rank <= 10"
     )
+    out["fts_vocab_range"] = (
+        pre + "\n"
+        "SELECT term, df FROM df WHERE term >= 's' AND term < 'u'\n"
+        "ORDER BY term LIMIT 50"
+    )
+    _mget_ids = ",".join(str(i) for i in MGET_IDS)
+    out["fts_mget"] = (
+        "SELECT doc_id, lang, source || '/' || doc_id AS url, text\n"
+        f"FROM documents WHERE doc_id IN ({_mget_ids})"
+    )
+    _perc_parts = []
+    for qid, qterms in PERCOLATE_QUERIES:
+        conds = " AND ".join(
+            f"EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = d.doc_id AND x.term = '{t}')"
+            for t in qterms
+        )
+        _perc_parts.append(
+            f"SELECT '{qid}' AS query_id, d.doc_id FROM documents d WHERE {conds}"
+        )
+    out["percolate"] = pre + "\n" + "\nUNION ALL\n".join(_perc_parts)
     out["significant_terms"] = (
         pre + ",\n"
         "fgd AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'spark'),\n"
@@ -4334,6 +4431,9 @@ def query_catalog():
         "fts_stats_agg": q_stats_agg,
         "fts_collapse_domain": q_collapse_domain,
         "significant_terms": q_significant_terms,
+        "fts_vocab_range": q_vocab_range,
+        "fts_mget": q_mget,
+        "percolate": q_percolate,
         "fts_more_like_this": q_more_like_this,
         "fts_hybrid_rrf": q_hybrid_search,
         "gopher_repetition": q_gopher_repetition,

@@ -52,6 +52,19 @@ from .globmatch import matches_any
 
 UNLIMITED_LIMIT = 100_000  # reference's "limit=0 → effectively unlimited"
 
+
+def _bisect_terms(arr: pa.Array, key: str) -> int:
+    """Leftmost insertion point of ``key`` in a sorted Arrow string array —
+    O(log V) scalar probes, no vocabulary materialization."""
+    lo, hi = 0, len(arr)
+    while lo < hi:
+        mid = (lo + hi) // 2
+        if arr[mid].as_py() < key:
+            lo = mid + 1
+        else:
+            hi = mid
+    return lo
+
 _BUCKET_FILE_RE = re.compile(r"bucket=(\d+)\.parquet$")
 
 
@@ -1009,6 +1022,48 @@ class ShardSearcher:
         sel = np.lexsort((cand, -scores))[:m]
         return list(zip(cand[sel].tolist(), scores[sel].tolist()))
 
+    def vocab_range(self, lo: str, hi: str, k: int) -> list[tuple[str, int]]:
+        """First ``k`` (term, LOCAL df) of this shard's sorted dictionary in
+        [lo, hi) — a term-dictionary range scan (Tantivy TermDictionary /
+        FST range stream analog): two bisects on the sorted term array, no
+        vocabulary materialization.  The driver merges per-shard heads (the
+        global first k distinct terms are covered by the union of per-shard
+        first k) and re-resolves exact global df afterwards."""
+        _tbl, sorted_terms, order, dfs = self._all_state()
+        a = _bisect_terms(sorted_terms, lo)
+        b = _bisect_terms(sorted_terms, hi)
+        b = min(b, a + k)
+        return [
+            (sorted_terms[i].as_py(), int(dfs[order[i]])) for i in range(a, b)
+        ]
+
+    def meta_for_docs(
+        self, doc_ids: list[int], lang_col: str | None, url_col: str | None
+    ) -> list[tuple[int, str | None, str | None]]:
+        """(doc_id, lang, url) for the requested ids present in this shard —
+        the stored-field half of a multi-get; absent ids are simply skipped
+        (docs are sharded by id range, so exactly one shard answers each)."""
+        self._load_meta(lang_col, url_col)
+        if self._meta is None:
+            return []
+        ids = np.asarray(sorted(set(int(i) for i in doc_ids)), dtype=np.int64)
+        have = self._meta["doc_id"]
+        pos = np.minimum(np.searchsorted(have, ids), len(have) - 1) if len(have) else None
+        if pos is None:
+            return []
+        hit = have[pos] == ids
+        out = []
+        la, ua = self._meta["lang"], self._meta["url"]
+        for i, p in zip(ids[hit].tolist(), pos[hit].tolist()):
+            out.append(
+                (
+                    int(i),
+                    la[int(p)].as_py() if la is not None else None,
+                    ua[int(p)].as_py() if ua is not None else None,
+                )
+            )
+        return out
+
     def term_postings_for_docs(
         self, terms: list[str], doc_ids: list[int]
     ) -> dict[str, list[tuple[int, int, int]]]:
@@ -1437,6 +1492,41 @@ class IndexSearcher:
         dls = np.array([r[1] for r in rows], dtype=np.int64)
         sel = np.lexsort((ids, -dls))[:m]
         return [{"doc_id": int(ids[i]), "dl": int(dls[i])} for i in sel]
+
+    def vocab_range(self, lo: str, hi: str, *, limit: int = 50) -> list[dict]:
+        """Term-dictionary range scan: the first ``limit`` distinct terms in
+        [lo, hi) with exact GLOBAL df.  Each shard ships its first ``limit``
+        local (term, df) pairs (the global head is always inside that union);
+        the driver merge-sums local dfs — payload O(limit × shards), never
+        vocabulary-sized."""
+        agg: dict[str, int] = {}
+        for sh in self._fanout("vocab_range", lo, hi, limit):
+            for t, df in sh:
+                agg[t] = agg.get(t, 0) + df
+        terms = sorted(agg)[:limit]
+        return [{"term": t, "df": agg[t]} for t in terms]
+
+    def mget(self, doc_ids: list[int]) -> list[dict]:
+        """Stored-field multi-get (Elasticsearch mget / Tantivy doc-address
+        fetch): (doc_id, lang, url, text) for each existing id — metadata
+        rides the shard meta fan-out, text comes from metadata-pruned
+        docstore row-group point reads.  Missing ids are silently absent."""
+        ids = sorted(set(int(i) for i in doc_ids))
+        meta: dict[int, tuple[str | None, str | None]] = {}
+        for sh in self._fanout("meta_for_docs", ids, self.lang_col, self.url_col):
+            for d, lang, url in sh:
+                meta[d] = (lang, url)
+        texts = self._fetch_texts([d for d in ids if d in meta])
+        return [
+            {
+                "doc_id": d,
+                "lang": meta[d][0],
+                "url": meta[d][1],
+                "text": texts.get(d, ""),
+            }
+            for d in ids
+            if d in meta
+        ]
 
     def stats_agg(self, query_text: str, *, match_any: bool = False) -> dict:
         """Stats aggregation over ALL matches (Elasticsearch stats agg on the

@@ -209,6 +209,47 @@ class TestCollapseDomain:
             )
 
 
+class TestVocabRange:
+    def test_matches_brute_dictionary(self, built):
+        rows, s, _ = built
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        df: dict[str, int] = {}
+        for r in rows:
+            for t in set(tokenize_query(r["text"])):
+                df[t] = df.get(t, 0) + 1
+        want = [(t, df[t]) for t in sorted(df) if "m" <= t < "x"][:5]
+        got = s.vocab_range("m", "x", limit=5)
+        assert [(g["term"], g["df"]) for g in got] == want
+
+    def test_small_per_shard_head_is_still_exact(self, built):
+        """limit=1: the head term's df must still be the exact GLOBAL sum."""
+        rows, s, _ = built
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        got = s.vocab_range("a", "z", limit=1)
+        t = got[0]["term"]
+        want = sum(1 for r in rows if t in set(tokenize_query(r["text"])))
+        assert got[0]["df"] == want
+
+
+class TestMget:
+    def test_rows_match_source(self, built):
+        rows, s, _ = built
+        got = s.mget([3, 17, 55, 10_000])
+        by_id = {r["doc_id"]: r for r in rows}
+        assert [g["doc_id"] for g in got] == [3, 17, 55]
+        for g in got:
+            src = by_id[g["doc_id"]]
+            assert (g["lang"], g["url"], g["text"]) == (
+                src["lang"], src["url"], src["text"]
+            )
+
+    def test_all_missing(self, built):
+        _, s, _ = built
+        assert s.mget([10_000, 20_000]) == []
+
+
 class TestActorModeParity:
     def test_remote_fanout_identical(self, built, tmp_path_factory):
         from code_indexer_ray.query.engine import IndexSearcher
@@ -229,5 +270,7 @@ class TestActorModeParity:
             (s.stats_agg("spark"), rs.stats_agg("spark")),
             (s.search_collapse_domain("spark", limit=10),
              rs.search_collapse_domain("spark", limit=10)),
+            (s.vocab_range("m", "x", limit=5), rs.vocab_range("m", "x", limit=5)),
+            (s.mget([3, 17, 55]), rs.mget([3, 17, 55])),
         ):
             assert a == b
