@@ -994,6 +994,25 @@ def q_multi_repo(sf_dir: str):
     )
 
 
+def q_federated_global(sf_dir: str):
+    """Federated search with MERGED corpus statistics (ES cross-cluster
+    search with global term stats): the two parity-split repo indexes are
+    searched with N/avgdl/df summed across repos and rank-merged — over an
+    exhaustive split this is score-identical to one monolithic index, so the
+    twin scores the full corpus directly (the statistical dual of
+    `fts_multi_repo`'s repo-local mode)."""
+    ms = multi_searcher_for(sf_dir)
+    res = ms.search_global("spark merge", limit=10)
+    rows = sorted(res, key=lambda r: (-round(r["score"], 9), r["doc_id"]))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r["score"], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def q_regex_terms(sf_dir: str):
     s = searcher_for(sf_dir)
     terms = s.expand_terms("regex", "w.*w")
@@ -3245,6 +3264,8 @@ def oracle_catalog() -> dict[str, str]:
 
     out["fts_bm25_single"] = _q(_scored_cte("'merge'", None), _ranked_topk(10))
     out["fts_bm25_and"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
+    # merged-stats federation over an exhaustive split ≡ the monolithic index
+    out["fts_federated_global"] = _q(_scored_cte("'spark','merge'", 2), _ranked_topk(10))
     # the incremental base+delta merge must equal a direct full-corpus build,
     # so its twin scores the full corpus with the same AND semantics
     out["fts_incremental"] = _q(_scored_cte("'spark','window'", 2), _ranked_topk(10))
@@ -4452,6 +4473,7 @@ def query_catalog():
         "fts_bm25_prefix": q_bm25_prefix,
         "spell_suggest": q_spell_suggest,
         "fts_multi_repo": q_multi_repo,
+        "fts_federated_global": q_federated_global,
         "fts_incremental": q_fts_incremental,
         "fts_query_dsl": q_query_dsl,
         "fts_lmdirichlet": q_lmdirichlet,

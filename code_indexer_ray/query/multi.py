@@ -12,6 +12,9 @@ server-side fan-out (``server/multi/multi_search_service.py:115-180`` +
 
 from __future__ import annotations
 
+import numpy as np
+
+from ..text.analysis import tokenize_query
 from .engine import IndexSearcher
 
 
@@ -50,3 +53,40 @@ class MultiIndexSearcher:
                 r["repository"] = rid
             aggregated[rid] = limited
         return aggregated, errors
+
+    def search_global(self, query_text: str, *, limit: int = 10) -> list[dict]:
+        """Federated AND search with MERGED corpus statistics (Elasticsearch
+        cross-cluster search with global term statistics / Lucene distributed
+        IDF): N = ΣNᵢ, avgdl = Σtokensᵢ/ΣNᵢ, df(t) = Σdfᵢ(t) — one tiny df
+        fan-out first, then each index's shards score with the merged stats
+        and the driver rank-merges ACROSS repositories.  Over an exhaustive
+        partition of one corpus this is score-identical to searching a
+        monolithic index of the union (the statistical dual of
+        :meth:`search`'s repo-local mode, which never merges stats)."""
+        searchers = list(self._searchers.values())
+        terms = sorted(dict.fromkeys(tokenize_query(query_text)))
+        if not terms:
+            return []
+        n_docs = sum(s.manifest.num_docs for s in searchers)
+        total_tokens = sum(s.manifest.total_tokens for s in searchers)
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+        global_df = {t: 0 for t in terms}
+        for s in searchers:
+            for t, df in s._global_df(terms).items():
+                global_df[t] += df
+        if any(global_df[t] == 0 for t in terms):
+            return []  # AND semantics over the union corpus
+        groups = [[t] for t in terms]
+        hits: list[tuple[int, float]] = []
+        for s in searchers:
+            per_shard = s._fanout(
+                "search_groups", groups, n_docs, avgdl, global_df, limit,
+                None, s.lang_col, s.url_col,
+            )
+            hits.extend((h[0], h[1]) for sh in per_shard for h in sh)
+        if not hits:
+            return []
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        scores = np.array([h[1] for h in hits], dtype=np.float64)
+        sel = np.lexsort((ids, -scores))[: limit or None]
+        return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
