@@ -283,6 +283,39 @@ def q_span_dedup(sf_dir: str):
     return span_dedup_stats(rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]))
 
 
+def q_c4_line_filter(sf_dir: str):
+    """C4 line-rule quality filter (Raffel et al. 2020 §2.2): keep lines with
+    ≥5 words ending in terminal punctuation, keep pages with ≥3 surviving
+    lines.  Deterministic line synthesis (tokens → 10-token lines, punct by
+    (doc_id + li) % 3) precedes the filter so real multi-line rules run on
+    both sides; two shuffle-free vectorized passes."""
+    import ray.data as rd
+
+    from ..text.c4 import c4_stats_batch, synthesize_lines_batch
+
+    return (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+        .map_batches(synthesize_lines_batch, batch_format="pyarrow")
+        .map_batches(c4_stats_batch, batch_format="pyarrow")
+    )
+
+
+def q_line_dedup(sf_dir: str):
+    """RefinedWeb exact line dedup (Penedo et al. 2023): per doc, how many of
+    its distinct lines occur in >1 document.  Map-side DISTINCT (line-hash,
+    doc) pairs → one coarse hash-partition shuffle (multiplicity never lands
+    unsplit) → per-doc fold; md5-lower-64 hashes on BOTH sides."""
+    import ray.data as rd
+
+    from ..text.c4 import line_dedup_stats, synthesize_lines_batch
+
+    return line_dedup_stats(
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+            synthesize_lines_batch, batch_format="pyarrow"
+        )
+    )
+
+
 RRF_K = 60
 RRF_DEPTH = 20
 
@@ -3417,6 +3450,26 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT domain, doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r\n"
         "FROM ranked WHERE rank <= 10"
     )
+    from ..text.c4 import MIN_LINES, MIN_WORDS, sql_lines_cte
+
+    out["c4_line_filter"] = (
+        "WITH " + sql_lines_cte() + ",\n"
+        "st AS (SELECT doc_id, count(*) AS n_lines,\n"
+        f"  sum(CASE WHEN nw >= {MIN_WORDS} AND line LIKE '%.' THEN 1 ELSE 0 END) AS n_kept\n"
+        "  FROM lines GROUP BY doc_id)\n"
+        "SELECT d.doc_id, coalesce(st.n_lines, 0)::BIGINT AS n_lines,\n"
+        "  coalesce(st.n_kept, 0)::BIGINT AS n_kept,\n"
+        f"  (CASE WHEN coalesce(st.n_kept, 0) >= {MIN_LINES} THEN 1 ELSE 0 END)::BIGINT AS kept\n"
+        "FROM documents d LEFT JOIN st USING (doc_id)"
+    )
+    out["line_dedup"] = (
+        "WITH " + sql_lines_cte() + ",\n"
+        "dsx AS (SELECT DISTINCT doc_id, md5_number_lower(line) AS x FROM lines),\n"
+        "sc AS (SELECT x, count(*) AS nd FROM dsx GROUP BY x)\n"
+        "SELECT dsx.doc_id, count(*)::BIGINT AS n_lines,\n"
+        "  sum(CASE WHEN sc.nd > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup\n"
+        "FROM dsx JOIN sc USING (x) GROUP BY dsx.doc_id"
+    )
     out["fts_vocab_range"] = (
         pre + "\n"
         "SELECT term, df FROM df WHERE term >= 's' AND term < 'u'\n"
@@ -4455,6 +4508,8 @@ def query_catalog():
         "fts_vocab_range": q_vocab_range,
         "fts_mget": q_mget,
         "percolate": q_percolate,
+        "c4_line_filter": q_c4_line_filter,
+        "line_dedup": q_line_dedup,
         "fts_more_like_this": q_more_like_this,
         "fts_hybrid_rrf": q_hybrid_search,
         "gopher_repetition": q_gopher_repetition,
