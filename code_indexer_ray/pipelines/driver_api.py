@@ -316,6 +316,53 @@ def q_line_dedup(sf_dir: str):
     )
 
 
+def q_complete(sf_dir: str):
+    """Completion suggester (ES suggest / Lucene suggesters): terms starting
+    with 's' ranked by exact global df — per-shard sorted-dictionary bisect
+    slices, driver df-sum + top-10."""
+    rows = searcher_for(sf_dir).complete("s", limit=10)
+    return pa.table(
+        {
+            "term": pa.array([r["term"] for r in rows], type=pa.string()),
+            "df": pa.array([r["df"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+        }
+    )
+
+
+DOMAIN_CAP = 5
+
+
+def q_domain_cap(sf_dir: str):
+    """Per-domain page cap (C4-style anti-domination: keep at most K pages
+    per site, deterministic first-K by doc_id).  Map-side per-(batch, domain)
+    head-K partials mean the shuffle moves ≤ K rows per (domain, batch) —
+    never the full corpus — then one tiny per-domain head-K fold."""
+    import ray.data as rd
+
+    def local_head(batch: pa.Table) -> pa.Table:
+        order = pc.sort_indices(
+            batch, sort_keys=[("source", "ascending"), ("doc_id", "ascending")]
+        )
+        t = batch.take(order)
+        src = t["source"].to_numpy(zero_copy_only=False)
+        pos = np.arange(len(src))
+        start = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        rank_in_dom = pos - np.repeat(start, np.diff(np.r_[start, len(src)]))
+        return t.filter(pa.array(rank_in_dom < DOMAIN_CAP))
+
+    def final_head(g: pa.Table) -> pa.Table:
+        order = pc.sort_indices(g, sort_keys=[("doc_id", "ascending")])
+        return g.take(order.slice(0, DOMAIN_CAP))
+
+    return (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "source"])
+        .map_batches(local_head, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(final_head, batch_format="pyarrow")
+    )
+
+
 RRF_K = 60
 RRF_DEPTH = 20
 
@@ -3475,6 +3522,17 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT term, df FROM df WHERE term >= 's' AND term < 'u'\n"
         "ORDER BY term LIMIT 50"
     )
+    out["fts_complete"] = (
+        pre + ",\n"
+        "r AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rank\n"
+        "  FROM df WHERE term LIKE 's%')\n"
+        "SELECT term, df, rank::BIGINT AS rank FROM r WHERE rank <= 10"
+    )
+    out["domain_cap"] = (
+        "WITH r AS (SELECT doc_id, source,\n"
+        "  row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM documents)\n"
+        f"SELECT doc_id, source FROM r WHERE rn <= {DOMAIN_CAP}"
+    )
     _mget_ids = ",".join(str(i) for i in MGET_IDS)
     out["fts_mget"] = (
         "SELECT doc_id, lang, source || '/' || doc_id AS url, text\n"
@@ -4509,6 +4567,8 @@ def query_catalog():
         "fts_mget": q_mget,
         "percolate": q_percolate,
         "c4_line_filter": q_c4_line_filter,
+        "fts_complete": q_complete,
+        "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
         "fts_more_like_this": q_more_like_this,
         "fts_hybrid_rrf": q_hybrid_search,

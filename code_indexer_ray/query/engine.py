@@ -1506,6 +1506,21 @@ class IndexSearcher:
         terms = sorted(agg)[:limit]
         return [{"term": t, "df": agg[t]} for t in terms]
 
+    def complete(self, prefix: str, *, limit: int = 10) -> list[dict]:
+        """Completion suggester (Lucene/ES suggest): terms starting with
+        ``prefix`` ranked by exact global df desc, term asc.  Each shard
+        bisects its sorted dictionary and ships its full (term, local df)
+        prefix slice — payload is the matching-vocabulary size, so callers
+        should pass prefixes of realistic length (the reference's suggesters
+        carry the same per-segment cost)."""
+        hi = prefix + chr(0x10FFFF)
+        agg: dict[str, int] = {}
+        for sh in self._fanout("vocab_range", prefix, hi, UNLIMITED_LIMIT):
+            for t, df in sh:
+                agg[t] = agg.get(t, 0) + df
+        rows = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[: limit or None]
+        return [{"term": t, "df": df} for t, df in rows]
+
     def mget(self, doc_ids: list[int]) -> list[dict]:
         """Stored-field multi-get (Elasticsearch mget / Tantivy doc-address
         fetch): (doc_id, lang, url, text) for each existing id — metadata

@@ -233,6 +233,23 @@ class TestVocabRange:
         assert got[0]["df"] == want
 
 
+class TestComplete:
+    def test_df_ranked_prefix(self, built):
+        rows, s, _ = built
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        df: dict[str, int] = {}
+        for r in rows:
+            for t in set(tokenize_query(r["text"])):
+                df[t] = df.get(t, 0) + 1
+        want = sorted(
+            ((t, n) for t, n in df.items() if t.startswith("s")),
+            key=lambda kv: (-kv[1], kv[0]),
+        )[:3]
+        got = s.complete("s", limit=3)
+        assert [(g["term"], g["df"]) for g in got] == want
+
+
 class TestMget:
     def test_rows_match_source(self, built):
         rows, s, _ = built
