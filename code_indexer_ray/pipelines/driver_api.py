@@ -330,6 +330,38 @@ def q_complete(sf_dir: str):
     )
 
 
+def q_synonyms(sf_dir: str):
+    """Query-time synonym expansion (Lucene SynonymQuery): 'spark merge'
+    with merge≡sort — docs containing spark AND (merge OR sort), scored by
+    the BM25 sum over the union members they contain; the synonym map is a
+    broadcast constant, nothing is re-indexed."""
+    res = searcher_for(sf_dir).search_synonyms(
+        "spark merge", {"merge": ["sort"]}, limit=10
+    )
+    rows = sorted(res, key=lambda r: (-round(r["score"], 9), r["doc_id"]))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r["score"], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
+def q_index_stats(sf_dir: str):
+    """Corpus-statistics surface (SURVEY A1/A2 as a user query): N, total
+    token count and avgdl straight from the manifest — zero corpus reads at
+    query time; the twin recomputes them from scratch."""
+    m = searcher_for(sf_dir).manifest
+    return pa.table(
+        {
+            "num_docs": pa.array([m.num_docs], type=pa.int64()),
+            "total_tokens": pa.array([m.total_tokens], type=pa.int64()),
+            "avgdl_r": pa.array([round(m.avgdl, 4)], type=pa.float64()),
+        }
+    )
+
+
 DOMAIN_CAP = 5
 
 
@@ -3522,6 +3554,25 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT term, df FROM df WHERE term >= 's' AND term < 'u'\n"
         "ORDER BY term LIMIT 50"
     )
+    out["fts_synonyms"] = _q(
+        _scored_cte(
+            "'spark','merge','sort'",
+            None,
+            lang_pred=(
+                "AND EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = tf.doc_id AND x.term = 'spark')\n"
+                "  AND EXISTS (SELECT 1 FROM tf x WHERE x.doc_id = tf.doc_id"
+                " AND x.term IN ('merge','sort'))"
+            ),
+        ),
+        _ranked_topk(10),
+    )
+    out["index_stats"] = (
+        f"WITH toks AS ({sql_tokens_cte()})\n"
+        "SELECT (SELECT count(*) FROM documents)::BIGINT AS num_docs,\n"
+        "  count(*)::BIGINT AS total_tokens,\n"
+        "  round(count(*)::DOUBLE / (SELECT count(*) FROM documents), 4) AS avgdl_r\n"
+        "FROM toks"
+    )
     out["fts_complete"] = (
         pre + ",\n"
         "r AS (SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rank\n"
@@ -4568,6 +4619,8 @@ def query_catalog():
         "percolate": q_percolate,
         "c4_line_filter": q_c4_line_filter,
         "fts_complete": q_complete,
+        "fts_synonyms": q_synonyms,
+        "index_stats": q_index_stats,
         "domain_cap": q_domain_cap,
         "line_dedup": q_line_dedup,
         "fts_more_like_this": q_more_like_this,

@@ -1506,6 +1506,49 @@ class IndexSearcher:
         terms = sorted(agg)[:limit]
         return [{"term": t, "df": agg[t]} for t in terms]
 
+    def search_synonyms(
+        self, query_text: str, synonyms: dict[str, list[str]], *, limit: int = 10
+    ) -> list[dict]:
+        """Query-time synonym expansion (Lucene SynonymQuery): each query
+        word becomes an OR group of itself plus its synonyms — AND across
+        words, OR within a group, score = BM25 sum over the group members a
+        doc contains (the engine's existing AND-of-OR-groups machinery; the
+        synonym map is a driver-side constant, nothing is re-indexed).
+        Groups must be disjoint (a term in two groups would double-count)."""
+        words = tokenize_query(query_text)
+        if not words:
+            return []
+        groups: list[list[str]] = []
+        seen: set[str] = set()
+        for w in dict.fromkeys(words):
+            alts: list[str] = [w]
+            for s in synonyms.get(w, []):
+                toks = tokenize_query(s)
+                if len(toks) != 1:
+                    raise ValueError(f"synonym must analyze to one term: {s!r}")
+                alts.append(toks[0])
+            g = sorted(dict.fromkeys(alts))
+            if seen & set(g):
+                raise ValueError(f"synonym groups must be disjoint: {seen & set(g)}")
+            seen |= set(g)
+            groups.append(g)
+        all_terms = sorted(seen)
+        global_df = self._global_df(all_terms)
+        if any(all(global_df[t] == 0 for t in g) for g in groups):
+            return []
+        m = limit if limit > 0 else UNLIMITED_LIMIT
+        per_shard = self._fanout(
+            "search_groups", groups, self.manifest.num_docs, self.manifest.avgdl,
+            global_df, m, None, self.lang_col, self.url_col,
+        )
+        hits = [h for sh in per_shard for h in sh]
+        if not hits:
+            return []
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        scores = np.array([h[1] for h in hits], dtype=np.float64)
+        sel = np.lexsort((ids, -scores))[:m]
+        return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
+
     def complete(self, prefix: str, *, limit: int = 10) -> list[dict]:
         """Completion suggester (Lucene/ES suggest): terms starting with
         ``prefix`` ranked by exact global df desc, term asc.  Each shard

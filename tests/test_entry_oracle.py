@@ -85,6 +85,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "fts_dismax", "fts_explain", "fts_stats_agg", "fts_collapse_domain",
         "significant_terms", "fts_vocab_range", "fts_mget", "percolate",
         "c4_line_filter", "line_dedup", "fts_complete", "domain_cap",
+        "fts_synonyms", "index_stats",
         "fts_more_like_this", "fts_hybrid_rrf", "gopher_repetition", "span_dedup", "fts_phrase", "fts_phrase_slop",
         "fts_bm25_lang", "fts_bm25_exclude_lang", "fts_bm25_source_filter",
         "fts_bm25_limit0", "fts_fuzzy_terms", "fts_bm25_fuzzy",
