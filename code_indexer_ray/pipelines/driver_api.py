@@ -1695,6 +1695,47 @@ def q_dedup_components(sf_dir: str):
     return components_table(pairs)
 
 
+_NEARDUP_CLUSTERS: dict[str, dict[int, int]] = {}
+
+
+def q_collapse_neardup(sf_dir: str):
+    """Near-dup-aware search (web-search result deduplication): top-10 for
+    'spark' keeping only the best hit per near-duplicate CLUSTER (the
+    transitive closure of the verified MinHash pair list; docs outside any
+    cluster are their own).  The cluster map is the dedup pipeline's output —
+    tiny relative to the corpus (only near-dup members) — so at scale it
+    broadcasts once and the per-cluster best folds shard-side exactly like
+    `fts_collapse_domain`; here the driver composes the two cataloged
+    pipelines directly (map cached per sf_dir, the curated_search precedent)."""
+    cluster_of = _NEARDUP_CLUSTERS.get(sf_dir)
+    if cluster_of is None:
+        comp = q_dedup_components(sf_dir)
+        if not isinstance(comp, pa.Table):
+            comp = _collect_table(comp)
+        cluster_of = dict(
+            zip(comp["doc_id"].to_pylist(), comp["cluster_id"].to_pylist())
+        )
+        _NEARDUP_CLUSTERS[sf_dir] = cluster_of
+    hits = searcher_for(sf_dir).search("spark", limit=0, snippet_lines=0)
+    best: dict[int, tuple[float, int]] = {}
+    for r in sorted(hits, key=lambda r: (-round(r["score"], 9), r["doc_id"])):
+        cid = int(cluster_of.get(r["doc_id"], r["doc_id"]))
+        if cid not in best:
+            best[cid] = (r["score"], r["doc_id"])
+    rows = sorted(
+        ((cid, doc, score) for cid, (score, doc) in best.items()),
+        key=lambda t: (-round(t[2], 9), t[1]),
+    )[:10]
+    return pa.table(
+        {
+            "cluster_id": pa.array([r[0] for r in rows], type=pa.int64()),
+            "doc_id": pa.array([r[1] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r[2], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
 def q_dedup_ngram_jaccard(sf_dir: str):
     """Character-4-gram Jaccard near-duplicates (tokenizer-free variant of
     the near-dup family): unique gram Horner hashes → MinHash → LSH bands →
@@ -4059,6 +4100,21 @@ def oracle_catalog() -> dict[str, str]:
         "FROM nodes n JOIN reach r ON r.u = n.node GROUP BY n.node"
     )
 
+    # near-dup-aware search: scored matches LEFT-join the component table
+    # (a doc outside every cluster is its own), best-per-cluster, top-10
+    out["fts_collapse_neardup"] = (
+        pre + ",\n" + _scored_cte("'spark'", None) + ",\n"
+        f"comp AS (SELECT * FROM ({out['dedup_components']})),\n"
+        "cl AS (SELECT s.doc_id, s.score, coalesce(c.cluster_id, s.doc_id) AS cluster_id\n"
+        "  FROM scored s LEFT JOIN comp c USING (doc_id)),\n"
+        "best AS (SELECT cluster_id, doc_id, score, row_number() OVER (\n"
+        "  PARTITION BY cluster_id ORDER BY round(score, 9) DESC, doc_id) AS rn FROM cl),\n"
+        "ranked AS (SELECT cluster_id, doc_id, score, row_number() OVER (\n"
+        "  ORDER BY round(score, 9) DESC, doc_id) AS rank FROM best WHERE rn = 1)\n"
+        "SELECT cluster_id, doc_id, rank::BIGINT AS rank, round(score, 4) AS score_r\n"
+        "FROM ranked WHERE rank <= 10"
+    )
+
     # char-4-gram Jaccard near-dups: Horner over codepoints (unicode() in
     # SQL == the numpy UTF-32 kernel), then the identical sig/band/pair/verify
     # algebra as dedup_near_pairs over gram-hash sets
@@ -4666,6 +4722,7 @@ def query_catalog():
         "dedup_minhash_md5_bands": q_minhash_md5_bands,
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_components": q_dedup_components,
+        "fts_collapse_neardup": q_collapse_neardup,
         "decontam_flags": q_decontam,
         "domain_stats": q_domain_stats,
         "domain_filter": q_domain_filter,
