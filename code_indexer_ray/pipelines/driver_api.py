@@ -1695,6 +1695,63 @@ def q_dedup_components(sf_dir: str):
     return components_table(pairs)
 
 
+MMR_LAMBDA = 0.7
+MMR_DEPTH = 20
+MMR_K = 10
+
+
+def q_mmr_rerank(sf_dir: str):
+    """MMR diversified reranking (Carbonell & Goldstein 1998): the top-20
+    BM25 candidates for 'spark merge' (OR) rerank greedily by
+    λ·relevance − (1−λ)·max token-Jaccard to the already-selected set —
+    near-duplicate hits fall down the ranking even when their BM25 is high.
+    Driver cost is k greedy steps over a depth×depth similarity matrix
+    (depth=20: trivial); the candidate fetch is the normal per-shard top-k
+    engine plus one stored-field multi-get."""
+    s = searcher_for(sf_dir)
+    hits = s.search("spark merge", match_any=True, limit=MMR_DEPTH, snippet_lines=0)
+    hits = sorted(hits, key=lambda r: (-round(r["score"], 9), r["doc_id"]))[:MMR_DEPTH]
+    if not hits:
+        return pa.table(
+            {"doc_id": pa.array([], pa.int64()), "rank": pa.array([], pa.int64()),
+             "mmr_r": pa.array([], pa.float64())}
+        )
+    ids = [r["doc_id"] for r in hits]
+    rel = np.array([r["score"] for r in hits], dtype=np.float64)
+    from ..text.analysis import tokenize_query
+
+    texts = {r["doc_id"]: r for r in s.mget(ids)}
+    tok_sets = [set(tokenize_query(texts[d]["text"])) for d in ids]
+    n = len(ids)
+    sim = np.zeros((n, n), dtype=np.float64)
+    for i in range(n):
+        for j in range(i + 1, n):
+            inter = len(tok_sets[i] & tok_sets[j])
+            union = len(tok_sets[i] | tok_sets[j])
+            sim[i, j] = sim[j, i] = inter / union if union else 0.0
+
+    remaining = list(range(n))
+    picked: list[tuple[int, float]] = []
+    max_sim = np.zeros(n, dtype=np.float64)
+    for _step in range(min(MMR_K, n)):
+        best_i, best_key = None, None
+        for i in remaining:
+            mmr = MMR_LAMBDA * rel[i] - (1 - MMR_LAMBDA) * (max_sim[i] if picked else 0.0)
+            key = (-round(mmr, 9), ids[i])
+            if best_key is None or key < best_key:
+                best_i, best_key = i, key
+        picked.append((best_i, -best_key[0]))
+        remaining.remove(best_i)
+        max_sim = np.maximum(max_sim, sim[best_i])
+    return pa.table(
+        {
+            "doc_id": pa.array([ids[i] for i, _ in picked], type=pa.int64()),
+            "rank": pa.array(range(1, len(picked) + 1), type=pa.int64()),
+            "mmr_r": pa.array([round(v, 4) for _, v in picked], type=pa.float64()),
+        }
+    )
+
+
 _NEARDUP_CLUSTERS: dict[str, dict[int, int]] = {}
 
 
@@ -4100,6 +4157,46 @@ def oracle_catalog() -> dict[str, str]:
         "FROM nodes n JOIN reach r ON r.u = n.node GROUP BY n.node"
     )
 
+    # MMR diversified rerank: unrolled greedy (the kmeans precedent — each
+    # step is one CTE pair), λ and (1−λ) written as the same expressions the
+    # engine evaluates so the IEEE arithmetic matches bit-for-bit
+    lam = MMR_LAMBDA
+    mmr_sql = (
+        pre + ",\n" + _scored_cte("'spark','merge'", None) + ",\n"
+        "rtop AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rk FROM scored),\n"
+        f"cand AS MATERIALIZED (SELECT doc_id, score FROM rtop WHERE rk <= {MMR_DEPTH}),\n"
+        "tsx AS MATERIALIZED (SELECT DISTINCT tf.doc_id, tf.term FROM tf JOIN cand USING (doc_id)),\n"
+        "sz AS (SELECT doc_id, count(*) AS n FROM tsx GROUP BY doc_id),\n"
+        "inter AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS i\n"
+        "  FROM tsx a JOIN tsx b ON a.term = b.term AND a.doc_id <> b.doc_id\n"
+        "  GROUP BY a.doc_id, b.doc_id),\n"
+        "sim AS MATERIALIZED (SELECT da, db, i::DOUBLE / (sa.n + sb.n - i) AS s\n"
+        "  FROM inter JOIN sz sa ON sa.doc_id = da JOIN sz sb ON sb.doc_id = db),\n"
+        f"sel1 AS (SELECT doc_id, {lam} * score AS mmr FROM cand\n"
+        f"  ORDER BY round({lam} * score, 9) DESC, doc_id LIMIT 1),\n"
+        "picked1 AS MATERIALIZED (SELECT doc_id, 1 AS rank, mmr FROM sel1)"
+    )
+    for i in range(2, MMR_K + 1):
+        p = i - 1
+        step = (
+            f",\nsel{i} AS (SELECT c.doc_id,\n"
+            f"  {lam} * c.score - (1 - {lam}) * coalesce(max(s.s), 0) AS mmr\n"
+            f"  FROM cand c LEFT JOIN sim s ON s.da = c.doc_id\n"
+            f"    AND s.db IN (SELECT doc_id FROM picked{p})\n"
+            f"  WHERE c.doc_id NOT IN (SELECT doc_id FROM picked{p})\n"
+            "  GROUP BY c.doc_id, c.score\n"
+            f"  ORDER BY round({lam} * c.score - (1 - {lam}) * coalesce(max(s.s), 0), 9) DESC,"
+            " c.doc_id LIMIT 1),\n"
+            f"picked{i} AS MATERIALIZED (SELECT * FROM picked{p}\n"
+            f"  UNION ALL SELECT doc_id, {i} AS rank, mmr FROM sel{i})"
+        )
+        mmr_sql += step
+    out["fts_mmr_rerank"] = (
+        mmr_sql
+        + f"\nSELECT doc_id, rank::BIGINT AS rank, round(mmr, 4) AS mmr_r FROM picked{MMR_K}"
+    )
+
     # near-dup-aware search: scored matches LEFT-join the component table
     # (a doc outside every cluster is its own), best-per-cluster, top-10
     out["fts_collapse_neardup"] = (
@@ -4723,6 +4820,7 @@ def query_catalog():
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_components": q_dedup_components,
         "fts_collapse_neardup": q_collapse_neardup,
+        "fts_mmr_rerank": q_mmr_rerank,
         "decontam_flags": q_decontam,
         "domain_stats": q_domain_stats,
         "domain_filter": q_domain_filter,

@@ -98,7 +98,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_exact",
         "dedup_minhash_sig", "dedup_minhash_bands",
         "dedup_minhash_md5_sig", "dedup_minhash_md5_bands", "dedup_simhash",
-        "dedup_near_pairs", "dedup_components", "fts_collapse_neardup", "decontam_flags",
+        "dedup_near_pairs", "dedup_components", "fts_collapse_neardup", "fts_mmr_rerank", "decontam_flags",
         "domain_stats", "domain_filter", "tfidf_keywords", "unigram_bits",
         "join_orders_customer", "join_lineitem_agg", "revenue_by_nation",
         "q3_shipping",
