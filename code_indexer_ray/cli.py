@@ -69,6 +69,29 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--n-docs", type=int, required=True)
     g.add_argument("--seed", type=int, default=42)
 
+    w = sub.add_parser(
+        "watch", help="incremental watch loop: delta build + merge per tick"
+    )
+    w.add_argument("--input", required=True, help="directory of Parquet shards")
+    w.add_argument("--index-root", required=True)
+    w.add_argument("--interval", type=float, default=5.0)
+    w.add_argument("--max-ticks", type=int, default=None)
+    w.add_argument("--store-cols", default="lang,url")
+    w.add_argument("--compact-every", type=int, default=8)
+
+    c = sub.add_parser("compact", help="coalesce doc-store small files (atomic swap)")
+    c.add_argument("--index", required=True)
+    c.add_argument("--target-bytes", type=int, default=256 * 1024 * 1024)
+
+    st = sub.add_parser("stats", help="print manifest + per-partition metrics")
+    st.add_argument("--index", required=True)
+
+    sg = sub.add_parser("suggest", help="spell suggestion / prefix completion")
+    sg.add_argument("--index", required=True)
+    sg.add_argument("word")
+    sg.add_argument("--prefix", action="store_true", help="df-ranked completion instead")
+    sg.add_argument("--limit", type=int, default=10)
+
     args = p.parse_args(argv)
     _ray_init(args.num_cpus)
     try:
@@ -126,6 +149,50 @@ def main(argv: list[str] | None = None) -> int:
 
             write_corpus(args.out, args.n_docs, seed=args.seed)
             print(json.dumps({"out": args.out, "n_docs": args.n_docs}))
+        elif args.cmd == "watch":
+            from .pipelines.watch import WatchDriver
+
+            d = WatchDriver(
+                args.input,
+                args.index_root,
+                store_cols=tuple(c for c in args.store_cols.split(",") if c),
+                compact_every=args.compact_every,
+            )
+            d.run(interval_s=args.interval, max_ticks=args.max_ticks)
+            print(json.dumps({"index": d.current_index()}))
+        elif args.cmd == "compact":
+            from .index.compact import compact_docstore
+
+            print(json.dumps(compact_docstore(args.index, target_bytes=args.target_bytes)))
+        elif args.cmd == "stats":
+            from .index.manifest import load_manifest
+
+            mf = load_manifest(args.index)
+            print(
+                json.dumps(
+                    {
+                        "num_docs": mf.num_docs,
+                        "total_tokens": mf.total_tokens,
+                        "avgdl": round(mf.avgdl, 4),
+                        "num_shards": mf.num_shards,
+                        "num_buckets": mf.num_buckets,
+                        "partitions": len(mf.partitions),
+                        "n_postings": sum(
+                            int(pt.get("n_postings", 0)) for pt in mf.partitions
+                        ),
+                    }
+                )
+            )
+        elif args.cmd == "suggest":
+            from .query.engine import IndexSearcher
+
+            s = IndexSearcher(args.index)
+            if args.prefix:
+                for r in s.complete(args.word, limit=args.limit):
+                    print(json.dumps(r))
+            else:
+                out = s.suggest(args.word)
+                print(json.dumps(out if out is not None else {}))
         return 0
     finally:
         import ray

@@ -1,0 +1,52 @@
+"""CLI surface smoke: build → stats → search → suggest → compact in ONE
+subprocess (the CLI owns its own Ray session, so it must not run inside the
+test session's Ray; one process keeps the suite cost to a single init)."""
+
+from __future__ import annotations
+
+import json
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def test_cli_end_to_end(tmp_path):
+    src = tmp_path / "c.parquet"
+    rows = [
+        {"doc_id": i, "text": f"spark merge w{i} stream", "lang": "en", "url": f"s{i % 3}/p/{i}"}
+        for i in range(40)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(src))
+    idx = str(tmp_path / "idx")
+
+    script = f"""
+import json
+from code_indexer_ray.cli import main
+assert main(["--num-cpus", "4", "build", "--input", {str(src)!r}, "--out", {idx!r},
+             "--num-shards", "2", "--num-buckets", "2"]) == 0
+assert main(["stats", "--index", {idx!r}]) == 0
+assert main(["search", "--index", {idx!r}, "spark merge", "--limit", "3",
+             "--snippet-lines", "0"]) == 0
+assert main(["suggest", "--index", {idx!r}, "sprak"]) == 0
+assert main(["suggest", "--index", {idx!r}, "s", "--prefix"]) == 0
+assert main(["compact", "--index", {idx!r}]) == 0
+print("CLI_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "CLI_OK" in out.stdout
+    # the printed lines are parseable JSON rows
+    lines = [
+        ln for ln in out.stdout.splitlines() if ln.startswith("{") and ln.endswith("}")
+    ]
+    assert len(lines) >= 4
+    for ln in lines:
+        json.loads(ln)
