@@ -3131,6 +3131,113 @@ def q3_shipping(sf_dir: str):
     return _ts_us(out, ("o_orderdate",))
 
 
+Q10_START, Q10_END = "1996-01-01", "1996-04-01"
+
+
+def q10_returns(sf_dir: str):
+    """TPC-H Q10 shape (returned-item revenue per customer, one quarter):
+    lineitem('R' returns) ⋈ orders(date range) through the one co-partitioning
+    bucket shuffle, revenue folded map-side per customer, then the per-customer
+    result (small: ≤ #customers rows) joins the broadcast customer + 25-row
+    nation maps on the driver; top-20 pinned (round-9 revenue desc, custkey)."""
+    import pyarrow.parquet as pq
+
+    import ray.data as rd
+
+    from .ops import partial_agg_sum, shuffle_equi_join
+
+    lo = np.datetime64(Q10_START).astype("datetime64[us]").item()
+    hi = np.datetime64(Q10_END).astype("datetime64[us]").item()
+
+    def filter_orders(b: pa.Table) -> pa.Table:
+        m = pc.and_(
+            pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+            pc.less(b["o_orderdate"], pa.scalar(hi)),
+        )
+        return b.filter(m).select(["o_orderkey", "o_custkey"])
+
+    orders = rd.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(filter_orders, batch_format="pyarrow")
+
+    def filter_items(b: pa.Table) -> pa.Table:
+        b = b.filter(pc.equal(b["l_returnflag"], "R"))
+        rev = pc.multiply(b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"]))
+        return pa.table({"l_orderkey": b["l_orderkey"], "rev": rev})
+
+    items = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(filter_items, batch_format="pyarrow")
+
+    joined = shuffle_equi_join(
+        items, orders, key="l_orderkey", right_key="o_orderkey",
+        left_cols=["rev"], right_cols=["o_custkey"],
+    )
+    agg = _collect_table(partial_agg_sum(joined, keys=["o_custkey"], sums=["rev"]))
+    if agg.num_rows == 0:
+        return pa.table({"c_custkey": pa.array([], pa.int64())})
+    df = agg.to_pandas()
+    cust = pq.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    ).to_pandas()
+    nation = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+    ).to_pandas()
+    df = df.merge(cust, left_on="o_custkey", right_on="c_custkey").merge(
+        nation, left_on="c_nationkey", right_on="n_nationkey"
+    )
+    df["r9"] = df["rev"].round(9)
+    df = df.sort_values(
+        ["r9", "c_custkey"], ascending=[False, True], kind="mergesort"
+    ).head(20)
+    return pa.table(
+        {
+            "c_custkey": pa.array(df["c_custkey"].astype("int64")),
+            "c_name": pa.array(df["c_name"].astype(str)),
+            "n_name": pa.array(df["n_name"].astype(str)),
+            "rank": pa.array(np.arange(1, len(df) + 1, dtype=np.int64)),
+            "revenue_r": pa.array(df["rev"].round(4).astype(np.float64)),
+        }
+    )
+
+
+def q_events_interarrival(sf_dir: str):
+    """Per-user inter-arrival gap statistics (LAG window-function family):
+    one hash shuffle on user_id, per-group (ts, event_id)-pinned sort +
+    np.diff over integer microseconds — exact max gap, 4-dp mean; users with
+    a single event have no gaps and drop out (matching count(gap) >= 1)."""
+    import pandas as pd
+    import ray.data as rd
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+        t = g["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
+        if len(t) < 2:
+            return pd.DataFrame(
+                {"user_id": pd.Series([], dtype=np.int64),
+                 "n_events": pd.Series([], dtype=np.int64),
+                 "gap_max_us": pd.Series([], dtype=np.int64),
+                 "gap_avg_s_r": pd.Series([], dtype=np.float64)}
+            )
+        d = np.diff(t)
+        return pd.DataFrame(
+            {
+                "user_id": [int(g["user_id"].iloc[0])],
+                "n_events": [len(t)],
+                "gap_max_us": [int(d.max())],
+                "gap_avg_s_r": [round(float(d.sum()) / len(d) / 1e6, 4)],
+            }
+        )
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["user_id", "ts", "event_id"]
+    )
+    return ds.groupby("user_id").map_groups(gaps, batch_format="pandas")
+
+
 PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
@@ -4130,6 +4237,28 @@ def oracle_catalog() -> dict[str, str]:
 
     out["heavy_hitters"] = sql_heavy_hitters()
 
+    out["q10_returns"] = (
+        "WITH rev AS (SELECT o.o_custkey, sum(l.l_extendedprice * (1.0 - l.l_discount)) AS r\n"
+        "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey\n"
+        f"  WHERE l.l_returnflag = 'R' AND o.o_orderdate >= TIMESTAMP '{Q10_START}'\n"
+        f"    AND o.o_orderdate < TIMESTAMP '{Q10_END}'\n"
+        "  GROUP BY o.o_custkey),\n"
+        "ranked AS (SELECT c.c_custkey, c.c_name, n.n_name, rev.r,\n"
+        "  row_number() OVER (ORDER BY round(rev.r, 9) DESC, c.c_custkey) AS rank\n"
+        "  FROM rev JOIN customer c ON rev.o_custkey = c.c_custkey\n"
+        "  JOIN nation n ON c.c_nationkey = n.n_nationkey)\n"
+        "SELECT c_custkey, c_name, n_name, rank::BIGINT AS rank, round(r, 4) AS revenue_r\n"
+        "FROM ranked WHERE rank <= 20"
+    )
+    out["events_interarrival"] = (
+        "WITH d AS (SELECT user_id, event_id, ts,\n"
+        "  date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap\n"
+        "  FROM events),\n"
+        "g AS (SELECT user_id, count(*)::BIGINT AS n_events, max(gap)::BIGINT AS gap_max_us,\n"
+        "  round(sum(gap)::DOUBLE / count(gap) / 1000000, 4) AS gap_avg_s_r\n"
+        "  FROM d GROUP BY user_id HAVING count(gap) >= 1)\n"
+        "SELECT user_id, n_events, gap_max_us, gap_avg_s_r FROM g"
+    )
     out["join_orders_customer"] = (
         "SELECT o.o_orderkey, o.o_custkey, c.c_name, n.n_name\n"
         "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey\n"
@@ -4830,6 +4959,8 @@ def query_catalog():
         "revenue_by_nation": q_revenue_by_nation,
         "join_lineitem_agg": q_join_lineitem_agg,
         "q3_shipping": q3_shipping,
+        "q10_returns": q10_returns,
+        "events_interarrival": q_events_interarrival,
         "heavy_hitters": q_heavy_hitters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,

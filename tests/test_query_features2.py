@@ -209,6 +209,30 @@ class TestCollapseDomain:
             )
 
 
+class TestSynonyms:
+    def test_and_of_or_semantics_and_scores(self, built):
+        rows, s, o = built
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        res = s.search_synonyms("spark merge", {"merge": ["window"]}, limit=0)
+        got = {r["doc_id"]: r["score"] for r in res}
+        want = {}
+        for r in rows:
+            toks = set(tokenize_query(r["text"]))
+            if "spark" in toks and ({"merge", "window"} & toks):
+                want[r["doc_id"]] = sum(
+                    o.term_score(t, r["doc_id"]) for t in ("spark", "merge", "window")
+                )
+        assert set(got) == set(want)
+        for d, sc in got.items():
+            assert abs(sc - want[d]) < 1e-9
+
+    def test_disjointness_validated(self, built):
+        _, s, _ = built
+        with pytest.raises(ValueError):
+            s.search_synonyms("spark merge", {"spark": ["merge"]})
+
+
 class TestVocabRange:
     def test_matches_brute_dictionary(self, built):
         rows, s, _ = built
