@@ -3131,6 +3131,16 @@ def q3_shipping(sf_dir: str):
     return _ts_us(out, ("o_orderdate",))
 
 
+def q_autocorrect(sf_dir: str):
+    """Search with did-you-mean fallback: both words of 'sprak mergge' are
+    out-of-vocabulary, get spell-corrected (plain-Levenshtein ≤2, df-desc
+    ties) and the normal AND search runs on the corrections — the ES
+    suggest-on-zero-results pattern as one call."""
+    res, corrections = searcher_for(sf_dir).search_autocorrect("sprak mergge", limit=10)
+    assert corrections == {"sprak": "spark", "mergge": "merge"}, corrections
+    return _bm25_table(res, 10)
+
+
 Q10_START, Q10_END = "1996-01-01", "1996-04-01"
 
 
@@ -4237,6 +4247,19 @@ def oracle_catalog() -> dict[str, str]:
 
     out["heavy_hitters"] = sql_heavy_hitters()
 
+    # did-you-mean fallback: each OOV word's correction computed IN SQL with
+    # the same (distance, df desc, term) policy, then the normal AND scoring
+    _corr = (
+        "corr AS (\n"
+        "  (SELECT term FROM (SELECT term, df, levenshtein('sprak', term) AS d FROM df)\n"
+        "   WHERE d <= 2 ORDER BY d, df DESC, term LIMIT 1)\n"
+        "  UNION ALL\n"
+        "  (SELECT term FROM (SELECT term, df, levenshtein('mergge', term) AS d FROM df)\n"
+        "   WHERE d <= 2 ORDER BY d, df DESC, term LIMIT 1))"
+    )
+    out["fts_autocorrect"] = _q(
+        _corr + ",\n" + _scored_cte("SELECT term FROM corr", 2), _ranked_topk(10)
+    )
     out["q10_returns"] = (
         "WITH rev AS (SELECT o.o_custkey, sum(l.l_extendedprice * (1.0 - l.l_discount)) AS r\n"
         "  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey\n"
@@ -4922,6 +4945,7 @@ def query_catalog():
         "fts_prefix_terms": q_prefix_terms,
         "fts_bm25_prefix": q_bm25_prefix,
         "spell_suggest": q_spell_suggest,
+        "fts_autocorrect": q_autocorrect,
         "fts_multi_repo": q_multi_repo,
         "fts_federated_global": q_federated_global,
         "fts_incremental": q_fts_incremental,

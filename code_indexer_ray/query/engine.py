@@ -1270,6 +1270,32 @@ class IndexSearcher:
         best = min(cands, key=lambda t: (cands[t], -dfs[t], t))
         return {"term": best, "distance": cands[best], "df": dfs[best]}
 
+    def search_autocorrect(
+        self, query_text: str, *, limit: int = 10, max_distance: int = 2, **kwargs
+    ) -> tuple[list[dict], dict[str, str]]:
+        """Search with did-you-mean fallback (the ES suggest-on-zero-results
+        pattern): any query word ABSENT from the vocabulary is replaced by
+        its best spell suggestion (plain-Levenshtein ≤ max_distance, df-desc
+        / term-asc ties) before the normal AND search runs.  Returns
+        (results, corrections); words already in the vocabulary are never
+        rewritten, and an uncorrectable word keeps AND-zero semantics."""
+        words = tokenize_query(query_text)
+        if not words:
+            return [], {}
+        dfs = self._global_df(sorted(dict.fromkeys(words)))
+        corrections: dict[str, str] = {}
+        fixed: list[str] = []
+        for w in words:
+            if dfs[w] == 0:
+                sug = self.suggest(w, max_distance=max_distance)
+                if sug is not None:
+                    corrections[w] = sug["term"]
+                    fixed.append(sug["term"])
+                    continue
+            fixed.append(w)
+        res = self.search(" ".join(fixed), limit=limit, snippet_lines=0, **kwargs)
+        return res, corrections
+
     def _build_groups(
         self, query_text: str, edit_distance: int, use_regex: bool,
         match_any: bool = False, prefix: bool = False,
