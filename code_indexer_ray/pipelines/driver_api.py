@@ -3131,6 +3131,43 @@ def q3_shipping(sf_dir: str):
     return _ts_us(out, ("o_orderdate",))
 
 
+BATCH_QUERIES = [
+    (1, ["merge"]),
+    (2, ["spark"]),
+    (3, ["window"]),
+    (4, ["spark", "merge"]),
+    (5, ["sort", "table"]),
+]
+
+
+def q_batch_queries(sf_dir: str):
+    """Batch query evaluation through the actor-pool SERVING path (daemon
+    throughput analog, SURVEY ST5): a Dataset of queries flows through
+    map_batches(QueryEvalStage) — each actor loads and warms the index ONCE
+    in __init__ and evaluates query batches in __call__; output is the
+    per-query ranked hit list.  This gates the throughput path with the same
+    oracle the per-query path uses."""
+    from ..query.serve import evaluate_queries
+
+    searcher_for(sf_dir)  # ensure the cached index exists
+    idx = os.path.join(_corpus_dir(sf_dir), "index")
+    import ray.data as rd
+
+    qt = pa.table(
+        {
+            "query_id": pa.array([q[0] for q in BATCH_QUERIES], type=pa.int64()),
+            "query_text": pa.array([" ".join(q[1]) for q in BATCH_QUERIES], type=pa.string()),
+        }
+    )
+    out = _collect_table(evaluate_queries(rd.from_arrow(qt), idx, concurrency=2))
+    if out.num_rows == 0:
+        return out
+    score_r = pa.array(
+        np.round(out["score"].to_numpy(zero_copy_only=False), 4), type=pa.float64()
+    )
+    return out.select(["query_id", "rank", "doc_id"]).append_column("score_r", score_r)
+
+
 def q_autocorrect(sf_dir: str):
     """Search with did-you-mean fallback: both words of 'sprak mergge' are
     out-of-vocabulary, get spell-corrected (plain-Levenshtein ≤2, df-desc
@@ -4247,6 +4284,27 @@ def oracle_catalog() -> dict[str, str]:
 
     out["heavy_hitters"] = sql_heavy_hitters()
 
+    # batch serving: one scored/ranked CTE chain per registered query,
+    # UNION ALL of the per-query top-10s (same algebra as the per-query twins)
+    _bq_parts = []
+    _bq_ctes = []
+    for qid, terms in BATCH_QUERIES:
+        tset = ",".join(f"'{t}'" for t in terms)
+        ra = len(terms) if len(terms) > 1 else None
+        _bq_ctes.append(
+            _scored_cte(tset, ra).replace("scored AS", f"bscored{qid} AS", 1)
+            + f",\nbrank{qid} AS (SELECT {qid}::BIGINT AS query_id, doc_id, score,\n"
+            "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank"
+            f" FROM bscored{qid})"
+        )
+        _bq_parts.append(
+            f"SELECT query_id, rank::BIGINT AS rank, doc_id, round(score, 4) AS score_r\n"
+            f"FROM brank{qid} WHERE rank <= 10"
+        )
+    out["fts_batch_queries"] = (
+        pre + ",\n" + ",\n".join(_bq_ctes) + "\n" + "\nUNION ALL\n".join(_bq_parts)
+    )
+
     # did-you-mean fallback: each OOV word's correction computed IN SQL with
     # the same (distance, df desc, term) policy, then the normal AND scoring
     _corr = (
@@ -4946,6 +5004,7 @@ def query_catalog():
         "fts_bm25_prefix": q_bm25_prefix,
         "spell_suggest": q_spell_suggest,
         "fts_autocorrect": q_autocorrect,
+        "fts_batch_queries": q_batch_queries,
         "fts_multi_repo": q_multi_repo,
         "fts_federated_global": q_federated_global,
         "fts_incremental": q_fts_incremental,

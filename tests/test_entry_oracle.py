@@ -90,7 +90,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "fts_bm25_lang", "fts_bm25_exclude_lang", "fts_bm25_source_filter",
         "fts_bm25_limit0", "fts_fuzzy_terms", "fts_bm25_fuzzy",
         "fts_regex_terms", "fts_bm25_regex", "fts_prefix_terms",
-        "fts_bm25_prefix", "spell_suggest", "fts_autocorrect", "fts_multi_repo", "fts_federated_global", "fts_incremental",
+        "fts_bm25_prefix", "spell_suggest", "fts_autocorrect", "fts_batch_queries", "fts_multi_repo", "fts_federated_global", "fts_incremental",
         "fts_query_dsl", "fts_lmdirichlet", "fts_near",
         "collocations", "fts_match_positions",
         "fts_chunks", "fts_extract_roundtrip", "fts_extract_html", "lang_map",
