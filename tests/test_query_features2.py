@@ -83,6 +83,33 @@ class TestSearchAfter:
         assert [r["doc_id"] for r in rest] == [r["doc_id"] for r in full[mid + 1 :]]
 
 
+class TestSearchAfterTieHeavy:
+    def test_all_tied_scores_page_by_doc_id(self, ray_session, tmp_path_factory):
+        """30 identical docs → 30 identical scores: the cursor must page
+        purely on the doc_id tiebreak without skipping or repeating."""
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rows = [
+            {"doc_id": i, "text": "spark merge window", "lang": "en", "url": f"u/{i}"}
+            for i in range(30)
+        ]
+        tmp = tmp_path_factory.mktemp("ties")
+        src = str(tmp / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        out = str(tmp / "idx")
+        build_index(src, out, store_cols=("lang", "url"), num_shards=3, num_buckets=2)
+        s = IndexSearcher(out, lang_col="lang", url_col="url")
+        seen, cursor = [], None
+        while True:
+            page = s.search("spark", limit=4, snippet_lines=0, after=cursor)
+            if not page:
+                break
+            seen.extend(r["doc_id"] for r in page)
+            cursor = (page[-1]["score"], page[-1]["doc_id"])
+        assert seen == list(range(30))
+
+
 class TestOrderByField:
     def test_matches_brute_dl_order(self, built):
         rows, s, _ = built
