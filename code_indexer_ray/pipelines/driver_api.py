@@ -3131,6 +3131,22 @@ def q3_shipping(sf_dir: str):
     return _ts_us(out, ("o_orderdate",))
 
 
+def q_bm25_dnf(sf_dir: str):
+    """OR-of-ANDs boolean query '(spark AND merge) OR (window AND sort)':
+    a doc matches if either clause fully matches, scored by the sum of its
+    satisfied clauses' BM25 (Lucene SHOULD-of-MUST-subqueries) — completes
+    the boolean algebra next to AND / OR / NOT / SHOULD / phrase."""
+    res = searcher_for(sf_dir).search_dnf(["spark merge", "window sort"], limit=10)
+    rows = sorted(res, key=lambda r: (-round(r["score"], 9), r["doc_id"]))[:10]
+    return pa.table(
+        {
+            "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r["score"], 4) for r in rows], type=pa.float64()),
+        }
+    )
+
+
 BATCH_QUERIES = [
     (1, ["merge"]),
     (2, ["spark"]),
@@ -4284,6 +4300,17 @@ def oracle_catalog() -> dict[str, str]:
 
     out["heavy_hitters"] = sql_heavy_hitters()
 
+    # OR-of-ANDs: per-clause AND scored CTEs, FULL OUTER sum, top-10
+    out["fts_bm25_dnf"] = (
+        pre + ",\n"
+        + _scored_cte("'merge','spark'", 2).replace("scored AS", "dnf1 AS", 1) + ",\n"
+        + _scored_cte("'sort','window'", 2).replace("scored AS", "dnf2 AS", 1) + ",\n"
+        "scored AS (SELECT doc_id,\n"
+        "  coalesce(a.score, 0) + coalesce(b.score, 0) AS score\n"
+        "  FROM dnf1 a FULL OUTER JOIN dnf2 b USING (doc_id)),\n"
+        + _ranked_topk(10)
+    )
+
     # batch serving: one scored/ranked CTE chain per registered query,
     # UNION ALL of the per-query top-10s (same algebra as the per-query twins)
     _bq_parts = []
@@ -4966,6 +4993,7 @@ def query_catalog():
         "fts_bm25_single": q_bm25_single,
         "fts_bm25_and": q_bm25_and,
         "fts_bm25_or": q_bm25_or,
+        "fts_bm25_dnf": q_bm25_dnf,
         "fts_bm25_not": q_bm25_not,
         "fts_facet_lang": q_facet_lang,
         "fts_facet_domain": q_facet_domain,

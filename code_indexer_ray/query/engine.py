@@ -1532,6 +1532,47 @@ class IndexSearcher:
         terms = sorted(agg)[:limit]
         return [{"term": t, "df": agg[t]} for t in terms]
 
+    def search_dnf(
+        self, clauses: list[str], *, limit: int = 10
+    ) -> list[dict]:
+        """OR-of-ANDs boolean search (disjunctive normal form — the Lucene
+        BooleanQuery SHOULD-of-MUST-subqueries shape, e.g.
+        ``(a AND b) OR (c AND d)``): a doc matches if ANY clause's terms all
+        appear, and scores the SUM of the BM25 scores of its satisfied
+        clauses (Lucene's should-clause sum).  Each clause evaluates through
+        the normal per-shard AND machinery at limit=0 candidate scope inside
+        this one call; the driver folds per-doc clause scores — payload is
+        Σ per-clause match counts, the same as running the clauses
+        separately."""
+        parsed: list[list[str]] = []
+        for c in clauses:
+            toks = sorted(dict.fromkeys(tokenize_query(c)))
+            if toks:
+                parsed.append(toks)
+        if not parsed:
+            return []
+        all_terms = sorted({t for c in parsed for t in c})
+        global_df = self._global_df(all_terms)
+        agg: dict[int, float] = {}
+        for toks in parsed:
+            if any(global_df[t] == 0 for t in toks):
+                continue  # an AND clause with a dead term matches nothing
+            groups = [[t] for t in toks]
+            per_shard = self._fanout(
+                "search_groups", groups, self.manifest.num_docs,
+                self.manifest.avgdl, global_df, UNLIMITED_LIMIT,
+                None, self.lang_col, self.url_col,
+            )
+            for sh in per_shard:
+                for doc_id, score, _lang, _url in sh:
+                    agg[doc_id] = agg.get(doc_id, 0.0) + score
+        if not agg:
+            return []
+        ids = np.fromiter(agg.keys(), dtype=np.int64, count=len(agg))
+        scores = np.fromiter(agg.values(), dtype=np.float64, count=len(agg))
+        sel = np.lexsort((ids, -scores))[: limit or None]
+        return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
+
     def search_synonyms(
         self, query_text: str, synonyms: dict[str, list[str]], *, limit: int = 10
     ) -> list[dict]:

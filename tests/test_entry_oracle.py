@@ -79,7 +79,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
     "name",
     [
         "fts_term_stats", "fts_doc_stats", "fts_bm25_single", "fts_bm25_and",
-        "fts_bm25_or", "fts_bm25_not", "fts_bm25_should", "fts_bm25_boost",
+        "fts_bm25_or", "fts_bm25_dnf", "fts_bm25_not", "fts_bm25_should", "fts_bm25_boost",
         "fts_bm25_multifield", "fts_facet_lang", "fts_facet_domain",
         "fts_bm25_page", "fts_search_after", "fts_order_by_field",
         "fts_dismax", "fts_explain", "fts_stats_agg", "fts_collapse_domain",

@@ -236,6 +236,36 @@ class TestCollapseDomain:
             )
 
 
+class TestDNF:
+    def test_union_of_and_clauses_with_summed_scores(self, built):
+        rows, s, o = built
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        res = s.search_dnf(["spark merge", "window batch"], limit=0)
+        got = {r["doc_id"]: r["score"] for r in res}
+        want: dict[int, float] = {}
+        for r in rows:
+            toks = set(tokenize_query(r["text"]))
+            sc = 0.0
+            if {"spark", "merge"} <= toks:
+                sc += o.term_score("spark", r["doc_id"]) + o.term_score("merge", r["doc_id"])
+            if {"window", "batch"} <= toks:
+                sc += o.term_score("window", r["doc_id"]) + o.term_score("batch", r["doc_id"])
+            if sc:
+                want[r["doc_id"]] = sc
+        assert set(got) == set(want)
+        for d in got:
+            assert abs(got[d] - want[d]) < 1e-9
+
+    def test_dead_clause_drops_out(self, built):
+        _, s, _ = built
+        a = s.search_dnf(["spark merge"], limit=0)
+        b = s.search_dnf(["spark merge", "nosuchterm batch"], limit=0)
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b
+        ]
+
+
 class TestSynonyms:
     def test_and_of_or_semantics_and_scores(self, built):
         rows, s, o = built
