@@ -109,7 +109,35 @@ def parse_query(q: str) -> dict:
         terms.append((occur, tok))
 
     if saw_and and saw_or:
-        raise ValueError("mixing AND and OR needs nested boolean groups (unsupported)")
+        # mixed operators: AND binds tighter, OR separates clauses → the
+        # disjunctive-normal-form route (engine.search_dnf).  Only plain
+        # terms are expressible inside a DNF clause — anything decorated
+        # keeps the explicit error below.
+        if (
+            phrase is not None or boosts or fuzzy_d or saw_plus
+            or langs_in or langs_ex or paths_in or paths_ex
+            or any(o == MUST_NOT for o, _ in terms)
+            or any(_has_wildcard(t) for _, t in terms)
+        ):
+            raise ValueError(
+                "mixed AND/OR supports plain terms only "
+                "(no +/-/fields/boost/fuzzy/wildcard/phrase)"
+            )
+        ops = ("AND", "OR")
+        for a, b in zip(raw, raw[1:]):
+            if a in ops and b in ops:
+                raise ValueError(f"adjacent operators {a} {b}")
+        if raw[0] in ops or raw[-1] in ops:
+            raise ValueError("query cannot start or end with AND/OR")
+        clauses: list[list[str]] = [[]]
+        for tok in raw:
+            if tok == "OR":
+                clauses.append([])
+            elif tok != "AND":
+                clauses[-1].append(tok)
+        if any(not c for c in clauses):
+            raise ValueError("empty clause around OR")
+        return {"dnf_clauses": [" ".join(c) for c in clauses]}
 
     must = [t for o, t in terms if o == MUST]
     bare = [t for o, t in terms if o == SHOULD]
@@ -194,5 +222,15 @@ def _glob_to_regex(glob: str) -> str:
 
 
 def search_query_string(searcher, q: str, **extra) -> list[dict]:
-    """Parse ``q`` and execute it on an :class:`IndexSearcher`."""
-    return searcher.search(**parse_query(q), **extra)
+    """Parse ``q`` and execute it on an :class:`IndexSearcher`.  Mixed
+    AND/OR strings compile to the DNF route (``search_dnf``), which accepts
+    only ``limit`` from the extra kwargs."""
+    kwargs = parse_query(q)
+    dnf = kwargs.pop("dnf_clauses", None)
+    if dnf is not None:
+        allowed = {"limit"}
+        bad = set(extra) - allowed
+        if bad:
+            raise ValueError(f"DNF queries support only {allowed}, got {sorted(bad)}")
+        return searcher.search_dnf(dnf, **extra)
+    return searcher.search(**kwargs, **extra)

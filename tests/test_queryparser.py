@@ -61,7 +61,10 @@ def test_prefix_vs_general_wildcard():
 @pytest.mark.parametrize(
     "bad",
     [
-        "a AND b OR c",          # mixed operators need nesting
+        "+a AND b OR c",         # mixed operators allow plain terms only
+        "a AND b^2 OR c",        # no boosts inside DNF clauses
+        "a AND b OR lang:en",    # no fields inside DNF clauses
+        "a AND OR b",            # empty clause around OR
         "-window",               # pure negation
         '"a b" spark',           # phrase + terms
         "sparc~1 merge~2",       # mixed fuzzy budgets
@@ -112,3 +115,8 @@ def test_parsed_phrase_equals_direct(ray_session):
     got = search_query_string(s, '"spark merge"', limit=0, snippet_lines=0)
     want = s.search("spark merge", phrase=True, limit=0, snippet_lines=0)
     assert _ids(got) == _ids(want) and len(got) > 0
+
+
+def test_mixed_and_or_compiles_to_dnf():
+    assert parse_query("a AND b OR c AND d") == {"dnf_clauses": ["a b", "c d"]}
+    assert parse_query("a OR b AND c") == {"dnf_clauses": ["a", "b c"]}
