@@ -611,9 +611,10 @@ class ShardSearcher:
 
         ``after`` is the search-after cursor (Lucene/Elasticsearch
         ``searchAfter``): a ``(score, doc_id)`` position in the engine's
-        pinned ordering (round-9 score desc, doc_id asc); only docs STRICTLY
-        after it are returned, so deep paging costs O(limit) per shard at any
-        depth — the cursor prunes inside the shard, never on the driver.
+        ranking order (RAW score desc, doc_id asc — the exact float a prior
+        search returned); only docs STRICTLY after it are returned, so deep
+        paging costs O(limit) per shard at any depth — the cursor prunes
+        inside the shard, never on the driver.
 
         ``boosts`` maps index terms to multiplicative score weights (Lucene
         query-time boost: ``term^2``); unlisted terms weigh 1.0.  Boosts
@@ -708,12 +709,15 @@ class ShardSearcher:
             scores[hit] += contrib
 
         if after is not None:
-            # keep docs strictly after the cursor in (round-9 score desc,
-            # doc_id asc) order — score equality at 9 dp is the engine's
-            # pinning policy everywhere, so the comparison is exact
-            a_s, a_d = round(float(after[0]), 9), int(after[1])
-            rs = np.round(scores, 9)
-            keep = (rs < a_s) | ((rs == a_s) & (cand > a_d))
+            # keep docs strictly after the cursor in the engine's ACTUAL
+            # ranking order — RAW score desc, doc_id asc (the same lexsort
+            # key the driver merge uses).  The cursor score is the exact
+            # float a previous search returned (doubles survive the actor
+            # boundary bit-exactly), so raw comparison is the consistent
+            # policy; rounding here would disagree with the raw-order
+            # ranking for sub-1e-9 score gaps and skip or duplicate docs.
+            a_s, a_d = float(after[0]), int(after[1])
+            keep = (scores < a_s) | ((scores == a_s) & (cand > a_d))
             cand, scores = cand[keep], scores[keep]
             if len(cand) == 0:
                 return []
@@ -1293,7 +1297,8 @@ class IndexSearcher:
                     fixed.append(sug["term"])
                     continue
             fixed.append(w)
-        res = self.search(" ".join(fixed), limit=limit, snippet_lines=0, **kwargs)
+        kwargs.setdefault("snippet_lines", 0)
+        res = self.search(" ".join(fixed), limit=limit, **kwargs)
         return res, corrections
 
     def _build_groups(
@@ -1540,10 +1545,11 @@ class IndexSearcher:
         ``(a AND b) OR (c AND d)``): a doc matches if ANY clause's terms all
         appear, and scores the SUM of the BM25 scores of its satisfied
         clauses (Lucene's should-clause sum).  Each clause evaluates through
-        the normal per-shard AND machinery at limit=0 candidate scope inside
-        this one call; the driver folds per-doc clause scores — payload is
-        Σ per-clause match counts, the same as running the clauses
-        separately."""
+        the normal per-shard AND machinery with NO per-shard cut — clause-sum
+        scoring needs every clause hit (a top-m truncation would corrupt the
+        HEAD of the ranking, not the tail) — and ships no stored fields; the
+        driver folds per-doc clause scores, so payload is Σ per-clause match
+        counts, the same as running the clauses separately at limit=0."""
         parsed: list[list[str]] = []
         for c in clauses:
             toks = sorted(dict.fromkeys(tokenize_query(c)))
@@ -1560,8 +1566,8 @@ class IndexSearcher:
             groups = [[t] for t in toks]
             per_shard = self._fanout(
                 "search_groups", groups, self.manifest.num_docs,
-                self.manifest.avgdl, global_df, UNLIMITED_LIMIT,
-                None, self.lang_col, self.url_col,
+                self.manifest.avgdl, global_df, 1 << 62,
+                None, None, None,
             )
             for sh in per_shard:
                 for doc_id, score, _lang, _url in sh:
@@ -1606,7 +1612,7 @@ class IndexSearcher:
         m = limit if limit > 0 else UNLIMITED_LIMIT
         per_shard = self._fanout(
             "search_groups", groups, self.manifest.num_docs, self.manifest.avgdl,
-            global_df, m, None, self.lang_col, self.url_col,
+            global_df, m, None, None, None,  # no stored fields shipped
         )
         hits = [h for sh in per_shard for h in sh]
         if not hits:
@@ -1622,10 +1628,12 @@ class IndexSearcher:
         bisects its sorted dictionary and ships its full (term, local df)
         prefix slice — payload is the matching-vocabulary size, so callers
         should pass prefixes of realistic length (the reference's suggesters
-        carry the same per-segment cost)."""
+        carry the same per-segment cost).  No cap is applied — a cap here
+        would silently drop high-df terms sorted past it and undercount
+        global df."""
         hi = prefix + chr(0x10FFFF)
         agg: dict[str, int] = {}
-        for sh in self._fanout("vocab_range", prefix, hi, UNLIMITED_LIMIT):
+        for sh in self._fanout("vocab_range", prefix, hi, 1 << 62):
             for t, df in sh:
                 agg[t] = agg.get(t, 0) + df
         rows = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[: limit or None]
@@ -1749,7 +1757,8 @@ class IndexSearcher:
         quantized dl) and the term's BM25 contribution.  Costs one normal
         search plus one block-skip postings probe per term over just the k
         winning doc ids."""
-        hits = self.search(query_text, limit=limit, snippet_lines=0, **kwargs)
+        kwargs.setdefault("snippet_lines", 0)  # explanations need no snippets
+        hits = self.search(query_text, limit=limit, **kwargs)
         if not hits:
             return []
         terms = sorted(dict.fromkeys(tokenize_query(query_text)))

@@ -76,17 +76,20 @@ class MultiIndexSearcher:
                 global_df[t] += df
         if any(global_df[t] == 0 for t in terms):
             return []  # AND semantics over the union corpus
+        from .engine import UNLIMITED_LIMIT
+
         groups = [[t] for t in terms]
+        m = limit if limit > 0 else UNLIMITED_LIMIT  # limit=0 → unlimited, engine-wide
         hits: list[tuple[int, float]] = []
         for s in searchers:
             per_shard = s._fanout(
-                "search_groups", groups, n_docs, avgdl, global_df, limit,
-                None, s.lang_col, s.url_col,
+                "search_groups", groups, n_docs, avgdl, global_df, m,
+                None, None, None,  # no stored fields shipped
             )
             hits.extend((h[0], h[1]) for sh in per_shard for h in sh)
         if not hits:
             return []
         ids = np.array([h[0] for h in hits], dtype=np.int64)
         scores = np.array([h[1] for h in hits], dtype=np.float64)
-        sel = np.lexsort((ids, -scores))[: limit or None]
+        sel = np.lexsort((ids, -scores))[:m]
         return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]

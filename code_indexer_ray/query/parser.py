@@ -228,9 +228,15 @@ def search_query_string(searcher, q: str, **extra) -> list[dict]:
     kwargs = parse_query(q)
     dnf = kwargs.pop("dnf_clauses", None)
     if dnf is not None:
-        allowed = {"limit"}
-        bad = set(extra) - allowed
+        # DNF rows carry only (doc_id, score) — snippets are unavailable, so
+        # a disabled snippet_lines is tolerated (the repo-wide calling
+        # convention always passes snippet_lines=0) and a requested one raises
+        extra = dict(extra)
+        snip = extra.pop("snippet_lines", 0)
+        if snip:
+            raise ValueError("DNF (mixed AND/OR) queries do not produce snippets")
+        bad = set(extra) - {"limit"}
         if bad:
-            raise ValueError(f"DNF queries support only {allowed}, got {sorted(bad)}")
+            raise ValueError(f"DNF queries support only limit, got {sorted(bad)}")
         return searcher.search_dnf(dnf, **extra)
     return searcher.search(**kwargs, **extra)

@@ -7,9 +7,12 @@ from __future__ import annotations
 import json
 import subprocess
 import sys
+from pathlib import Path
 
 import pyarrow as pa
 import pyarrow.parquet as pq
+
+REPO_ROOT = str(Path(__file__).resolve().parents[1])
 
 
 def test_cli_end_to_end(tmp_path):
@@ -39,7 +42,7 @@ print("CLI_OK")
         capture_output=True,
         text=True,
         timeout=300,
-        cwd="/root/repo",
+        cwd=REPO_ROOT,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "CLI_OK" in out.stdout

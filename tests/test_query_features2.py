@@ -348,6 +348,35 @@ class TestMget:
         assert s.mget([10_000, 20_000]) == []
 
 
+class TestFederatedGlobal:
+    def test_parity_split_equals_monolith_and_limit0(self, built, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.query.multi import MultiIndexSearcher
+
+        rows, s, _ = built
+        tmp = tmp_path_factory.mktemp("fed")
+        idxs = {}
+        for par in (0, 1):
+            part = [r for r in rows if r["doc_id"] % 2 == par]
+            src = str(tmp / f"c{par}.parquet")
+            pq.write_table(pa.Table.from_pylist(part), src)
+            out = str(tmp / f"idx{par}")
+            build_index(
+                src, out, store_cols=("lang", "url"), num_shards=2, num_buckets=2,
+                doc_id_upper=max(r["doc_id"] for r in rows),
+            )
+            idxs[f"r{par}"] = out
+        ms = MultiIndexSearcher(idxs, lang_col="lang", url_col="url")
+        mono = s.search("spark merge", limit=0, snippet_lines=0)
+        mono.sort(key=_key)
+        fed = ms.search_global("spark merge", limit=0)
+        assert [(r["doc_id"], round(r["score"], 9)) for r in fed] == [
+            (r["doc_id"], round(r["score"], 9)) for r in mono
+        ]
+        top5 = ms.search_global("spark merge", limit=5)
+        assert top5 == fed[:5]
+
+
 class TestActorModeParity:
     def test_remote_fanout_identical(self, built, tmp_path_factory):
         from code_indexer_ray.query.engine import IndexSearcher

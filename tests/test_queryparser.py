@@ -120,3 +120,14 @@ def test_parsed_phrase_equals_direct(ray_session):
 def test_mixed_and_or_compiles_to_dnf():
     assert parse_query("a AND b OR c AND d") == {"dnf_clauses": ["a b", "c d"]}
     assert parse_query("a OR b AND c") == {"dnf_clauses": ["a", "b c"]}
+
+
+def test_mixed_query_executes_dnf_end_to_end(ray_session):
+    from code_indexer_ray.pipelines.driver_api import searcher_for
+
+    s = searcher_for(SF)
+    got = search_query_string(s, "spark AND merge OR window AND sort", limit=0, snippet_lines=0)
+    want = s.search_dnf(["spark merge", "window sort"], limit=0)
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError):
+        search_query_string(s, "spark AND merge OR window AND sort", snippet_lines=3)
