@@ -3267,6 +3267,40 @@ def q10_returns(sf_dir: str):
     )
 
 
+HIST_BINS, HIST_LO, HIST_HI = 20, 0.0, 100.0
+
+
+def q_events_histogram(sf_dir: str):
+    """Fixed-bin value histogram (the ES/OLAP histogram aggregation): 20
+    equal-width bins over [0, 100) plus underflow/overflow edges.  Each batch
+    folds to a CONSTANT-size (bin, count) partial via one vectorized
+    digitize + bincount — the shuffle moves ≤ (bins+2) rows per batch
+    regardless of corpus size, then one tiny bin groupby."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    width = (HIST_HI - HIST_LO) / HIST_BINS
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch["value"].to_numpy(zero_copy_only=False).astype(np.float64)
+        # bin 0 = underflow, 1..BINS = in-range, BINS+1 = overflow
+        idx = np.clip(np.floor((v - HIST_LO) / width).astype(np.int64) + 1, 0, HIST_BINS + 1)
+        idx[v < HIST_LO] = 0
+        counts = np.bincount(idx, minlength=HIST_BINS + 2)
+        nz = np.flatnonzero(counts)
+        return pa.table(
+            {"bin": pa.array(nz.astype(np.int64)), "n": pa.array(counts[nz].astype(np.int64))}
+        )
+
+    folded = (
+        rd.read_parquet(os.path.join(sf_dir, "events.parquet"), columns=["value"])
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return folded
+
+
 def q_events_interarrival(sf_dir: str):
     """Per-user inter-arrival gap statistics (LAG window-function family):
     one hash shuffle on user_id, per-group (ts, event_id)-pinned sort +
@@ -4358,6 +4392,14 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT c_custkey, c_name, n_name, rank::BIGINT AS rank, round(r, 4) AS revenue_r\n"
         "FROM ranked WHERE rank <= 20"
     )
+    _w = (HIST_HI - HIST_LO) / HIST_BINS
+    out["events_histogram"] = (
+        "WITH b AS (SELECT CASE\n"
+        f"  WHEN value < {HIST_LO} THEN 0\n"
+        f"  WHEN floor((value - {HIST_LO}) / {_w})::BIGINT + 1 > {HIST_BINS + 1} THEN {HIST_BINS + 1}\n"
+        f"  ELSE floor((value - {HIST_LO}) / {_w})::BIGINT + 1 END AS bin FROM events)\n"
+        "SELECT bin, count(*)::BIGINT AS n FROM b GROUP BY bin"
+    )
     out["events_interarrival"] = (
         "WITH d AS (SELECT user_id, event_id, ts,\n"
         "  date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap\n"
@@ -5072,6 +5114,7 @@ def query_catalog():
         "q3_shipping": q3_shipping,
         "q10_returns": q10_returns,
         "events_interarrival": q_events_interarrival,
+        "events_histogram": q_events_histogram,
         "heavy_hitters": q_heavy_hitters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
