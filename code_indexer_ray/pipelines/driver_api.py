@@ -2566,6 +2566,79 @@ def q_export_partitioned(sf_dir: str):
     return _collect_table(back.map_batches(norm, batch_format="pyarrow"))
 
 
+def q_training_shards(sf_dir: str):
+    """END-TO-END training-shard export — the final artifact a data pipeline
+    ships: the curated survivor set (quality → exact dedup → near-dup
+    removal → per-language token budget) fetches its text, chunks into the
+    engine's 200-char overlapping windows, and lands as hive ``lang=XX``
+    parquet shards with an idempotent _SUCCESS marker; the re-read shards
+    ARE the result (round-trip gate), one row per training chunk.  Scale
+    shape: the survivor id set broadcasts (``ray.put`` once, ``pc.is_in``
+    per batch), chunking is one vectorized pass, the sink writes one
+    directory per language — never one giant file."""
+    import hashlib
+
+    import ray
+    import ray.data as rd
+
+    curated = q_curate_corpus(sf_dir)
+    if not isinstance(curated, pa.Table):
+        curated = _collect_table(curated)
+    keep_ref = ray.put(np.sort(curated["doc_id"].to_numpy(zero_copy_only=False)))
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        ks = ray.get(keep_ref)
+        b = batch.filter(pc.is_in(batch["doc_id"], value_set=pa.array(ks)))
+        b = b.sort_by("doc_id")  # searchsorted lang mapping needs sorted ids
+        if b.num_rows == 0:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "lang": pa.array([], pa.string()),
+                 "chunk_index": pa.array([], pa.int64()), "size": pa.array([], pa.int64()),
+                 "chunk_md5": pa.array([], pa.string())}
+            )
+        out = chunk_batch(b.select(["doc_id", "text"]), chunk_size=200)
+        md5s = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in out["chunk_text"].to_pylist()]
+        src_ids = b["doc_id"].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(src_ids, out["doc_id"].to_numpy(zero_copy_only=False))
+        langs = b["lang"].take(pa.array(pos))
+        return pa.table(
+            {
+                "doc_id": out["doc_id"].cast(pa.int64()),
+                "lang": langs.combine_chunks() if isinstance(langs, pa.ChunkedArray) else langs,
+                "chunk_index": out["chunk_index"].cast(pa.int64()),
+                "size": out["size"].cast(pa.int64()),
+                "chunk_md5": pa.array(md5s, type=pa.string()),
+            }
+        )
+
+    out_dir = os.path.join(_corpus_dir(sf_dir), "training_shards")
+    done = os.path.join(out_dir, "_SUCCESS")
+    if not os.path.exists(done):
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang", "text"]).map_batches(
+            chunks, batch_format="pyarrow"
+        ).write_parquet(out_dir, partition_cols=["lang"])
+        with open(done, "w") as f:
+            f.write("ok")
+
+    def norm(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"].cast(pa.string()),
+                "chunk_index": b["chunk_index"].cast(pa.int64()),
+                "size": b["size"].cast(pa.int64()),
+                "chunk_md5": b["chunk_md5"].cast(pa.string()),
+            }
+        )
+
+    return _collect_table(
+        rd.read_parquet(out_dir).map_batches(norm, batch_format="pyarrow")
+    )
+
+
 def q_pagerank(sf_dir: str):
     """Distributed PageRank (5 power iterations, d=0.85) over a
     deterministic synthetic link graph (3 out-links per doc): each
@@ -4638,6 +4711,22 @@ def oracle_catalog() -> dict[str, str]:
         f"  ROWS UNBOUNDED PRECEDING) AS c FROM surv)\n"
         f"SELECT doc_id, lang, n_tokens FROM cum WHERE c <= {SAMPLE_TOKEN_BUDGET}"
     )
+    # training-shard export: curate twin → survivor-restricted chunk twin,
+    # the round-trip through the hive sink gated by the composed SQL
+    out["training_shards"] = (
+        f"WITH surv AS (SELECT doc_id, lang FROM ({out['curate_corpus']})),\n"
+        "c AS (SELECT d.doc_id, s.lang, d.text, length(d.text) AS L,\n"
+        "  CASE WHEN length(d.text) <= 200 THEN 0 ELSE (length(d.text) - 200 + 169) // 170 END AS m\n"
+        "  FROM documents d JOIN surv s USING (doc_id)\n"
+        "  WHERE trim(d.text, ' ' || chr(9) || chr(10) || chr(13)) <> ''),\n"
+        "ch AS (SELECT doc_id, lang, m, i.i AS ci FROM c,\n"
+        "  (SELECT unnest(generate_series(0, 10000)) AS i) i WHERE i.i <= m),\n"
+        "pieces AS (SELECT ch.doc_id, ch.lang, ch.ci,\n"
+        "  substr(c2.text, ci * 170 + 1, 200) AS piece FROM ch JOIN c c2 USING (doc_id))\n"
+        "SELECT doc_id, lang, ci::BIGINT AS chunk_index, length(piece)::BIGINT AS size,\n"
+        "  md5(piece) AS chunk_md5 FROM pieces"
+    )
+
 
     c_score = bm25.sql_score_expr("ctf.tf", "cdl.dl", "cdf.df", "cs.n", "cs.avgdl")
     out["curated_search"] = (
@@ -5126,6 +5215,7 @@ def query_catalog():
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
         "curate_corpus": q_curate_corpus,
+        "training_shards": q_training_shards,
         "curated_search": q_curated_search,
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,

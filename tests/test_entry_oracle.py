@@ -106,7 +106,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_ngram_jaccard",
         "dedup_embed_cosine",
         "text_quality", "quality_filter", "sample_token_budget", "token_count",
-        "embed_text", "semantic_search", "curate_corpus", "curated_search",
+        "embed_text", "semantic_search", "curate_corpus", "training_shards", "curated_search",
         "sample_docs",
         "sample_stratified", "pii_redact", "url_canonical", "url_dedup",
         "ann_cosine", "ann_cosine_filtered", "ann_range", "fts_bm25_wildcard",
