@@ -3340,6 +3340,99 @@ def q10_returns(sf_dir: str):
     )
 
 
+def q_events_dau_mau(sf_dir: str):
+    """DAU/MAU stickiness (product-analytics staple): per calendar day,
+    exact distinct active users, the month's exact distinct users, and the
+    ratio.  One pass emits map-side DISTINCT (day, user) pairs (the shuffle
+    carries unique pairs, never raw events); day and month counts fold from
+    the same pair stream; the month table is tiny and joins driver-side."""
+    import ray.data as rd
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        ts = batch["ts"].to_numpy(zero_copy_only=False).astype("datetime64[D]")
+        t = pa.table(
+            {
+                "day": pa.array(ts.astype("datetime64[us]")),
+                "user_id": batch["user_id"],
+            }
+        )
+        return t.group_by(["day", "user_id"]).aggregate([])
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "events.parquet"), columns=["ts", "user_id"]
+    ).map_batches(pairs, batch_format="pyarrow")
+
+    def day_count(g: pa.Table) -> pa.Table:
+        users = np.unique(g["user_id"].to_numpy(zero_copy_only=False))
+        return pa.table(
+            {"day": g["day"].slice(0, 1), "dau": pa.array([len(users)], pa.int64())}
+        )
+
+    daily = _collect_table(
+        ds.groupby("day").map_groups(day_count, batch_format="pyarrow")
+    ).to_pandas()
+    import pandas as pd
+
+    # month table is tiny: fold distinct (month, user) on the driver from the
+    # already-deduped day pairs (|days × users| rows, not |events|)
+    pairs_tbl = _collect_table(ds).to_pandas()
+    pairs_tbl["month"] = pairs_tbl["day"].dt.to_period("M").dt.to_timestamp()
+    mau = (
+        pairs_tbl.groupby("month")["user_id"].nunique().rename("mau").reset_index()
+    )
+    daily["month"] = daily["day"].dt.to_period("M").dt.to_timestamp()
+    out = daily.merge(mau, on="month").sort_values("day", kind="mergesort")
+    out["ratio_r"] = (out["dau"] / out["mau"]).round(4)
+    tbl = pa.table(
+        {
+            "day": pa.array(out["day"].to_numpy().astype("datetime64[us]")),
+            "dau": pa.array(out["dau"].astype("int64")),
+            "mau": pa.array(out["mau"].astype("int64")),
+            "ratio_r": pa.array(out["ratio_r"].astype(np.float64)),
+        }
+    )
+    return tbl
+
+
+def q_orders_monthly(sf_dir: str):
+    """Calendar-month revenue time series: map-side per-(batch, month)
+    partial sums and counts — the shuffle moves one row per (month, batch) —
+    then a tiny month groupby (the OLAP date_trunc rollup shape)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch["o_orderdate"].to_numpy(zero_copy_only=False).astype("datetime64[M]")
+        t = pa.table(
+            {
+                "month": pa.array(ts.astype("datetime64[us]")),
+                "revenue": batch["o_totalprice"],
+                "n": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by("month").aggregate([("revenue", "sum"), ("n", "sum")]).rename_columns(
+            ["month", "revenue", "n"]
+        )
+
+    folded = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "orders.parquet"), columns=["o_orderdate", "o_totalprice"]
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n_orders"))
+    )
+    out = _collect_table(folded).to_pandas()
+    tbl = pa.table(
+        {
+            "month": pa.array(out["month"].to_numpy().astype("datetime64[us]")),
+            "n_orders": pa.array(out["n_orders"].astype("int64")),
+            "revenue_r": pa.array(out["revenue"].round(4).astype(np.float64)),
+        }
+    )
+    return tbl
+
+
 HIST_BINS, HIST_LO, HIST_HI = 20, 0.0, 100.0
 
 
@@ -4465,6 +4558,19 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT c_custkey, c_name, n_name, rank::BIGINT AS rank, round(r, 4) AS revenue_r\n"
         "FROM ranked WHERE rank <= 20"
     )
+    out["events_dau_mau"] = (
+        "WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day,\n"
+        "  date_trunc('month', ts) AS month, user_id FROM events),\n"
+        "d AS (SELECT day, month, count(DISTINCT user_id)::BIGINT AS dau FROM p GROUP BY day, month),\n"
+        "m AS (SELECT month, count(DISTINCT user_id)::BIGINT AS mau FROM p GROUP BY month)\n"
+        "SELECT d.day::TIMESTAMP AS day, d.dau, m.mau,\n"
+        "  round(d.dau::DOUBLE / m.mau, 4) AS ratio_r FROM d JOIN m USING (month)"
+    )
+    out["orders_monthly"] = (
+        "SELECT date_trunc('month', o_orderdate)::TIMESTAMP AS month,\n"
+        "  count(*)::BIGINT AS n_orders, round(sum(o_totalprice), 4) AS revenue_r\n"
+        "FROM orders GROUP BY date_trunc('month', o_orderdate)"
+    )
     _w = (HIST_HI - HIST_LO) / HIST_BINS
     out["events_histogram"] = (
         "WITH b AS (SELECT CASE\n"
@@ -5204,6 +5310,8 @@ def query_catalog():
         "q10_returns": q10_returns,
         "events_interarrival": q_events_interarrival,
         "events_histogram": q_events_histogram,
+        "events_dau_mau": q_events_dau_mau,
+        "orders_monthly": q_orders_monthly,
         "heavy_hitters": q_heavy_hitters,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_embed_cosine": q_embed_near_pairs,
