@@ -681,36 +681,52 @@ PERCOLATE_QUERIES = [
 
 
 def q_percolate(sf_dir: str):
-    """Percolation (Elasticsearch percolator / reverse search): a SMALL
-    registered query set is matched against the document STREAM — queries
-    are a broadcast constant, docs flow through one shuffle-free
-    map_batches pass, output is (query_id, doc_id) pairs.  AND semantics
-    per query; per-batch cost is one tokenize + one boolean mask per
-    (query, term)."""
+    """Percolation (Elasticsearch percolator / reverse search): a registered
+    query set is matched against the document STREAM.  The queries are
+    INVERTED into a term→(query, n_terms) index broadcast to every task —
+    the ES percolator design — so per-batch cost is one tokenize + one
+    dictionary probe per DISTINCT batch term + one bincount over (row,
+    query) hits, independent of the registered-query count for terms that
+    don't occur; AND semantics = per-(doc, query) hit count equals the
+    query's term count.  Shuffle-free; output is (query_id, doc_id) pairs."""
     import ray.data as rd
 
     from ..text.analysis import term_frequencies
 
+    qids = [qid for qid, _ in PERCOLATE_QUERIES]
+    n_terms = np.array([len(qt) for _, qt in PERCOLATE_QUERIES], dtype=np.int64)
+    term_to_queries: dict[str, list[int]] = {}
+    for qi, (_qid, qterms) in enumerate(PERCOLATE_QUERIES):
+        for t in qterms:
+            term_to_queries.setdefault(t, []).append(qi)
+
     def match(batch: pa.Table) -> pa.Table:
         terms, rows, _tfs, _ = term_frequencies(batch["text"])
-        tstr = terms.cast(pa.string())
         doc_ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        out_q: list[str] = []
-        out_d: list[int] = []
-        for qid, qterms in PERCOLATE_QUERIES:
-            has = None
-            for t in qterms:
-                m = pc.equal(tstr, t).to_numpy(zero_copy_only=False)
-                rows_with = np.zeros(batch.num_rows, dtype=bool)
-                rows_with[rows[m]] = True
-                has = rows_with if has is None else (has & rows_with)
-            sel = np.flatnonzero(has)
-            out_q.extend([qid] * len(sel))
-            out_d.extend(doc_ids[sel].tolist())
+        # probe the inverted query index once per DISTINCT (row, term) pair:
+        # dictionary-encoded terms → one lookup per unique batch term
+        dic = terms.dictionary if isinstance(terms, pa.DictionaryArray) else None
+        if dic is None:
+            uniq = pc.unique(terms).to_pylist()
+            codes = pc.index_in(terms, pa.array(uniq)).to_numpy(zero_copy_only=False)
+        else:
+            uniq = dic.to_pylist()
+            codes = terms.indices.to_numpy(zero_copy_only=False)
+        hit_counts = np.zeros((batch.num_rows, len(qids)), dtype=np.int64)
+        for code, t in enumerate(uniq):
+            qs = term_to_queries.get(t)
+            if not qs:
+                continue
+            hit_rows = rows[codes == code]
+            for qi in qs:
+                hit_counts[hit_rows, qi] += 1
+        sel_r, sel_q = np.nonzero(hit_counts == n_terms[None, :])
+        keep = hit_counts[sel_r, sel_q] > 0  # a 0-term match is no match
+        sel_r, sel_q = sel_r[keep], sel_q[keep]
         return pa.table(
             {
-                "query_id": pa.array(out_q, type=pa.string()),
-                "doc_id": pa.array(out_d, type=pa.int64()),
+                "query_id": pa.array([qids[q] for q in sel_q], type=pa.string()),
+                "doc_id": pa.array(doc_ids[sel_r], type=pa.int64()),
             }
         )
 
