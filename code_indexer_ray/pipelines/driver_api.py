@@ -3356,6 +3356,93 @@ def q10_returns(sf_dir: str):
     )
 
 
+Q9_TYPE = "PROMO"
+
+
+def q9_profit(sf_dir: str):
+    """TPC-H Q9 shape (product-line revenue by region and year): lineitem ⋈
+    part(type filter) ⋈ supplier ⋈ nation ⋈ region — every dimension is a
+    BROADCAST map (part keys as a ray.put id set, supplier→region as one
+    composed 100-entry lookup), so the fact table streams through ONE
+    map_batches pass with per-(batch, region, year) partial sums and the
+    only shuffle is the tiny final groupby.  The star-join-without-a-shuffle
+    shape every OLAP fact pipeline wants."""
+    import pyarrow.parquet as pq
+
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    part = pq.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+    )
+    pkeys = part.filter(pc.equal(part["p_type"], Q9_TYPE))["p_partkey"]
+    pkeys_ref = ray.put(pkeys.to_numpy(zero_copy_only=False))
+
+    supp = pq.read_table(
+        os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+    ).to_pandas()
+    nat = pq.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"]
+    ).to_pandas()
+    reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    s2r = (
+        supp.merge(nat, left_on="s_nationkey", right_on="n_nationkey")
+        .merge(reg, left_on="n_regionkey", right_on="r_regionkey")
+    )
+    # dense suppkey → region-name lookup (suppkeys are 0..N-1)
+    lut = np.empty(int(s2r["s_suppkey"].max()) + 1, dtype=object)
+    lut[s2r["s_suppkey"].to_numpy()] = s2r["r_name"].to_numpy()
+    lut_ref = ray.put(lut)
+
+    def partial(b: pa.Table) -> pa.Table:
+        ks = ray.get(pkeys_ref)
+        b = b.filter(pc.is_in(b["l_partkey"], value_set=pa.array(ks)))
+        if b.num_rows == 0:
+            return pa.table(
+                {"r_name": pa.array([], pa.string()), "year": pa.array([], pa.int64()),
+                 "revenue": pa.array([], pa.float64()), "n": pa.array([], pa.int64())}
+            )
+        lu = ray.get(lut_ref)
+        regions = lu[b["l_suppkey"].to_numpy(zero_copy_only=False)]
+        years = (
+            b["l_shipdate"].to_numpy(zero_copy_only=False).astype("datetime64[Y]").astype(np.int64)
+            + 1970
+        )
+        rev = pc.multiply(
+            b["l_extendedprice"], pc.subtract(pa.scalar(1.0), b["l_discount"])
+        )
+        t = pa.table(
+            {
+                "r_name": pa.array(regions.astype(str)),
+                "year": pa.array(years),
+                "revenue": rev,
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        agg = t.group_by(["r_name", "year"]).aggregate([("revenue", "sum"), ("n", "sum")])
+        return agg.rename_columns(["r_name", "year", "revenue", "n"])
+
+    folded = (
+        rd.read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_partkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        .map_batches(partial, batch_format="pyarrow")
+        .groupby(["r_name", "year"])
+        .aggregate(Sum("revenue", alias_name="revenue"), Sum("n", alias_name="n_items"))
+    )
+    out = _collect_table(folded).to_pandas()
+    return pa.table(
+        {
+            "r_name": pa.array(out["r_name"].astype(str)),
+            "year": pa.array(out["year"].astype("int64")),
+            "n_items": pa.array(out["n_items"].astype("int64")),
+            "revenue_r": pa.array(out["revenue"].round(4).astype(np.float64)),
+        }
+    )
+
+
 def q_events_dau_mau(sf_dir: str):
     """DAU/MAU stickiness (product-analytics staple): per calendar day,
     exact distinct active users, the month's exact distinct users, and the
@@ -4574,6 +4661,16 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT c_custkey, c_name, n_name, rank::BIGINT AS rank, round(r, 4) AS revenue_r\n"
         "FROM ranked WHERE rank <= 20"
     )
+    out["q9_profit"] = (
+        "SELECT r.r_name, year(l.l_shipdate)::BIGINT AS year, count(*)::BIGINT AS n_items,\n"
+        "  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue_r\n"
+        "FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey\n"
+        "JOIN supplier s ON l.l_suppkey = s.s_suppkey\n"
+        "JOIN nation n ON s.s_nationkey = n.n_nationkey\n"
+        "JOIN region r ON n.n_regionkey = r.r_regionkey\n"
+        f"WHERE p.p_type = '{Q9_TYPE}'\n"
+        "GROUP BY r.r_name, year(l.l_shipdate)"
+    )
     out["events_dau_mau"] = (
         "WITH p AS (SELECT DISTINCT date_trunc('day', ts) AS day,\n"
         "  date_trunc('month', ts) AS month, user_id FROM events),\n"
@@ -5324,6 +5421,7 @@ def query_catalog():
         "join_lineitem_agg": q_join_lineitem_agg,
         "q3_shipping": q3_shipping,
         "q10_returns": q10_returns,
+        "q9_profit": q9_profit,
         "events_interarrival": q_events_interarrival,
         "events_histogram": q_events_histogram,
         "events_dau_mau": q_events_dau_mau,

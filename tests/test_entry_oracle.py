@@ -101,7 +101,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "dedup_near_pairs", "dedup_components", "fts_collapse_neardup", "fts_mmr_rerank", "decontam_flags",
         "domain_stats", "domain_filter", "tfidf_keywords", "unigram_bits",
         "join_orders_customer", "join_lineitem_agg", "revenue_by_nation",
-        "q3_shipping", "q10_returns", "events_interarrival", "events_histogram", "events_dau_mau", "orders_monthly",
+        "q3_shipping", "q10_returns", "q9_profit", "events_interarrival", "events_histogram", "events_dau_mau", "orders_monthly",
         "heavy_hitters",
         "dedup_ngram_jaccard",
         "dedup_embed_cosine",
