@@ -1319,6 +1319,43 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_lang_confusion(sf_dir: str):
+    """Language-label audit: the confusion matrix of labeled ``lang`` ×
+    content-detected language (Cavnar-Trenkle classifier) — the standard
+    label-quality check before trusting crawl metadata.  Composes the
+    already-gated classifier with one tiny (label, pred) count groupby;
+    result size is |langs|² regardless of corpus size."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    pred = q_lang_id(sf_dir)
+    labels = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+    from .ops import shuffle_equi_join
+
+    joined = shuffle_equi_join(
+        pred, labels, key="doc_id", right_key="doc_id",
+        left_cols=["pred_lang"], right_cols=["lang"],
+    )
+
+    def partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "lang": b["lang"],
+                "pred_lang": b["pred_lang"],
+                "n": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+        return t.group_by(["lang", "pred_lang"]).aggregate([("n", "sum")]).rename_columns(
+            ["lang", "pred_lang", "n"]
+        )
+
+    return (
+        joined.map_batches(partial, batch_format="pyarrow")
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def q_dedup_exact(sf_dir: str):
     import ray.data as rd
 
@@ -4513,6 +4550,12 @@ def oracle_catalog() -> dict[str, str]:
         "  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk FROM scores)\n"
         "SELECT doc_id, pred_lang, score FROM pred WHERE rk = 1"
     )
+    out["lang_confusion"] = (
+        f"WITH pred AS (SELECT * FROM ({out['lang_id']}))\n"
+        "SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n\n"
+        "FROM pred p JOIN documents d USING (doc_id)\n"
+        "GROUP BY d.lang, p.pred_lang"
+    )
 
     out["dedup_exact"] = (
         "SELECT md5(text) AS content_hash, min(doc_id)::BIGINT AS doc_id FROM documents GROUP BY md5(text)"
@@ -5402,6 +5445,7 @@ def query_catalog():
         "fts_extract_html": q_extract_html,
         "lang_map": q_lang_map,
         "lang_id": q_lang_id,
+        "lang_confusion": q_lang_confusion,
         "mm_frames": q_mm_frames,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_bands": q_minhash_bands,
