@@ -1319,6 +1319,46 @@ def q_lang_id(sf_dir: str):
     )
 
 
+LONG_WORD_CHARS = 7
+
+
+def q_text_readability(sf_dir: str):
+    """Word-length readability signals (the LIX/Flesch family's computable
+    core): per doc, mean word length and the long-word share — one
+    vectorized tokenize + strlen pass, shuffle-free; integer e4
+    fractions keep the twin float-free (exact integer division both sides)."""
+    import ray.data as rd
+
+    from ..text.analysis import tokenize_flat
+
+    def stats(batch: pa.Table) -> pa.Table:
+        texts = batch["text"]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        tokens, parents = tokenize_flat(texts)
+        wlen = pc.utf8_length(tokens).to_numpy(zero_copy_only=False).astype(np.int64)
+        n = np.zeros(batch.num_rows, dtype=np.int64)
+        tot = np.zeros(batch.num_rows, dtype=np.int64)
+        lng = np.zeros(batch.num_rows, dtype=np.int64)
+        if len(parents):
+            np.add.at(n, parents, 1)
+            np.add.at(tot, parents, wlen)
+            np.add.at(lng, parents, (wlen >= LONG_WORD_CHARS).astype(np.int64))
+        keep = n > 0
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"].filter(pa.array(keep)).cast(pa.int64()),
+                "n_tokens": pa.array(n[keep]),
+                "avg_wlen_e4": pa.array((tot[keep] * 10_000) // n[keep]),
+                "long_frac_e4": pa.array((lng[keep] * 10_000) // n[keep]),
+            }
+        )
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        stats, batch_format="pyarrow"
+    )
+
+
 def q_lang_confusion(sf_dir: str):
     """Language-label audit: the confusion matrix of labeled ``lang`` ×
     content-detected language (Cavnar-Trenkle classifier) — the standard
@@ -4550,6 +4590,16 @@ def oracle_catalog() -> dict[str, str]:
         "  row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang ASC) AS rk FROM scores)\n"
         "SELECT doc_id, pred_lang, score FROM pred WHERE rk = 1"
     )
+    out["text_readability"] = (
+        f"WITH toks AS ({sql_tokens_cte()}),\n"
+        f"g AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,\n"
+        "  (sum(length(term)) * 10000) // count(*) AS avg_wlen_e4,\n"
+        f"  (sum(CASE WHEN length(term) >= {LONG_WORD_CHARS} THEN 1 ELSE 0 END) * 10000)"
+        " // count(*) AS long_frac_e4\n"
+        "  FROM toks GROUP BY doc_id)\n"
+        "SELECT doc_id, n_tokens, avg_wlen_e4::BIGINT AS avg_wlen_e4,\n"
+        "  long_frac_e4::BIGINT AS long_frac_e4 FROM g"
+    )
     out["lang_confusion"] = (
         f"WITH pred AS (SELECT * FROM ({out['lang_id']}))\n"
         "SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n\n"
@@ -5446,6 +5496,7 @@ def query_catalog():
         "lang_map": q_lang_map,
         "lang_id": q_lang_id,
         "lang_confusion": q_lang_confusion,
+        "text_readability": q_text_readability,
         "mm_frames": q_mm_frames,
         "dedup_minhash_sig": q_minhash_sig,
         "dedup_minhash_bands": q_minhash_bands,

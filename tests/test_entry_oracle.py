@@ -94,7 +94,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "fts_query_dsl", "fts_lmdirichlet", "fts_near",
         "collocations", "fts_match_positions",
         "fts_chunks", "fts_extract_roundtrip", "fts_extract_html", "lang_map",
-        "lang_id", "lang_confusion",
+        "lang_id", "lang_confusion", "text_readability",
         "dedup_exact",
         "dedup_minhash_sig", "dedup_minhash_bands",
         "dedup_minhash_md5_sig", "dedup_minhash_md5_bands", "dedup_simhash",
