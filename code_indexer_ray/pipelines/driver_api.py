@@ -1319,6 +1319,24 @@ def q_lang_id(sf_dir: str):
     )
 
 
+def q_part_size_percentiles(sf_dir: str):
+    """Exact grouped quantiles over the part dimension (p25/p50/p90 of
+    p_size per brand) — the map-side integer-histogram machinery applied to
+    a catalog table: the shuffle moves (brand, size, count) partials, the
+    final per-brand group is a tiny sorted histogram."""
+    import ray.data as rd
+
+    from .ops import grouped_quantiles
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "part.parquet"), columns=["p_brand", "p_size"])
+    out = grouped_quantiles(
+        ds, "p_brand", "p_size", [0.25, 0.5, 0.9], ["p25", "p50", "p90"]
+    ).to_pandas()
+    for c in ("p25", "p50", "p90"):
+        out[c] = out[c].round(4)
+    return pa.Table.from_pandas(out, preserve_index=False)
+
+
 LONG_WORD_CHARS = 7
 
 
@@ -5335,6 +5353,14 @@ def oracle_catalog() -> dict[str, str]:
         "FROM documents GROUP BY lang"
     )
 
+    out["part_size_percentiles"] = (
+        "SELECT p_brand,\n"
+        "  round(quantile_cont(p_size, 0.25), 4) AS p25,\n"
+        "  round(quantile_cont(p_size, 0.5), 4) AS p50,\n"
+        "  round(quantile_cont(p_size, 0.9), 4) AS p90\n"
+        "FROM part GROUP BY p_brand"
+    )
+
     out["events_json_agg"] = (
         "SELECT event_type,\n"
         "  sum(coalesce(CAST(regexp_extract(props, '\"k\":\\s*(\\d+)', 1) AS BIGINT), 0))::BIGINT AS sum_k,\n"
@@ -5566,6 +5592,7 @@ def query_catalog():
         "median_value": q_median_value,
         "events_cumsum": q_events_cumsum,
         "percentiles_by_lang": q_percentiles_by_lang,
+        "part_size_percentiles": q_part_size_percentiles,
         "events_json_agg": q_events_json_agg,
         "mode_event_type": q_mode_event_type,
         "events_rolling": q_events_rolling,

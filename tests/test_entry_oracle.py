@@ -115,7 +115,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
         "events_keep_latest", "events_window",
         "events_session", "events_hopping", "asof_orders", "range_events",
         "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
-        "median_value", "events_cumsum", "percentiles_by_lang",
+        "median_value", "events_cumsum", "percentiles_by_lang", "part_size_percentiles",
         "events_json_agg", "mode_event_type", "events_rolling",
         "docs_rollup", "events_rank", "events_corr",
         "content_grep", "events_zscore", "pagerank", "export_partitioned",
