@@ -55,6 +55,17 @@ def cosine_topk_batch(
     )
 
 
+def _empty_topk_table() -> pa.Table:
+    return pa.table(
+        {
+            "query_id": pa.array([], type=pa.int64()),
+            "rank": pa.array([], type=pa.int64()),
+            "vec_id": pa.array([], type=pa.int64()),
+            "cos": pa.array([], type=pa.float64()),
+        }
+    )
+
+
 def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
                     *, id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
     """Distributed brute-force ANN: broadcast queries, per-batch local top-k,
@@ -72,8 +83,11 @@ def ann_cosine_topk(ds, queries: np.ndarray, query_ids: np.ndarray, k: int,
     # all-empty input → empty result, keeping a schema'd block if any exists
     nonempty = [b for b in blocks if b.num_rows]
     if not nonempty:
-        schemaful = [b for b in blocks if b.num_columns]
-        return schemaful[0] if schemaful else pa.table({})
+        # an all-empty corpus (e.g. a label filter matching nothing) must
+        # still carry the FINAL output schema (query_id, rank, vec_id, cos),
+        # not the map-stage schema — downstream schema compares otherwise
+        # see a missing rank column (ADVICE r2).
+        return _empty_topk_table()
     parts = pa.concat_tables(nonempty)
     if parts.num_rows == 0:
         return parts
@@ -133,6 +147,13 @@ def cosine_range(ds, queries: np.ndarray, query_ids: np.ndarray, tau: float,
     blocks = ray.get(ds.map_batches(local, batch_format="pyarrow").to_arrow_refs())
     nonempty = [b for b in blocks if b.num_rows]
     if not nonempty:
-        schemaful = [b for b in blocks if b.num_columns]
-        return schemaful[0] if schemaful else pa.table({})
+        # explicit final schema (here the map-stage schema IS the output
+        # schema, but empty-schema blocks from upstream filters must not leak)
+        return pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cos": pa.array([], type=pa.float64()),
+            }
+        )
     return pa.concat_tables(nonempty)

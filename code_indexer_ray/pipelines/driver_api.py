@@ -478,8 +478,12 @@ def q_bm25_search_after(sf_dir: str):
     """Cursor deep pagination (Lucene/Elasticsearch searchAfter): page 1 of
     'spark' yields the (score, doc_id) cursor of its last hit; page 2 passes
     it back and every shard prunes to docs STRICTLY after the cursor in the
-    pinned (round-9 score desc, doc_id) order — page N costs O(limit) per
-    shard at any depth, unlike offset paging's O(offset+limit)."""
+    engine's actual ranking order — RAW float score desc, doc_id asc, the
+    same lexsort key the driver merge uses (Lucene's searchAfter also
+    compares the exact stored float).  Page N costs O(limit) per shard at
+    any depth, unlike offset paging's O(offset+limit).  The round-9 sort in
+    ``_bm25_table`` is presentation/oracle pinning only; page MEMBERSHIP is
+    always decided in raw order, so cursor chains never skip or duplicate."""
     s = searcher_for(sf_dir)
     page1 = s.search("spark", limit=10, snippet_lines=0)
     cursor = (page1[-1]["score"], page1[-1]["doc_id"])
@@ -5456,6 +5460,81 @@ def oracle_catalog() -> dict[str, str]:
 
 
 def query_catalog():
+    cat = _query_catalog_unordered()
+    # The driver's correctness run samples the FIRST 50 keys in dict order.
+    # Round 2 front-loaded FTS, so the dedup/ANN/events/TPC-H families —
+    # driver-verified in round 1 — went unsampled in round 2 (VERDICT r2
+    # task #10).  Rotate: families due for driver re-sampling plus the
+    # round-3 additions first, then the r2-verified FTS block.
+    front = [k for k in _SAMPLE_FIRST if k in cat]
+    rest = [k for k in cat if k not in set(front)]
+    return {k: cat[k] for k in front + rest}
+
+
+# keys the round-3 driver sample should cover (order = sampling priority)
+_SAMPLE_FIRST = [
+    # new round-3 entries are inserted here as they land
+    "fts_bm25_multifield",
+    # dedup family (driver-r1, unsampled r2)
+    "dedup_exact",
+    "dedup_minhash_sig",
+    "dedup_minhash_bands",
+    "dedup_near_pairs",
+    "dedup_components",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "dedup_simhash",
+    "line_dedup",
+    "span_dedup",
+    "url_dedup",
+    # ANN family
+    "ann_cosine",
+    "ann_cosine_filtered",
+    "ann_range",
+    "kmeans_embed",
+    "semantic_search",
+    "embed_text",
+    # events / analytics
+    "events_keep_latest",
+    "events_window",
+    "events_session",
+    "events_hopping",
+    "events_funnel",
+    "events_retention",
+    "events_cumsum",
+    "events_dau_mau",
+    "events_rank",
+    "events_zscore",
+    "events_json_agg",
+    "mode_event_type",
+    "heavy_hitters",
+    "distinct_users",
+    "median_value",
+    "percentiles_by_lang",
+    # joins / TPC-H
+    "join_orders_customer",
+    "revenue_by_nation",
+    "agg_lineitem",
+    "q3_shipping",
+    "q9_profit",
+    "q10_returns",
+    "asof_orders",
+    "range_events",
+    "topk_orders",
+    "antijoin_customers",
+    "pagerank",
+    # curation / text
+    "curate_corpus",
+    "training_shards",
+    "token_count",
+    "text_quality",
+    "pii_redact",
+    "decontam_flags",
+    "mm_decode",
+]
+
+
+def _query_catalog_unordered():
     return {
         "fts_term_stats": q_term_stats,
         "fts_doc_stats": q_doc_stats,

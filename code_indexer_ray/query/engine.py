@@ -1041,6 +1041,35 @@ class ShardSearcher:
             (sorted_terms[i].as_py(), int(dfs[order[i]])) for i in range(a, b)
         ]
 
+    def vocab_topdf(self, lo: str, hi: str, c: int) -> tuple[list[tuple[str, int]], int]:
+        """Local df-ranked head of the dictionary slice [lo, hi): the top-``c``
+        (term, LOCAL df) pairs by (df desc, term asc), plus the highest local
+        df among the UNSHIPPED slice terms (0 when the slice fits in ``c``).
+        That remainder bound lets the driver run a threshold (Fagin TA) merge:
+        any term no shard shipped has global df ≤ Σ per-shard remainder
+        bounds, so the driver can prove exactness without a vocabulary-sized
+        payload (ADVICE r2: complete() shipped the entire prefix slice)."""
+        _tbl, sorted_terms, order, dfs = self._all_state()
+        a = _bisect_terms(sorted_terms, lo)
+        b = _bisect_terms(sorted_terms, hi)
+        if b <= a:
+            return [], 0
+        local = dfs[order[a:b]].astype(np.int64, copy=False)
+        n = b - a
+        if n <= c:
+            sel = np.lexsort((np.arange(n), -local))
+            rest_max = 0
+        else:
+            part = np.argpartition(-local, c - 1)[:c]
+            sel = part[np.lexsort((part, -local[part]))]
+            rest = np.ones(n, dtype=bool)
+            rest[part] = False
+            rest_max = int(local[rest].max())
+        return (
+            [(sorted_terms[a + int(i)].as_py(), int(local[int(i)])) for i in sel],
+            rest_max,
+        )
+
     def meta_for_docs(
         self, doc_ids: list[int], lang_col: str | None, url_col: str | None
     ) -> list[tuple[int, str | None, str | None]]:
@@ -1622,22 +1651,43 @@ class IndexSearcher:
         sel = np.lexsort((ids, -scores))[:m]
         return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
 
-    def complete(self, prefix: str, *, limit: int = 10) -> list[dict]:
+    def complete(self, prefix: str, *, limit: int = 10, oversample: int = 8) -> list[dict]:
         """Completion suggester (Lucene/ES suggest): terms starting with
-        ``prefix`` ranked by exact global df desc, term asc.  Each shard
-        bisects its sorted dictionary and ships its full (term, local df)
-        prefix slice — payload is the matching-vocabulary size, so callers
-        should pass prefixes of realistic length (the reference's suggesters
-        carry the same per-segment cost).  No cap is applied — a cap here
-        would silently drop high-df terms sorted past it and undercount
-        global df."""
+        ``prefix`` ranked by exact global df desc, term asc — EXACT, with a
+        bounded payload.  Threshold (Fagin TA) merge: each shard ships only
+        its local df-ranked top-(limit × oversample) slice plus the max local
+        df of what it withheld; surviving candidates get exact global df from
+        a second ``_global_df`` fan-out; any term NO shard shipped has global
+        df ≤ Σ per-shard withheld bounds, so when the limit-th candidate's
+        exact df strictly beats that bound the head is provably exact.
+        Otherwise the slice doubles and retries — worst case (degenerate df
+        ties across the whole slice) degrades to the old full-slice scan, but
+        never silently drops a high-df term.  limit=0 keeps the exhaustive
+        full-slice behavior by construction (c grows until nothing is
+        withheld)."""
         hi = prefix + chr(0x10FFFF)
-        agg: dict[str, int] = {}
-        for sh in self._fanout("vocab_range", prefix, hi, 1 << 62):
-            for t, df in sh:
-                agg[t] = agg.get(t, 0) + df
-        rows = sorted(agg.items(), key=lambda kv: (-kv[1], kv[0]))[: limit or None]
-        return [{"term": t, "df": df} for t, df in rows]
+        want = limit if limit > 0 else UNLIMITED_LIMIT
+        c = max(want * max(oversample, 1), 16) if limit > 0 else UNLIMITED_LIMIT
+        while True:
+            local_df: dict[str, int] = {}
+            threshold = 0
+            for sh, rest_max in self._fanout("vocab_topdf", prefix, hi, c):
+                for t, df in sh:
+                    local_df[t] = local_df.get(t, 0) + df
+                threshold += rest_max
+            if not local_df:
+                return []
+            if threshold == 0:
+                # nothing withheld anywhere: local sums ARE exact global dfs
+                rows = sorted(local_df.items(), key=lambda kv: (-kv[1], kv[0]))
+                return [{"term": t, "df": df} for t, df in rows[: limit or None]]
+            # resolve exact global df for the bounded candidate union
+            cand = sorted(local_df)
+            exact = self._global_df(cand)
+            rows = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))
+            if len(rows) >= want and rows[want - 1][1] > threshold:
+                return [{"term": t, "df": df} for t, df in rows[:want]]
+            c *= 2  # a withheld term could still rank — widen and retry
 
     def mget(self, doc_ids: list[int]) -> list[dict]:
         """Stored-field multi-get (Elasticsearch mget / Tantivy doc-address

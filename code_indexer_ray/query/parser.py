@@ -181,6 +181,16 @@ def parse_query(q: str) -> dict:
     if wild:
         if len(scoring) != len(wild):
             raise ValueError("wildcard queries cannot mix with plain scoring terms")
+        if must and bare:
+            # should_terms are exact analyzed tokens in the engine; a
+            # stripped prefix ('merg*' → 'merg') or glob-translated regex
+            # ('mer?e' → 'mer.e') routed there would silently score the
+            # wrong term instead of the documented whole-query-mode error.
+            raise ValueError(
+                "wildcard queries cannot mix MUST (+) and bare optional terms"
+            )
+        if any(_has_wildcard(k) for k in boosts):
+            raise ValueError("boosting a wildcard clause is unsupported")
         if all(t.endswith("*") and not _has_wildcard(t[:-1]) for t in scoring):
             kwargs["prefix"] = True
             scoring = [t[:-1] for t in scoring]

@@ -753,3 +753,40 @@ class TestRangeJoin:
         # left 1 at t=3601, window [1s, 3601s]: rid 12 (3600, prev bucket
         # via replication), rid 13 (100)
         assert pairs == {(0, 10), (1, 12), (1, 13)}
+
+
+class TestANNEmptyCorpus:
+    """ADVICE r2: an all-empty corpus (e.g. a label filter matching nothing)
+    must yield the FINAL output schema, not the map-stage schema."""
+
+    def _empty_ds(self):
+        import ray.data as rd
+
+        tbl = pa.table(
+            {
+                "vec_id": pa.array(np.arange(50), type=pa.int64()),
+                "embedding": pa.array(
+                    list(np.random.default_rng(0).standard_normal((50, 8))),
+                    type=pa.list_(pa.float64()),
+                ),
+                "label": pa.array(["a"] * 50),
+            }
+        )
+        ds = rd.from_arrow(tbl).repartition(4)
+        return ds.filter(lambda r: r["label"] == "nope")
+
+    def test_topk_empty_schema(self, ray_session):
+        from code_indexer_ray.ann.brute import ann_cosine_topk
+
+        q = np.zeros((1, 8)) + 1.0
+        out = ann_cosine_topk(self._empty_ds(), q, np.array([0]), k=3)
+        assert out.num_rows == 0
+        assert out.column_names == ["query_id", "rank", "vec_id", "cos"]
+
+    def test_range_empty_schema(self, ray_session):
+        from code_indexer_ray.ann.brute import cosine_range
+
+        q = np.zeros((1, 8)) + 1.0
+        out = cosine_range(self._empty_ds(), q, np.array([0]), tau=0.5)
+        assert out.num_rows == 0
+        assert out.column_names == ["query_id", "vec_id", "cos"]

@@ -401,3 +401,72 @@ class TestActorModeParity:
             (s.mget([3, 17, 55]), rs.mget([3, 17, 55])),
         ):
             assert a == b
+
+
+class TestCompleteThreshold:
+    """Round-3 bounded-payload complete(): per-shard df-ranked slices + a
+    Fagin-TA threshold proof replace the old full-prefix-slice fan-out."""
+
+    def _df(self, rows):
+        from code_indexer_ray.text.analysis import tokenize_query
+
+        df: dict[str, int] = {}
+        for r in rows:
+            for t in set(tokenize_query(r["text"])):
+                df[t] = df.get(t, 0) + 1
+        return df
+
+    def test_truncated_slices_still_exact(self, ray_session, tmp_path_factory):
+        """60 prefix terms with skewed dfs across 3 shards; limit=3 with the
+        default c=16 slice truncates every shard — result must equal the
+        exhaustive df ranking."""
+        import pyarrow.parquet as pq
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rng = np.random.default_rng(11)
+        terms = [f"s{i:03d}" for i in range(60)]
+        rows = []
+        for i in range(150):
+            # skewed membership: term j appears with prob ~ 1/(1+j/5)
+            text = " ".join(t for j, t in enumerate(terms) if rng.random() < 1.0 / (1 + j / 5))
+            rows.append({"doc_id": i, "text": text or "s000"})
+        tmp = tmp_path_factory.mktemp("cth")
+        src = str(tmp / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        out = str(tmp / "idx")
+        build_index(src, out, num_shards=3, num_buckets=2)
+        s = IndexSearcher(out)
+
+        df = self._df(rows)
+        want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        got = s.complete("s", limit=3, oversample=1)
+        assert [(g["term"], g["df"]) for g in got] == want
+
+    def test_all_ties_escalates_and_terminates(self, ray_session, tmp_path_factory):
+        """Every prefix term has df=1 (worst case: the threshold can never be
+        strictly beaten at small c) — the loop must widen until nothing is
+        withheld and return the exact (df desc, term asc) head."""
+        import pyarrow.parquet as pq
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rows = [{"doc_id": i, "text": f"t{i:03d}"} for i in range(60)]
+        tmp = tmp_path_factory.mktemp("cties")
+        src = str(tmp / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        out = str(tmp / "idx")
+        build_index(src, out, num_shards=3, num_buckets=2)
+        s = IndexSearcher(out)
+
+        got = s.complete("t", limit=5, oversample=1)
+        assert [(g["term"], g["df"]) for g in got] == [
+            (f"t{i:03d}", 1) for i in range(5)
+        ]
+
+    def test_limit0_exhaustive(self, built):
+        rows, s, _ = built
+        df = self._df(rows)
+        want = sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))
+        got = s.complete("", limit=0)
+        assert [(g["term"], g["df"]) for g in got] == want

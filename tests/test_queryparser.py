@@ -131,3 +131,29 @@ def test_mixed_query_executes_dnf_end_to_end(ray_session):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError):
         search_query_string(s, "spark AND merge OR window AND sort", snippet_lines=3)
+
+
+class TestWildcardOccurrenceMix:
+    """ADVICE r2: bare wildcard terms must not silently become exact
+    should_terms when MUST wildcards are present."""
+
+    def test_must_plus_bare_prefix_raises(self):
+        with pytest.raises(ValueError, match="MUST.*bare|bare.*MUST"):
+            parse_query("+spar* merg*")
+
+    def test_must_plus_bare_glob_raises(self):
+        with pytest.raises(ValueError, match="MUST.*bare|bare.*MUST"):
+            parse_query("+s?ark mer?e")
+
+    def test_boosted_wildcard_raises(self):
+        with pytest.raises(ValueError, match="boost.*wildcard"):
+            parse_query("spar*^2 merg*")
+
+    def test_all_must_wildcards_still_work(self):
+        kw = parse_query("+spar* +merg*")
+        assert kw["prefix"] is True
+        assert kw["query_text"] == "spar merg"
+
+    def test_all_bare_wildcards_still_work(self):
+        kw = parse_query("spar* merg*")
+        assert kw["prefix"] is True and kw["match_any"] is True
