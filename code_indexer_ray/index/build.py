@@ -56,6 +56,18 @@ from ..text.analysis import term_frequencies
 # BASELINE.md scale-tuning notes
 DEFAULT_NUM_BUCKETS = 16
 
+#: multi-field term-key separator: an indexed key for field ``f`` is
+#: ``f + FIELD_SEP + term``.  The analyzer never emits \x1f (tokens are
+#: letter/digit runs), so prefixed keys can't collide with plain terms, and
+#: all keys of one field are CONTIGUOUS in any sorted term dictionary
+#: (shared prefix) — per-field stats are two bisects per segment.
+FIELD_SEP = "\x1f"
+
+
+def field_key(fname: str, term: str) -> str:
+    """The dictionary key under which field ``fname``'s ``term`` is indexed."""
+    return fname + FIELD_SEP + term
+
 
 def term_bucket(terms: pa.Array, num_buckets: int) -> np.ndarray:
     """Stable bucket id per term (hash64 % buckets), computed once per
@@ -142,6 +154,7 @@ class TokenizeStage:
         doc_id_upper: int,
         vocab_dir: str | None = None,
         index_positions: bool = False,
+        fields: dict[str, str] | None = None,
     ):
         self.id_col = id_col
         self.text_col = text_col
@@ -150,6 +163,9 @@ class TokenizeStage:
         self.doc_id_upper = doc_id_upper
         self.vocab_dir = vocab_dir
         self.index_positions = index_positions
+        self.fields = fields
+        if fields and index_positions:
+            raise ValueError("index_positions is not supported with a multi-field schema")
 
     def _uniq_codes(self, terms: pa.Array):
         if pa.types.is_dictionary(terms.type):
@@ -175,11 +191,14 @@ class TokenizeStage:
         codes: np.ndarray,
         shards: np.ndarray,
         post_docs: np.ndarray,
+        fname: str | None = None,
     ) -> None:
         """Side-write each unique (term, shard) pair's vocab row, bucket-sorted
         (row-group pruning at encode).  File names are keyed by the batch's
         doc range per shard — a retried task overwrites the same file with
-        identical content (same idempotency as the doc-store side-writes)."""
+        identical content (same idempotency as the doc-store side-writes).
+        In multi-field mode the field name joins the key so two fields of the
+        same batch never overwrite each other's file."""
         packed = codes.astype(np.int64) * self.num_shards + shards
         upairs = np.unique(packed)
         v_codes = (upairs // self.num_shards).astype(np.int64)
@@ -199,27 +218,47 @@ class TokenizeStage:
             os.makedirs(d, exist_ok=True)
             in_s = post_docs[shards == s]
             lo_id, hi_id = int(in_s.min()), int(in_s.max())
-            path = os.path.join(d, f"part-{lo_id:012d}-{hi_id:012d}.parquet")
+            suffix = f"-{fname}" if fname is not None else ""
+            path = os.path.join(d, f"part-{lo_id:012d}-{hi_id:012d}{suffix}.parquet")
             tmp = path + f".tmp-{os.getpid()}"
             # scratch files, read once by encode — skip compression CPU
             pq.write_table(tbl, tmp, compression="none", row_group_size=8192)
             os.replace(tmp, path)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if self.fields is not None:
+            # one pass per field; postings concat into one table (same
+            # shuffle).  Each field's term keys are FIELD_SEP-prefixed and
+            # its norm byte quantizes THAT field's token count — per-field
+            # norms/df/avgdl fall out of the ordinary machinery.
+            parts = [
+                self._emit_field(batch, col, fname)
+                for fname, col in self.fields.items()
+            ]
+            return pa.concat_tables(parts)
+        return self._emit_field(batch, self.text_col, None)
+
+    def _emit_field(self, batch: pa.Table, text_col: str, fname: str | None) -> pa.Table:
         pos_flat = pos_offsets = None
         if self.index_positions:
             from ..text.analysis import term_positions
 
             terms, rows, tfs, row_counts, pos_flat, pos_offsets = term_positions(
-                batch[self.text_col]
+                batch[text_col]
             )
         else:
-            terms, rows, tfs, row_counts = term_frequencies(batch[self.text_col])
+            terms, rows, tfs, row_counts = term_frequencies(batch[text_col])
         doc_ids = batch[self.id_col].to_numpy(zero_copy_only=False).astype(np.int64)
         post_docs = doc_ids[rows]
         norm_ids = fieldnorm_to_id(row_counts)[rows]
         shards = shard_of(post_docs, self.num_shards, self.doc_id_upper)
         uniq, codes = self._uniq_codes(terms)
+        if fname is not None:
+            # field-prefixed keys, prefixed ONCE per unique term (vocab ≪
+            # postings); hashing / bucketing / vocab rows all see the key
+            uniq = pc.binary_join_element_wise(
+                pa.scalar(fname + FIELD_SEP), uniq.cast(pa.string()), pa.scalar("")
+            )
         buckets_u, hashes_u = self._bucket_hash(uniq)
         # single packed partition key — fewer shuffle bytes, single-column sort
         pkey = (shards * self.num_buckets + buckets_u[codes]).astype(np.int32)
@@ -258,12 +297,15 @@ class TokenizeStage:
             byte_offs[-1] = len(buf)
             cols["pos_enc"] = _binary_col(buf, byte_offs)
         if self.vocab_dir is not None:
-            self._write_vocab(uniq, buckets_u, hashes_u, codes, shards, post_docs)
+            self._write_vocab(uniq, buckets_u, hashes_u, codes, shards, post_docs, fname)
             cols = {"term_hash": pa.array(hashes_u[codes]), **cols}
         else:
             # standalone mode: plain strings (dictionary columns measured 5x
             # SLOWER through the sort shuffle — reduce-side unification)
-            cols = {"term": terms.cast(pa.string()), **cols}
+            term_col = (
+                uniq.take(pa.array(codes)) if fname is not None else terms.cast(pa.string())
+            )
+            cols = {"term": term_col, **cols}
         return pa.table(cols)
 
 
@@ -275,10 +317,12 @@ def make_tokenize_fn(
     doc_id_upper: int,
     vocab_dir: str | None = None,
     index_positions: bool = False,
+    fields: dict[str, str] | None = None,
 ):
     """Stateless-task variant of :class:`TokenizeStage` (tests/small runs)."""
     stage = TokenizeStage(
-        id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir, index_positions
+        id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir,
+        index_positions, fields,
     )
 
     def tokenize_batch(batch: pa.Table) -> pa.Table:
@@ -476,12 +520,40 @@ def _load_vocab(vocab_dir: str, shard: int, bucket: int) -> tuple[np.ndarray, pa
     return vh[sel], vt.take(pa.array(sel))
 
 
+def _field_token_sums(seg: pa.Table, field_names: tuple[str, ...]) -> dict[str, int]:
+    """Per-field token totals of one segment: terms are sorted and all keys of
+    a field share the ``f + FIELD_SEP`` prefix, so each field is one
+    contiguous slice — two bisects + one cf-slice sum per field."""
+    terms = seg["term"]
+    if isinstance(terms, pa.ChunkedArray):
+        terms = terms.combine_chunks()
+    cf = seg["cf"].to_numpy(zero_copy_only=False)
+
+    def bis(key: str) -> int:
+        lo, hi = 0, len(terms)
+        while lo < hi:
+            mid = (lo + hi) // 2
+            if terms[mid].as_py() < key:
+                lo = mid + 1
+            else:
+                hi = mid
+        return lo
+
+    out: dict[str, int] = {}
+    for f in field_names:
+        a = bis(f + FIELD_SEP)
+        b = bis(f + FIELD_SEP + chr(0x10FFFF))
+        out[f] = int(cf[a:b].sum()) if b > a else 0
+    return out
+
+
 def make_encode_fn(
     out_dir: str,
     fingerprint: str,
     num_buckets: int = DEFAULT_NUM_BUCKETS,
     num_shards: int = 1,
     doc_id_upper: int = 0,
+    field_names: tuple[str, ...] | None = None,
 ):
     """Per-(shard,bucket) encode + atomic segment write + partition manifest."""
 
@@ -535,6 +607,7 @@ def make_encode_fn(
             path=rel,
             build_secs=round(time.perf_counter() - t0, 4),
             fingerprint=fingerprint,
+            field_tokens=_field_token_sums(seg, field_names) if field_names else {},
         )
         write_partition_manifest(out_dir, info)
         from dataclasses import asdict
@@ -613,6 +686,7 @@ def build_index(
     doc_id_upper: int | None = None,
     index_positions: bool = False,
     ray_remote_args: dict | None = None,
+    fields: dict[str, str] | None = None,
 ) -> IndexManifest:
     """Build a queryable sharded inverted index under ``out_dir``.
 
@@ -621,8 +695,26 @@ def build_index(
     ``tantivy_index_manager.py:91-115``). Resumable: completed partitions are
     skipped, and fully-complete shards are excluded from the input scan via a
     doc-range predicate.
+
+    ``fields`` declares a MULTI-FIELD schema (the reference's declared
+    Tantivy fields, ``tantivy_index_manager.py:96-115``): a dict of field
+    name → input column.  Each field's terms are indexed under
+    ``field_key(fname, term)`` with that field's OWN quantized length norm,
+    df and token totals — one build, one shuffle; per-field avgdl lands in
+    ``manifest.metrics["fields"]`` for BM25-per-field / BM25F scoring
+    (``IndexSearcher.search_multifield``).  ``text_col`` is ignored when
+    ``fields`` is given; all field columns are also kept in the doc store.
     """
     import ray.data as rd
+
+    if fields is not None:
+        if index_positions:
+            raise ValueError("index_positions is not supported with a multi-field schema")
+        if not fields:
+            raise ValueError("fields must name at least one field")
+        for f in fields:
+            if FIELD_SEP in f or not f:
+                raise ValueError(f"invalid field name {f!r}")
 
     n_docs, max_id = _dataset_count_and_max(input_paths, id_col)
     if doc_id_upper is None:
@@ -639,7 +731,12 @@ def build_index(
     min_shards_for_u32 = max(1, -(-(doc_id_upper + 1) // (1 << 32)))
     if num_shards < min_shards_for_u32:
         num_shards = min_shards_for_u32
-    fingerprint = f"v1:{n_docs}:{doc_id_upper}:{num_shards}:{num_buckets}:{text_col}" + (
+    fp_text = (
+        "fields(" + ",".join(f"{k}={v}" for k, v in sorted(fields.items())) + ")"
+        if fields is not None
+        else text_col
+    )
+    fingerprint = f"v1:{n_docs}:{doc_id_upper}:{num_shards}:{num_buckets}:{fp_text}" + (
         ":pos" if index_positions else ""
     )
 
@@ -677,7 +774,8 @@ def build_index(
             shutil.rmtree(os.path.join(docstore_dir, f"shard={s}"), ignore_errors=True)
             shutil.rmtree(os.path.join(vocab_dir, f"shard={s}"), ignore_errors=True)
 
-        cols = [id_col, text_col, *store_cols]
+        text_cols = list(dict.fromkeys(fields.values())) if fields is not None else [text_col]
+        cols = list(dict.fromkeys([id_col, *text_cols, *store_cols]))
         nblocks = _read_parallelism()
         read_kwargs: dict = {"columns": cols, "override_num_blocks": nblocks}
         if len(todo_shards) < num_shards:
@@ -691,7 +789,7 @@ def build_index(
 
         tokenize = make_tokenize_fn(
             id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir,
-            index_positions,
+            index_positions, fields,
         )
 
         def fused(batch: pa.Table) -> pa.Table:
@@ -713,7 +811,10 @@ def build_index(
         # here (a pool's reserved CPUs starve the sort/encode stages)
         tok = ds.map_batches(fused, batch_format="pyarrow", **(ray_remote_args or {}))
         mat = tok.groupby("pkey").map_groups(
-            make_encode_fn(out_dir, fingerprint, num_buckets, num_shards, doc_id_upper),
+            make_encode_fn(
+                out_dir, fingerprint, num_buckets, num_shards, doc_id_upper,
+                tuple(fields) if fields is not None else None,
+            ),
             batch_format="pyarrow",
         ).materialize()  # consume; stats are read back from partition manifests
         if os.environ.get("CIDX_PRINT_STATS"):
@@ -725,6 +826,7 @@ def build_index(
     done = completed_partitions(out_dir, fingerprint)
     partitions: list[dict] = []
     total_tokens = 0
+    field_totals: dict[str, int] = dict.fromkeys(fields, 0) if fields is not None else {}
     import json
 
     for shard, bucket in sorted(done):
@@ -732,6 +834,8 @@ def build_index(
             d = json.load(f)
         partitions.append(d)
         total_tokens += int(d["total_tokens"])
+        for f_, n in (d.get("field_tokens") or {}).items():
+            field_totals[f_] = field_totals.get(f_, 0) + int(n)
 
     manifest = IndexManifest(
         num_docs=n_docs,
@@ -748,6 +852,16 @@ def build_index(
             "built_unix": time.time(),
             "index_positions": bool(index_positions),
             "encode_secs_sum": round(sum(float(r.get("build_secs", 0)) for r in partitions), 4),
+            **(
+                {
+                    "fields": {
+                        f_: {"col": fields[f_], "total_tokens": field_totals.get(f_, 0)}
+                        for f_ in fields
+                    }
+                }
+                if fields is not None
+                else {}
+            ),
         },
     )
     publish_manifest(out_dir, manifest)

@@ -40,6 +40,10 @@ class PartitionInfo:
     path: str
     build_secs: float
     fingerprint: str = ""
+    # multi-field builds: per-field token totals of this partition (keys of
+    # field ``f`` are one contiguous dictionary slice; summed at publish into
+    # manifest.metrics["fields"] for per-field avgdl)
+    field_tokens: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -58,6 +62,21 @@ class IndexManifest:
     @property
     def avgdl(self) -> float:
         return self.total_tokens / self.num_docs if self.num_docs else 0.0
+
+    @property
+    def fields(self) -> dict[str, dict] | None:
+        """Multi-field schema: {field: {"col": input column, "total_tokens": n}}
+        or None for a single-field index."""
+        return self.metrics.get("fields")
+
+    def field_avgdl(self, fname: str) -> float:
+        """Per-field average document length (field token total / N — every
+        corpus row counts, including rows where the field is empty, matching
+        the per-field BM25 twin)."""
+        f = (self.fields or {}).get(fname)
+        if f is None:
+            raise KeyError(f"index has no field {fname!r}")
+        return f["total_tokens"] / self.num_docs if self.num_docs else 0.0
 
     def shard_files(self, root: str) -> dict[int, list[str]]:
         out: dict[int, list[str]] = {}

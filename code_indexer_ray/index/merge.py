@@ -224,6 +224,14 @@ def merge_indexes(
             "num_shards/num_buckets/doc_id_upper so partitions align"
         )
 
+    base_fields = base.fields
+    delta_fields = delta.fields if delta is not None else base_fields
+    if delta is not None and (base_fields or {}).keys() != (delta_fields or {}).keys():
+        raise ValueError(
+            "base/delta field schemas differ — build the delta with the base's fields="
+        )
+    field_names = tuple(base_fields) if base_fields else None
+
     os.makedirs(out_dir, exist_ok=True)
     base_files = {(p["shard"], p["bucket"]): p["path"] for p in base.partitions}
     delta_files = (
@@ -259,6 +267,11 @@ def merge_indexes(
             tomb_ranges,
         )
         stats.update({"shard": shard, "bucket": bucket, "path": rel})
+        if field_names and not stats.get("empty"):
+            from .build import _field_token_sums
+
+            seg = pq.read_table(os.path.join(out_dir, rel), columns=["term", "cf"])
+            stats["field_tokens"] = _field_token_sums(seg, field_names)
         return stats
 
     keys = sorted(set(base_files) | set(delta_files))
@@ -272,9 +285,12 @@ def merge_indexes(
     )
     partitions = []
     total_tokens = 0
+    field_totals: dict[str, int] = dict.fromkeys(field_names or (), 0)
     for st in results:
         if st.get("empty"):
             continue
+        for f_, n_ in (st.get("field_tokens") or {}).items():
+            field_totals[f_] = field_totals.get(f_, 0) + int(n_)
         info = PartitionInfo(
             shard=st["shard"],
             bucket=st["bucket"],
@@ -285,6 +301,7 @@ def merge_indexes(
             path=st["path"],
             build_secs=0.0,
             fingerprint=merge_fp,
+            field_tokens=st.get("field_tokens") or {},
         )
         write_partition_manifest(out_dir, info)
         from dataclasses import asdict
@@ -312,6 +329,19 @@ def merge_indexes(
             "merged_from": [base_dir, delta_dir] if delta_dir else [base_dir],
             "tombstones": int(len(tomb)),
             "tombstone_ranges": [[int(lo), int(hi)] for lo, hi in (tombstone_ranges or [])],
+            **(
+                {
+                    "fields": {
+                        f_: {
+                            "col": base_fields[f_]["col"],
+                            "total_tokens": field_totals.get(f_, 0),
+                        }
+                        for f_ in base_fields
+                    }
+                }
+                if base_fields
+                else {}
+            ),
         },
     )
     publish_manifest(out_dir, manifest)

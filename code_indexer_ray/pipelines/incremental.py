@@ -79,5 +79,10 @@ def apply_delta(
         doc_id_upper=base.doc_id_upper,
         index_positions=bool(base.metrics.get("index_positions")),
         resume=False,
+        # a multi-field base needs the delta indexed under the same field
+        # schema or merged dictionaries would mix prefixed and plain keys
+        fields=(
+            {f: d["col"] for f, d in base.fields.items()} if base.fields else None
+        ),
     )
     return merge_indexes(base_dir, delta_idx, out_dir, tombstone_ranges=tombstone_ranges)

@@ -606,8 +606,14 @@ class ShardSearcher:
         should_terms: list[str] | None = None,
         boosts: dict[str, float] | None = None,
         after: tuple[float, int] | None = None,
+        avgdl_map: dict[str, float] | None = None,
     ) -> list[tuple[int, float, str | None, str | None]]:
         """Top-m (doc_id, score, lang, url) for AND-of-OR-groups in this shard.
+
+        ``avgdl_map`` (multi-field scoring) overrides the corpus ``avgdl``
+        per term KEY — a field-prefixed key scores against its own field's
+        average length (its norm byte already quantizes that field's dl), so
+        per-field BM25 needs no new scoring path.
 
         ``after`` is the search-after cursor (Lucene/Elasticsearch
         ``searchAfter``): a ``(score, doc_id)`` position in the engine's
@@ -650,6 +656,7 @@ class ShardSearcher:
             and not should_terms
             and not boosts
             and after is None
+            and avgdl_map is None
         ):
             return self._maxscore_union(
                 group_posts[0], n_docs, avgdl, global_df, m, lang_col, url_col
@@ -703,7 +710,8 @@ class ShardSearcher:
             if not hit.any():
                 continue
             dl = id_to_fieldnorm(nm[pos_c[hit]])
-            contrib = bm25.term_score(tf[pos_c[hit]], dl, global_df[t], n_docs, avgdl)
+            t_avgdl = avgdl_map.get(t, avgdl) if avgdl_map else avgdl
+            contrib = bm25.term_score(tf[pos_c[hit]], dl, global_df[t], n_docs, t_avgdl)
             if boosts:
                 contrib = contrib * boosts.get(t, 1.0)
             scores[hit] += contrib
@@ -1801,6 +1809,70 @@ class IndexSearcher:
         sel = np.lexsort((ids, -scores))[:m]
         return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
 
+    def search_multifield(
+        self,
+        query_text: str,
+        weights: dict[str, float],
+        *,
+        limit: int = 10,
+    ) -> list[dict]:
+        """Native multi-field search over a ``fields=`` build (the Lucene
+        MultiFieldQueryParser shape; replaces the round-2 driver-composed
+        per-(field, term) limit=0 probes).  A term matches in ANY weighted
+        field (OR across fields), ALL query terms must match somewhere (AND
+        across terms); score = Σ_field w_f · BM25_f with per-field df, avgdl
+        and quantized lengths.  The per-field keys ride the ordinary
+        AND-of-OR-groups shard machinery: per-key ``avgdl_map`` overrides +
+        field weights as boosts — no new scoring path, no driver-side
+        composition, per-shard payload is top-m rows like every other query.
+        Reference field schema: ``tantivy_index_manager.py:96-115``."""
+        from ..index.build import field_key
+
+        flds = self.manifest.fields
+        if not flds:
+            raise ValueError("search_multifield requires an index built with fields=")
+        if not weights:
+            raise ValueError("weights must name at least one field")
+        unknown = set(weights) - set(flds)
+        if unknown:
+            raise ValueError(f"unknown fields: {sorted(unknown)}")
+        if any(w <= 0 for w in weights.values()):
+            raise ValueError("field weights must be > 0")
+        words = list(dict.fromkeys(tokenize_query(query_text)))
+        if not words:
+            return []
+        fnames = sorted(weights)
+        groups = [[field_key(f, w) for f in fnames] for w in words]
+        global_df = self._global_df([k for g in groups for k in g])
+        if any(all(global_df[k] == 0 for k in g) for g in groups):
+            return []
+        boosts: dict[str, float] = {}
+        avgdl_map: dict[str, float] = {}
+        for f in fnames:
+            f_avgdl = self.manifest.field_avgdl(f)
+            for w in words:
+                k = field_key(f, w)
+                boosts[k] = float(weights[f])
+                avgdl_map[k] = f_avgdl
+        m = limit if limit > 0 else UNLIMITED_LIMIT
+        per_shard = self._fanout(
+            "search_groups",
+            groups,
+            self.manifest.num_docs,
+            self.manifest.avgdl,
+            global_df,
+            m,
+            boosts=boosts,
+            avgdl_map=avgdl_map,
+        )
+        hits = [h for sh in per_shard for h in sh]
+        if not hits:
+            return []
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        scores = np.array([h[1] for h in hits], dtype=np.float64)
+        sel = np.lexsort((ids, -scores))[:m]
+        return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
+
     def explain(self, query_text: str, *, limit: int = 10, **kwargs) -> list[dict]:
         """Score breakdown for the top-``limit`` hits (Lucene ``explain``):
         one row per (hit, matched term) with the raw scoring inputs (tf, the
@@ -1947,6 +2019,13 @@ class IndexSearcher:
         slop: int = 0,
         after: tuple[float, int] | None = None,
     ) -> list[dict]:
+        if self.manifest.fields:
+            # a multi-field dictionary holds only field-prefixed keys; a
+            # plain term would silently match nothing — fail loudly instead
+            raise ValueError(
+                "this index was built with fields= — query it with "
+                "search_multifield(query, weights)"
+            )
         if after is not None:
             if phrase:
                 raise ValueError("search_after is not supported with phrase queries")

@@ -69,60 +69,23 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
     missing = set(qs) - set(oracles)
     # approximate by design → rows-only checks (each has a measured recall
     # gate vs the exact ann_cosine result below)
-    assert missing == {
-        "ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw", "distinct_users_hll",
-        "approx_quantiles",
-    }
+    assert missing == _NO_ORACLE
 
 
-@pytest.mark.parametrize(
-    "name",
-    [
-        "fts_term_stats", "fts_doc_stats", "fts_bm25_single", "fts_bm25_and",
-        "fts_bm25_or", "fts_bm25_dnf", "fts_bm25_not", "fts_bm25_should", "fts_bm25_boost",
-        "fts_bm25_multifield", "fts_facet_lang", "fts_facet_domain",
-        "fts_bm25_page", "fts_search_after", "fts_order_by_field",
-        "fts_dismax", "fts_explain", "fts_stats_agg", "fts_collapse_domain",
-        "significant_terms", "fts_vocab_range", "fts_mget", "percolate",
-        "c4_line_filter", "line_dedup", "fts_complete", "domain_cap",
-        "fts_synonyms", "index_stats",
-        "fts_more_like_this", "fts_hybrid_rrf", "gopher_repetition", "span_dedup", "fts_phrase", "fts_phrase_slop",
-        "fts_bm25_lang", "fts_bm25_exclude_lang", "fts_bm25_source_filter",
-        "fts_bm25_limit0", "fts_fuzzy_terms", "fts_bm25_fuzzy",
-        "fts_regex_terms", "fts_bm25_regex", "fts_prefix_terms",
-        "fts_bm25_prefix", "spell_suggest", "fts_autocorrect", "fts_batch_queries", "fts_multi_repo", "fts_federated_global", "fts_incremental",
-        "fts_query_dsl", "fts_lmdirichlet", "fts_near",
-        "collocations", "fts_match_positions",
-        "fts_chunks", "fts_extract_roundtrip", "fts_extract_html", "lang_map",
-        "lang_id", "lang_confusion", "text_readability",
-        "dedup_exact",
-        "dedup_minhash_sig", "dedup_minhash_bands",
-        "dedup_minhash_md5_sig", "dedup_minhash_md5_bands", "dedup_simhash",
-        "dedup_near_pairs", "dedup_components", "fts_collapse_neardup", "fts_mmr_rerank", "decontam_flags",
-        "domain_stats", "domain_filter", "tfidf_keywords", "unigram_bits",
-        "join_orders_customer", "join_lineitem_agg", "revenue_by_nation",
-        "q3_shipping", "q10_returns", "q9_profit", "events_interarrival", "events_histogram", "events_dau_mau", "orders_monthly",
-        "heavy_hitters",
-        "dedup_ngram_jaccard",
-        "dedup_embed_cosine",
-        "text_quality", "quality_filter", "sample_token_budget", "token_count",
-        "embed_text", "semantic_search", "curate_corpus", "training_shards", "curated_search",
-        "sample_docs",
-        "sample_stratified", "pii_redact", "url_canonical", "url_dedup",
-        "ann_cosine", "ann_cosine_filtered", "ann_range", "fts_bm25_wildcard",
-        "kmeans_embed",
-        "events_funnel", "events_pivot", "events_retention", "top_terms_per_lang",
-        "events_keep_latest", "events_window",
-        "events_session", "events_hopping", "asof_orders", "range_events",
-        "agg_lineitem", "topk_orders", "topk_orders_per_cust", "distinct_users",
-        "median_value", "events_cumsum", "percentiles_by_lang", "part_size_percentiles",
-        "events_json_agg", "mode_event_type", "events_rolling",
-        "docs_rollup", "events_rank", "events_corr",
-        "content_grep", "events_zscore", "pagerank", "export_partitioned",
-        "antijoin_customers", "mm_decode",
-        "mm_frames",
-    ],
-)
+_NO_ORACLE = {
+    "ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw",
+    "distinct_users_hll", "approx_quantiles",
+}
+
+def _oracle_gated_names():
+    # derive from the catalog so a new queries() entry is AUTO-gated here —
+    # forgetting to list it can no longer silently skip its oracle replay
+    from code_indexer_ray.pipelines.driver_api import query_catalog
+
+    return sorted(set(query_catalog()) - _NO_ORACLE)
+
+
+@pytest.mark.parametrize("name", _oracle_gated_names())
 def test_query_matches_oracle(name, catalogs, duck):
     qs, oracles = catalogs
     got = _normalize(_to_table(qs[name](SF)))

@@ -1,0 +1,206 @@
+"""Native multi-field index (round 3): per-field postings/norms/df/avgdl in
+ONE build — terms indexed under field-prefixed keys, weighted per-field BM25
+scored in the shards — vs a first-principles brute-force recomputation, plus
+actor/local parity, apply_delta inheritance and the plain-search guard.
+
+Reference field schema: ``tantivy_index_manager.py:96-115`` (path / content /
+identifiers fields in one Tantivy index)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from code_indexer_ray.index.fieldnorm import fieldnorm_to_id, id_to_fieldnorm
+from code_indexer_ray.text.analysis import tokenize_query
+
+K1, B = 1.2, 0.75
+
+
+def _bm25(tf, dl, df, n, avgdl):
+    return math.log(1 + (n - df + 0.5) / (df + 0.5)) * (
+        tf * (K1 + 1) / (tf + K1 * (1 - B + B * dl / avgdl))
+    )
+
+
+def _brute_multifield(rows, weights, terms, limit=10):
+    """First-principles per-field BM25 weighted sum (quantized per-field dl,
+    N = all corpus rows, avgdl_f = field tokens / N)."""
+    n = len(rows)
+    stats = {}
+    for f in weights:
+        toks = {r["doc_id"]: tokenize_query(r[f]) for r in rows}
+        dl = {
+            d: int(id_to_fieldnorm(fieldnorm_to_id(np.array([len(t)])))[0])
+            for d, t in toks.items()
+        }
+        avg = sum(len(t) for t in toks.values()) / n
+        df = {t: sum(1 for d in toks if t in set(toks[d])) for t in terms}
+        stats[f] = (toks, dl, avg, df)
+    per_term = []
+    for t in terms:
+        acc = {}
+        for f, w in weights.items():
+            toks, dl, avg, df = stats[f]
+            for d in range(n):
+                tf = toks[d].count(t)
+                if tf:
+                    acc[d] = acc.get(d, 0.0) + w * _bm25(tf, dl[d], df[t], n, avg)
+        per_term.append(acc)
+    cand = set(per_term[0])
+    for acc in per_term[1:]:
+        cand &= set(acc)
+    rows_out = sorted(
+        ((d, sum(acc[d] for acc in per_term)) for d in cand),
+        key=lambda x: (-round(x[1], 9), x[0]),
+    )[:limit]
+    return rows_out
+
+
+@pytest.fixture(scope="module")
+def mf_built(ray_session, tmp_path_factory):
+    from code_indexer_ray.index.build import build_index
+    from code_indexer_ray.query.engine import IndexSearcher
+
+    rng = np.random.default_rng(13)
+    vocab = ["spark", "merge", "window", "batch", "row", "scan"]
+    rows = []
+    for i in range(150):
+        body = " ".join(vocab[j] for j in rng.integers(0, 6, int(rng.integers(3, 30))))
+        title = " ".join(vocab[j] for j in rng.integers(0, 6, int(rng.integers(0, 4))))
+        rows.append({"doc_id": i, "title": title, "body": body, "lang": "en"})
+    tmp = tmp_path_factory.mktemp("mf")
+    src = str(tmp / "c.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = str(tmp / "idx")
+    m = build_index(
+        src, out, fields={"title": "title", "body": "body"},
+        store_cols=("lang",), num_shards=3, num_buckets=2, resume=False,
+    )
+    return rows, out, m, IndexSearcher(out, lang_col="lang", url_col=None)
+
+
+class TestMultifieldSearch:
+    def test_weighted_sum_matches_brute(self, mf_built):
+        rows, _out, _m, s = mf_built
+        got = s.search_multifield("spark merge", {"title": 2.0, "body": 1.0}, limit=10)
+        want = _brute_multifield(rows, {"title": 2.0, "body": 1.0}, ["spark", "merge"])
+        assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+            (d, round(v, 6)) for d, v in want
+        ]
+
+    def test_single_field_exercises_field_norms(self, mf_built):
+        """Title-only search: scores must use TITLE dls/avgdl, which differ
+        wildly from body stats — a body-stats bug would misrank."""
+        rows, _out, _m, s = mf_built
+        got = s.search_multifield("spark", {"title": 1.0}, limit=10)
+        want = _brute_multifield(rows, {"title": 1.0}, ["spark"])
+        assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+            (d, round(v, 6)) for d, v in want
+        ]
+
+    def test_actor_local_parity(self, mf_built):
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rows, out, _m, s = mf_built
+        sr = IndexSearcher(out, remote=True, lang_col="lang", url_col=None)
+        w = {"title": 2.0, "body": 1.0}
+        a = s.search_multifield("spark merge", w, limit=10)
+        b = sr.search_multifield("spark merge", w, limit=10)
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_manifest_field_totals_exact(self, mf_built):
+        rows, _out, m, _s = mf_built
+        want_title = sum(len(tokenize_query(r["title"])) for r in rows)
+        want_body = sum(len(tokenize_query(r["body"])) for r in rows)
+        assert m.fields["title"]["total_tokens"] == want_title
+        assert m.fields["body"]["total_tokens"] == want_body
+
+    def test_plain_search_raises(self, mf_built):
+        _rows, _out, _m, s = mf_built
+        with pytest.raises(ValueError, match="fields"):
+            s.search("spark")
+
+    def test_unknown_field_raises(self, mf_built):
+        _rows, _out, _m, s = mf_built
+        with pytest.raises(ValueError, match="unknown"):
+            s.search_multifield("spark", {"headline": 1.0})
+
+    def test_limit0_unlimited(self, mf_built):
+        rows, _out, _m, s = mf_built
+        got = s.search_multifield("spark", {"title": 1.0, "body": 1.0}, limit=0)
+        want = _brute_multifield(rows, {"title": 1.0, "body": 1.0}, ["spark"], limit=10**9)
+        assert len(got) == len(want)
+
+
+class TestMultifieldDelta:
+    def test_apply_delta_inherits_fields(self, ray_session, tmp_path_factory, mf_built):
+        """apply_delta on a multi-field base must index the delta under the
+        same field schema and the merged manifest must keep exact per-field
+        token totals — merged search equals a full rebuild."""
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.pipelines.incremental import apply_delta
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rows, out, m, _s = mf_built
+        tmp = tmp_path_factory.mktemp("mfd")
+        # delta: replace docs 0-9 with new text
+        delta_rows = [
+            {"doc_id": i, "title": "spark spark", "body": "merge window", "lang": "en"}
+            for i in range(10)
+        ]
+        dsrc = str(tmp / "delta.parquet")
+        pq.write_table(pa.Table.from_pylist(delta_rows), dsrc)
+        merged = str(tmp / "merged")
+        mm = apply_delta(out, dsrc, merged, store_cols=("lang",))
+        assert set(mm.fields) == {"title", "body"}
+
+        # full rebuild over the post-delta corpus
+        full_rows = delta_rows + [r for r in rows if r["doc_id"] >= 10]
+        fsrc = str(tmp / "full.parquet")
+        pq.write_table(pa.Table.from_pylist(sorted(full_rows, key=lambda r: r["doc_id"])), fsrc)
+        fidx = str(tmp / "fidx")
+        fm = build_index(
+            fsrc, fidx, fields={"title": "title", "body": "body"},
+            store_cols=("lang",), num_shards=3, num_buckets=2, resume=False,
+            doc_id_upper=m.doc_id_upper,
+        )
+        assert {f: d["total_tokens"] for f, d in mm.fields.items()} == {
+            f: d["total_tokens"] for f, d in fm.fields.items()
+        }
+        w = {"title": 2.0, "body": 1.0}
+        a = IndexSearcher(merged, lang_col="lang", url_col=None).search_multifield(
+            "spark merge", w, limit=10
+        )
+        b = IndexSearcher(fidx, lang_col="lang", url_col=None).search_multifield(
+            "spark merge", w, limit=10
+        )
+        assert [(r["doc_id"], round(r["score"], 9)) for r in a] == [
+            (r["doc_id"], round(r["score"], 9)) for r in b
+        ]
+
+    def test_mismatched_field_schema_merge_raises(self, ray_session, tmp_path_factory, mf_built):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.index.merge import merge_indexes
+
+        rows, out, m, _s = mf_built
+        tmp = tmp_path_factory.mktemp("mfm")
+        src = str(tmp / "d.parquet")
+        pq.write_table(
+            pa.Table.from_pylist([{"doc_id": 0, "title": "x", "body": "y", "lang": "en"}]), src
+        )
+        didx = str(tmp / "didx")
+        build_index(
+            src, didx, fields={"title": "title"}, store_cols=("lang",),
+            num_shards=m.num_shards, num_buckets=m.num_buckets,
+            doc_id_upper=m.doc_id_upper, resume=False,
+        )
+        with pytest.raises(ValueError, match="field schemas"):
+            merge_indexes(out, didx, str(tmp / "out"))
