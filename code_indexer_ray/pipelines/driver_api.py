@@ -1051,6 +1051,19 @@ def q_bm25_multifield(sf_dir: str):
     return _bm25_table(rows, 10)
 
 
+def q_bm25f(sf_dir: str):
+    """TRUE BM25F (Robertson–Zaragoza simple variant) over the native
+    two-field index: per term, field frequencies fold BEFORE saturation —
+    tf̃ = Σ_f w_f·tf_f/(1−b+b·dl_f/avgdl_f) — and score = Σ_t idf_any(t) ·
+    tf̃/(k1+tf̃) with idf over docs containing the term in ANY field (exact,
+    via one shard union-df fan-out).  Unlike the per-field BM25 sum, a term
+    stuffed into one short field saturates once, not once per field."""
+    rows = multifield_searcher_for(sf_dir).search_multifield(
+        "spark merge", MULTIFIELD_WEIGHTS, limit=10, combine="bm25f"
+    )
+    return _bm25_table(rows, 10)
+
+
 def q_multifield_title(sf_dir: str):
     """Single-field search through the multi-field index (title only):
     exercises per-field norms/df/avgdl in isolation — the title field's
@@ -4454,6 +4467,40 @@ def oracle_catalog() -> dict[str, str]:
         + _ranked_topk(10)
     )
 
+    out["fts_bm25f"] = (
+        f"WITH btok AS ({sql_tokens_cte()}),\n"
+        f"ttok AS ({sql_tokens_cte('documents', 'doc_id', f'substr(text, 1, {TITLE_CHARS})')}),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "st0 AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,\n"
+        "  (SELECT count(*) FROM btok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,\n"
+        "  (SELECT count(*) FROM ttok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_t),\n"
+        "bdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM btok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "tdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM ttok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok GROUP BY doc_id, term),\n"
+        "ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttok GROUP BY doc_id, term),\n"
+        "dfany AS (SELECT term, count(*)::BIGINT AS df FROM (\n"
+        "  SELECT DISTINCT doc_id, term FROM (\n"
+        "    SELECT doc_id, term FROM btf UNION ALL SELECT doc_id, term FROM ttf)) GROUP BY term),\n"
+        "tft AS (SELECT doc_id, term, sum(c) AS tft FROM (\n"
+        f"  SELECT btf.doc_id, btf.term, {bw} * btf.tf / (1.0 - 0.75 + 0.75 * bdl.dl / st0.avgdl) AS c\n"
+        "    FROM btf JOIN bdl ON bdl.doc_id = btf.doc_id, st0 WHERE btf.term IN ('spark','merge')\n"
+        "  UNION ALL\n"
+        f"  SELECT ttf.doc_id, ttf.term, {tw} * ttf.tf / (1.0 - 0.75 + 0.75 * tdl.dl / st0.avgdl_t) AS c\n"
+        "    FROM ttf JOIN tdl ON tdl.doc_id = ttf.doc_id, st0 WHERE ttf.term IN ('spark','merge'))\n"
+        "  GROUP BY doc_id, term),\n"
+        "scored AS (SELECT tft.doc_id,\n"
+        "  sum(ln(1 + (st0.n - dfany.df + 0.5) / (dfany.df + 0.5)) * (tft.tft / (1.2 + tft.tft))) AS score\n"
+        "  FROM tft JOIN dfany USING (term), st0\n"
+        "  GROUP BY tft.doc_id HAVING count(DISTINCT tft.term) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     should_score = bm25.sql_score_expr("tf.tf", "dl.dl", "df.df", "s.n", "s.avgdl")
     out["fts_bm25_should"] = (
         pre + ",\n"
@@ -5494,6 +5541,7 @@ _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
     "fts_bm25_multifield",
     "fts_multifield_title",
+    "fts_bm25f",
     # dedup family (driver-r1, unsampled r2)
     "dedup_exact",
     "dedup_minhash_sig",
@@ -5613,6 +5661,7 @@ def _query_catalog_unordered():
         "fts_bm25_boost": q_bm25_boost,
         "fts_bm25_multifield": q_bm25_multifield,
         "fts_multifield_title": q_multifield_title,
+        "fts_bm25f": q_bm25f,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "fts_extract_roundtrip": q_extract_roundtrip,

@@ -1049,6 +1049,90 @@ class ShardSearcher:
             (sorted_terms[i].as_py(), int(dfs[order[i]])) for i in range(a, b)
         ]
 
+    def union_df(self, groups: list[list[str]]) -> list[int]:
+        """Per-group LOCAL count of docs matching ANY member key — the BM25F
+        document frequency (docs containing the term in any field).  Shards
+        partition docs by id range, so summing these across shards is the
+        exact global df of the union."""
+        out: list[int] = []
+        for g in groups:
+            arrs = []
+            for t in dict.fromkeys(g):
+                p = self.posting(t)
+                if p is None:
+                    continue
+                d, _, _ = self._decode_full(p)
+                if len(d):
+                    arrs.append(d)
+            if not arrs:
+                out.append(0)
+            elif len(arrs) == 1:
+                out.append(int(len(arrs[0])))
+            else:
+                out.append(int(len(np.unique(np.concatenate(arrs)))))
+        return out
+
+    def search_bm25f(
+        self,
+        groups: list[list[str]],
+        key_weight: dict[str, float],
+        key_avgdl: dict[str, float],
+        group_idf: list[float],
+        m: int,
+        k1: float,
+        b: float,
+    ) -> list[tuple[int, float]]:
+        """Top-m under TRUE BM25F (Robertson–Zaragoza simple variant): one
+        group per query term holding its field keys; per candidate,
+        tf̃ = Σ_key w·tf/(1−b+b·dl_f/avgdl_f) folds the field frequencies
+        BEFORE saturation, then score += idf_term · tf̃/(k1+tf̃).  AND across
+        groups, same decode machinery as search_groups; ``group_idf`` ships
+        from the driver (idf over union-df, resolved by :meth:`union_df`)."""
+        group_posts: list[list[tuple[str, dict]]] = []
+        for g in groups:
+            posts = [(t, self.posting(t)) for t in dict.fromkeys(g)]
+            posts = [(t, p) for t, p in posts if p is not None]
+            if not posts:
+                return []
+            group_posts.append(posts)
+
+        order = np.argsort([sum(p["df"] for _, p in posts) for posts in group_posts])
+        cand: np.ndarray | None = None
+        decoded: list[tuple[int, str, np.ndarray, np.ndarray, np.ndarray]] = []
+        for gi in order:
+            arrs = []
+            for t, p in group_posts[gi]:
+                d, tf, nm = (
+                    self._decode_full(p) if cand is None else self._decode_for_candidates(p, cand)
+                )
+                decoded.append((int(gi), t, d, tf, nm))
+                arrs.append(d)
+            union = arrs[0] if len(arrs) == 1 else np.unique(np.concatenate(arrs))
+            cand = union if cand is None else np.intersect1d(cand, union, assume_unique=True)
+            if len(cand) == 0:
+                return []
+
+        # fold per-group (per-term) field frequencies, then saturate once
+        tft = np.zeros((len(groups), len(cand)), dtype=np.float64)
+        for gi, t, d, tf, nm in decoded:
+            if len(d) == 0:
+                continue
+            pos = np.searchsorted(d, cand)
+            pos_c = np.minimum(pos, len(d) - 1)
+            hit = d[pos_c] == cand
+            if not hit.any():
+                continue
+            dl = id_to_fieldnorm(nm[pos_c[hit]]).astype(np.float64)
+            w = key_weight.get(t, 1.0)
+            tft[gi, hit] += w * tf[pos_c[hit]].astype(np.float64) / (
+                1.0 - b + b * dl / key_avgdl[t]
+            )
+        scores = np.zeros(len(cand), dtype=np.float64)
+        for gi in range(len(groups)):
+            scores += group_idf[gi] * (tft[gi] / (k1 + tft[gi]))
+        sel = np.lexsort((cand, -scores))[:m]
+        return [(int(cand[i]), float(scores[i])) for i in sel]
+
     def vocab_topdf(self, lo: str, hi: str, c: int) -> tuple[list[tuple[str, int]], int]:
         """Local df-ranked head of the dictionary slice [lo, hi): the top-``c``
         (term, LOCAL df) pairs by (df desc, term asc), plus the highest local
@@ -1815,6 +1899,7 @@ class IndexSearcher:
         weights: dict[str, float],
         *,
         limit: int = 10,
+        combine: str = "sum",
     ) -> list[dict]:
         """Native multi-field search over a ``fields=`` build (the Lucene
         MultiFieldQueryParser shape; replaces the round-2 driver-composed
@@ -1825,9 +1910,17 @@ class IndexSearcher:
         AND-of-OR-groups shard machinery: per-key ``avgdl_map`` overrides +
         field weights as boosts — no new scoring path, no driver-side
         composition, per-shard payload is top-m rows like every other query.
-        Reference field schema: ``tantivy_index_manager.py:96-115``."""
+        Reference field schema: ``tantivy_index_manager.py:96-115``.
+
+        ``combine="bm25f"`` switches to TRUE BM25F (Robertson–Zaragoza simple
+        variant): per term, field frequencies fold BEFORE saturation —
+        tf̃ = Σ_f w_f·tf_f/(1−b+b·dl_f/avgdl_f), score = Σ_t idf_any(t) ·
+        tf̃/(k1+tf̃) — with idf over docs containing the term in ANY field
+        (one extra union-df fan-out resolves it exactly)."""
         from ..index.build import field_key
 
+        if combine not in ("sum", "bm25f"):
+            raise ValueError(f"combine must be 'sum' or 'bm25f', got {combine!r}")
         flds = self.manifest.fields
         if not flds:
             raise ValueError("search_multifield requires an index built with fields=")
@@ -1855,6 +1948,21 @@ class IndexSearcher:
                 boosts[k] = float(weights[f])
                 avgdl_map[k] = f_avgdl
         m = limit if limit > 0 else UNLIMITED_LIMIT
+        if combine == "bm25f":
+            n = self.manifest.num_docs
+            df_any = np.sum(self._fanout("union_df", groups), axis=0)
+            group_idf = [float(bm25.idf(int(d), n)) for d in df_any]
+            per_shard = self._fanout(
+                "search_bm25f", groups, boosts, avgdl_map, group_idf, m,
+                bm25.K1, bm25.B,
+            )
+            hits2 = [h for sh in per_shard for h in sh]
+            if not hits2:
+                return []
+            ids = np.array([h[0] for h in hits2], dtype=np.int64)
+            scores = np.array([h[1] for h in hits2], dtype=np.float64)
+            sel = np.lexsort((ids, -scores))[:m]
+            return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
         per_shard = self._fanout(
             "search_groups",
             groups,

@@ -204,3 +204,76 @@ class TestMultifieldDelta:
         )
         with pytest.raises(ValueError, match="field schemas"):
             merge_indexes(out, didx, str(tmp / "out"))
+
+
+class TestBM25F:
+    def _brute_bm25f(self, rows, weights, terms, limit=10):
+        n = len(rows)
+        stats = {}
+        for f in weights:
+            toks = {r["doc_id"]: tokenize_query(r[f]) for r in rows}
+            dl = {
+                d: int(id_to_fieldnorm(fieldnorm_to_id(np.array([len(t)])))[0])
+                for d, t in toks.items()
+            }
+            avg = sum(len(t) for t in toks.values()) / n
+            stats[f] = (toks, dl, avg)
+        scores = {}
+        for t in terms:
+            df_any = sum(
+                1 for d in range(n) if any(t in stats[f][0][d] for f in weights)
+            )
+            idf = math.log(1 + (n - df_any + 0.5) / (df_any + 0.5))
+            acc = {}
+            for d in range(n):
+                tft = 0.0
+                for f, w in weights.items():
+                    toks, dl, avg = stats[f]
+                    tf = toks[d].count(t)
+                    if tf:
+                        tft += w * tf / (1 - B + B * dl[d] / avg)
+                if tft:
+                    acc[d] = idf * (tft / (K1 + tft))
+            scores[t] = acc
+        cand = set(scores[terms[0]])
+        for t in terms[1:]:
+            cand &= set(scores[t])
+        return sorted(
+            ((d, sum(scores[t][d] for t in terms)) for d in cand),
+            key=lambda x: (-round(x[1], 9), x[0]),
+        )[:limit]
+
+    def test_bm25f_matches_brute(self, mf_built):
+        rows, _out, _m, s = mf_built
+        w = {"title": 2.0, "body": 1.0}
+        got = s.search_multifield("spark merge", w, limit=10, combine="bm25f")
+        want = self._brute_bm25f(rows, w, ["spark", "merge"])
+        assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+            (d, round(v, 6)) for d, v in want
+        ]
+
+    def test_bm25f_actor_parity(self, mf_built):
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        _rows, out, _m, s = mf_built
+        sr = IndexSearcher(out, remote=True, lang_col="lang", url_col=None)
+        w = {"title": 2.0, "body": 1.0}
+        a = s.search_multifield("spark merge", w, limit=10, combine="bm25f")
+        b = sr.search_multifield("spark merge", w, limit=10, combine="bm25f")
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_saturation_differs_from_sum(self, mf_built):
+        """BM25F ≠ per-field sum on this corpus (the saturation fold is
+        doing something): at least the score VALUES must differ."""
+        rows, _out, _m, s = mf_built
+        w = {"title": 2.0, "body": 1.0}
+        a = s.search_multifield("spark merge", w, limit=10, combine="sum")
+        b = s.search_multifield("spark merge", w, limit=10, combine="bm25f")
+        assert [r["score"] for r in a] != [r["score"] for r in b]
+
+    def test_bad_combine_raises(self, mf_built):
+        _rows, _out, _m, s = mf_built
+        with pytest.raises(ValueError, match="combine"):
+            s.search_multifield("spark", {"title": 1.0}, combine="max")
