@@ -93,6 +93,27 @@ def chargram_minhash_batch(
     )
 
 
+def chargram_rows(
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = DEFAULT_CHARGRAM,
+) -> pa.Table:
+    """(doc_id, sh) rows — each doc's DISTINCT char-n-gram Horner hashes,
+    join-ready for the data-plane pair verify
+    (:func:`code_indexer_ray.dedup.verify.pair_jaccard_verify`)."""
+    texts = ["" if t is None else t for t in batch[text_col].to_pylist()]
+    ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    h, row = chargram_hashes(texts, n)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[row], type=pa.int64()),
+            "sh": pa.array(h.astype(np.int64), type=pa.int64()),
+        }
+    )
+
+
 def chargram_jaccard_sets(texts: list[str], n: int = DEFAULT_CHARGRAM) -> list[set]:
     """Per-text unique gram-hash sets for the exact verify step (hash sets,
     not literal grams — identical on both engine and SQL sides even under

@@ -1491,15 +1491,19 @@ EMBED_TAU = 0.4
 
 def q_dedup_near_pairs(sf_dir: str):
     """END-TO-END near-duplicate detection: fast MinHash signatures → LSH
-    bands → bucket candidate pairs (distinct) → exact n-gram-Jaccard verify
-    ≥ τ.  Candidate texts are broadcast once (``ray.put``) — at scale the
-    candidate set is the tiny LSH survivor fraction, never the corpus."""
+    bands → bucket candidate pairs (distinct) → exact shingle-set-Jaccard
+    verify ≥ τ — with the VERIFY STEP IN THE DATA PLANE: candidate-pair
+    sides co-partition with per-doc DISTINCT shingle-hash rows (one
+    equi-join shuffle), then a pair-bucketed vectorized fold computes
+    |A∩B|/|A∪B| per pair.  Nothing doc- or candidate-sized is ever
+    driver-resident (round 2 broadcast a {doc: shingle-set} dict via
+    ray.put — the one flagged scale-killer)."""
     import ray
 
     import ray.data as rd
 
-    from ..dedup.minhash import DEFAULT_SHINGLE, candidate_pairs, jaccard_ngrams, shingles_of
-    from ..text.analysis import tokenize_flat
+    from ..dedup.minhash import DEFAULT_SHINGLE, candidate_pairs
+    from ..dedup.verify import pair_jaccard_verify, word_shingle_rows
 
     def bands(batch: pa.Table) -> pa.Table:
         return band_batch(minhash_batch_fast(batch), mod=MERSENNE_31)
@@ -1511,12 +1515,19 @@ def q_dedup_near_pairs(sf_dir: str):
         return g.head(1)
 
     pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
-    # empty groups may yield schema-less blocks — drop them before concat
-    blocks = [
-        t.select(["doc_a", "doc_b"])
-        for t in ray.get(pairs.to_arrow_refs())
-        if t.num_rows
-    ]
+
+    sh = ds.map_batches(
+        lambda b: word_shingle_rows(b, n=DEFAULT_SHINGLE), batch_format="pyarrow"
+    )
+    out = pair_jaccard_verify(sh, pairs, tau=NEAR_DUP_TAU)
+    return _collect_pairs_table(out)
+
+
+def _collect_pairs_table(out) -> pa.Table:
+    """Materialize a (doc_a, doc_b, jaccard_r) Dataset, tolerating the
+    empty-schema blocks empty fold groups can emit."""
+    import ray
+
     empty = pa.table(
         {
             "doc_a": pa.array([], pa.int64()),
@@ -1524,54 +1535,8 @@ def q_dedup_near_pairs(sf_dir: str):
             "jaccard_r": pa.array([], pa.float64()),
         }
     )
-    if not blocks:
-        return empty
-    ptbl = pa.concat_tables(blocks)
-    need = np.unique(
-        np.concatenate(
-            [
-                ptbl["doc_a"].to_numpy(zero_copy_only=False),
-                ptbl["doc_b"].to_numpy(zero_copy_only=False),
-            ]
-        )
-    )
-    import pyarrow.dataset as pads
-
-    cand = (
-        pads.dataset(_docs(sf_dir))
-        .to_table(columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need))
-    )
-    toks, rows = tokenize_flat(cand["text"].combine_chunks())
-    tok_lists: dict[int, list[str]] = {int(d): [] for d in cand["doc_id"].to_pylist()}
-    ids = cand["doc_id"].to_numpy(zero_copy_only=False)
-    for t, r in zip(toks.to_pylist(), rows):
-        tok_lists[int(ids[r])].append(t)
-    sets = {d: set(shingles_of(tl, DEFAULT_SHINGLE)) for d, tl in tok_lists.items()}
-    sets_ref = ray.put(sets)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        s = ray.get(sets_ref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        jac = np.array(
-            [
-                (len(s[x] & s[y]) / len(s[x] | s[y])) if (s.get(x) or s.get(y)) else 1.0
-                for x, y in zip(a, b)
-            ]
-        )
-        keep = jac >= NEAR_DUP_TAU
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "jaccard_r": pa.array(np.round(jac[keep], 4)),
-            }
-        )
-
-    out = pa.concat_tables(
-        ray.get(rd.from_arrow(ptbl).map_batches(verify, batch_format="pyarrow").to_arrow_refs())
-    )
-    return out if out.num_rows else empty
+    blocks = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    return pa.concat_tables(blocks) if blocks else empty
 
 
 def q_heavy_hitters(sf_dir: str):
@@ -1923,14 +1888,15 @@ def q_collapse_neardup(sf_dir: str):
 def q_dedup_ngram_jaccard(sf_dir: str):
     """Character-4-gram Jaccard near-duplicates (tokenizer-free variant of
     the near-dup family): unique gram Horner hashes → MinHash → LSH bands →
-    candidate pairs → exact gram-hash-set Jaccard ≥ τ.  Same one-shuffle
-    architecture as dedup_near_pairs; catches in-word edits the word-shingle
-    path misses."""
-    import ray
+    candidate pairs → exact gram-hash-set Jaccard ≥ τ, verified IN THE DATA
+    PLANE (the same co-partitioned pair↔gram-row join + bucket fold as
+    dedup_near_pairs — no driver-resident gram sets).  Catches in-word
+    edits the word-shingle path misses."""
     import ray.data as rd
 
-    from ..dedup.chargram import chargram_jaccard_sets, chargram_minhash_batch
+    from ..dedup.chargram import chargram_minhash_batch, chargram_rows
     from ..dedup.minhash import candidate_pairs
+    from ..dedup.verify import pair_jaccard_verify
 
     def bands(batch: pa.Table) -> pa.Table:
         return band_batch(chargram_minhash_batch(batch), mod=MERSENNE_31)
@@ -1942,59 +1908,8 @@ def q_dedup_ngram_jaccard(sf_dir: str):
         return g.head(1)
 
     pairs = pairs.groupby(["doc_a", "doc_b"]).map_groups(first, batch_format="pandas")
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.int64()),
-            "doc_b": pa.array([], pa.int64()),
-            "jaccard_r": pa.array([], pa.float64()),
-        }
-    )
-    blocks = [
-        t.select(["doc_a", "doc_b"]) for t in ray.get(pairs.to_arrow_refs()) if t.num_rows
-    ]
-    if not blocks:
-        return empty
-    ptbl = pa.concat_tables(blocks)
-    need = np.unique(
-        np.concatenate(
-            [
-                ptbl["doc_a"].to_numpy(zero_copy_only=False),
-                ptbl["doc_b"].to_numpy(zero_copy_only=False),
-            ]
-        )
-    )
-    import pyarrow.dataset as pads
-
-    cand = pads.dataset(_docs(sf_dir)).to_table(
-        columns=["doc_id", "text"], filter=pc.field("doc_id").isin(need)
-    )
-    gram_sets = chargram_jaccard_sets([t or "" for t in cand["text"].to_pylist()])
-    sets = {int(d): s for d, s in zip(cand["doc_id"].to_pylist(), gram_sets)}
-    sets_ref = ray.put(sets)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        s = ray.get(sets_ref)
-        a = batch["doc_a"].to_numpy(zero_copy_only=False)
-        b = batch["doc_b"].to_numpy(zero_copy_only=False)
-        jac = np.array(
-            [
-                (len(s[x] & s[y]) / len(s[x] | s[y])) if (s.get(x) or s.get(y)) else 1.0
-                for x, y in zip(a, b)
-            ]
-        )
-        keep = jac >= NEAR_DUP_TAU
-        return pa.table(
-            {
-                "doc_a": pa.array(a[keep]),
-                "doc_b": pa.array(b[keep]),
-                "jaccard_r": pa.array(np.round(jac[keep], 4)),
-            }
-        )
-
-    out = pa.concat_tables(
-        ray.get(rd.from_arrow(ptbl).map_batches(verify, batch_format="pyarrow").to_arrow_refs())
-    )
-    return out if out.num_rows else empty
+    grams = ds.map_batches(chargram_rows, batch_format="pyarrow")
+    return _collect_pairs_table(pair_jaccard_verify(grams, pairs, tau=NEAR_DUP_TAU))
 
 
 def q_embed_near_pairs(sf_dir: str):
