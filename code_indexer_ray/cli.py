@@ -115,7 +115,7 @@ def main(argv: list[str] | None = None) -> int:
                         "num_docs": mf.num_docs,
                         "total_tokens": mf.total_tokens,
                         "num_shards": mf.num_shards,
-                        "partitions": len(mf.partitions),
+                        "partitions": mf.n_partitions,
                         "out": args.out,
                     }
                 )
@@ -176,9 +176,10 @@ def main(argv: list[str] | None = None) -> int:
                         "avgdl": round(mf.avgdl, 4),
                         "num_shards": mf.num_shards,
                         "num_buckets": mf.num_buckets,
-                        "partitions": len(mf.partitions),
+                        "partitions": mf.n_partitions,
                         "n_postings": sum(
-                            int(pt.get("n_postings", 0)) for pt in mf.partitions
+                            int(pt.get("n_postings", 0))
+                            for pt in mf.iter_partitions(args.index)
                         ),
                     }
                 )

@@ -295,7 +295,7 @@ class TokenizeStage:
             byte_offs = np.empty(len(pos_offsets), dtype=np.int64)
             byte_offs[:-1] = vstarts[pos_offsets[:-1]] if n_pos else 0
             byte_offs[-1] = len(buf)
-            cols["pos_enc"] = _binary_col(buf, byte_offs)
+            cols["pos_enc"] = _binary_col32(buf, byte_offs)
         if self.vocab_dir is not None:
             self._write_vocab(uniq, buckets_u, hashes_u, codes, shards, post_docs, fname)
             cols = {"term_hash": pa.array(hashes_u[codes]), **cols}
@@ -336,6 +336,25 @@ def _binary_col(data: bytes | np.ndarray, offsets: np.ndarray) -> pa.LargeBinary
     buf = pa.py_buffer(data if isinstance(data, bytes) else data.tobytes())
     offs = pa.py_buffer(offsets.astype(np.int64).tobytes())
     return pa.LargeBinaryArray.from_buffers(pa.large_binary(), len(offsets) - 1, [None, offs, buf])
+
+
+def _binary_col32(data: bytes | np.ndarray, offsets: np.ndarray) -> pa.Array:
+    """32-bit-offset Binary column — 4 B/row less than LargeBinary through
+    the shuffle; falls back to LargeBinary when the buffer exceeds 2 GiB."""
+    total = int(offsets[-1]) if len(offsets) else 0
+    if total >= (1 << 31):
+        return _binary_col(data, offsets)
+    buf = pa.py_buffer(data if isinstance(data, bytes) else data.tobytes())
+    offs = pa.py_buffer(offsets.astype(np.int32).tobytes())
+    return pa.BinaryArray.from_buffers(pa.binary(), len(offsets) - 1, [None, offs, buf])
+
+
+def _binary_offsets(col: pa.Array, n: int) -> np.ndarray:
+    """int64 view of a Binary/LargeBinary column's offsets buffer."""
+    dt = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    return np.frombuffer(col.buffers()[1], dtype=dt)[col.offset : col.offset + n + 1].astype(
+        np.int64
+    )
 
 
 def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
@@ -439,9 +458,7 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
         # optional phrase payload: per-term concat of the doc-ordered
         # per-posting position blobs + a u32 relative byte offset per posting
         pe = tbl["pos_enc"].combine_chunks().take(pa.array(perm))
-        p_offs = np.frombuffer(pe.buffers()[1], dtype=np.int64)[
-            pe.offset : pe.offset + n + 1
-        ]
+        p_offs = _binary_offsets(pe, n)
         p_data = np.frombuffer(pe.buffers()[2], dtype=np.uint8)[p_offs[0] : p_offs[-1]]
         p_offs = p_offs - p_offs[0]
         term_pos_offs = np.concatenate((p_offs[term_starts], [p_offs[-1]]))

@@ -20,13 +20,21 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+from collections.abc import Mapping
 from dataclasses import asdict, dataclass, field
-from typing import Any
+from typing import Any, Iterator
 
 MANIFEST_NAME = "manifest.json"
 PARTITION_DIR = "_manifests"
 SEGMENT_DIR = "segments"
 DOCSTORE_DIR = "docstore"
+#: published-manifest partition index: above this partition count the global
+#: manifest stops inlining the partition list (10^6 partitions at 100 TB
+#: would make manifest.json itself the bottleneck — SCALE.md limit #1) and
+#: per-shard JSON files under _manifests/pindex/ hold it instead, loaded
+#: lazily per shard at query time.
+PINDEX_DIR = os.path.join(PARTITION_DIR, "pindex")
+PINDEX_THRESHOLD = 4096
 
 
 @dataclass
@@ -78,11 +86,37 @@ class IndexManifest:
             raise KeyError(f"index has no field {fname!r}")
         return f["total_tokens"] / self.num_docs if self.num_docs else 0.0
 
-    def shard_files(self, root: str) -> dict[int, list[str]]:
+    def shard_files(self, root: str) -> Mapping:
+        """shard → [segment paths].  Inline manifests return a plain dict; a
+        sharded partition index returns a LAZY mapping that loads one
+        per-shard JSON on first access — the driver never materializes 10^6
+        partition entries to open one shard."""
+        pidx = self.metrics.get("partition_index")
+        if not self.partitions and pidx:
+            return _LazyShardFiles(root, pidx["dir"], pidx["shards"])
         out: dict[int, list[str]] = {}
         for p in self.partitions:
             out.setdefault(int(p["shard"]), []).append(os.path.join(root, p["path"]))
         return out
+
+    def iter_partitions(self, root: str) -> Iterator[dict]:
+        """Every partition dict — from the inline list or, for a sharded
+        partition index, streamed one per-shard file at a time (bounded
+        memory regardless of partition count)."""
+        if self.partitions or not self.metrics.get("partition_index"):
+            yield from self.partitions
+            return
+        pidx = self.metrics["partition_index"]
+        for shard in pidx["shards"]:
+            with open(os.path.join(root, pidx["dir"], f"shard={int(shard):07d}.json")) as f:
+                yield from json.load(f)
+
+    @property
+    def n_partitions(self) -> int:
+        pidx = self.metrics.get("partition_index")
+        if not self.partitions and pidx:
+            return int(pidx["n_partitions"])
+        return len(self.partitions)
 
 
 def atomic_write_json(path: str, obj: Any) -> None:
@@ -160,9 +194,71 @@ def incomplete_shards(
     ]
 
 
-def publish_manifest(root: str, manifest: IndexManifest) -> str:
+class _LazyShardFiles(Mapping):
+    """dict-like shard → [abs segment paths] over a sharded partition index;
+    per-shard JSONs load on first access and are cached."""
+
+    def __init__(self, root: str, rel_dir: str, shards: list[int]):
+        self._root = root
+        self._dir = os.path.join(root, rel_dir)
+        self._shards = sorted(int(s) for s in shards)
+        self._cache: dict[int, list[str]] = {}
+
+    def __getitem__(self, shard: int) -> list[str]:
+        shard = int(shard)
+        v = self._cache.get(shard)
+        if v is None:
+            with open(os.path.join(self._dir, f"shard={shard:07d}.json")) as f:
+                lst = json.load(f)
+            v = [os.path.join(self._root, p["path"]) for p in lst]
+            self._cache[shard] = v
+        return v
+
+    def __iter__(self):
+        return iter(self._shards)
+
+    def __len__(self) -> int:
+        return len(self._shards)
+
+
+def publish_manifest(
+    root: str, manifest: IndexManifest, *, pindex_threshold: int | None = None
+) -> str:
+    """Atomically publish the global manifest.  Above ``pindex_threshold``
+    partitions (env ``CIDX_PINDEX_THRESHOLD`` overrides the default), the
+    on-disk form is SHARDED: per-shard partition lists under
+    ``_manifests/pindex/`` (written first, manifest swap last — crash-safe)
+    and an empty inline list with a ``partition_index`` pointer in metrics.
+    The in-memory ``manifest`` object is left untouched."""
+    thr = (
+        pindex_threshold
+        if pindex_threshold is not None
+        else int(os.environ.get("CIDX_PINDEX_THRESHOLD", PINDEX_THRESHOLD))
+    )
+    d = asdict(manifest) if not isinstance(manifest, dict) else dict(manifest)
+    parts = d.get("partitions") or []
+    if len(parts) > thr:
+        import shutil
+
+        pdir = os.path.join(root, PINDEX_DIR)
+        shutil.rmtree(pdir, ignore_errors=True)
+        by_shard: dict[int, list[dict]] = {}
+        for p_ in parts:
+            by_shard.setdefault(int(p_["shard"]), []).append(p_)
+        for shard, lst in by_shard.items():
+            atomic_write_json(os.path.join(pdir, f"shard={shard:07d}.json"), lst)
+        d = {**d, "partitions": []}
+        d["metrics"] = {
+            **d.get("metrics", {}),
+            "partition_index": {
+                "mode": "sharded",
+                "dir": PINDEX_DIR,
+                "n_partitions": len(parts),
+                "shards": sorted(by_shard),
+            },
+        }
     path = os.path.join(root, MANIFEST_NAME)
-    atomic_write_json(path, asdict(manifest))
+    atomic_write_json(path, d)
     return path
 
 

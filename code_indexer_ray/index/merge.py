@@ -233,9 +233,11 @@ def merge_indexes(
     field_names = tuple(base_fields) if base_fields else None
 
     os.makedirs(out_dir, exist_ok=True)
-    base_files = {(p["shard"], p["bucket"]): p["path"] for p in base.partitions}
+    base_files = {(p["shard"], p["bucket"]): p["path"] for p in base.iter_partitions(base_dir)}
     delta_files = (
-        {(p["shard"], p["bucket"]): p["path"] for p in delta.partitions} if delta else {}
+        {(p["shard"], p["bucket"]): p["path"] for p in delta.iter_partitions(delta_dir)}
+        if delta
+        else {}
     )
 
     # tombstones = every doc present in the delta (delete-then-add per doc);

@@ -52,10 +52,9 @@ def token_counts(texts: pa.Array | pa.ChunkedArray) -> np.ndarray:
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     _, parents = tokenize_flat(texts)
-    counts = np.zeros(len(texts), dtype=np.int64)
-    if len(parents):
-        np.add.at(counts, parents, 1)
-    return counts
+    if not len(parents):
+        return np.zeros(len(texts), dtype=np.int64)
+    return np.bincount(parents, minlength=len(texts)).astype(np.int64)
 
 
 def term_frequencies(
@@ -72,9 +71,11 @@ def term_frequencies(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     tokens, parents = tokenize_flat(texts)
-    row_counts = np.zeros(len(texts), dtype=np.int64)
-    if len(parents):
-        np.add.at(row_counts, parents, 1)
+    row_counts = (
+        np.bincount(parents, minlength=len(texts)).astype(np.int64)
+        if len(parents)
+        else np.zeros(len(texts), dtype=np.int64)
+    )
     if len(tokens) == 0:
         return (
             pa.DictionaryArray.from_arrays(
@@ -117,9 +118,11 @@ def term_positions(
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
     tokens, parents = tokenize_flat(texts)
-    row_counts = np.zeros(len(texts), dtype=np.int64)
-    if len(parents):
-        np.add.at(row_counts, parents, 1)
+    row_counts = (
+        np.bincount(parents, minlength=len(texts)).astype(np.int64)
+        if len(parents)
+        else np.zeros(len(texts), dtype=np.int64)
+    )
     if len(tokens) == 0:
         empty = np.empty(0, dtype=np.int64)
         return (
@@ -128,13 +131,27 @@ def term_positions(
             ),
             empty, empty, row_counts, empty, np.zeros(1, dtype=np.int64),
         )
-    # position within its document (parents is sorted ascending)
-    pos_in_row = np.arange(len(parents), dtype=np.int64) - np.searchsorted(
-        parents, parents, side="left"
-    )
+    # position within its document: arange minus the row's start offset
+    # (row_counts are already exact, so the prefix sum IS the start table —
+    # no per-token searchsorted)
+    row_offs = np.concatenate(([0], np.cumsum(row_counts)))
+    pos_in_row = np.arange(len(parents), dtype=np.int64) - row_offs[parents]
     dic = pc.dictionary_encode(tokens)
     codes = dic.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-    order = np.lexsort((pos_in_row, codes, parents))
+    # single packed-key argsort when (row, code, pos) fit in 64 bits —
+    # ~3x cheaper than a 3-key lexsort at typical batch sizes
+    bits_pos = max(int(pos_in_row.max()).bit_length(), 1)
+    bits_code = max(int(len(dic.dictionary) - 1).bit_length(), 1)
+    bits_row = max(int(parents[-1]).bit_length(), 1)
+    if bits_pos + bits_code + bits_row <= 64:
+        key = (
+            (parents.astype(np.uint64) << np.uint64(bits_code + bits_pos))
+            | (codes.astype(np.uint64) << np.uint64(bits_pos))
+            | pos_in_row.astype(np.uint64)
+        )
+        order = np.argsort(key)
+    else:
+        order = np.lexsort((pos_in_row, codes, parents))
     r_s, c_s, p_s = parents[order], codes[order], pos_in_row[order]
     bounds = np.flatnonzero(np.r_[True, (r_s[1:] != r_s[:-1]) | (c_s[1:] != c_s[:-1])])
     tfs = np.diff(np.r_[bounds, len(r_s)]).astype(np.int64)
