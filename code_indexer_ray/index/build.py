@@ -672,6 +672,70 @@ def _dataset_count_and_max(paths, id_col: str) -> tuple[int, int]:
     return count, int(max_id)
 
 
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Coalesce adjacent/overlapping [lo, hi) ranges (sorted input order not
+    required) — contiguous shard groups become ONE predicate clause."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in sorted(ranges):
+        if out and lo <= out[-1][1]:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((lo, hi))
+    return out
+
+
+#: one sort group's postings budget (bytes through a single sort shuffle).
+#: Estimated payload above this splits the build into per-shard-group
+#: sorts.  4 GiB keeps each single-box sort's working set inside the page
+#: cache with headroom; on a real cluster the aggregate memory scales with
+#: nodes, so raise via CIDX_SORT_GROUP_BYTES.
+SORT_GROUP_BYTES_DEFAULT = 4 << 30
+
+
+def _estimate_postings_bytes(input_paths, text_cols: list[str], positions: bool) -> int:
+    """Postings-payload estimate from Parquet metadata only (no data read):
+    uncompressed text bytes × an empirically-fitted 1.4 B postings per text
+    byte (19 B/posting ÷ ~6.3 chars/token ÷ ~0.47 postings/token measured on
+    the synthetic web corpus); ×1.6 with the positions payload."""
+    import pyarrow.dataset as pads
+
+    total = 0
+    for frag in pads.dataset(input_paths).get_fragments():
+        md = frag.metadata
+        schema = md.schema.to_arrow_schema()
+        for c in text_cols:
+            idx = schema.get_field_index(c)
+            if idx < 0:
+                continue
+            for rg in range(md.num_row_groups):
+                total += md.row_group(rg).column(idx).total_uncompressed_size
+    est = int(total * 1.4)
+    return int(est * 1.6) if positions else est
+
+
+def _plan_sort_groups(
+    input_paths,
+    text_cols: list[str],
+    todo_shards: list[int],
+    num_shards: int,
+    n_docs: int,
+    positions: bool,
+) -> list[list[int]]:
+    """Split the shards to (re)build into contiguous groups whose estimated
+    postings payload each fits one sort-group budget.  One group (== the
+    round-2 single-sort plan) whenever the estimate fits."""
+    target = int(os.environ.get("CIDX_SORT_GROUP_BYTES", SORT_GROUP_BYTES_DEFAULT))
+    if target <= 0 or not todo_shards:
+        return [list(todo_shards)]
+    est = _estimate_postings_bytes(input_paths, text_cols, positions)
+    est = est * len(todo_shards) // max(num_shards, 1)  # resume: only TODO slice re-reads
+    n_groups = min(len(todo_shards), max(1, -(-est // target)))
+    if n_groups <= 1:
+        return [list(todo_shards)]
+    per = -(-len(todo_shards) // n_groups)
+    return [todo_shards[i : i + per] for i in range(0, len(todo_shards), per)]
+
+
 def _read_parallelism() -> int:
     """Read/tokenize task count: a few blocks per CPU so the map stages keep
     every core busy (input files alone may under-split).  ``CIDX_READ_BLOCKS``
@@ -794,15 +858,6 @@ def build_index(
         text_cols = list(dict.fromkeys(fields.values())) if fields is not None else [text_col]
         cols = list(dict.fromkeys([id_col, *text_cols, *store_cols]))
         nblocks = _read_parallelism()
-        read_kwargs: dict = {"columns": cols, "override_num_blocks": nblocks}
-        if len(todo_shards) < num_shards:
-            ranges = [shard_doc_range(s, num_shards, doc_id_upper) for s in todo_shards]
-            expr = None
-            for lo, hi in ranges:
-                e = (pc.field(id_col) >= lo) & (pc.field(id_col) < hi)
-                expr = e if expr is None else (expr | e)
-            read_kwargs["filter"] = expr
-        ds = rd.read_parquet(input_paths, **read_kwargs)
 
         tokenize = make_tokenize_fn(
             id_col, text_col, num_shards, num_buckets, doc_id_upper, vocab_dir,
@@ -824,18 +879,45 @@ def build_index(
                 os.replace(tmp, path)
             return tokenize(batch)
 
-        # stateless tasks, not an actor pool: measured 1.5x faster end-to-end
-        # here (a pool's reserved CPUs starve the sort/encode stages)
-        tok = ds.map_batches(fused, batch_format="pyarrow", **(ray_remote_args or {}))
-        mat = tok.groupby("pkey").map_groups(
-            make_encode_fn(
-                out_dir, fingerprint, num_buckets, num_shards, doc_id_upper,
-                tuple(fields) if fields is not None else None,
-            ),
-            batch_format="pyarrow",
-        ).materialize()  # consume; stats are read back from partition manifests
-        if os.environ.get("CIDX_PRINT_STATS"):
-            print(mat.stats(), file=sys.stderr)
+        encode = make_encode_fn(
+            out_dir, fingerprint, num_buckets, num_shards, doc_id_upper,
+            tuple(fields) if fields is not None else None,
+        )
+        # Two-level shuffle: when the estimated postings payload exceeds one
+        # sort-group budget, split the TODO shards into contiguous groups and
+        # run read → tokenize → sort → encode once per group.  Each sort then
+        # moves a bounded slice instead of the whole corpus — the measured
+        # 1M-doc single-box sublinearity was the one big sort's multi-round
+        # merge + page-cache pressure, not spill (BASELINE.md r2).  Reads
+        # stay pruned per group (doc-range predicate → row-group pruning),
+        # so total read/tokenize work is unchanged.
+        shard_groups = _plan_sort_groups(
+            input_paths, text_cols, todo_shards, num_shards, n_docs, index_positions
+        )
+        for gshards in shard_groups:
+            read_kwargs: dict = {
+                "columns": cols,
+                "override_num_blocks": max(
+                    32, nblocks * len(gshards) // max(len(todo_shards), 1)
+                ),
+            }
+            if len(gshards) < num_shards:
+                expr = None
+                for lo, hi in _merge_ranges(
+                    [shard_doc_range(s, num_shards, doc_id_upper) for s in gshards]
+                ):
+                    e = (pc.field(id_col) >= lo) & (pc.field(id_col) < hi)
+                    expr = e if expr is None else (expr | e)
+                read_kwargs["filter"] = expr
+            ds = rd.read_parquet(input_paths, **read_kwargs)
+            # stateless tasks, not an actor pool: measured 1.5x faster
+            # end-to-end (a pool's reserved CPUs starve the sort/encode)
+            tok = ds.map_batches(fused, batch_format="pyarrow", **(ray_remote_args or {}))
+            mat = tok.groupby("pkey").map_groups(
+                encode, batch_format="pyarrow"
+            ).materialize()  # consume; stats are read back from partition manifests
+            if os.environ.get("CIDX_PRINT_STATS"):
+                print(mat.stats(), file=sys.stderr)
 
     # pick up partitions completed in earlier runs (resume) or this run —
     # fingerprint-filtered so stale partitions from a different build never

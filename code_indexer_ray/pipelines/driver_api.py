@@ -1199,6 +1199,36 @@ def q_chunks(sf_dir: str):
     )
 
 
+def q_chunks_structured(sf_dir: str):
+    """Language-aware STRUCTURAL chunking (reference indexing/chunker.py —
+    per-language regex splitters feeding the same chunk table): synthesized
+    code-shaped docs (def-header every 3rd 8-token line) split at '^def '
+    boundaries, oversized segments falling back to the fixed-size 15%%-overlap
+    arithmetic, line numbers re-based to the document.  Two shuffle-free
+    vectorized passes."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..text.structured import structured_chunk_batch, synthesize_code_batch
+
+    def chunks(batch: pa.Table) -> pa.Table:
+        out = structured_chunk_batch(batch, language="python", max_chars=120)
+        md5s = [
+            hashlib.md5(t.encode("utf-8")).hexdigest()
+            for t in out["chunk_text"].to_pylist()
+        ]
+        return out.drop_columns(["chunk_text"]).append_column(
+            "chunk_md5", pa.array(md5s, type=pa.string())
+        )
+
+    return (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+        .map_batches(synthesize_code_batch, batch_format="pyarrow")
+        .map_batches(chunks, batch_format="pyarrow")
+    )
+
+
 def q_extract_roundtrip(sf_dir: str):
     import hashlib
 
@@ -4529,6 +4559,41 @@ def oracle_catalog() -> dict[str, str]:
         "FROM pieces"
     )
 
+    # structural chunker twin: token-exact synthesis + line segmentation +
+    # fixed-size fallback (size=120, overlap=18, step=102) all in SQL
+    out["chunks_structured"] = (
+        "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,\n"
+        "  generate_subscripts(string_split(text, ' '), 1) AS p,\n"
+        "  len(string_split(text, ' ')) AS n FROM documents),\n"
+        "glued AS (SELECT doc_id, p,\n"
+        "  (CASE WHEN (p-1)%8=0 AND ((p-1)//8)%3=0 THEN 'def f' || ((p-1)//8) || '():' || chr(10) || '    '\n"
+        "        WHEN (p-1)%8=0 THEN '    ' ELSE '' END)\n"
+        "  || t ||\n"
+        "  (CASE WHEN p = n THEN '' WHEN p%8=0 THEN chr(10) ELSE ' ' END) AS piece FROM tok),\n"
+        "d2 AS (SELECT doc_id, string_agg(piece, '' ORDER BY p) AS text FROM glued GROUP BY doc_id),\n"
+        "lines AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,\n"
+        "  generate_subscripts(string_split(text, chr(10)), 1) AS ln FROM d2),\n"
+        "segl AS (SELECT doc_id, line, ln,\n"
+        "  sum(CASE WHEN ln = 1 OR regexp_matches(line, '^(def |class |async def |@)') THEN 1 ELSE 0 END)\n"
+        "    OVER (PARTITION BY doc_id ORDER BY ln) AS seg FROM lines),\n"
+        "segs AS (SELECT doc_id, seg, min(ln) AS seg_ls,\n"
+        "  string_agg(line, chr(10) ORDER BY ln) AS stext FROM segl GROUP BY doc_id, seg),\n"
+        "ks AS (SELECT doc_id, seg, seg_ls, stext, length(stext) AS L,\n"
+        "  CASE WHEN length(stext) <= 120 THEN 0 ELSE (length(stext) - 120 + 101) // 102 END AS m\n"
+        "  FROM segs WHERE trim(stext, ' ' || chr(9) || chr(10) || chr(13)) <> ''),\n"
+        "ch AS (SELECT ks.*, i.i AS ci FROM ks, (SELECT unnest(generate_series(0, 10000)) AS i) i WHERE i.i <= m),\n"
+        "pieces AS (SELECT doc_id, seg, ci, seg_ls, substr(stext, ci * 102 + 1, 120) AS piece,\n"
+        "  substr(stext, 1, ci * 102) AS pref FROM ch)\n"
+        "SELECT doc_id,\n"
+        "  (row_number() OVER (PARTITION BY doc_id ORDER BY seg, ci) - 1)::BIGINT AS chunk_index,\n"
+        "  (count(*) OVER (PARTITION BY doc_id))::BIGINT AS total_chunks,\n"
+        "  length(piece)::BIGINT AS size,\n"
+        "  ((length(pref) - length(replace(pref, chr(10), '')) + 1) + seg_ls - 1)::BIGINT AS line_start,\n"
+        "  ((length(pref || piece) - length(replace(pref || piece, chr(10), '')) + 1) + seg_ls - 1)::BIGINT AS line_end,\n"
+        "  md5(piece) AS chunk_md5\n"
+        "FROM pieces"
+    )
+
     out["fts_extract_roundtrip"] = (
         "WITH pages AS (SELECT doc_id, source || '/' || doc_id AS url,\n"
         "  '<html><head><title>D' || doc_id || '</title></head><body><p>' || text || '</p></body></html>' AS html,\n"
@@ -5457,6 +5522,7 @@ _SAMPLE_FIRST = [
     "fts_bm25_multifield",
     "fts_multifield_title",
     "fts_bm25f",
+    "chunks_structured",
     # dedup family (driver-r1, unsampled r2)
     "dedup_exact",
     "dedup_minhash_sig",
@@ -5579,6 +5645,7 @@ def _query_catalog_unordered():
         "fts_bm25f": q_bm25f,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
+        "chunks_structured": q_chunks_structured,
         "fts_extract_roundtrip": q_extract_roundtrip,
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,

@@ -1245,8 +1245,61 @@ def _union_exact_scores(
     return scores
 
 
+class ShardGroupSearcher:
+    """One serving actor owning a CONTIGUOUS GROUP of shards — the tree
+    fan-out tier for breadth-limited serving (SCALE.md LIMIT #2: at 100 TB a
+    per-shard fan-out is ~57k RPCs per query; grouping K shards per actor
+    divides driver fan-out and fan-in by K, and per-shard merges stay
+    associative so results are identical).  Shard searchers build on an
+    intra-actor thread pool (segment parquet reads release the GIL); query
+    methods run serially per shard inside the actor — the parallelism axis
+    is ACROSS group actors, matching the one-process-per-core deployment."""
+
+    def __init__(
+        self,
+        shards: list[int],
+        files_by_shard: dict[int, list[str]],
+        docstore: str,
+        num_buckets: int,
+    ):
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._shards = sorted(int(s) for s in shards)
+
+        def build(s: int) -> ShardSearcher:
+            return ShardSearcher(s, files_by_shard[s], docstore, num_buckets)
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(self._shards)))) as ex:
+            built = list(ex.map(build, self._shards))
+        self._searchers = dict(zip(self._shards, built))
+
+    def fanout(self, method: str, /, *args, **kwargs) -> list:
+        """Per-shard results in shard order — one wire message for the whole
+        group; the driver flattens group replies in place of per-shard ones."""
+        return [
+            getattr(self._searchers[s], method)(*args, **kwargs) for s in self._shards
+        ]
+
+    def warm_buckets(self, lang_col: str | None = None, url_col: str | None = None) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def w(s: int) -> None:
+            se = self._searchers[s]
+            se.warm_buckets()
+            if lang_col or url_col:
+                se._load_meta(lang_col, url_col)
+
+        with ThreadPoolExecutor(max_workers=min(8, max(1, len(self._shards)))) as ex:
+            list(ex.map(w, self._shards))
+
+
 class IndexSearcher:
-    """Driver-side query API over all shards (local or Ray-actor execution)."""
+    """Driver-side query API over all shards (local or Ray-actor execution).
+
+    ``shard_group_size`` (with ``remote=True``) serves shards through
+    :class:`ShardGroupSearcher` actors — ceil(S/K) actors instead of S, each
+    answering for its K shards in one message.  Identical results (the
+    per-shard merge algebra is associative); fan-out breadth drops K×."""
 
     def __init__(
         self,
@@ -1255,6 +1308,7 @@ class IndexSearcher:
         remote: bool = False,
         lang_col: str | None = "lang",
         url_col: str | None = "url",
+        shard_group_size: int = 1,
     ):
         self.index_dir = index_dir
         self.manifest: IndexManifest = load_manifest(index_dir)
@@ -1280,10 +1334,16 @@ class IndexSearcher:
         # of Tantivy's store cache)
         self._rg_cache: dict[tuple[str, int], pa.Table] = {}
         self._rg_cache_max = 256
+        if shard_group_size < 1:
+            raise ValueError("shard_group_size must be >= 1")
+        self._group_size = int(shard_group_size)
+        self._group_actors_cache: list | None = None
         if remote:
             import ray
 
             self._actor_cls = ray.remote(num_cpus=1)(ShardSearcher)
+            if self._group_size > 1:
+                self._group_cls = ray.remote(num_cpus=1)(ShardGroupSearcher)
 
     def _searcher(self, shard: int):
         s = self._searchers.get(shard)
@@ -1314,11 +1374,31 @@ class IndexSearcher:
             for s, se in zip(missing, built):
                 self._searchers[s] = se
 
+    def _group_actor_list(self) -> list:
+        if self._group_actors_cache is None:
+            shards = sorted(self._files)
+            k = self._group_size
+            groups = [shards[i : i + k] for i in range(0, len(shards), k)]
+            self._group_actors_cache = [
+                self._group_cls.remote(
+                    g, {s: list(self._files[s]) for s in g}, self._docstore,
+                    self.manifest.num_buckets,
+                )
+                for g in groups
+            ]
+        return self._group_actors_cache
+
     def _fanout(self, method: str, /, *args, **kwargs) -> list:
         shards = sorted(self._files)
         if self._remote:
             import ray
 
+            if self._group_size > 1:
+                refs = [
+                    g.fanout.remote(method, *args, **kwargs)
+                    for g in self._group_actor_list()
+                ]
+                return [r for sub in ray.get(refs) for r in sub]
             refs = [getattr(self._searcher(s), method).remote(*args, **kwargs) for s in shards]
             return ray.get(refs)
         self._prefetch_searchers(shards)
@@ -1332,6 +1412,12 @@ class IndexSearcher:
         if self._remote:
             import ray
 
+            if self._group_size > 1:
+                ray.get([
+                    g.warm_buckets.remote(self.lang_col, self.url_col)
+                    for g in self._group_actor_list()
+                ])
+                return
             ray.get([self._searcher(s).warm_buckets.remote() for s in shards])
         else:
             from concurrent.futures import ThreadPoolExecutor

@@ -277,3 +277,48 @@ class TestBM25F:
         _rows, _out, _m, s = mf_built
         with pytest.raises(ValueError, match="combine"):
             s.search_multifield("spark", {"title": 1.0}, combine="max")
+
+
+class TestShardGroupServing:
+    def test_group_actor_parity(self, ray_session, mf_built, tmp_path_factory):
+        """shard_group_size serving returns results identical to per-shard
+        actors and to local mode — the merge algebra is associative."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rng = np.random.default_rng(3)
+        vocab = ["spark", "merge", "window", "batch", "row", "scan"]
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(vocab[j] for j in rng.integers(0, 6, int(rng.integers(3, 25)))),
+                "lang": "en" if i % 3 else "de",
+            }
+            for i in range(200)
+        ]
+        tmp = tmp_path_factory.mktemp("grp")
+        src = str(tmp / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        out = str(tmp / "idx")
+        build_index(src, out, store_cols=("lang",), num_shards=5, num_buckets=2, resume=False)
+        local = IndexSearcher(out, lang_col="lang", url_col=None)
+        grouped = IndexSearcher(
+            out, remote=True, shard_group_size=2, lang_col="lang", url_col=None
+        )
+        grouped.warm()
+        for q, kw in [
+            ("spark merge", {}),
+            ("spark", {"languages": ["de"]}),
+            ("window", {"limit": 0}),
+            ("sprk", {"edit_distance": 1}),
+        ]:
+            a = local.search(q, snippet_lines=0, **kw)
+            b = grouped.search(q, snippet_lines=0, **kw)
+            assert [(r["doc_id"], r["score"]) for r in a] == [
+                (r["doc_id"], r["score"]) for r in b
+            ], (q, kw)
+        # df/stats fan-outs ride the same grouped path
+        assert local.stats_agg("spark") == grouped.stats_agg("spark")
+        assert local.complete("s", limit=5) == grouped.complete("s", limit=5)
