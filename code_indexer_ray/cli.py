@@ -83,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     c.add_argument("--index", required=True)
     c.add_argument("--target-bytes", type=int, default=256 * 1024 * 1024)
 
+    kv = sub.add_parser("kvstore", help="derive the SSTable-style KV doc store (fast point reads)")
+    kv.add_argument("index")
+    kv.add_argument("--block-docs", type=int, default=16)
+
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
 
@@ -164,6 +168,11 @@ def main(argv: list[str] | None = None) -> int:
             from .index.compact import compact_docstore
 
             print(json.dumps(compact_docstore(args.index, target_bytes=args.target_bytes)))
+        elif args.cmd == "kvstore":
+            from .index.kvstore import build_kv_docstore
+
+            meta = build_kv_docstore(args.index, block_docs=args.block_docs)
+            print(json.dumps({k: meta[k] for k in ("n_blocks", "n_bytes", "block_docs")}))
         elif args.cmd == "stats":
             from .index.manifest import load_manifest
 

@@ -1324,6 +1324,7 @@ class IndexSearcher:
         self._remote = remote
         self._searchers: dict[int, object] = {}
         self._docstore_ds = None  # cached docstore row-group index (metadata scan is costly per query)
+        self._kv = None  # KV doc store: None = not probed, False = absent/stale
         self._matcher: VocabMatcher | None = None  # local-mode cached union matcher
         # identical-query result cache (daemon result-cache analog,
         # reference fts_index_cache.py / <10ms repeated-query target)
@@ -2419,10 +2420,21 @@ class IndexSearcher:
         return self._docstore_ds
 
     def _fetch_texts(self, doc_ids: list[int]) -> dict[int, str]:
-        """Stored-field point fetch for the final hit set: each doc_id maps to
-        the row groups whose [min,max] covers it (docstore written in doc_id
-        order), so a top-10 fetch reads a handful of row groups — the analog
-        of Tantivy's block-compressed doc store lookups."""
+        """Stored-field point fetch for the final hit set.  When a
+        fingerprint-matched KV doc store exists (``index/kvstore.py`` —
+        sorted-key blocks + sparse index, built by ``build_kv_docstore``),
+        reads go through it: one bisect + one block decompress per hit
+        cluster, no parquet footer/row-group machinery.  Otherwise the
+        row-group point-read path below answers (docstore written in doc_id
+        order, so a top-10 fetch reads a handful of row groups — the analog
+        of Tantivy's block-compressed doc store lookups)."""
+        if self._kv is not False:
+            if self._kv is None:
+                from ..index.kvstore import KVDocStore
+
+                self._kv = KVDocStore.open_if_valid(self.index_dir, self.manifest) or False
+            if self._kv is not False:
+                return self._kv.fetch(doc_ids)
         entries = self._docstore_index()
         text_col = self.manifest.text_col
         ids = sorted(set(int(i) for i in doc_ids))
