@@ -1,15 +1,15 @@
 """Multimodal column plumbing: opaque binary payloads + typed metadata.
 
 Images/audio/video ride as ``binary`` columns with metadata columns beside
-them.  The actual codec work (image decode, resample, frame sampling) needs
-libraries not present in this container, so the codec step is STUBBED behind
-``DETERMINISTIC_FAKE`` — but the Ray-side plumbing is real and tested:
-actor-pool ``map_batches`` stage (decoder state built once per actor), small
-``batch_size`` for wide rows, Arrow-native binary in/out, stable output
-schema.
-
-Swap :meth:`MediaDecodeStage._decode_payload` for a real decoder (PIL/ffmpeg)
-to productionize; nothing else changes.
+them.  Round 3: PNG payloads get a REAL spec-conforming decode
+(:mod:`.png` — stdlib zlib + numpy, 8-bit non-interlaced gray/RGB/RGBA,
+all five scanline filters) — no external imaging library exists in this
+container, so the codec is implemented from the PNG spec directly.  WAV
+payloads decode through the stdlib ``wave`` module.  Payloads in any OTHER
+format still fall back to the deterministic md5-derived fake (flagged per
+row via ``real_decode``), because PIL/ffmpeg are unavailable — the fallback
+is honest, per-row visible, and swap-in isolated to
+:meth:`MediaDecodeStage._decode_payload`.
 """
 
 from __future__ import annotations
@@ -19,7 +19,12 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .png import PNG_SIG, UnsupportedPNG, decode_png
+
+#: retained for backward compatibility: PNG/WAV now decode for real; the
+#: fake only answers for formats with no in-container codec.
 DETERMINISTIC_FAKE = True
+REAL_FORMATS = ("png", "wav")
 
 
 class MediaDecodeStage:
@@ -31,20 +36,49 @@ class MediaDecodeStage:
     """
 
     def __init__(self, kind: str = "image"):
-        # once per actor: "load the codec" (a real impl opens PIL/ffmpeg here)
+        # once per actor: codec state (nothing heavy for the stdlib codecs;
+        # a PIL/ffmpeg impl would open its handles here)
         self.kind = kind
-        if not DETERMINISTIC_FAKE:
-            raise NotImplementedError("real media codecs are not available in this environment")
 
     @staticmethod
-    def _decode_payload(payload: bytes) -> tuple[int, int, float]:
-        """Deterministic fake decode: dimensions and a feature scalar derived
-        from the payload's md5 — stable across runs/workers."""
+    def _decode_payload(payload: bytes) -> tuple[int, int, float, bool]:
+        """(width, height, feat_mean, real_decode).  PNG → REAL decode:
+        dimensions from IHDR, feat_mean = mean pixel value / 255 (computed
+        over the fully unfiltered pixel array, so a wrong inflate/unfilter
+        shows up in the oracle).  WAV → REAL decode via the stdlib ``wave``
+        module: width = n_channels, height = n_frames, feat_mean = mean
+        |16-bit sample| / 32768.  Anything else → the md5-derived
+        deterministic fake, flagged ``real_decode=False``."""
+        if payload[:8] == PNG_SIG:
+            try:
+                img = decode_png(payload)
+            except UnsupportedPNG:
+                pass  # fall through to the fake (flagged)
+            else:
+                h, w, _c = img.shape
+                feat = float(img.astype(np.float64).mean() / 255.0)
+                return w, h, round(feat, 6), True
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+            import io
+            import wave
+
+            try:
+                with wave.open(io.BytesIO(payload)) as wf:
+                    nch, sw, _fr, nframes = (
+                        wf.getnchannels(), wf.getsampwidth(),
+                        wf.getframerate(), wf.getnframes(),
+                    )
+                    if sw == 2:
+                        pcm = np.frombuffer(wf.readframes(nframes), dtype="<i2")
+                        feat = float(np.abs(pcm.astype(np.float64)).mean() / 32768.0) if len(pcm) else 0.0
+                        return nch, nframes, round(feat, 6), True
+            except (wave.Error, EOFError):
+                pass
         d = hashlib.md5(payload).digest()
         width = 64 + d[0] % 192
         height = 64 + d[1] % 192
         feat = int.from_bytes(d[2:6], "little") / 0xFFFFFFFF
-        return width, height, round(feat, 6)
+        return width, height, round(feat, 6), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
@@ -58,6 +92,7 @@ class MediaDecodeStage:
                 "width": pa.array([d[0] for d in dims], type=pa.int64()),
                 "height": pa.array([d[1] for d in dims], type=pa.int64()),
                 "feat_mean": pa.array([d[2] for d in dims], type=pa.float64()),
+                "real_decode": pa.array([d[3] for d in dims], type=pa.bool_()),
             }
         )
 

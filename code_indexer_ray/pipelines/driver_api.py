@@ -3158,6 +3158,69 @@ def q_mm_decode(sf_dir: str):
     return media_decode(ds, concurrency=2, batch_size=128)
 
 
+def q_mm_decode_png(sf_dir: str):
+    """REAL image decode: per doc, a spec-conforming 8-bit RGB PNG is
+    synthesized (pixel(x,y)=(doc_id+x+y)%256, filter type doc_id%3 so all
+    three encode filters hit the decoder) and the actor-pool stage inflates
+    + unfilters it with the in-repo zlib/numpy codec (mm/png.py) — width,
+    height and the pixel mean in the output exist ONLY if the decode is
+    right, and the twin recomputes them in closed form."""
+    import ray.data as rd
+
+    from ..mm.png import encode_png
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids.tolist():
+            w, h = 16 + d % 17, 16 + d % 13
+            img = ((d + np.add.outer(np.arange(h), np.arange(w))) % 256).astype(np.uint8)
+            payloads.append(encode_png(np.repeat(img[:, :, None], 3, axis=2),
+                                       filter_type=d % 3))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
+        to_png, batch_format="pyarrow"
+    )
+    out = media_decode(ds, concurrency=2, batch_size=128)
+    return out.drop_columns(["n_bytes"])
+
+
+def q_mm_decode_wav(sf_dir: str):
+    """REAL audio decode: per doc a mono 16-bit PCM WAV is synthesized
+    (sample_i = ((doc_id*7 + i*13) %% 201) - 100) and decoded by the stage
+    through the stdlib wave module; n_frames and mean |sample| are the
+    oracle-checked outputs."""
+    import io
+    import wave as wavmod
+
+    import ray.data as rd
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids.tolist():
+            n = 400 + d % 100
+            pcm = (((d * 7 + np.arange(n, dtype=np.int64) * 13) % 201) - 100).astype("<i2")
+            bio = io.BytesIO()
+            with wavmod.open(bio, "wb") as wf:
+                wf.setnchannels(1)
+                wf.setsampwidth(2)
+                wf.setframerate(16000)
+                wf.writeframes(pcm.tobytes())
+            payloads.append(bio.getvalue())
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
+        to_wav, batch_format="pyarrow"
+    )
+    return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
+
+
 def q_mm_frames(sf_dir: str):
     """Frame-sampling stage (1→N row expansion) over the synthetic page
     payloads; frame slices are md5'd so the DuckDB oracle can reproduce them
@@ -5480,8 +5543,37 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT doc_id, strlen(payload)::BIGINT AS n_bytes,\n"
         "  (64 + (md5_number_upper(payload) & 255) % 192)::BIGINT AS width,\n"
         "  (64 + ((md5_number_upper(payload) >> 8) & 255) % 192)::BIGINT AS height,\n"
-        "  round(((md5_number_upper(payload) >> 16) & 4294967295) / 4294967295.0, 6) AS feat_mean\n"
+        "  round(((md5_number_upper(payload) >> 16) & 4294967295) / 4294967295.0, 6) AS feat_mean,\n"
+        "  FALSE AS real_decode\n"
         "FROM pages"
+    )
+
+    # REAL PNG decode: the synthesized payloads are spec-conforming PNGs
+    # (pixel(x,y)=(doc_id+x+y)%256 on all 3 channels, filter doc_id%3), so
+    # the stage's zlib-inflate + unfilter is what produces these numbers.
+    out["mm_decode_png"] = (
+        "WITH dims AS (SELECT doc_id, (16 + doc_id % 17)::BIGINT AS width,\n"
+        "  (16 + doc_id % 13)::BIGINT AS height FROM documents),\n"
+        "cells AS (SELECT d.doc_id, d.width, d.height,\n"
+        "  ((d.doc_id + x.i + y.i) % 256)::DOUBLE AS v\n"
+        "  FROM dims d, (SELECT unnest(generate_series(0, 40)) AS i) x,\n"
+        "       (SELECT unnest(generate_series(0, 40)) AS i) y\n"
+        "  WHERE x.i < d.width AND y.i < d.height)\n"
+        "SELECT doc_id, any_value(width) AS width, any_value(height) AS height,\n"
+        "  round(avg(v) / 255.0, 6) AS feat_mean, TRUE AS real_decode\n"
+        "FROM cells GROUP BY doc_id"
+    )
+
+    # REAL WAV decode (stdlib wave): mono 16-bit PCM,
+    # sample_i = ((doc_id*7 + i*13) % 201) - 100, n = 400 + doc_id % 100.
+    out["mm_decode_wav"] = (
+        "WITH meta AS (SELECT doc_id, (400 + doc_id % 100)::BIGINT AS n FROM documents),\n"
+        "samp AS (SELECT m.doc_id, m.n,\n"
+        "  abs(((m.doc_id * 7 + x.i * 13) % 201) - 100)::DOUBLE AS a\n"
+        "  FROM meta m, (SELECT unnest(generate_series(0, 499)) AS i) x WHERE x.i < m.n)\n"
+        "SELECT doc_id, 1::BIGINT AS width, any_value(n) AS height,\n"
+        "  round(avg(a) / 32768.0, 6) AS feat_mean, TRUE AS real_decode\n"
+        "FROM samp GROUP BY doc_id"
     )
 
     # NOTE: this DuckDB build has no BLOB substring, so the oracle slices the
@@ -5579,6 +5671,8 @@ _SAMPLE_FIRST = [
     "pii_redact",
     "decontam_flags",
     "mm_decode",
+    "mm_decode_png",
+    "mm_decode_wav",
 ]
 
 
@@ -5735,4 +5829,6 @@ def _query_catalog_unordered():
         "export_partitioned": q_export_partitioned,
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
+        "mm_decode_png": q_mm_decode_png,
+        "mm_decode_wav": q_mm_decode_wav,
     }
