@@ -221,6 +221,43 @@ def run() -> dict:
         qstats["compact_sec"] = round(time.perf_counter() - t6, 3)
         qstats["compact_files"] = f"{cstats['files_before']}->{cstats['files_after']}"
 
+        # positions-enabled build (phrase payload) — round-3 vectorized path
+        pos_out = "/tmp/cidx_bench_idx_pos"
+        shutil.rmtree(pos_out, ignore_errors=True)
+        t6b = time.perf_counter()
+        build_index(
+            corpus, pos_out, store_cols=("lang", "url"), num_buckets=16,
+            target_docs_per_shard=max(1000, N_DOCS // 16),
+            index_positions=True, resume=False,
+        )
+        qstats["positions_build_sec"] = round(time.perf_counter() - t6b, 3)
+
+        # KV doc store (round 3): derivation cost + 10-id mget p50, KV vs
+        # parquet row-group point reads
+        import numpy as np
+
+        from code_indexer_ray.index.kvstore import build_kv_docstore
+        from code_indexer_ray.query.engine import IndexSearcher as _IS
+
+        t7 = time.perf_counter()
+        build_kv_docstore(out)
+        qstats["kv_build_sec"] = round(time.perf_counter() - t7, 3)
+        rng2 = np.random.default_rng(3)
+        mbatches = [rng2.integers(0, manifest.num_docs, 10).tolist() for _ in range(100)]
+        for tag, forced in (("kv", None), ("parquet", False)):
+            s_ = _IS(out, lang_col="lang", url_col="url")
+            if forced is False:
+                s_._kv = False
+            s_._fetch_texts(mbatches[0])
+            lat = []
+            for b in mbatches:
+                t_ = time.perf_counter()
+                s_._fetch_texts(b)
+                lat.append(time.perf_counter() - t_)
+            qstats[f"mget10_p50_{tag}_ms"] = round(
+                float(np.percentile(np.array(lat) * 1000, 50)), 2
+            )
+
     result = {
         "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
         "value": round(build_sec, 3),
