@@ -24,9 +24,10 @@ FRAME_MS = 40  # fake 25 fps
 class ImageResizeStage:
     """binary → binary resize stage (actor pool).
 
-    Output: doc_id, payload (resized bytes), width, height.  The fake kernel
-    stride-samples the source bytes to exactly ``width*height`` bytes —
-    deterministic, size-exact, and cheap; a real kernel decodes + resamples.
+    Output: doc_id, payload (resized bytes), width, height, real_resize.
+    PNG payloads get a REAL decode → nearest-neighbour resample → re-encode
+    through the in-repo codec (:mod:`.png`); other formats keep the
+    deterministic stride-sample fake, flagged ``real_resize=False``.
     """
 
     def __init__(self, width: int = 64, height: int = 64):
@@ -41,16 +42,32 @@ class ImageResizeStage:
         idx = (np.arange(n_out, dtype=np.int64) * len(src)) // n_out
         return src[idx].tobytes()
 
+    def _resize(self, payload: bytes) -> tuple[bytes, bool]:
+        from .png import PNG_SIG, UnsupportedPNG, decode_png, encode_png
+
+        if payload[:8] == PNG_SIG:
+            try:
+                img = decode_png(payload)
+            except UnsupportedPNG:
+                pass
+            else:
+                h, w, _c = img.shape
+                ys = (np.arange(self.height, dtype=np.int64) * h) // self.height
+                xs = (np.arange(self.width, dtype=np.int64) * w) // self.width
+                return encode_png(img[ys][:, xs]), True
+        return self._fake_resize(payload), False
+
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        out = [self._fake_resize(p or b"") for p in payloads]
+        out = [self._resize(p or b"") for p in payloads]
         n = len(out)
         return pa.table(
             {
                 "doc_id": batch["doc_id"].cast(pa.int64()),
-                "payload": pa.array(out, type=pa.binary()),
+                "payload": pa.array([o[0] for o in out], type=pa.binary()),
                 "width": pa.array(np.full(n, self.width, dtype=np.int64)),
                 "height": pa.array(np.full(n, self.height, dtype=np.int64)),
+                "real_resize": pa.array([o[1] for o in out], type=pa.bool_()),
             }
         )
 

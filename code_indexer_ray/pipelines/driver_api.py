@@ -1565,7 +1565,13 @@ def _collect_pairs_table(out) -> pa.Table:
             "jaccard_r": pa.array([], pa.float64()),
         }
     )
-    blocks = [t for t in ray.get(out.to_arrow_refs()) if t.num_rows]
+    # zero-row groups upstream can surface as EMPTY PANDAS blocks that
+    # to_arrow_refs passes through unconverted — type-guard before concat
+    blocks = [
+        t
+        for t in ray.get(out.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows
+    ]
     return pa.concat_tables(blocks) if blocks else empty
 
 
@@ -3158,6 +3164,24 @@ def q_mm_decode(sf_dir: str):
     return media_decode(ds, concurrency=2, batch_size=128)
 
 
+def _png_payload_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic spec-conforming PNG per doc: W=16+id%17, H=16+id%13,
+    pixel(x,y)=(id+x+y)%256 on all 3 channels, encode filter id%3."""
+    from ..mm.png import encode_png
+
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    payloads = []
+    for d in ids.tolist():
+        w, h = 16 + d % 17, 16 + d % 13
+        img = ((d + np.add.outer(np.arange(h), np.arange(w))) % 256).astype(np.uint8)
+        payloads.append(
+            encode_png(np.repeat(img[:, :, None], 3, axis=2), filter_type=d % 3)
+        )
+    return pa.table(
+        {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+    )
+
+
 def q_mm_decode_png(sf_dir: str):
     """REAL image decode: per doc, a spec-conforming 8-bit RGB PNG is
     synthesized (pixel(x,y)=(doc_id+x+y)%256, filter type doc_id%3 so all
@@ -3167,25 +3191,34 @@ def q_mm_decode_png(sf_dir: str):
     right, and the twin recomputes them in closed form."""
     import ray.data as rd
 
-    from ..mm.png import encode_png
-
-    def to_png(batch: pa.Table) -> pa.Table:
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
-        payloads = []
-        for d in ids.tolist():
-            w, h = 16 + d % 17, 16 + d % 13
-            img = ((d + np.add.outer(np.arange(h), np.arange(w))) % 256).astype(np.uint8)
-            payloads.append(encode_png(np.repeat(img[:, :, None], 3, axis=2),
-                                       filter_type=d % 3))
-        return pa.table(
-            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
-        )
-
     ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
-        to_png, batch_format="pyarrow"
+        _png_payload_batch, batch_format="pyarrow"
     )
-    out = media_decode(ds, concurrency=2, batch_size=128)
-    return out.drop_columns(["n_bytes"])
+    return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
+
+
+def q_mm_resize_png(sf_dir: str):
+    """REAL image resize chain: synthesized PNG → decode → 8×8
+    nearest-neighbour resample → re-encode → decode AGAIN for stats.  The
+    twin recomputes the resampled pixel mean in closed form
+    (out(X,Y) = (id + floor(X·W/8) + floor(Y·H/8)) % 256), so every link —
+    inflate, unfilter, index-map resample, re-encode, re-decode — must be
+    right for the row to match."""
+    import ray.data as rd
+
+    from ..mm.decode import MediaDecodeStage
+    from ..mm.stages import ImageResizeStage
+
+    def resize_then_decode(batch: pa.Table) -> pa.Table:
+        # one fused stateless stage: two chained actor pools can starve a
+        # small-CPU session (each reserves its concurrency), and the kernels
+        # are the same objects the pooled stages run
+        r = ImageResizeStage(width=8, height=8)(_png_payload_batch(batch))
+        out = MediaDecodeStage()(r.select(["doc_id", "payload"]))
+        return out.drop_columns(["n_bytes"])
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+    return ds.map_batches(resize_then_decode, batch_format="pyarrow")
 
 
 def q_mm_decode_wav(sf_dir: str):
@@ -5564,6 +5597,18 @@ def oracle_catalog() -> dict[str, str]:
         "FROM cells GROUP BY doc_id"
     )
 
+    out["mm_resize_png"] = (
+        "WITH dims AS (SELECT doc_id, (16 + doc_id % 17)::BIGINT AS w,\n"
+        "  (16 + doc_id % 13)::BIGINT AS h FROM documents),\n"
+        "cells AS (SELECT d.doc_id,\n"
+        "  ((d.doc_id + (x.i * d.w) // 8 + (y.i * d.h) // 8) % 256)::DOUBLE AS v\n"
+        "  FROM dims d, (SELECT unnest(generate_series(0, 7)) AS i) x,\n"
+        "       (SELECT unnest(generate_series(0, 7)) AS i) y)\n"
+        "SELECT doc_id, 8::BIGINT AS width, 8::BIGINT AS height,\n"
+        "  round(avg(v) / 255.0, 6) AS feat_mean, TRUE AS real_decode\n"
+        "FROM cells GROUP BY doc_id"
+    )
+
     # REAL WAV decode (stdlib wave): mono 16-bit PCM,
     # sample_i = ((doc_id*7 + i*13) % 201) - 100, n = 400 + doc_id % 100.
     out["mm_decode_wav"] = (
@@ -5672,6 +5717,7 @@ _SAMPLE_FIRST = [
     "decontam_flags",
     "mm_decode",
     "mm_decode_png",
+    "mm_resize_png",
     "mm_decode_wav",
 ]
 
@@ -5830,5 +5876,6 @@ def _query_catalog_unordered():
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
         "mm_decode_png": q_mm_decode_png,
+        "mm_resize_png": q_mm_resize_png,
         "mm_decode_wav": q_mm_decode_wav,
     }

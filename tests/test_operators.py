@@ -363,7 +363,10 @@ class TestMultimodal:
         rows = [{"doc_id": i, "payload": f"payload-{i}".encode()} for i in range(10)]
         out = media_decode(rd.from_items(rows), concurrency=2, batch_size=4).to_pandas()
         assert len(out) == 10
-        assert set(out.columns) == {"doc_id", "n_bytes", "width", "height", "feat_mean"}
+        assert set(out.columns) == {
+            "doc_id", "n_bytes", "width", "height", "feat_mean", "real_decode"
+        }
+        assert not out["real_decode"].any()  # non-PNG/WAV payloads → flagged fake
         # deterministic across runs
         d = hashlib.md5(b"payload-0").digest()
         assert out.set_index("doc_id").loc[0, "width"] == 64 + d[0] % 192
