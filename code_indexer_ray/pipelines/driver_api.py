@@ -1051,6 +1051,101 @@ def q_bm25_multifield(sf_dir: str):
     return _bm25_table(rows, 10)
 
 
+_WARC_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def warc_searcher_for(sf_dir: str) -> IndexSearcher:
+    """The FLAGSHIP input_hint pipeline, materialized once per sf_dir:
+    Common-Crawl-style pages (url, warc_ts, html, text, lang) with
+    duplicate SNAPSHOTS planted for every 10th url (warc_ts + 1 day,
+    ' updated' body) → keep-latest per url (S2/J1) → REAL html extraction
+    (title tag + tag/entity-stripped body — text/extract.py, the same RE2
+    chain the oracle runs) → ONE native two-field build.  This is the
+    north-star shape end-to-end: snapshot dedup, extraction, per-field
+    postings, all in the data plane."""
+    s = _WARC_SEARCHERS.get(sf_dir)
+    if s is None:
+        import ray.data as rd
+
+        from .corpus import pages_from_documents
+        from .ops import keep_latest
+        from ..text.extract import extract_text_html, wrap_body
+
+        tdir = os.path.join(_corpus_dir(sf_dir), "warc_corpus")
+        done = os.path.join(tdir, "_SUCCESS")
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(tdir, ignore_errors=True)
+
+            def snapshots(batch: pa.Table) -> pa.Table:
+                pages = pages_from_documents(batch)
+                ids = pages["doc_id"].to_numpy(zero_copy_only=False)
+                dup = ids % 10 == 0
+                if dup.any():
+                    old = pages.filter(pa.array(dup))
+                    o_ids = old["doc_id"].to_numpy(zero_copy_only=False)
+                    new_text = pc.binary_join_element_wise(
+                        old["text"].combine_chunks(), pa.scalar(" updated"), pa.scalar("")
+                    )
+                    newer = pa.table(
+                        {
+                            "doc_id": old["doc_id"],
+                            "url": old["url"],
+                            "warc_ts": pc.add(
+                                old["warc_ts"], pa.scalar(86_400_000_000, pa.duration("us"))
+                            ),
+                            "html": wrap_body(o_ids, new_text),
+                            "text": new_text,
+                            "lang": old["lang"],
+                        }
+                    )
+                    pages = pa.concat_tables([pages, newer])
+                return pages
+
+            def extract_fields(batch: pa.Table) -> pa.Table:
+                html = batch["html"].combine_chunks().cast(pa.string())
+                title = pc.extract_regex(html, r"<title>(?P<t>[^<]*)</title>")
+                title = pc.struct_field(title, "t")
+                return pa.table(
+                    {
+                        "doc_id": batch["doc_id"].cast(pa.int64()),
+                        "title": title,
+                        "body": extract_text_html(html),
+                        "lang": batch["lang"],
+                    }
+                )
+
+            ds = rd.read_parquet(_docs(sf_dir)).map_batches(
+                snapshots, batch_format="pyarrow"
+            )
+            latest = keep_latest(ds, ["url"], "warc_ts")
+            latest.map_batches(extract_fields, batch_format="pyarrow").write_parquet(tdir)
+            with open(done, "w") as f:
+                f.write("ok")
+        idx = os.path.join(_corpus_dir(sf_dir), "warc_index")
+        build_index(
+            tdir, idx, fields={"title": "title", "body": "body"},
+            store_cols=("lang",), num_shards=2, num_buckets=2,
+        )
+        s = IndexSearcher(idx, lang_col="lang")
+        _WARC_SEARCHERS[sf_dir] = s
+    return s
+
+
+def q_warc_bm25f(sf_dir: str):
+    """BM25F top-10 for 'spark merge' over the flagship input_hint pipeline
+    (see warc_searcher_for): snapshots → keep-latest → real html extraction
+    → native title+body index → cross-field saturated scoring.  The twin
+    rebuilds the EXACT derived fields in SQL (keep-latest = ' updated' body
+    for every 10th doc; title = the <title> tag content; body = the same
+    RE2 strip chain) and scores BM25F over them."""
+    rows = warc_searcher_for(sf_dir).search_multifield(
+        "spark merge", MULTIFIELD_WEIGHTS, limit=10, combine="bm25f"
+    )
+    return _bm25_table(rows, 10)
+
+
 def q_bm25f(sf_dir: str):
     """TRUE BM25F (Robertson–Zaragoza simple variant) over the native
     two-field index: per term, field frequencies fold BEFORE saturation —
@@ -5609,6 +5704,51 @@ def oracle_catalog() -> dict[str, str]:
         "FROM cells GROUP BY doc_id"
     )
 
+    # FLAGSHIP input_hint twin: keep-latest snapshot (every 10th doc gets an
+    # ' updated' body), title = <title> content, body = the SAME RE2 strip
+    # chain the engine runs, then cross-field-saturated BM25F.
+    _warc_wrap = (
+        "'<html><head><title>D' || doc_id || '</title></head><body><p>' || text || '</p></body></html>'"
+    )
+    from ..text.extract import sql_extract_text_html as _warc_strip
+
+    out["warc_bm25f"] = (
+        "WITH eff AS (SELECT doc_id,\n"
+        "  CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END AS text\n"
+        "  FROM documents),\n"
+        f"btok AS ({sql_tokens_cte('eff', 'doc_id', _warc_strip(_warc_wrap))}),\n"
+        f"ttok AS ({sql_tokens_cte('eff', 'doc_id', chr(39) + 'D' + chr(39) + ' || doc_id')}),\n"
+        "st0 AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,\n"
+        "  (SELECT count(*) FROM btok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,\n"
+        "  (SELECT count(*) FROM ttok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_t),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "bdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM btok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "tdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM ttok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok GROUP BY doc_id, term),\n"
+        "ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttok GROUP BY doc_id, term),\n"
+        "dfany AS (SELECT term, count(*)::BIGINT AS df FROM (\n"
+        "  SELECT DISTINCT doc_id, term FROM (\n"
+        "    SELECT doc_id, term FROM btf UNION ALL SELECT doc_id, term FROM ttf)) GROUP BY term),\n"
+        "tft AS (SELECT doc_id, term, sum(c) AS tft FROM (\n"
+        f"  SELECT btf.doc_id, btf.term, {bw} * btf.tf / (1.0 - 0.75 + 0.75 * bdl.dl / st0.avgdl) AS c\n"
+        "    FROM btf JOIN bdl ON bdl.doc_id = btf.doc_id, st0 WHERE btf.term IN ('spark','merge')\n"
+        "  UNION ALL\n"
+        f"  SELECT ttf.doc_id, ttf.term, {tw} * ttf.tf / (1.0 - 0.75 + 0.75 * tdl.dl / st0.avgdl_t) AS c\n"
+        "    FROM ttf JOIN tdl ON tdl.doc_id = ttf.doc_id, st0 WHERE ttf.term IN ('spark','merge'))\n"
+        "  GROUP BY doc_id, term),\n"
+        "scored AS (SELECT tft.doc_id,\n"
+        "  sum(ln(1 + (st0.n - dfany.df + 0.5) / (dfany.df + 0.5)) * (tft.tft / (1.2 + tft.tft))) AS score\n"
+        "  FROM tft JOIN dfany USING (term), st0\n"
+        "  GROUP BY tft.doc_id HAVING count(DISTINCT tft.term) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     # REAL WAV decode (stdlib wave): mono 16-bit PCM,
     # sample_i = ((doc_id*7 + i*13) % 201) - 100, n = 400 + doc_id % 100.
     out["mm_decode_wav"] = (
@@ -5659,6 +5799,7 @@ _SAMPLE_FIRST = [
     "fts_bm25_multifield",
     "fts_multifield_title",
     "fts_bm25f",
+    "warc_bm25f",
     "chunks_structured",
     # dedup family (driver-r1, unsampled r2)
     "dedup_exact",
@@ -5783,6 +5924,7 @@ def _query_catalog_unordered():
         "fts_bm25_multifield": q_bm25_multifield,
         "fts_multifield_title": q_multifield_title,
         "fts_bm25f": q_bm25f,
+        "warc_bm25f": q_warc_bm25f,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "chunks_structured": q_chunks_structured,
