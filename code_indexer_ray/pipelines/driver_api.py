@@ -1294,6 +1294,52 @@ def q_chunks(sf_dir: str):
     )
 
 
+def q_sym_defs(sf_dir: str):
+    """SCIP-analog symbol DEFINITIONS table (reference scip/query/backends.py:
+    34-133 serves defs/refs/call-graph from SQLite; here the extractor is a
+    vectorized map_batches over code-shaped docs): every '^def NAME():' line
+    → (doc_id, sym, line).  The twin recomputes the planted defs in closed
+    form, so the regex extraction itself is what's verified."""
+    import ray.data as rd
+
+    from ..text.structured import synthesize_calls_batch
+    from ..text.symbols import symbol_defs
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        synthesize_calls_batch, batch_format="pyarrow"
+    )
+    return symbol_defs(ds)
+
+
+def q_sym_refs(sf_dir: str):
+    """SCIP-analog FIND-REFERENCES for one symbol ('f0'): every call site
+    (doc_id, line, enclosing caller) across the corpus — one pass, no
+    shuffle; caller attribution is the nearest preceding def (forward-fill)."""
+    import ray.data as rd
+
+    from ..text.structured import synthesize_calls_batch
+    from ..text.symbols import find_references
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        synthesize_calls_batch, batch_format="pyarrow"
+    )
+    return find_references(ds, "f0")
+
+
+def q_sym_callgraph(sf_dir: str):
+    """SCIP-analog CALL GRAPH: global (caller, callee, n_calls) edge counts —
+    map-side per-batch partial counts, one small groupby (edges ≪ calls)."""
+    import ray.data as rd
+
+    from ..text.structured import synthesize_calls_batch
+    from ..text.symbols import call_graph_edges
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        synthesize_calls_batch, batch_format="pyarrow"
+    )
+    return call_graph_edges(ds)
+
+
 def q_chunks_structured(sf_dir: str):
     """Language-aware STRUCTURAL chunking (reference indexing/chunker.py —
     per-language regex splitters feeding the same chunk table): synthesized
@@ -4785,6 +4831,37 @@ def oracle_catalog() -> dict[str, str]:
         "FROM pieces"
     )
 
+    # SCIP-analog twins: the planted-call synthesis is closed-form, so defs /
+    # refs / call-graph recompute WITHOUT parsing — the Ray side's regex
+    # extraction + forward-fill caller attribution is what must agree.
+    _sym_base = (
+        "WITH m AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),\n"
+        "p AS (SELECT doc_id, (n + 7) // 8 AS n_body,\n"
+        "  ((n + 7) // 8 - 1) // 3 + 1 AS H FROM m),\n"
+    )
+    out["sym_defs"] = (
+        _sym_base
+        + "d AS (SELECT doc_id, x.i AS di FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < H)\n"
+        "SELECT doc_id, 'f' || (3 * di) AS sym, (4 * di + 1)::BIGINT AS line FROM d"
+    )
+    out["sym_refs"] = (
+        _sym_base
+        + "b AS (SELECT doc_id, H, x.i AS j FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < n_body)\n"
+        "SELECT doc_id, (j + j // 3 + 2)::BIGINT AS line,\n"
+        "  'f' || (3 * (j // 3)) AS caller\n"
+        "FROM b WHERE 3 * ((j * 5 + 1) % H) = 0"
+    )
+    out["sym_callgraph"] = (
+        _sym_base
+        + "b AS (SELECT doc_id, H, x.i AS j FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < n_body)\n"
+        "SELECT 'f' || (3 * (j // 3)) AS caller,\n"
+        "  'f' || (3 * ((j * 5 + 1) % H)) AS callee, count(*)::BIGINT AS n_calls\n"
+        "FROM b GROUP BY 1, 2"
+    )
+
     out["fts_extract_roundtrip"] = (
         "WITH pages AS (SELECT doc_id, source || '/' || doc_id AS url,\n"
         "  '<html><head><title>D' || doc_id || '</title></head><body><p>' || text || '</p></body></html>' AS html,\n"
@@ -5801,6 +5878,9 @@ _SAMPLE_FIRST = [
     "fts_bm25f",
     "warc_bm25f",
     "chunks_structured",
+    "sym_defs",
+    "sym_refs",
+    "sym_callgraph",
     # dedup family (driver-r1, unsampled r2)
     "dedup_exact",
     "dedup_minhash_sig",
@@ -5928,6 +6008,9 @@ def _query_catalog_unordered():
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "chunks_structured": q_chunks_structured,
+        "sym_defs": q_sym_defs,
+        "sym_refs": q_sym_refs,
+        "sym_callgraph": q_sym_callgraph,
         "fts_extract_roundtrip": q_extract_roundtrip,
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,

@@ -192,3 +192,52 @@ def synthesize_code_batch(batch: pa.Table) -> pa.Table:
     cols = {name: batch[name] for name in batch.column_names}
     cols["text"] = lined
     return pa.table(cols)
+
+
+def synthesize_calls_batch(batch: pa.Table) -> pa.Table:
+    """Like :func:`synthesize_code_batch`, plus ONE function call planted at
+    the end of every body line: body line ``j`` calls ``f{3·((j·5+1) mod H)}``
+    where ``H`` is the doc's def count — every callee exists, the call graph
+    is deterministic, and the whole construction is closed-form in SQL (the
+    symbol-extraction twins recompute it without parsing)."""
+    texts = batch["text"]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    toks = pc.split_pattern(texts, " ")
+    flat = pc.list_flatten(toks)
+    n_tok = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+    off = np.concatenate(([0], np.cumsum(n_tok)))
+    pos = np.arange(len(flat), dtype=np.int64) - np.repeat(off[:-1], n_tok)
+    j = pos // 8
+    line_start = pos % 8 == 0
+    last = pos == np.repeat(n_tok - 1, n_tok)
+    last_in_line = (((pos + 1) % 8 == 0) | last)
+    # per-row def count H = floor((n_body-1)/3)+1, n_body = ceil(n_tok/8)
+    n_body = -(-n_tok // 8)
+    h_row = np.maximum((n_body - 1) // 3 + 1, 1)
+    h = np.repeat(h_row, n_tok)
+    callee = 3 * ((j * 5 + 1) % h)
+
+    jstr = pc.cast(pa.array(j, type=pa.int64()), pa.string())
+    cstr = pc.cast(pa.array(callee, type=pa.int64()), pa.string())
+    hdr = pc.binary_join_element_wise(
+        pa.scalar("def f"), jstr, pa.scalar("():\n    "), pa.scalar("")
+    )
+    ls = pa.array(line_start)
+    pref = pc.if_else(
+        pc.and_(ls, pa.array((j % 3) == 0)),
+        hdr,
+        pc.if_else(ls, pa.scalar("    "), pa.scalar("")),
+    )
+    call = pc.binary_join_element_wise(pa.scalar(" f"), cstr, pa.scalar("()"), pa.scalar(""))
+    nl = pa.array(np.where(last, "", "\n"), type=pa.string())
+    suffix = pc.if_else(
+        pa.array(last_in_line),
+        pc.binary_join_element_wise(call, nl, pa.scalar("")),
+        pa.scalar(" "),
+    )
+    glued = pc.binary_join_element_wise(pref, flat, suffix, pa.scalar(""))
+    lined = pc.binary_join(pa.ListArray.from_arrays(toks.offsets, glued), "")
+    cols = {name: batch[name] for name in batch.column_names}
+    cols["text"] = lined
+    return pa.table(cols)
