@@ -1273,11 +1273,13 @@ class ShardGroupSearcher:
             built = list(ex.map(build, self._shards))
         self._searchers = dict(zip(self._shards, built))
 
-    def fanout(self, method: str, /, *args, **kwargs) -> list:
+    def fanout(self, method: str, /, *args, shards: list[int] | None = None, **kwargs) -> list:
         """Per-shard results in shard order — one wire message for the whole
-        group; the driver flattens group replies in place of per-shard ones."""
+        group; the driver flattens group replies in place of per-shard ones.
+        ``shards`` restricts to a subset of this group (term routing)."""
+        use = self._shards if shards is None else [s for s in self._shards if s in set(shards)]
         return [
-            getattr(self._searchers[s], method)(*args, **kwargs) for s in self._shards
+            getattr(self._searchers[s], method)(*args, **kwargs) for s in use
         ]
 
     def warm_buckets(self, lang_col: str | None = None, url_col: str | None = None) -> None:
@@ -1375,31 +1377,40 @@ class IndexSearcher:
             for s, se in zip(missing, built):
                 self._searchers[s] = se
 
+    def _group_shards(self) -> list[list[int]]:
+        shards = sorted(self._files)
+        k = self._group_size
+        return [shards[i : i + k] for i in range(0, len(shards), k)]
+
     def _group_actor_list(self) -> list:
         if self._group_actors_cache is None:
-            shards = sorted(self._files)
-            k = self._group_size
-            groups = [shards[i : i + k] for i in range(0, len(shards), k)]
             self._group_actors_cache = [
                 self._group_cls.remote(
                     g, {s: list(self._files[s]) for s in g}, self._docstore,
                     self.manifest.num_buckets,
                 )
-                for g in groups
+                for g in self._group_shards()
             ]
         return self._group_actors_cache
 
-    def _fanout(self, method: str, /, *args, **kwargs) -> list:
-        shards = sorted(self._files)
+    def _fanout(self, method: str, /, *args, shards: list[int] | None = None, **kwargs) -> list:
+        """Fan ``method`` out; ``shards`` restricts the set (term routing:
+        a shard whose df is 0 for every query term cannot contribute — the
+        df fan-out already knows which shards answered, so the expensive second
+        fan-out skips the rest entirely)."""
+        all_shards = sorted(self._files)
+        shards = all_shards if shards is None else sorted(shards)
         if self._remote:
             import ray
 
             if self._group_size > 1:
-                refs = [
-                    g.fanout.remote(method, *args, **kwargs)
-                    for g in self._group_actor_list()
-                ]
-                return [r for sub in ray.get(refs) for r in sub]
+                want = set(shards)
+                refs, groups = [], []
+                for g, gshards in zip(self._group_actor_list(), self._group_shards()):
+                    sub = [s for s in gshards if s in want]
+                    if sub:
+                        refs.append(g.fanout.remote(method, *args, shards=sub, **kwargs))
+                return [r for sub_ in ray.get(refs) for r in sub_]
             refs = [getattr(self._searcher(s), method).remote(*args, **kwargs) for s in shards]
             return ray.get(refs)
         self._prefetch_searchers(shards)
@@ -1575,11 +1586,23 @@ class IndexSearcher:
         return [[t] for t in tokens]
 
     def _global_df(self, terms: list[str]) -> dict[str, int]:
+        return self._global_df_routed(terms)[0]
+
+    def _global_df_routed(self, terms: list[str]) -> tuple[dict[str, int], list[int]]:
+        """(global df per term, ACTIVE shard list).  A shard reporting df=0
+        for every requested term cannot produce a candidate (MUST/OR/SHOULD
+        candidates all come from these postings), so the expensive search
+        fan-out afterwards is term-ROUTED to the active subset — for tail
+        queries at web scale that is a handful of shards, not 57k."""
         out: dict[str, int] = {t: 0 for t in terms}
-        for local in self._fanout("df_of", terms):
+        active: list[int] = []
+        all_shards = sorted(self._files)
+        for shard, local in zip(all_shards, self._fanout("df_of", terms)):
+            if local:
+                active.append(shard)
             for t, df in local.items():
                 out[t] += df
-        return out
+        return out, active
 
     def _global_stats(self, terms: list[str]) -> dict[str, tuple[int, int]]:
         """term → (corpus df, corpus cf) by summing per-shard metadata."""
@@ -2285,7 +2308,9 @@ class IndexSearcher:
                 for t in sorted(dict.fromkeys(tokenize_query(" ".join(should_terms))))
                 if t not in set(all_terms)
             ] or None
-        global_df = self._global_df(all_terms + (should_tokens or []))
+        global_df, active_shards = self._global_df_routed(
+            all_terms + (should_tokens or [])
+        )
         if any(all(global_df[t] == 0 for t in g) for g in groups):
             return []
 
@@ -2310,6 +2335,7 @@ class IndexSearcher:
                 self.lang_col,
                 self.url_col,
                 slop,
+                shards=active_shards,
             )
         else:
             per_shard = self._fanout(
@@ -2326,6 +2352,7 @@ class IndexSearcher:
                 should_tokens,
                 boosts,
                 after,
+                shards=active_shards,
             )
         hits = [h for sh in per_shard for h in sh]
         if not hits:

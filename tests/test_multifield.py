@@ -322,3 +322,37 @@ class TestShardGroupServing:
         # df/stats fan-outs ride the same grouped path
         assert local.stats_agg("spark") == grouped.stats_agg("spark")
         assert local.complete("s", limit=5) == grouped.complete("s", limit=5)
+
+
+class TestTermRoutedFanout:
+    def test_tail_term_routing_exact(self, ray_session, tmp_path_factory):
+        """A term that exists in ONE shard must return identical results
+        through the routed fan-out (local, per-shard actors, group actors) —
+        and a shard with zero df for every query term is provably skippable."""
+        import numpy as np
+        import pyarrow.parquet as pq
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rows = []
+        for i in range(200):
+            text = "common words here"
+            if i == 190:  # lives in the last of 3 doc-range shards only
+                text = "uniqueterm common words"
+            rows.append({"doc_id": i, "text": text, "lang": "en"})
+        tmp = tmp_path_factory.mktemp("route")
+        src = str(tmp / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        out = str(tmp / "idx")
+        build_index(src, out, store_cols=("lang",), num_shards=3, num_buckets=2, resume=False)
+        expected = [190]
+        for kw in ({}, {"remote": True}, {"remote": True, "shard_group_size": 2}):
+            s = IndexSearcher(out, lang_col="lang", url_col=None, **kw)
+            got = [r["doc_id"] for r in s.search("uniqueterm", snippet_lines=0)]
+            assert got == expected, kw
+            # routing metadata: only one shard is active for this term
+            _df, active = s._global_df_routed(["uniqueterm"])
+            assert len(active) == 1
+        # unknown term: zero active shards, empty result (no fan-out at all)
+        s = IndexSearcher(out, lang_col="lang", url_col=None)
+        assert s.search("nosuchterm", snippet_lines=0) == []
