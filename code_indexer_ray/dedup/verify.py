@@ -51,9 +51,11 @@ def word_shingle_rows(
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     if isinstance(toks, pa.ChunkedArray):
         toks = toks.combine_chunks()
-    row_counts = np.zeros(batch.num_rows, dtype=np.int64)
-    if len(parents):
-        np.add.at(row_counts, parents, 1)
+    row_counts = (
+        np.bincount(parents, minlength=batch.num_rows).astype(np.int64)
+        if len(parents)
+        else np.zeros(batch.num_rows, dtype=np.int64)
+    )
 
     sh_parts: list[pa.Array] = []
     par_parts: list[np.ndarray] = []

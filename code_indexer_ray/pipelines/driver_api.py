@@ -5881,6 +5881,8 @@ _SAMPLE_FIRST = [
     "sym_defs",
     "sym_refs",
     "sym_callgraph",
+    "mm_decode_png",
+    "mm_resize_png",
     # dedup family (driver-r1, unsampled r2)
     "dedup_exact",
     "dedup_minhash_sig",

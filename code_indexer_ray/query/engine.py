@@ -1405,7 +1405,7 @@ class IndexSearcher:
 
             if self._group_size > 1:
                 want = set(shards)
-                refs, groups = [], []
+                refs = []
                 for g, gshards in zip(self._group_actor_list(), self._group_shards()):
                     sub = [s for s in gshards if s in want]
                     if sub:
