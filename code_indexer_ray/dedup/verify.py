@@ -208,6 +208,11 @@ def pair_jaccard_verify(
     jaccard = 1.0 via marker rows that bypass the join."""
     from ..pipelines.ops import shuffle_equi_join
 
+    # pairs feeds BOTH the join (sides) and the marker union below; the
+    # candidate-pair lineage upstream (banding + two shuffles) must not
+    # re-execute per consumer — materialize once (bounded: the LSH survivor
+    # fraction, object-store-resident, never driver-resident)
+    pairs = pairs.materialize()
     sides = pairs.map_batches(_pair_sides, batch_format="pyarrow")
     joined = shuffle_equi_join(
         sides,

@@ -340,10 +340,15 @@ def _binary_col(data: bytes | np.ndarray, offsets: np.ndarray) -> pa.LargeBinary
 
 def _binary_col32(data: bytes | np.ndarray, offsets: np.ndarray) -> pa.Array:
     """32-bit-offset Binary column — 4 B/row less than LargeBinary through
-    the shuffle; falls back to LargeBinary when the buffer exceeds 2 GiB."""
+    the shuffle.  A single batch whose payload exceeds 2 GiB raises loudly
+    (a silent LargeBinary fallback would mix offset widths across blocks of
+    the same shuffle column): shrink the map batch size instead."""
     total = int(offsets[-1]) if len(offsets) else 0
     if total >= (1 << 31):
-        return _binary_col(data, offsets)
+        raise ValueError(
+            "a single batch's positions payload exceeds 2 GiB — reduce the "
+            "read/tokenize batch size (override_num_blocks) for this corpus"
+        )
     buf = pa.py_buffer(data if isinstance(data, bytes) else data.tobytes())
     offs = pa.py_buffer(offsets.astype(np.int32).tobytes())
     return pa.BinaryArray.from_buffers(pa.binary(), len(offsets) - 1, [None, offs, buf])
@@ -457,7 +462,13 @@ def encode_segment_table(tbl: pa.Table) -> tuple[pa.Table, int]:
     if "pos_enc" in tbl.schema.names:
         # optional phrase payload: per-term concat of the doc-ordered
         # per-posting position blobs + a u32 relative byte offset per posting
-        pe = tbl["pos_enc"].combine_chunks().take(pa.array(perm))
+        # cast to 64-bit offsets BEFORE combining: a whole (shard, bucket)
+        # group's positions payload can exceed the 2 GiB int32 offset limit
+        # even though every individual batch fit (offset overflow on concat)
+        pe_col = tbl["pos_enc"]
+        if not pa.types.is_large_binary(pe_col.type):
+            pe_col = pe_col.cast(pa.large_binary())
+        pe = pe_col.combine_chunks().take(pa.array(perm))
         p_offs = _binary_offsets(pe, n)
         p_data = np.frombuffer(pe.buffers()[2], dtype=np.uint8)[p_offs[0] : p_offs[-1]]
         p_offs = p_offs - p_offs[0]
@@ -784,7 +795,10 @@ def build_index(
     df and token totals — one build, one shuffle; per-field avgdl lands in
     ``manifest.metrics["fields"]`` for BM25-per-field / BM25F scoring
     (``IndexSearcher.search_multifield``).  ``text_col`` is ignored when
-    ``fields`` is given; all field columns are also kept in the doc store.
+    ``fields`` is given; all field columns are kept in the doc store and the
+    manifest's ``text_col`` names the FIRST declared field's column so
+    stored-field point reads (``mget`` / snippets / the KV store) work on
+    multi-field indexes too.
     """
     import ray.data as rd
 
@@ -942,7 +956,11 @@ def build_index(
         num_shards=num_shards,
         num_buckets=num_buckets,
         doc_id_upper=doc_id_upper,
-        text_col=text_col,
+        # a fields= build ignores text_col; the stored-field point-read paths
+        # (mget / _fetch_texts / KV store) serve the FIRST declared field's
+        # column — every field column is in the doc store, this names the
+        # default one
+        text_col=next(iter(fields.values())) if fields is not None else text_col,
         id_col=id_col,
         partitions=partitions,
         metrics={

@@ -167,8 +167,12 @@ class KVDocStore:
                 meta = json.load(f)
         except (OSError, json.JSONDecodeError):
             return None
-        if meta.get("fingerprint") != manifest.metrics.get("fingerprint"):
-            return None  # stale derivation from a different build — ignore
+        fp_kv = meta.get("fingerprint")
+        fp_idx = manifest.metrics.get("fingerprint")
+        if fp_kv is None or fp_idx is None or fp_kv != fp_idx:
+            # stale derivation from a different build — or EITHER side
+            # missing its fingerprint (None == None must not pass) — ignore
+            return None
         return KVDocStore(index_dir, manifest.num_shards, manifest.doc_id_upper)
 
     def _shard_index(self, shard: int):

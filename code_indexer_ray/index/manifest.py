@@ -208,8 +208,13 @@ class _LazyShardFiles(Mapping):
         shard = int(shard)
         v = self._cache.get(shard)
         if v is None:
-            with open(os.path.join(self._dir, f"shard={shard:07d}.json")) as f:
-                lst = json.load(f)
+            try:
+                with open(os.path.join(self._dir, f"shard={shard:07d}.json")) as f:
+                    lst = json.load(f)
+            except FileNotFoundError:
+                # Mapping contract: unknown keys raise KeyError (dict.get
+                # would otherwise leak FileNotFoundError past its default)
+                raise KeyError(shard) from None
             v = [os.path.join(self._root, p["path"]) for p in lst]
             self._cache[shard] = v
         return v

@@ -159,8 +159,11 @@ def merge_partition(
     tombstones: np.ndarray,
     out_file: str,
     tombstone_ranges: np.ndarray | None = None,
+    field_names: tuple[str, ...] | None = None,
 ) -> dict:
-    """Merge one (shard, bucket) partition; returns stats for the manifest."""
+    """Merge one (shard, bucket) partition; returns stats for the manifest
+    (including per-field token sums when ``field_names`` is given — computed
+    from the in-memory merged segment, no re-read)."""
     parts = []
     if base_file and os.path.exists(base_file):
         parts.append(_explode_segment(pq.read_table(base_file), tombstones, tombstone_ranges))
@@ -179,13 +182,18 @@ def merge_partition(
     tmp = out_file + f".tmp-{os.getpid()}"
     pq.write_table(seg, tmp, compression="zstd", row_group_size=64 * 1024)
     os.replace(tmp, out_file)
-    return {
+    out = {
         "n_terms": seg.num_rows,
         "n_postings": merged.num_rows,
         "total_tokens": total_tokens,
         "n_bytes": os.path.getsize(out_file),
         "empty": False,
     }
+    if field_names:
+        from .build import _field_token_sums
+
+        out["field_tokens"] = _field_token_sums(seg, field_names)
+    return out
 
 
 def merge_indexes(
@@ -267,13 +275,9 @@ def merge_indexes(
             tomb,
             os.path.join(out_dir, rel),
             tomb_ranges,
+            field_names,
         )
         stats.update({"shard": shard, "bucket": bucket, "path": rel})
-        if field_names and not stats.get("empty"):
-            from .build import _field_token_sums
-
-            seg = pq.read_table(os.path.join(out_dir, rel), columns=["term", "cf"])
-            stats["field_tokens"] = _field_token_sums(seg, field_names)
         return stats
 
     keys = sorted(set(base_files) | set(delta_files))

@@ -79,7 +79,19 @@ def encode_png(img: np.ndarray, *, filter_type: int = 0) -> bytes:
 
 def decode_png(data: bytes) -> np.ndarray:
     """(H, W, C) uint8 array from an 8-bit non-interlaced PNG (all five
-    scanline filters supported)."""
+    scanline filters supported).  MALFORMED data of any kind raises
+    :class:`UnsupportedPNG` — truncated chunks (struct.error), corrupt IDAT
+    (zlib.error) and size mismatches all land on the same loud, catchable
+    boundary so batch stages can fall back per row instead of dying."""
+    try:
+        return _decode_png_inner(data)
+    except UnsupportedPNG:
+        raise
+    except (struct.error, zlib.error, ValueError, IndexError) as e:
+        raise UnsupportedPNG(f"malformed PNG: {e}") from e
+
+
+def _decode_png_inner(data: bytes) -> np.ndarray:
     if data[:8] != PNG_SIG:
         raise UnsupportedPNG("bad PNG signature")
     pos = 8

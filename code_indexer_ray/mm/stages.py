@@ -33,6 +33,13 @@ class ImageResizeStage:
     def __init__(self, width: int = 64, height: int = 64):
         self.width = int(width)
         self.height = int(height)
+        # codec state resolved once per actor, not per payload
+        from .png import PNG_SIG, UnsupportedPNG, decode_png, encode_png
+
+        self._png_sig = PNG_SIG
+        self._unsupported = UnsupportedPNG
+        self._decode = staticmethod(decode_png).__func__
+        self._encode = staticmethod(encode_png).__func__
 
     def _fake_resize(self, payload: bytes) -> bytes:
         n_out = self.width * self.height
@@ -43,18 +50,16 @@ class ImageResizeStage:
         return src[idx].tobytes()
 
     def _resize(self, payload: bytes) -> tuple[bytes, bool]:
-        from .png import PNG_SIG, UnsupportedPNG, decode_png, encode_png
-
-        if payload[:8] == PNG_SIG:
+        if payload[:8] == self._png_sig:
             try:
-                img = decode_png(payload)
-            except UnsupportedPNG:
+                img = self._decode(payload)
+            except self._unsupported:
                 pass
             else:
                 h, w, _c = img.shape
                 ys = (np.arange(self.height, dtype=np.int64) * h) // self.height
                 xs = (np.arange(self.width, dtype=np.int64) * w) // self.width
-                return encode_png(img[ys][:, xs]), True
+                return self._encode(img[ys][:, xs]), True
         return self._fake_resize(payload), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:

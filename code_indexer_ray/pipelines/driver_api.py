@@ -5939,8 +5939,6 @@ _SAMPLE_FIRST = [
     "pii_redact",
     "decontam_flags",
     "mm_decode",
-    "mm_decode_png",
-    "mm_resize_png",
     "mm_decode_wav",
 ]
 

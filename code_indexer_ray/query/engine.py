@@ -1502,6 +1502,7 @@ class IndexSearcher:
         / term-asc ties) before the normal AND search runs.  Returns
         (results, corrections); words already in the vocabulary are never
         rewritten, and an uncorrectable word keeps AND-zero semantics."""
+        self._require_plain_index("search_autocorrect")
         words = tokenize_query(query_text)
         if not words:
             return [], {}
@@ -1585,6 +1586,17 @@ class IndexSearcher:
             return [sorted(dict.fromkeys(tokens))]
         return [[t] for t in tokens]
 
+    def _require_plain_index(self, method: str) -> None:
+        """Every query path that analyzes user text into PLAIN terms must
+        refuse a fields= index — its dictionary holds only field-prefixed
+        keys, so a plain term would silently match nothing (the guard search()
+        grew in round 3, applied at every tokenizing entry point)."""
+        if self.manifest.fields:
+            raise ValueError(
+                f"{method} takes plain terms but this index was built with "
+                "fields= — query it with search_multifield(query, weights)"
+            )
+
     def _global_df(self, terms: list[str]) -> dict[str, int]:
         return self._global_df_routed(terms)[0]
 
@@ -1624,6 +1636,7 @@ class IndexSearcher:
         """Unordered two-term proximity search (SpanNearQuery inOrder=false):
         both terms within ``window`` positions in either order, BM25-sum
         ranked.  ``limit=0`` returns every match."""
+        self._require_plain_index("search_near")
         tokens = tokenize_query(query_text)
         if len(tokens) != 2:
             raise ValueError("near queries take exactly two terms")
@@ -1667,6 +1680,7 @@ class IndexSearcher:
         quantized fieldnorm; per-term collection frequency comes from segment
         metadata (one stats fanout), |C| from the manifest.  ``limit=0``
         returns every match (reference O1 semantics)."""
+        self._require_plain_index("search_lm")
         if snippet_lines:
             raise ValueError("search_lm returns ranked ids; snippets unsupported")
         tokens = tokenize_query(query_text)
@@ -1742,6 +1756,7 @@ class IndexSearcher:
         ``TopDocs::order_by_u64_field``.  Each shard returns its top-limit
         (doc_id, dl) pairs from the norm bytes already in the postings; the
         driver merges limit × n_shards rows."""
+        self._require_plain_index("search_by_field")
         groups = self._build_groups(query_text, 0, False, False)
         if groups is None:
             return []
@@ -1781,6 +1796,7 @@ class IndexSearcher:
         HEAD of the ranking, not the tail) — and ships no stored fields; the
         driver folds per-doc clause scores, so payload is Σ per-clause match
         counts, the same as running the clauses separately at limit=0."""
+        self._require_plain_index("search_dnf")
         parsed: list[list[str]] = []
         for c in clauses:
             toks = sorted(dict.fromkeys(tokenize_query(c)))
@@ -1819,6 +1835,7 @@ class IndexSearcher:
         doc contains (the engine's existing AND-of-OR-groups machinery; the
         synonym map is a driver-side constant, nothing is re-indexed).
         Groups must be disjoint (a term in two groups would double-count)."""
+        self._require_plain_index("search_synonyms")
         words = tokenize_query(query_text)
         if not words:
             return []
@@ -1867,6 +1884,7 @@ class IndexSearcher:
         never silently drops a high-df term.  limit=0 keeps the exhaustive
         full-slice behavior by construction (c grows until nothing is
         withheld)."""
+        self._require_plain_index("complete")
         hi = prefix + chr(0x10FFFF)
         want = limit if limit > 0 else UNLIMITED_LIMIT
         c = max(want * max(oversample, 1), 16) if limit > 0 else UNLIMITED_LIMIT
@@ -1917,6 +1935,7 @@ class IndexSearcher:
         """Stats aggregation over ALL matches (Elasticsearch stats agg on the
         quantized-length fast field): count / min / max / avg of dl.  Each
         shard ships a constant-size (n, Σ, min, max) partial."""
+        self._require_plain_index("stats_agg")
         groups = self._build_groups(query_text, 0, False, match_any)
         if groups is None:
             return {"n_docs": 0, "dl_min": 0, "dl_max": 0, "dl_avg": 0.0}
@@ -1941,6 +1960,7 @@ class IndexSearcher:
         domain, ranked by that best score — at most one result per site.
         Shards ship one row per local domain; the driver folds per-domain
         bests by the pinned order and cuts the top-``limit`` domains."""
+        self._require_plain_index("search_collapse_domain")
         groups = self._build_groups(query_text, 0, False, False)
         if groups is None:
             return []
@@ -1976,6 +1996,7 @@ class IndexSearcher:
         query term, scored max-per-term BM25 + tie × (sum of the others).
         Same fan-out shape as :meth:`search` — per-shard top-m, driver heap
         merge."""
+        self._require_plain_index("search_dismax")
         if not (0.0 <= tie <= 1.0):
             raise ValueError(f"tie_breaker must be in [0, 1], got {tie}")
         terms = sorted(dict.fromkeys(tokenize_query(query_text)))
@@ -2142,6 +2163,7 @@ class IndexSearcher:
 
         Scale shape: one stored-field point read + one df lookup fanout +
         one normal top-k search — nothing corpus-sized on the driver."""
+        self._require_plain_index("more_like_this")
         content = self._fetch_texts([doc_id]).get(doc_id)
         if not content:
             return []

@@ -91,3 +91,26 @@ class TestKVDocStore:
         finally:
             with open(meta_path, "w") as f:
                 json.dump(d, f)
+
+
+class TestFingerprintEdge:
+    def test_missing_fingerprints_never_match(self, built):
+        """Review fix: None == None must not validate a stale KV store."""
+        import json
+
+        from code_indexer_ray.index.kvstore import KV_DIR, KV_META, KVDocStore
+        from code_indexer_ray.index.manifest import load_manifest
+
+        _rows, out, _meta = built
+        meta_path = os.path.join(out, KV_DIR, KV_META)
+        d = json.load(open(meta_path))
+        m = load_manifest(out)
+        try:
+            stale = {k: v for k, v in d.items() if k != "fingerprint"}
+            with open(meta_path, "w") as f:
+                json.dump(stale, f)
+            m.metrics.pop("fingerprint", None)
+            assert KVDocStore.open_if_valid(out, m) is None
+        finally:
+            with open(meta_path, "w") as f:
+                json.dump(d, f)

@@ -356,3 +356,45 @@ class TestTermRoutedFanout:
         # unknown term: zero active shards, empty result (no fan-out at all)
         s = IndexSearcher(out, lang_col="lang", url_col=None)
         assert s.search("nosuchterm", snippet_lines=0) == []
+
+
+class TestPlainIndexGuards:
+    def test_tokenizing_entry_points_refuse_fields_index(self, mf_built):
+        _rows, _out, _m, s = mf_built
+        import pytest as _pt
+
+        for call in (
+            lambda: s.search("spark"),
+            lambda: s.search_dismax("spark"),
+            lambda: s.search_dnf(["spark"]),
+            lambda: s.search_near("spark merge"),
+            lambda: s.search_synonyms("spark", {}),
+            lambda: s.complete("sp"),
+            lambda: s.stats_agg("spark"),
+            lambda: s.search_collapse_domain("spark"),
+            lambda: s.search_by_field("spark"),
+            lambda: s.more_like_this(0),
+        ):
+            with _pt.raises(ValueError, match="fields"):
+                call()
+
+
+class TestMultifieldStoredFields:
+    def test_mget_and_kvstore_on_fields_index(self, mf_built):
+        """Review fix: manifest.text_col on a fields= build names the first
+        declared field's column — mget and the KV store must work, not crash
+        on a nonexistent 'text' column."""
+        from code_indexer_ray.index.kvstore import build_kv_docstore
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        rows, out, m, s = mf_built
+        assert m.text_col == "title"  # first declared field
+        got = s.mget([0, 5])
+        by_id = {r["doc_id"]: r["title"] for r in rows}
+        assert [g["text"] for g in got] == [by_id[0], by_id[5]]
+
+        meta = build_kv_docstore(out, block_docs=8)
+        assert meta["n_blocks"] > 0
+        s2 = IndexSearcher(out, lang_col="lang", url_col=None)
+        assert s2._fetch_texts([0, 5]) == {0: by_id[0], 5: by_id[5]}
+        assert s2._kv is not False

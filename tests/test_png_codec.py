@@ -126,3 +126,34 @@ class TestStageRouting:
 
         w, h, feat, real = st._decode_payload(b"random other bytes")
         assert real is False and 64 <= w < 256 and 64 <= h < 256
+
+
+class TestMalformedPayloads:
+    """Review fix: corrupt PNGs must land on UnsupportedPNG, and the decode
+    stage must degrade per row, never kill the batch."""
+
+    def test_truncated_chunk_header(self):
+        with pytest.raises(UnsupportedPNG):
+            decode_png(PNG_SIG + b"\x00\x00")
+
+    def test_corrupt_idat(self):
+        ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+        data = (
+            PNG_SIG + _chunk(b"IHDR", ihdr) + _chunk(b"IDAT", b"notzlib") + _chunk(b"IEND", b"")
+        )
+        with pytest.raises(UnsupportedPNG):
+            decode_png(data)
+
+    def test_stage_survives_corrupt_payload(self):
+        from code_indexer_ray.mm.decode import MediaDecodeStage
+
+        st = MediaDecodeStage()
+        w, h, _feat, real = st._decode_payload(PNG_SIG + b"\x00\x00garbage")
+        assert real is False and 64 <= w < 256 and 64 <= h < 256
+
+    def test_resize_stage_survives_corrupt_payload(self):
+        from code_indexer_ray.mm.stages import ImageResizeStage
+
+        st = ImageResizeStage(4, 4)
+        out, real = st._resize(PNG_SIG + b"\x00\x00garbage")
+        assert real is False and len(out) == 16
