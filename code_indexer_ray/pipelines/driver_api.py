@@ -283,6 +283,36 @@ def q_span_dedup(sf_dir: str):
     return span_dedup_stats(rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]))
 
 
+_BOILER = " ".join(f"cb{i}" for i in range(1, 13))  # 12 shared boilerplate tokens
+
+
+def q_span_removal(sf_dir: str):
+    """EXACT duplicated-substring REMOVAL (the output side of Lee et al.
+    2022's dedup, fixed-window distillation): every 7th doc gets a shared
+    12-token boilerplate prefix planted, then any token covered by a
+    10-token span occurring in >1 document is removed — per doc
+    (n_tokens, n_removed, md5 of the cleaned text).  Three shuffles, all
+    data-plane (dup-span detection, occurrence↔dup join, doc-bucket
+    co-group rebuild); within-doc-only repeats are kept (cross-document
+    semantics, like span_dedup)."""
+    import ray.data as rd
+
+    from ..text.repetition import remove_duplicate_spans
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        pref = np.where(ids % 7 == 0, _BOILER + " ", "")
+        text = pc.binary_join_element_wise(
+            pa.array(pref, type=pa.string()), batch["text"].combine_chunks(), ""
+        )
+        return pa.table({"doc_id": batch["doc_id"], "text": text})
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        plant, batch_format="pyarrow"
+    )
+    return remove_duplicate_spans(ds, span_n=10)
+
+
 def q_c4_line_filter(sf_dir: str):
     """C4 line-rule quality filter (Raffel et al. 2020 §2.2): keep lines with
     ≥5 words ending in terminal punctuation, keep pages with ≥3 surviving
@@ -4277,6 +4307,25 @@ def oracle_catalog() -> dict[str, str]:
         "FROM dsx JOIN sc USING (x) GROUP BY dsx.doc_id"
     )
 
+    from ..text.repetition import sql_ngram_hash_cte as _sn, sql_token_hash_cte as _st
+
+    out["span_removal"] = (
+        "WITH aug AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN '"
+        + _BOILER + " ' || text ELSE text END AS text FROM documents),\n"
+        + _st("aug") + ",\n"
+        + _sn(10, "g") + ",\n"
+        "gw AS (SELECT doc_id, pos, x FROM g_w WHERE pos <= nt - 9),\n"
+        "dup AS (SELECT x FROM (SELECT x, count(DISTINCT doc_id) AS c FROM gw GROUP BY x) WHERE c >= 2),\n"
+        "st AS (SELECT doc_id, pos FROM gw WHERE x IN (SELECT x FROM dup)),\n"
+        "cov AS (SELECT t.doc_id, t.pos, t.term, t.nt,\n"
+        "  EXISTS(SELECT 1 FROM st s WHERE s.doc_id = t.doc_id\n"
+        "    AND s.pos BETWEEN t.pos - 9 AND t.pos) AS rm FROM tpos t)\n"
+        "SELECT doc_id, any_value(nt)::BIGINT AS n_tokens,\n"
+        "  sum(CASE WHEN rm THEN 1 ELSE 0 END)::BIGINT AS n_removed,\n"
+        "  md5(coalesce(string_agg(CASE WHEN NOT rm THEN term END, ' ' ORDER BY pos), '')) AS clean_md5\n"
+        "FROM cov GROUP BY doc_id"
+    )
+
     from ..text.embed import SEMANTIC_DIM as D  # noqa: N811 — oracle twin dim
 
     out["fts_hybrid_rrf"] = (
@@ -5894,6 +5943,7 @@ _SAMPLE_FIRST = [
     "dedup_simhash",
     "line_dedup",
     "span_dedup",
+    "span_removal",
     "url_dedup",
     # ANN family
     "ann_cosine",
@@ -5975,6 +6025,7 @@ def _query_catalog_unordered():
         "fts_hybrid_rrf": q_hybrid_search,
         "gopher_repetition": q_gopher_repetition,
         "span_dedup": q_span_dedup,
+        "span_removal": q_span_removal,
         "fts_phrase": q_bm25_phrase,
         "fts_phrase_slop": q_bm25_phrase_slop,
         "fts_bm25_lang": q_bm25_lang,

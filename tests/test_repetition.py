@@ -127,3 +127,52 @@ class TestSpanDedup:
         )
         out = span_dedup_stats(ds).to_pandas()
         assert out.loc[0, "n_shared"] == 0
+
+
+class TestSpanRemoval:
+    def test_matches_brute(self, ray_session):
+        """remove_duplicate_spans vs a per-doc reference over planted
+        boilerplate, within-doc-only repeats, short docs, unique docs."""
+        import hashlib
+
+        import ray
+        import ray.data as rd
+
+        from code_indexer_ray.text.analysis import tokenize_query
+        from code_indexer_ray.text.repetition import remove_duplicate_spans
+
+        boiler = " ".join(f"b{i}" for i in range(12))
+        rows = [
+            {"doc_id": 0, "text": "alpha beta " + boiler + " gamma delta"},
+            {"doc_id": 1, "text": "x " + boiler + " y"},
+            {"doc_id": 2, "text": "totally unique words only here nothing shared at all beyond"},
+            {"doc_id": 3, "text": boiler + " " + boiler},
+            {"doc_id": 4, "text": "short doc"},
+            {"doc_id": 5, "text": "p q r s t u v w x y z p q r s t u v w x y z"},  # in-doc repeat only
+        ]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        out = pa.concat_tables(
+            [t for t in ray.get(remove_duplicate_spans(ds, span_n=10).to_arrow_refs()) if t.num_rows]
+        ).to_pylist()
+        got = {r["doc_id"]: r for r in out}
+
+        span_n = 10
+        toks = {r["doc_id"]: tokenize_query(r["text"]) for r in rows}
+        spans: dict = {}
+        for d, tk in toks.items():
+            for i in range(len(tk) - span_n + 1):
+                spans.setdefault(tuple(tk[i : i + span_n]), set()).add(d)
+        dup = {sp for sp, ds_ in spans.items() if len(ds_) >= 2}
+        assert len(got) == len(rows)
+        for d, tk in toks.items():
+            cov = [False] * len(tk)
+            for i in range(len(tk) - span_n + 1):
+                if tuple(tk[i : i + span_n]) in dup:
+                    for j in range(i, i + span_n):
+                        cov[j] = True
+            kept = [t for t, c in zip(tk, cov) if not c]
+            assert got[d]["n_tokens"] == len(tk)
+            assert got[d]["n_removed"] == sum(cov), d
+            assert got[d]["clean_md5"] == hashlib.md5(" ".join(kept).encode()).hexdigest()
+        # the within-doc-only repeat is NOT removed (cross-document semantics)
+        assert got[5]["n_removed"] == 0
