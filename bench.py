@@ -232,6 +232,50 @@ def run() -> dict:
         )
         qstats["positions_build_sec"] = round(time.perf_counter() - t6b, 3)
 
+        # FLAGSHIP input_hint end-to-end (round 3): html pages → keep-latest →
+        # extract(title, body) → native two-field build → BM25F top-10
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from code_indexer_ray.pipelines.ops import keep_latest
+        from code_indexer_ray.query.engine import IndexSearcher as _IS0
+        from code_indexer_ray.text.extract import extract_text_html
+
+        def to_fields(batch: pa.Table) -> pa.Table:
+            html = batch["html"].combine_chunks().cast(pa.string())
+            title = pc.struct_field(
+                pc.extract_regex(html, r"<title>(?P<t>[^<]*)</title>"), "t"
+            )
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "title": title,
+                    "body": extract_text_html(html),
+                    "lang": batch["lang"],
+                }
+            )
+
+        t7a = time.perf_counter()
+        wdir, widx = "/tmp/cidx_bench_warc_fields", "/tmp/cidx_bench_warc_idx"
+        shutil.rmtree(wdir, ignore_errors=True)
+        shutil.rmtree(widx, ignore_errors=True)
+        # the bench corpus IS the input_hint pages schema already
+        pages = rd.read_parquet(corpus, columns=["doc_id", "url", "warc_ts", "html", "lang"])
+        keep_latest(pages, ["url"], "warc_ts").map_batches(
+            to_fields, batch_format="pyarrow"
+        ).write_parquet(wdir)
+        build_index(
+            wdir, widx, fields={"title": "title", "body": "body"},
+            store_cols=("lang",), num_buckets=16,
+            target_docs_per_shard=max(1000, N_DOCS // 16), resume=False,
+        )
+        sw = _IS0(widx, lang_col="lang", url_col=None)
+        hits = sw.search_multifield(
+            "t000123 t000456", {"title": 2.0, "body": 1.0}, limit=10, combine="bm25f"
+        )
+        qstats["warc_e2e_sec"] = round(time.perf_counter() - t7a, 3)
+        qstats["warc_e2e_hits"] = len(hits)
+
         # KV doc store (round 3): derivation cost + 10-id mget p50, KV vs
         # parquet row-group point reads
         import numpy as np

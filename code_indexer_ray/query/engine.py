@@ -1347,6 +1347,24 @@ class IndexSearcher:
             self._actor_cls = ray.remote(num_cpus=1)(ShardSearcher)
             if self._group_size > 1:
                 self._group_cls = ray.remote(num_cpus=1)(ShardGroupSearcher)
+            # actor starvation is a silent hang: each serving actor reserves
+            # one CPU, so more actors than cluster CPUs never schedules
+            try:
+                cpus = int(ray.cluster_resources().get("CPU", 0))
+            except Exception:
+                cpus = 0
+            n_actors = -(-len(self._files) // max(self._group_size, 1))
+            if cpus and n_actors > cpus:
+                import warnings
+
+                warnings.warn(
+                    f"IndexSearcher(remote=True) plans {n_actors} serving "
+                    f"actors (num_cpus=1 each) but the cluster has {cpus} "
+                    "CPUs — actor creation will block; raise "
+                    "shard_group_size to fit",
+                    RuntimeWarning,
+                    stacklevel=2,
+                )
 
     def _searcher(self, shard: int):
         s = self._searchers.get(shard)
