@@ -1200,6 +1200,42 @@ def q_multifield_title(sf_dir: str):
     return _bm25_table(rows, 10)
 
 
+def q_fielded_or(sf_dir: str):
+    """Per-field term clauses from the QUERY STRING (Lucene classic
+    ``field:term`` syntax): ``title:spark^2 body:merge`` parses to two
+    field-scoped clauses — default operator OR, so a doc matches if EITHER
+    clause matches and scores the sum of its matched clauses' weighted
+    per-field BM25 (title df/avgdl/norms for the title clause, body's for
+    the body clause).  Runs through ``parse_query(fields=...)`` →
+    ``IndexSearcher.search_fields`` — unlike search_multifield, each clause
+    names its own field and term."""
+    from ..query.parser import search_query_string
+
+    rows = search_query_string(
+        multifield_searcher_for(sf_dir),
+        "title:spark^2 body:merge",
+        limit=10,
+        snippet_lines=0,
+    )
+    return _bm25_table(rows, 10)
+
+
+def q_fielded_and(sf_dir: str):
+    """Same field-scoped clauses with explicit AND: ``title:spark^2 AND
+    body:merge`` requires BOTH clauses to match (each clause is its own
+    AND group of one field-prefixed key); score is the same weighted
+    per-field BM25 sum over the intersection."""
+    from ..query.parser import search_query_string
+
+    rows = search_query_string(
+        multifield_searcher_for(sf_dir),
+        "title:spark^2 AND body:merge",
+        limit=10,
+        snippet_lines=0,
+    )
+    return _bm25_table(rows, 10)
+
+
 def q_bm25_should(sf_dir: str):
     """BooleanQuery MUST + SHOULD: 'spark merge' required, 'window' optional
     — candidates gated by the MUST terms only, a candidate containing the
@@ -4698,6 +4734,48 @@ def oracle_catalog() -> dict[str, str]:
         + _ranked_topk(10)
     )
 
+    # field-scoped query-string clauses: title:spark^2 (title-field BM25,
+    # boost 2) and body:merge (body-field BM25) — OR = union of matched
+    # clauses, AND = both clauses required (count of distinct clause labels)
+    mf_pre = (
+        f"WITH btok AS ({sql_tokens_cte()}),\n"
+        f"ttok AS ({sql_tokens_cte('documents', 'doc_id', f'substr(text, 1, {TITLE_CHARS})')}),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "st0 AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,\n"
+        "  (SELECT count(*) FROM btok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl,\n"
+        "  (SELECT count(*) FROM ttok)::DOUBLE / (SELECT count(*) FROM documents)::DOUBLE AS avgdl_t),\n"
+        "bdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM btok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "tdl AS (SELECT d.doc_id, q.dec::BIGINT AS dl FROM\n"
+        "  (SELECT d0.doc_id, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM documents d0\n"
+        "   LEFT JOIN (SELECT doc_id, count(*) AS nt FROM ttok GROUP BY doc_id) c USING (doc_id)) d\n"
+        "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok GROUP BY doc_id, term),\n"
+        "bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),\n"
+        "ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttok GROUP BY doc_id, term),\n"
+        "tdf AS (SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY term),\n"
+        f"cb AS (SELECT btf.doc_id, 'body_merge' AS cl, 1.0 * ({b_score}) AS s\n"
+        "  FROM btf JOIN bdf USING (term) JOIN bdl ON bdl.doc_id = btf.doc_id, st0\n"
+        "  WHERE btf.term = 'merge'),\n"
+        f"ct AS (SELECT ttf.doc_id, 'title_spark' AS cl, 2.0 * ({t_score}) AS s\n"
+        "  FROM ttf JOIN tdf USING (term) JOIN tdl ON tdl.doc_id = ttf.doc_id, st0\n"
+        "  WHERE ttf.term = 'spark'),\n"
+        "u AS (SELECT * FROM cb UNION ALL SELECT * FROM ct),\n"
+    )
+    out["fts_fielded_or"] = (
+        mf_pre
+        + "scored AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id),\n"
+        + _ranked_topk(10)
+    )
+    out["fts_fielded_and"] = (
+        mf_pre
+        + "scored AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id\n"
+        "  HAVING count(DISTINCT cl) = 2),\n"
+        + _ranked_topk(10)
+    )
+
     out["fts_bm25f"] = (
         f"WITH btok AS ({sql_tokens_cte()}),\n"
         f"ttok AS ({sql_tokens_cte('documents', 'doc_id', f'substr(text, 1, {TITLE_CHARS})')}),\n"
@@ -5925,6 +6003,8 @@ _SAMPLE_FIRST = [
     "fts_bm25_multifield",
     "fts_multifield_title",
     "fts_bm25f",
+    "fts_fielded_or",
+    "fts_fielded_and",
     "warc_bm25f",
     "chunks_structured",
     "sym_defs",
@@ -6055,6 +6135,8 @@ def _query_catalog_unordered():
         "fts_bm25_multifield": q_bm25_multifield,
         "fts_multifield_title": q_multifield_title,
         "fts_bm25f": q_bm25f,
+        "fts_fielded_or": q_fielded_or,
+        "fts_fielded_and": q_fielded_and,
         "warc_bm25f": q_warc_bm25f,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,

@@ -2130,6 +2130,107 @@ class IndexSearcher:
         sel = np.lexsort((ids, -scores))[:m]
         return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
 
+    def search_fields(
+        self,
+        must: list[tuple[str, str, float]],
+        should: list[tuple[str, str, float]] | None = None,
+        *,
+        limit: int = 10,
+    ) -> list[dict]:
+        """Per-clause field-scoped search over a ``fields=`` build — the
+        Lucene classic-QueryParser ``field:term`` shape (``title:spark^2
+        body:merge``), where each clause names ITS OWN field, unlike
+        :meth:`search_multifield` which applies one term set across every
+        weighted field.  Reference front-end: the tantivy ``parse_query``
+        field prefixes (``tantivy_index_manager.py:330-420``).
+
+        Semantics (Lucene BooleanQuery over per-field term queries):
+
+        - each ``must`` clause is required (its own AND group); ``should``
+          clauses never gate matching but add their contribution — with NO
+          must clauses the should clauses form one OR group (default-OR
+          queries: candidates = union, score = sum of matched clauses);
+        - clause score = weight · BM25_field(term) with that field's own
+          df, avgdl and quantized norms (per-key ``avgdl_map``, the same
+          machinery as :meth:`search_multifield` combine="sum");
+        - a clause term that analyzes to several tokens expands to one
+          clause per token (same field/weight/occurrence);
+        - duplicate (field, term) clauses combine by summing weights —
+          identical to Lucene's duplicate clauses each contributing, since
+          the score is linear in the boost.
+
+        Per-shard payload is top-``limit`` rows; nothing corpus-sized
+        reaches the driver."""
+        from ..index.build import FIELD_SEP, field_key
+
+        flds = self.manifest.fields
+        if not flds:
+            raise ValueError("search_fields requires an index built with fields=")
+
+        def expand(clauses: list[tuple[str, str, float]]) -> list[tuple[str, float]]:
+            keys: list[tuple[str, float]] = []
+            for f, term, w in clauses:
+                if f not in flds:
+                    raise ValueError(f"unknown field {f!r} (index fields: {sorted(flds)})")
+                if w <= 0:
+                    raise ValueError("field-clause weights must be > 0")
+                for tok in tokenize_query(term):
+                    keys.append((field_key(f, tok), float(w)))
+            return keys
+
+        must_keys = expand(must)
+        should_keys = expand(should or [])
+        if not must_keys and not should_keys:
+            return []
+
+        boosts: dict[str, float] = {}
+        for k, w in must_keys + should_keys:
+            boosts[k] = boosts.get(k, 0.0) + w
+        avgdl_map = {
+            k: self.manifest.field_avgdl(k.split(FIELD_SEP, 1)[0]) for k in boosts
+        }
+        global_df = self._global_df(list(boosts))
+
+        if must_keys:
+            # duplicate clauses already folded into the summed boost — one
+            # group (and one decode) per distinct key, or the contribution
+            # would double-count; a should key that is also a must key is
+            # likewise already fully weighted in boosts
+            mkeys = list(dict.fromkeys(k for k, _ in must_keys))
+            groups = [[k] for k in mkeys]
+            if any(global_df[g[0]] == 0 for g in groups):
+                return []
+            mset = set(mkeys)
+            extra_should = [
+                k for k in dict.fromkeys(k for k, _ in should_keys) if k not in mset
+            ] or None
+        else:
+            keys = list(dict.fromkeys(k for k, _ in should_keys))
+            if all(global_df[k] == 0 for k in keys):
+                return []
+            groups = [keys]
+            extra_should = None
+
+        m = limit if limit > 0 else UNLIMITED_LIMIT
+        per_shard = self._fanout(
+            "search_groups",
+            groups,
+            self.manifest.num_docs,
+            self.manifest.avgdl,
+            global_df,
+            m,
+            should_terms=extra_should,
+            boosts=boosts,
+            avgdl_map=avgdl_map,
+        )
+        hits = [h for sh in per_shard for h in sh]
+        if not hits:
+            return []
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        scores = np.array([h[1] for h in hits], dtype=np.float64)
+        sel = np.lexsort((ids, -scores))[:m]
+        return [{"doc_id": int(ids[i]), "score": float(scores[i])} for i in sel]
+
     def explain(self, query_text: str, *, limit: int = 10, **kwargs) -> list[dict]:
         """Score breakdown for the top-``limit`` hits (Lucene ``explain``):
         one row per (hit, matched term) with the raw scoring inputs (tf, the

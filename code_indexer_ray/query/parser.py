@@ -15,6 +15,8 @@ express raises ``ValueError`` instead of silently degrading):
     s?ark / s*k               general wildcard (glob → anchored RE2)
     lang:en   -lang:de        language facet include / exclude
     path:src1/*  -path:x/*    stored-path glob include / exclude
+    title:spark^2 body:merge  per-field term clauses (``fields=`` index only;
+                              pass the index's field names via ``fields=``)
 
 Reference analog: the tantivy ``parse_query`` front-end builds term / fuzzy /
 phrase queries from the user string (``tantivy_index_manager.py:330-420``);
@@ -41,8 +43,12 @@ _PHRASE = re.compile(r'^"([^"]*)"(?:~(\d+))?$')
 MUST, SHOULD, MUST_NOT = "+", "", "-"
 
 
-def parse_query(q: str) -> dict:
-    """Compile a query string into ``IndexSearcher.search`` kwargs."""
+def parse_query(q: str, fields: set[str] | None = None) -> dict:
+    """Compile a query string into ``IndexSearcher.search`` kwargs.
+
+    ``fields`` is the set of index field names (a ``fields=`` build) that
+    ``field:term`` clauses may reference; with the default ``None`` any
+    generic field prefix raises, preserving plain-index behavior."""
     raw = _TOKEN.findall(q)
     if not raw:
         return {"query_text": ""}
@@ -53,6 +59,7 @@ def parse_query(q: str) -> dict:
     langs_ex: list[str] = []
     paths_in: list[str] = []
     paths_ex: list[str] = []
+    fielded: list[tuple[str, str, str, float]] = []  # (occur, field, term, weight)
     phrase: tuple[str, int] | None = None
     fuzzy_d: set[int] = set()
     saw_and = saw_or = saw_plus = False
@@ -89,7 +96,26 @@ def parse_query(q: str) -> dict:
             if field == "path":
                 (paths_ex if occur == MUST_NOT else paths_in).append(val)
                 continue
-            raise ValueError(f"unknown field {field!r} (supported: lang, path)")
+            if fields is not None and field in fields:
+                if occur == MUST_NOT:
+                    raise ValueError("fielded MUST_NOT clauses are unsupported")
+                weight = 1.0
+                m = _BOOST.match(val)
+                if m:
+                    val, weight = m.group(1), float(m.group(2))
+                if not val:
+                    raise ValueError(f"empty term in fielded clause {field!r}")
+                if _has_wildcard(val) or "~" in val or '"' in val:
+                    raise ValueError(
+                        "fielded clauses take plain terms only "
+                        "(no fuzzy/wildcard/phrase)"
+                    )
+                fielded.append((occur, field, val, weight))
+                continue
+            known = "lang, path" if fields is None else ", ".join(
+                sorted({"lang", "path"} | fields)
+            )
+            raise ValueError(f"unknown field {field!r} (supported: {known})")
 
         boost_val = None
         m = _BOOST.match(tok)
@@ -114,7 +140,7 @@ def parse_query(q: str) -> dict:
         # terms are expressible inside a DNF clause — anything decorated
         # keeps the explicit error below.
         if (
-            phrase is not None or boosts or fuzzy_d or saw_plus
+            phrase is not None or boosts or fuzzy_d or saw_plus or fielded
             or langs_in or langs_ex or paths_in or paths_ex
             or any(o == MUST_NOT for o, _ in terms)
             or any(_has_wildcard(t) for _, t in terms)
@@ -138,6 +164,32 @@ def parse_query(q: str) -> dict:
         if any(not c for c in clauses):
             raise ValueError("empty clause around OR")
         return {"dnf_clauses": [" ".join(c) for c in clauses]}
+
+    if fielded:
+        # field-scoped clauses execute through IndexSearcher.search_fields;
+        # the routes cannot mix (a plain term has no field on a fields= index
+        # query, and lang/path metadata filters are not wired through the
+        # grouped fan-out) — raise instead of silently degrading.
+        if (
+            terms or phrase is not None or boosts or fuzzy_d
+            or langs_in or langs_ex or paths_in or paths_ex
+        ):
+            raise ValueError(
+                "field:term clauses cannot combine with unfielded terms, "
+                "phrases, fuzzy or lang/path filters"
+            )
+        # Lucene occurrence defaulting, same policy as unfielded terms:
+        # explicit AND → every clause required; any '+' → marked clauses
+        # required, bare optional; otherwise default operator OR.
+        clauses_f = [(f, t, w) for _, f, t, w in fielded]
+        if saw_and:
+            return {"fielded_must": clauses_f, "fielded_should": []}
+        if saw_plus:
+            return {
+                "fielded_must": [(f, t, w) for o, f, t, w in fielded if o == MUST],
+                "fielded_should": [(f, t, w) for o, f, t, w in fielded if o == SHOULD],
+            }
+        return {"fielded_must": [], "fielded_should": clauses_f}
 
     must = [t for o, t in terms if o == MUST]
     bare = [t for o, t in terms if o == SHOULD]
@@ -233,9 +285,23 @@ def _glob_to_regex(glob: str) -> str:
 
 def search_query_string(searcher, q: str, **extra) -> list[dict]:
     """Parse ``q`` and execute it on an :class:`IndexSearcher`.  Mixed
-    AND/OR strings compile to the DNF route (``search_dnf``), which accepts
-    only ``limit`` from the extra kwargs."""
-    kwargs = parse_query(q)
+    AND/OR strings compile to the DNF route (``search_dnf``) and
+    ``field:term`` clauses to ``search_fields`` — both accept only ``limit``
+    from the extra kwargs (their rows carry no snippets, so a disabled
+    ``snippet_lines`` is tolerated and a requested one raises)."""
+    idx_fields = searcher.manifest.fields
+    kwargs = parse_query(q, fields=set(idx_fields) if idx_fields else None)
+    f_must = kwargs.pop("fielded_must", None)
+    f_should = kwargs.pop("fielded_should", None)
+    if f_must is not None:
+        extra = dict(extra)
+        snip = extra.pop("snippet_lines", 0)
+        if snip:
+            raise ValueError("field:term queries do not produce snippets")
+        bad = set(extra) - {"limit"}
+        if bad:
+            raise ValueError(f"field:term queries support only limit, got {sorted(bad)}")
+        return searcher.search_fields(f_must, f_should or None, **extra)
     dnf = kwargs.pop("dnf_clauses", None)
     if dnf is not None:
         # DNF rows carry only (doc_id, score) — snippets are unavailable, so

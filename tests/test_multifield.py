@@ -398,3 +398,157 @@ class TestMultifieldStoredFields:
         s2 = IndexSearcher(out, lang_col="lang", url_col=None)
         assert s2._fetch_texts([0, 5]) == {0: by_id[0], 5: by_id[5]}
         assert s2._kv is not False
+
+
+def _brute_fields(rows, must, should=(), limit=10):
+    """First-principles per-CLAUSE field-scoped BM25 (the search_fields
+    contract): clause score = w · BM25_field(term); must clauses intersect
+    candidates, should clauses only add score; no must → candidates = union
+    of should matches."""
+    n = len(rows)
+    fields = {f for f, _, _ in list(must) + list(should)}
+    stats = {}
+    for f in fields:
+        toks = {r["doc_id"]: tokenize_query(r[f]) for r in rows}
+        dl = {
+            d: int(id_to_fieldnorm(fieldnorm_to_id(np.array([len(t)])))[0])
+            for d, t in toks.items()
+        }
+        avg = sum(len(t) for t in toks.values()) / n
+        stats[f] = (toks, dl, avg)
+
+    def acc_of(clause):
+        f, t, w = clause
+        toks, dl, avg = stats[f]
+        df = sum(1 for d in toks if t in set(toks[d]))
+        out = {}
+        for d in range(n):
+            tf = toks[d].count(t)
+            if tf:
+                out[d] = w * _bm25(tf, dl[d], df, n, avg)
+        return out
+
+    must_accs = [acc_of(c) for c in must]
+    should_accs = [acc_of(c) for c in should]
+    if must_accs:
+        cand = set(must_accs[0])
+        for a in must_accs[1:]:
+            cand &= set(a)
+    else:
+        cand = set()
+        for a in should_accs:
+            cand |= set(a)
+    total = sorted(
+        (
+            (d, sum(a.get(d, 0.0) for a in must_accs + should_accs))
+            for d in cand
+        ),
+        key=lambda x: (-round(x[1], 9), x[0]),
+    )[:limit]
+    return total
+
+
+class TestSearchFields:
+    """Per-clause field-scoped search (Lucene ``field:term`` shape) vs a
+    first-principles recomputation, plus the query-string front-end."""
+
+    W = {"title": 2.0, "body": 1.0}
+
+    def _eq(self, got, want):
+        assert [(r["doc_id"], round(r["score"], 6)) for r in got] == [
+            (d, round(v, 6)) for d, v in want
+        ]
+
+    def test_or_mode_matches_brute(self, mf_built):
+        rows, _out, _m, s = mf_built
+        got = s.search_fields([], [("title", "spark", 2.0), ("body", "merge", 1.0)])
+        self._eq(got, _brute_fields(rows, [], [("title", "spark", 2.0), ("body", "merge", 1.0)]))
+
+    def test_and_mode_matches_brute(self, mf_built):
+        rows, _out, _m, s = mf_built
+        must = [("title", "spark", 2.0), ("body", "merge", 1.0)]
+        self._eq(s.search_fields(must), _brute_fields(rows, must))
+
+    def test_must_plus_should_matches_brute(self, mf_built):
+        rows, _out, _m, s = mf_built
+        must = [("title", "spark", 1.0)]
+        should = [("body", "merge", 3.0)]
+        self._eq(s.search_fields(must, should), _brute_fields(rows, must, should))
+
+    def test_duplicate_clauses_sum_weights(self, mf_built):
+        _rows, _out, _m, s = mf_built
+        a = s.search_fields([("body", "merge", 1.0), ("body", "merge", 1.0)])
+        b = s.search_fields([("body", "merge", 2.0)])
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_multi_token_clause_expands(self, mf_built):
+        _rows, _out, _m, s = mf_built
+        a = s.search_fields([("body", "spark-merge", 1.0)])
+        b = s.search_fields([("body", "spark", 1.0), ("body", "merge", 1.0)])
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_symmetric_or_equals_multifield_single_term(self, mf_built):
+        """One term scoped to every field with the multifield weights is the
+        exact search_multifield single-term query (same single OR group)."""
+        _rows, _out, _m, s = mf_built
+        a = s.search_fields([], [("title", "spark", 2.0), ("body", "spark", 1.0)])
+        b = s.search_multifield("spark", self.W, limit=10)
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_query_string_front_end(self, mf_built):
+        from code_indexer_ray.query.parser import search_query_string
+
+        rows, _out, _m, s = mf_built
+        got = search_query_string(
+            s, "title:spark^2 body:merge", limit=10, snippet_lines=0
+        )
+        self._eq(got, _brute_fields(rows, [], [("title", "spark", 2.0), ("body", "merge", 1.0)]))
+        got_and = search_query_string(
+            s, "title:spark^2 AND body:merge", limit=10, snippet_lines=0
+        )
+        self._eq(got_and, _brute_fields(rows, [("title", "spark", 2.0), ("body", "merge", 1.0)]))
+        got_mix = search_query_string(
+            s, "+title:spark body:merge^3", limit=10, snippet_lines=0
+        )
+        self._eq(
+            got_mix,
+            _brute_fields(rows, [("title", "spark", 1.0)], [("body", "merge", 3.0)]),
+        )
+
+    def test_query_string_actor_parity(self, mf_built):
+        from code_indexer_ray.query.engine import IndexSearcher
+        from code_indexer_ray.query.parser import search_query_string
+
+        _rows, out, _m, s = mf_built
+        sr = IndexSearcher(out, remote=True, lang_col="lang", url_col=None)
+        q = "title:spark^2 body:merge"
+        a = search_query_string(s, q, limit=10, snippet_lines=0)
+        b = search_query_string(sr, q, limit=10, snippet_lines=0)
+        assert [(r["doc_id"], r["score"]) for r in a] == [
+            (r["doc_id"], r["score"]) for r in b
+        ]
+
+    def test_validation(self, mf_built):
+        _rows, _out, _m, s = mf_built
+        with pytest.raises(ValueError, match="unknown field"):
+            s.search_fields([("headline", "spark", 1.0)])
+        with pytest.raises(ValueError, match="> 0"):
+            s.search_fields([("title", "spark", 0.0)])
+        with pytest.raises(ValueError, match="snippets"):
+            from code_indexer_ray.query.parser import search_query_string
+
+            search_query_string(s, "title:spark", limit=10, snippet_lines=3)
+
+    def test_dead_clause(self, mf_built):
+        """A must clause whose term is absent everywhere → no hits; as a
+        should clause it simply contributes nothing."""
+        rows, _out, _m, s = mf_built
+        assert s.search_fields([("title", "zzzzunseen", 1.0)]) == []
+        a = s.search_fields([], [("body", "merge", 1.0), ("title", "zzzzunseen", 1.0)])
+        self._eq(a, _brute_fields(rows, [], [("body", "merge", 1.0)]))

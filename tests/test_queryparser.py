@@ -157,3 +157,56 @@ class TestWildcardOccurrenceMix:
     def test_all_bare_wildcards_still_work(self):
         kw = parse_query("spar* merg*")
         assert kw["prefix"] is True and kw["match_any"] is True
+
+
+# --- field-scoped clauses (fields= index) -----------------------------------
+
+
+FIELDS = {"title", "body"}
+
+
+def test_fielded_parse_or_default():
+    assert parse_query("title:spark^2 body:merge", fields=FIELDS) == {
+        "fielded_must": [],
+        "fielded_should": [("title", "spark", 2.0), ("body", "merge", 1.0)],
+    }
+
+
+def test_fielded_parse_and():
+    assert parse_query("title:spark AND body:merge", fields=FIELDS) == {
+        "fielded_must": [("title", "spark", 1.0), ("body", "merge", 1.0)],
+        "fielded_should": [],
+    }
+
+
+def test_fielded_parse_must_mix():
+    assert parse_query("+title:spark body:merge^3", fields=FIELDS) == {
+        "fielded_must": [("title", "spark", 1.0)],
+        "fielded_should": [("body", "merge", 3.0)],
+    }
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "title:spark merge",        # fielded + unfielded scoring term
+        "-title:spark body:merge",  # fielded MUST_NOT
+        "title:spar* body:merge",   # wildcard inside a fielded clause
+        "title:sparc~ body:merge",  # fuzzy inside a fielded clause
+        "title:spark lang:en",      # fielded + facet filter
+        "caption:spark",            # not an index field
+        "title:a AND b OR c",       # fielded inside mixed AND/OR
+        'title:spark "a b"',        # fielded + phrase
+        "title:",                   # empty fielded term
+    ],
+)
+def test_fielded_unsupported(bad):
+    with pytest.raises(ValueError):
+        parse_query(bad, fields=FIELDS)
+
+
+def test_fielded_requires_fields_arg():
+    # without the index's field names, a generic prefix stays an error —
+    # plain-index behavior is unchanged
+    with pytest.raises(ValueError, match="unknown field"):
+        parse_query("title:spark", fields=None)
