@@ -87,6 +87,17 @@ def main(argv: list[str] | None = None) -> int:
     kv.add_argument("index")
     kv.add_argument("--block-docs", type=int, default=16)
 
+    sv = sub.add_parser(
+        "serve-http",
+        help="HTTP JSON API over a warm index (reference server/app.py analog)",
+    )
+    sv.add_argument("--index", required=True)
+    sv.add_argument("--host", default="127.0.0.1")
+    sv.add_argument("--port", type=int, default=8765)
+    sv.add_argument("--remote", action="store_true", help="shard work in Ray actors")
+    sv.add_argument("--shard-group-size", type=int, default=1)
+    sv.add_argument("--api-key", default=None)
+
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
 
@@ -173,6 +184,22 @@ def main(argv: list[str] | None = None) -> int:
 
             meta = build_kv_docstore(args.index, block_docs=args.block_docs)
             print(json.dumps({k: meta[k] for k in ("n_blocks", "n_bytes", "block_docs")}))
+        elif args.cmd == "serve-http":
+            from .server.http import IndexHTTPServer
+
+            srv = IndexHTTPServer(
+                args.index,
+                host=args.host,
+                port=args.port,
+                remote=args.remote,
+                shard_group_size=args.shard_group_size,
+                api_key=args.api_key,
+            )
+            print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
+            try:
+                srv.serve_forever()
+            except KeyboardInterrupt:
+                srv.shutdown()
         elif args.cmd == "stats":
             from .index.manifest import load_manifest
 

@@ -1,0 +1,238 @@
+"""HTTP JSON API over a warm :class:`IndexSearcher` — the reference's
+server surface (``server/app.py``: FastAPI app with ``/health``, query and
+stats routes, API-key auth; ``server/mcp/`` tool endpoints) recast as a
+dependency-free stdlib ``ThreadingHTTPServer``.
+
+Routes (all JSON):
+
+    GET  /health                       liveness + index identity
+    GET  /stats                        manifest summary (docs/tokens/shards)
+    GET  /search?q=...&limit=10        full query-string grammar (query/parser.py:
+                                       boolean, fuzzy, wildcard, phrase, lang:/path:
+                                       facets, field:term clauses on fields= builds)
+    POST /search      {"q": ..., "limit": ..., "snippet_lines": ...}
+    POST /batch       {"queries": [{"id": ..., "q": ..., "limit": ...}, ...]}
+    GET  /mget?ids=1,2,3               stored fields by doc address
+    GET  /suggest?word=...             spell suggestion ("did you mean")
+    GET  /complete?prefix=...&limit=   df-ranked prefix completion
+
+Auth: pass ``api_key=`` to require ``X-API-Key`` on every route except
+``/health`` (the reference's credential-manager analog, scoped to what a
+sandboxed stdlib server can honestly provide).
+
+Concurrency model: the server thread-pool accepts requests concurrently but
+serializes SEARCHER calls behind one lock — driver-side merge state (result
+cache, row-group cache, lazy shard searchers) is not thread-safe, and the
+engine's real parallel axis is the Ray actor pool (``remote=True`` +
+``shard_group_size``), where the lock covers only the cheap driver-side
+merge while shard work runs in actors.  Scale-out = replicas of this server
+over the same immutable index directory, exactly like any stateless query
+tier.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from urllib.parse import parse_qs, urlparse
+
+from ..query.engine import IndexSearcher
+from ..query.parser import search_query_string
+
+_MAX_BODY = 8 * 1024 * 1024  # reject absurd request bodies outright
+
+
+class IndexHTTPServer:
+    """Owns the searcher, the lock and the listening socket.
+
+    ``port=0`` binds an ephemeral port (tests); ``.port`` reports the bound
+    port either way.  ``start()`` serves on a daemon thread and returns it;
+    ``serve_forever()`` blocks (CLI); ``shutdown()`` stops either mode.
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        host: str = "127.0.0.1",
+        port: int = 8765,
+        remote: bool = False,
+        shard_group_size: int = 1,
+        lang_col: str | None = "lang",
+        url_col: str | None = "url",
+        api_key: str | None = None,
+        warm: bool = True,
+    ):
+        self.searcher = IndexSearcher(
+            index_dir,
+            remote=remote,
+            shard_group_size=shard_group_size,
+            lang_col=lang_col,
+            url_col=url_col,
+        )
+        if warm:
+            self.searcher.warm()
+        self.api_key = api_key
+        self._lock = threading.Lock()
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet by default; the CLI prints the URL
+                pass
+
+            def do_GET(self):
+                server._dispatch(self, body=None)
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length") or 0)
+                if n > _MAX_BODY:
+                    server._reply(self, 413, {"error": "request body too large"})
+                    return
+                raw = self.rfile.read(n) if n else b""
+                try:
+                    body = json.loads(raw) if raw else {}
+                except json.JSONDecodeError:
+                    server._reply(self, 400, {"error": "invalid JSON body"})
+                    return
+                server._dispatch(self, body=body)
+
+        self.httpd = ThreadingHTTPServer((host, port), Handler)
+        self.httpd.daemon_threads = True
+        self.host, self.port = self.httpd.server_address[:2]
+        self._thread: threading.Thread | None = None
+
+    # ---- lifecycle ----
+
+    def start(self) -> threading.Thread:
+        t = threading.Thread(target=self.httpd.serve_forever, daemon=True)
+        t.start()
+        self._thread = t
+        return t
+
+    def serve_forever(self) -> None:
+        self.httpd.serve_forever()
+
+    def shutdown(self) -> None:
+        self.httpd.shutdown()
+        self.httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    # ---- request plumbing ----
+
+    def _reply(self, h, code: int, payload: dict | list) -> None:
+        data = json.dumps(payload).encode()
+        h.send_response(code)
+        h.send_header("Content-Type", "application/json")
+        h.send_header("Content-Length", str(len(data)))
+        h.end_headers()
+        h.wfile.write(data)
+
+    def _dispatch(self, h, body: dict | None) -> None:
+        url = urlparse(h.path)
+        route = url.path.rstrip("/") or "/"
+        params = {k: v[-1] for k, v in parse_qs(url.query).items()}
+        if body:
+            params.update(body)
+        if route != "/health" and self.api_key is not None:
+            if h.headers.get("X-API-Key") != self.api_key:
+                self._reply(h, 401, {"error": "missing or invalid X-API-Key"})
+                return
+        fn = _ROUTES.get(route)
+        if fn is None:
+            self._reply(h, 404, {"error": f"unknown route {route!r}"})
+            return
+        try:
+            with self._lock:
+                out = fn(self, params)
+        except (ValueError, KeyError) as e:
+            self._reply(h, 400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — the server must not die on a bad request
+            self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._reply(h, 200, out)
+
+    # ---- routes ----
+
+    def _r_health(self, params: dict) -> dict:
+        m = self.searcher.manifest
+        return {
+            "status": "ok",
+            "num_docs": m.num_docs,
+            "num_shards": m.num_shards,
+            "fields": sorted(m.fields) if m.fields else None,
+        }
+
+    def _r_stats(self, params: dict) -> dict:
+        m = self.searcher.manifest
+        return {
+            "num_docs": m.num_docs,
+            "total_tokens": m.total_tokens,
+            "avgdl": round(m.avgdl, 4),
+            "num_shards": m.num_shards,
+            "num_buckets": m.num_buckets,
+            "partitions": m.n_partitions,
+        }
+
+    def _hits(self, q: str, params: dict) -> list[dict]:
+        limit = int(params.get("limit", 10))
+        snippet_lines = int(params.get("snippet_lines", 0))
+        return search_query_string(
+            self.searcher, q, limit=limit, snippet_lines=snippet_lines
+        )
+
+    def _r_search(self, params: dict) -> dict:
+        q = params.get("q")
+        if not q:
+            raise ValueError("missing required parameter 'q'")
+        return {"hits": self._hits(q, params)}
+
+    def _r_batch(self, params: dict) -> dict:
+        queries = params.get("queries")
+        if not isinstance(queries, list):
+            raise ValueError("POST /batch needs a JSON body {'queries': [...]}")
+        results = []
+        for spec in queries:
+            q = spec.get("q")
+            if not q:
+                raise ValueError("every batch entry needs 'q'")
+            results.append({"id": spec.get("id"), "hits": self._hits(q, spec)})
+        return {"results": results}
+
+    def _r_mget(self, params: dict) -> dict:
+        raw = params.get("ids")
+        if raw is None:
+            raise ValueError("missing required parameter 'ids'")
+        if isinstance(raw, str):
+            ids = [int(x) for x in raw.split(",") if x]
+        else:
+            ids = [int(x) for x in raw]
+        return {"docs": self.searcher.mget(ids)}
+
+    def _r_suggest(self, params: dict) -> dict:
+        word = params.get("word")
+        if not word:
+            raise ValueError("missing required parameter 'word'")
+        out = self.searcher.suggest(word, max_distance=int(params.get("max_distance", 2)))
+        return {"suggestion": out}
+
+    def _r_complete(self, params: dict) -> dict:
+        prefix = params.get("prefix")
+        if not prefix:
+            raise ValueError("missing required parameter 'prefix'")
+        return {"completions": self.searcher.complete(prefix, limit=int(params.get("limit", 10)))}
+
+
+_ROUTES = {
+    "/health": IndexHTTPServer._r_health,
+    "/stats": IndexHTTPServer._r_stats,
+    "/search": IndexHTTPServer._r_search,
+    "/batch": IndexHTTPServer._r_batch,
+    "/mget": IndexHTTPServer._r_mget,
+    "/suggest": IndexHTTPServer._r_suggest,
+    "/complete": IndexHTTPServer._r_complete,
+}

@@ -1,0 +1,153 @@
+"""HTTP JSON API (reference ``server/app.py`` analog, stdlib-only): routes,
+parity with direct engine calls, auth, batch, and error mapping — against a
+real server thread on an ephemeral port."""
+
+from __future__ import annotations
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _get(url: str, headers: dict | None = None):
+    req = urllib.request.Request(url, headers=headers or {})
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url: str, payload: dict, headers: dict | None = None):
+    data = json.dumps(payload).encode()
+    req = urllib.request.Request(
+        url, data=data, headers={"Content-Type": "application/json", **(headers or {})}
+    )
+    with urllib.request.urlopen(req, timeout=30) as r:
+        return r.status, json.loads(r.read())
+
+
+def _err(fn, *a, **kw) -> tuple[int, dict]:
+    try:
+        fn(*a, **kw)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+    raise AssertionError("expected an HTTP error")
+
+
+@pytest.fixture(scope="module")
+def http_idx(ray_session, tmp_path_factory):
+    from code_indexer_ray.index.build import build_index
+    from code_indexer_ray.query.engine import IndexSearcher
+    from code_indexer_ray.server.http import IndexHTTPServer
+
+    rng = np.random.default_rng(7)
+    vocab = ["spark", "merge", "window", "batch", "row", "scan", "sort", "join"]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(vocab[j] for j in rng.integers(0, 8, int(rng.integers(4, 40)))),
+            "lang": ["en", "de", "fr"][i % 3],
+            "url": f"src{i % 4}/f{i}.py",
+        }
+        for i in range(200)
+    ]
+    tmp = tmp_path_factory.mktemp("http")
+    src = str(tmp / "c.parquet")
+    pq.write_table(pa.Table.from_pylist(rows), src)
+    out = str(tmp / "idx")
+    build_index(src, out, store_cols=("lang", "url"), num_shards=3, num_buckets=2, resume=False)
+    srv = IndexHTTPServer(out, port=0)
+    srv.start()
+    base = f"http://{srv.host}:{srv.port}"
+    yield base, IndexSearcher(out), srv
+    srv.shutdown()
+
+
+class TestRoutes:
+    def test_health_and_stats(self, http_idx):
+        base, s, _srv = http_idx
+        code, h = _get(base + "/health")
+        assert code == 200 and h["status"] == "ok" and h["num_docs"] == 200
+        code, st = _get(base + "/stats")
+        assert st["num_docs"] == 200
+        assert st["total_tokens"] == s.manifest.total_tokens
+
+    def test_search_matches_engine(self, http_idx):
+        base, s, _srv = http_idx
+        _, got = _get(base + "/search?q=spark+merge&limit=5")
+        want = s.search("spark merge", match_any=True, limit=5, snippet_lines=0)
+        assert [(h["doc_id"], h["score"]) for h in got["hits"]] == [
+            (h["doc_id"], h["score"]) for h in want
+        ]
+
+    def test_search_post_grammar(self, http_idx):
+        """POST body, boolean grammar with facet filter."""
+        base, s, _srv = http_idx
+        _, got = _post(base + "/search", {"q": "+spark -merge lang:en", "limit": 10})
+        want = s.search(
+            "spark", exclude_terms=["merge"], languages=["en"], limit=10, snippet_lines=0
+        )
+        assert [(h["doc_id"], h["score"]) for h in got["hits"]] == [
+            (h["doc_id"], h["score"]) for h in want
+        ]
+
+    def test_batch(self, http_idx):
+        base, s, _srv = http_idx
+        _, got = _post(
+            base + "/batch",
+            {"queries": [
+                {"id": 1, "q": "spark AND merge", "limit": 3},
+                {"id": 2, "q": "window", "limit": 2},
+            ]},
+        )
+        assert [r["id"] for r in got["results"]] == [1, 2]
+        want = s.search("spark merge", limit=3, snippet_lines=0)
+        assert [h["doc_id"] for h in got["results"][0]["hits"]] == [h["doc_id"] for h in want]
+
+    def test_mget(self, http_idx):
+        base, s, _srv = http_idx
+        _, got = _get(base + "/mget?ids=0,5,7")
+        assert [d["doc_id"] for d in got["docs"]] == [0, 5, 7]
+        assert got["docs"][0]["text"] == s.mget([0])[0]["text"]
+
+    def test_suggest_and_complete(self, http_idx):
+        base, s, _srv = http_idx
+        _, got = _get(base + "/suggest?word=spakr")
+        assert got["suggestion"] == s.suggest("spakr")
+        _, got = _get(base + "/complete?prefix=s&limit=5")
+        assert got["completions"] == s.complete("s", limit=5)
+
+    def test_error_mapping(self, http_idx):
+        base, _s, _srv = http_idx
+        code, body = _err(_get, base + "/search")  # missing q
+        assert code == 400 and "q" in body["error"]
+        code, body = _err(_get, base + "/search?q=size%3A10")  # unknown field
+        assert code == 400 and "unknown field" in body["error"]
+        code, body = _err(_get, base + "/nope")
+        assert code == 404
+        code, body = _err(
+            _post, base + "/batch", {"queries": "notalist"}
+        )
+        assert code == 400
+
+
+class TestAuth:
+    def test_api_key(self, ray_session, http_idx, tmp_path_factory):
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        _base, s, _srv = http_idx
+        srv = IndexHTTPServer(s.index_dir, port=0, api_key="sekrit", warm=False)
+        srv.start()
+        base = f"http://{srv.host}:{srv.port}"
+        try:
+            code, _h = _get(base + "/health")  # health stays open
+            assert code == 200
+            code, body = _err(_get, base + "/stats")
+            assert code == 401
+            code, _st = _get(base + "/stats", headers={"X-API-Key": "sekrit"})
+            assert code == 200
+        finally:
+            srv.shutdown()
