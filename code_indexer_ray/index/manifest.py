@@ -226,14 +226,77 @@ class _LazyShardFiles(Mapping):
         return len(self._shards)
 
 
+_GEN_RE = None  # compiled lazily (re import kept out of the hot path)
+
+
+def _pindex_generations(pdir: str) -> list[int]:
+    """Sorted generation numbers present under ``pindex/`` (``g%06d`` dirs)."""
+    global _GEN_RE
+    if _GEN_RE is None:
+        import re
+
+        _GEN_RE = re.compile(r"^g(\d{6,})$")
+    if not os.path.isdir(pdir):
+        return []
+    gens = []
+    for name in os.listdir(pdir):
+        m = _GEN_RE.match(name)
+        if m and os.path.isdir(os.path.join(pdir, name)):
+            gens.append(int(m.group(1)))
+    return sorted(gens)
+
+
+def gc_pindex(root: str) -> list[str]:
+    """Remove partition-index generations no longer reachable from the
+    published manifest.  Kept: the generation the manifest points at AND the
+    one immediately before it (a reader that loaded the previous manifest
+    just before a publish may still be resolving shards from it); everything
+    older is dead weight from past publishes/merges.  Returns removed dirs.
+    Safe to call anytime — it reads only the CURRENT manifest."""
+    import shutil
+
+    pdir = os.path.join(root, PINDEX_DIR)
+    gens = _pindex_generations(pdir)
+    if not gens:
+        return []
+    try:
+        m = load_manifest(root)
+        pidx = m.metrics.get("partition_index") or {}
+        cur_dir = pidx.get("dir", "")
+    except (OSError, json.JSONDecodeError, KeyError):
+        cur_dir = ""
+    cur = None
+    base = os.path.basename(cur_dir.rstrip("/"))
+    if base.startswith("g") and base[1:].isdigit():
+        cur = int(base[1:])
+    keep: set[int] = set()
+    if cur is not None and cur in gens:
+        i = gens.index(cur)
+        keep = {cur} | set(gens[max(0, i - 1) : i])
+    else:
+        # manifest is inline (or legacy flat layout): only the newest
+        # generation could still be mid-publish — keep it, drop the rest
+        keep = {gens[-1]}
+    removed = []
+    for g in gens:
+        if g not in keep:
+            path = os.path.join(pdir, f"g{g:06d}")
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+    return removed
+
+
 def publish_manifest(
     root: str, manifest: IndexManifest, *, pindex_threshold: int | None = None
 ) -> str:
     """Atomically publish the global manifest.  Above ``pindex_threshold``
     partitions (env ``CIDX_PINDEX_THRESHOLD`` overrides the default), the
-    on-disk form is SHARDED: per-shard partition lists under
-    ``_manifests/pindex/`` (written first, manifest swap last — crash-safe)
+    on-disk form is SHARDED: per-shard partition lists under a fresh
+    GENERATION directory ``_manifests/pindex/g%06d/`` (written first, the
+    manifest swap last — a crash between the two leaves the live manifest
+    pointing at its own untouched generation, never at half-written files)
     and an empty inline list with a ``partition_index`` pointer in metrics.
+    After the swap, generations older than (current, previous) are GC'd.
     The in-memory ``manifest`` object is left untouched."""
     thr = (
         pindex_threshold
@@ -242,28 +305,34 @@ def publish_manifest(
     )
     d = asdict(manifest) if not isinstance(manifest, dict) else dict(manifest)
     parts = d.get("partitions") or []
-    if len(parts) > thr:
-        import shutil
-
+    sharded = len(parts) > thr
+    if sharded:
         pdir = os.path.join(root, PINDEX_DIR)
-        shutil.rmtree(pdir, ignore_errors=True)
+        gens = _pindex_generations(pdir)
+        gen = (gens[-1] + 1) if gens else 1
+        gdir_rel = os.path.join(PINDEX_DIR, f"g{gen:06d}")
+        gdir = os.path.join(root, gdir_rel)
         by_shard: dict[int, list[dict]] = {}
         for p_ in parts:
             by_shard.setdefault(int(p_["shard"]), []).append(p_)
         for shard, lst in by_shard.items():
-            atomic_write_json(os.path.join(pdir, f"shard={shard:07d}.json"), lst)
+            atomic_write_json(os.path.join(gdir, f"shard={shard:07d}.json"), lst)
         d = {**d, "partitions": []}
         d["metrics"] = {
             **d.get("metrics", {}),
             "partition_index": {
                 "mode": "sharded",
-                "dir": PINDEX_DIR,
+                "dir": gdir_rel,
                 "n_partitions": len(parts),
                 "shards": sorted(by_shard),
             },
         }
     path = os.path.join(root, MANIFEST_NAME)
     atomic_write_json(path, d)
+    # GC runs on every publish: an inline publish over a previously-sharded
+    # index also retires its dead generations (the newest stays — a reader
+    # holding the just-replaced sharded manifest may still resolve from it)
+    gc_pindex(root)
     return path
 
 

@@ -164,3 +164,71 @@ class TestEndToEnd:
         assert [g["text"] for g in got] == ["spark spark spark"] * 2
         all_ids = {h["doc_id"] for h in s.search("spark", limit=0, snippet_lines=0)}
         assert set(range(5)) <= all_ids
+
+
+class TestPindexGC:
+    @staticmethod
+    def _mk(n_shards: int, tag: str) -> IndexManifest:
+        parts = [
+            {"shard": s, "bucket": 0, "n_terms": 1, "n_postings": 1,
+             "total_tokens": 1, "n_bytes": 1,
+             "path": f"segments/shard={s:05d}/bucket=000.parquet",
+             "build_secs": 0.0, "fingerprint": tag}
+            for s in range(n_shards)
+        ]
+        return IndexManifest(
+            num_docs=n_shards, total_tokens=n_shards, num_shards=n_shards,
+            num_buckets=1, doc_id_upper=0, text_col="text", id_col="doc_id",
+            partitions=parts, metrics={"fingerprint": tag},
+        )
+
+    @staticmethod
+    def _gens(root: str) -> list[str]:
+        pdir = os.path.join(root, "_manifests", "pindex")
+        return sorted(d for d in os.listdir(pdir)) if os.path.isdir(pdir) else []
+
+    def test_generations_and_gc(self, tmp_path):
+        """Each sharded publish writes a FRESH generation dir; the live
+        manifest points at it; generations older than (current, previous)
+        are removed by the publish itself."""
+        root = str(tmp_path)
+        for i in range(4):
+            publish_manifest(root, self._mk(20 + i, f"t{i}"), pindex_threshold=10)
+            lm = load_manifest(root)
+            gdir = lm.metrics["partition_index"]["dir"]
+            # live manifest always resolves from its own generation
+            assert len(lm.shard_files(root)) == 20 + i
+            assert os.path.isdir(os.path.join(root, gdir))
+        # after 4 publishes only the last two generations survive
+        assert self._gens(root) == ["g000003", "g000004"]
+
+    def test_crash_window_previous_generation_survives(self, tmp_path):
+        """A reader that loaded the manifest published at t-1 can still
+        resolve every shard file after the t publish (the GC keeps the
+        previous generation)."""
+        root = str(tmp_path)
+        publish_manifest(root, self._mk(20, "a"), pindex_threshold=10)
+        old = load_manifest(root)
+        publish_manifest(root, self._mk(30, "b"), pindex_threshold=10)
+        files = old.shard_files(root)  # resolves from generation 1
+        assert len(files) == 20 and len(files[7]) == 1
+
+    def test_inline_publish_retires_sharded_generations(self, tmp_path):
+        """Publishing an inline manifest over a previously sharded index
+        GCs all but the newest generation (the one a concurrent reader of
+        the just-replaced manifest may still hold)."""
+        root = str(tmp_path)
+        publish_manifest(root, self._mk(20, "a"), pindex_threshold=10)
+        publish_manifest(root, self._mk(30, "b"), pindex_threshold=10)
+        assert self._gens(root) == ["g000001", "g000002"]
+        publish_manifest(root, self._mk(3, "c"), pindex_threshold=10)  # inline
+        assert self._gens(root) == ["g000002"]
+
+    def test_gc_idempotent_and_safe_without_pindex(self, tmp_path):
+        from code_indexer_ray.index.manifest import gc_pindex
+
+        root = str(tmp_path)
+        publish_manifest(root, self._mk(3, "c"), pindex_threshold=10)  # inline only
+        assert gc_pindex(root) == []
+        publish_manifest(root, self._mk(20, "a"), pindex_threshold=10)
+        assert gc_pindex(root) == []  # nothing dead right after a publish
