@@ -1250,10 +1250,15 @@ class ShardGroupSearcher:
     fan-out tier for breadth-limited serving (SCALE.md LIMIT #2: at 100 TB a
     per-shard fan-out is ~57k RPCs per query; grouping K shards per actor
     divides driver fan-out and fan-in by K, and per-shard merges stay
-    associative so results are identical).  Shard searchers build on an
-    intra-actor thread pool (segment parquet reads release the GIL); query
-    methods run serially per shard inside the actor — the parallelism axis
-    is ACROSS group actors, matching the one-process-per-core deployment."""
+    associative so results are identical).  Shard searchers build on a
+    persistent intra-actor thread pool (segment parquet reads release the
+    GIL); query methods run SERIALLY per shard inside the actor — the
+    parallelism axis is ACROSS group actors, matching the
+    one-process-per-core deployment.  Measured negative result (round 3,
+    1M docs / 16 shards / K=4): running fanout on the thread pool left cold
+    unchanged (2.3–2.9 s vs 2.5–2.7 s serial) and REGRESSED warm p50
+    37 ms → 45–67 ms — warm scoring is GIL-bound numpy, so intra-actor
+    threads only add contention.  Don't re-thread this path."""
 
     def __init__(
         self,
@@ -1269,8 +1274,8 @@ class ShardGroupSearcher:
         def build(s: int) -> ShardSearcher:
             return ShardSearcher(s, files_by_shard[s], docstore, num_buckets)
 
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(self._shards)))) as ex:
-            built = list(ex.map(build, self._shards))
+        self._pool = ThreadPoolExecutor(max_workers=min(8, max(1, len(self._shards))))
+        built = list(self._pool.map(build, self._shards))
         self._searchers = dict(zip(self._shards, built))
 
     def fanout(self, method: str, /, *args, shards: list[int] | None = None, **kwargs) -> list:
@@ -1283,16 +1288,13 @@ class ShardGroupSearcher:
         ]
 
     def warm_buckets(self, lang_col: str | None = None, url_col: str | None = None) -> None:
-        from concurrent.futures import ThreadPoolExecutor
-
         def w(s: int) -> None:
             se = self._searchers[s]
             se.warm_buckets()
             if lang_col or url_col:
                 se._load_meta(lang_col, url_col)
 
-        with ThreadPoolExecutor(max_workers=min(8, max(1, len(self._shards)))) as ex:
-            list(ex.map(w, self._shards))
+        list(self._pool.map(w, self._shards))
 
 
 class IndexSearcher:
