@@ -41,27 +41,36 @@ def domain_stats(ds):
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        src = batch["source"].to_pandas()
-        nch = batch["n_chars"].to_pandas()
-        toks, rows = tokenize_flat(batch["text"])
-        nt = np.zeros(batch.num_rows, np.int64)
-        if len(rows):
-            np.add.at(nt, rows, 1)
-        df = pd.DataFrame({"source": src, "nch": nch.astype(np.int64), "nt": nt})
-        agg = df.groupby("source", sort=True, as_index=False).agg(
-            n_docs=("nch", "size"), total_chars=("nch", "sum"), total_tokens=("nt", "sum")
+        _toks, rows = tokenize_flat(batch["text"])
+        nt = (
+            np.bincount(rows, minlength=batch.num_rows).astype(np.int64)
+            if len(rows)
+            else np.zeros(batch.num_rows, np.int64)
         )
-        return pa.Table.from_pandas(agg, preserve_index=False)
+        t = pa.table(
+            {
+                "source": batch["source"],
+                "nch": batch["n_chars"].cast(pa.int64()),
+                "nt": pa.array(nt),
+            }
+        )
+        agg = t.group_by("source", use_threads=False).aggregate(
+            [("nch", "count"), ("nch", "sum"), ("nt", "sum")]
+        )
+        return pa.table(
+            {
+                "source": agg["source"],
+                "n_docs": agg["nch_count"].cast(pa.int64()),
+                "total_chars": agg["nch_sum"],
+                "total_tokens": agg["nt_sum"],
+            }
+        )
 
     def lang_pairs(batch: pa.Table) -> pa.Table:
-        import pandas as pd
-
-        df = pd.DataFrame(
-            {"source": batch["source"].to_pandas(), "lang": batch["lang"].to_pandas()}
-        ).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
+        # Arrow group-by with no aggregates = DISTINCT over the key columns
+        return batch.select(["source", "lang"]).group_by(
+            ["source", "lang"], use_threads=False
+        ).aggregate([])
 
     sums = (
         ds.map_batches(partial, batch_format="pyarrow")
@@ -74,7 +83,9 @@ def domain_stats(ds):
     )
 
     def count_langs(g: pa.Table) -> pa.Table:
-        n = len(set(g["lang"].to_pylist()))
+        import pyarrow.compute as pc
+
+        n = pc.count_distinct(g["lang"]).as_py()
         return pa.table({"source": g["source"][:1], "n_langs": pa.array([n], pa.int64())})
 
     langs = (
