@@ -1176,6 +1176,23 @@ def q_warc_bm25f(sf_dir: str):
     return _bm25_table(rows, 10)
 
 
+def q_warc_fielded(sf_dir: str):
+    """Fielded query string over the FLAGSHIP input_hint index:
+    ``title:d120^2 body:merge`` — the extracted <title> token scored with the
+    title field's own df/avgdl/norms (boost 2), OR'd with a body clause over
+    the keep-latest stripped text.  Exercises search_fields end-to-end on the
+    real-HTML two-field build."""
+    from ..query.parser import search_query_string
+
+    rows = search_query_string(
+        warc_searcher_for(sf_dir),
+        "title:d120^2 body:merge",
+        limit=10,
+        snippet_lines=0,
+    )
+    return _bm25_table(rows, 10)
+
+
 def q_bm25f(sf_dir: str):
     """TRUE BM25F (Robertson–Zaragoza simple variant) over the native
     two-field index: per term, field frequencies fold BEFORE saturation —
@@ -5916,7 +5933,7 @@ def oracle_catalog() -> dict[str, str]:
     )
     from ..text.extract import sql_extract_text_html as _warc_strip
 
-    out["warc_bm25f"] = (
+    _warc_pre = (
         "WITH eff AS (SELECT doc_id,\n"
         "  CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END AS text\n"
         "  FROM documents),\n"
@@ -5936,7 +5953,10 @@ def oracle_catalog() -> dict[str, str]:
         "  JOIN fnorm q ON d.n_tokens BETWEEN q.lo AND q.hi),\n"
         "btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM btok GROUP BY doc_id, term),\n"
         "ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM ttok GROUP BY doc_id, term),\n"
-        "dfany AS (SELECT term, count(*)::BIGINT AS df FROM (\n"
+    )
+    out["warc_bm25f"] = (
+        _warc_pre
+        + "dfany AS (SELECT term, count(*)::BIGINT AS df FROM (\n"
         "  SELECT DISTINCT doc_id, term FROM (\n"
         "    SELECT doc_id, term FROM btf UNION ALL SELECT doc_id, term FROM ttf)) GROUP BY term),\n"
         "tft AS (SELECT doc_id, term, sum(c) AS tft FROM (\n"
@@ -5950,6 +5970,24 @@ def oracle_catalog() -> dict[str, str]:
         "  sum(ln(1 + (st0.n - dfany.df + 0.5) / (dfany.df + 0.5)) * (tft.tft / (1.2 + tft.tft))) AS score\n"
         "  FROM tft JOIN dfany USING (term), st0\n"
         "  GROUP BY tft.doc_id HAVING count(DISTINCT tft.term) = 2),\n"
+        + _ranked_topk(10)
+    )
+
+    # fielded query string over the SAME flagship index: title:d120^2 (the
+    # extracted <title> token, per-TITLE-field BM25, boost 2) OR body:merge
+    # (per-BODY-field BM25 over the keep-latest stripped text)
+    out["warc_fielded"] = (
+        _warc_pre
+        + "bdf AS (SELECT term, count(*)::BIGINT AS df FROM btf GROUP BY term),\n"
+        "tdf AS (SELECT term, count(*)::BIGINT AS df FROM ttf GROUP BY term),\n"
+        f"cb AS (SELECT btf.doc_id, 'body_merge' AS cl, 1.0 * ({b_score}) AS s\n"
+        "  FROM btf JOIN bdf USING (term) JOIN bdl ON bdl.doc_id = btf.doc_id, st0\n"
+        "  WHERE btf.term = 'merge'),\n"
+        f"ct AS (SELECT ttf.doc_id, 'title_d120' AS cl, 2.0 * ({t_score}) AS s\n"
+        "  FROM ttf JOIN tdf USING (term) JOIN tdl ON tdl.doc_id = ttf.doc_id, st0\n"
+        "  WHERE ttf.term = 'd120'),\n"
+        "u AS (SELECT * FROM cb UNION ALL SELECT * FROM ct),\n"
+        "scored AS (SELECT doc_id, sum(s) AS score FROM u GROUP BY doc_id),\n"
         + _ranked_topk(10)
     )
 
@@ -6006,6 +6044,7 @@ _SAMPLE_FIRST = [
     "fts_fielded_or",
     "fts_fielded_and",
     "warc_bm25f",
+    "warc_fielded",
     "chunks_structured",
     "sym_defs",
     "sym_refs",
@@ -6138,6 +6177,7 @@ def _query_catalog_unordered():
         "fts_fielded_or": q_fielded_or,
         "fts_fielded_and": q_fielded_and,
         "warc_bm25f": q_warc_bm25f,
+        "warc_fielded": q_warc_fielded,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,
         "chunks_structured": q_chunks_structured,
