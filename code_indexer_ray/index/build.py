@@ -53,8 +53,12 @@ from ..text.analysis import term_frequencies
 
 # 16 measured better than 8 at ≥200k docs on 32 cpus (encode straggler tail
 # from head-term buckets halves; neutral at 8 cpus / small corpora) — see
-# BASELINE.md scale-tuning notes
+# BASELINE.md scale-tuning notes.  At ≥500k docs, 32 buckets measured
+# another 17–39 % faster in two interleaved 1M-doc pairs (finer encode
+# grain), so build_index resolves an unspecified num_buckets by corpus size.
 DEFAULT_NUM_BUCKETS = 16
+LARGE_CORPUS_NUM_BUCKETS = 32
+LARGE_CORPUS_DOCS = 500_000
 
 #: multi-field term-key separator: an indexed key for field ``f`` is
 #: ``f + FIELD_SEP + term``.  The analyzer never emits \x1f (tokens are
@@ -772,7 +776,7 @@ def build_index(
     text_col: str = "text",
     store_cols: tuple[str, ...] = (),
     num_shards: int | None = None,
-    num_buckets: int = DEFAULT_NUM_BUCKETS,
+    num_buckets: int | None = None,
     target_docs_per_shard: int = 250_000,
     resume: bool = True,
     doc_id_upper: int | None = None,
@@ -818,6 +822,13 @@ def build_index(
         raise ValueError(f"input contains doc_id {max_id} > doc_id_upper {doc_id_upper}")
     if num_shards is None:
         num_shards = max(1, -(-n_docs // target_docs_per_shard))
+    if num_buckets is None:
+        # corpus-size-adaptive encode grain (see the constants above); a
+        # delta build must pass the BASE index's bucket count explicitly
+        # (apply_delta/merge already do — the manifest records it)
+        num_buckets = (
+            DEFAULT_NUM_BUCKETS if n_docs < LARGE_CORPUS_DOCS else LARGE_CORPUS_NUM_BUCKETS
+        )
     # Postings ship shard-RELATIVE u32 doc ids: every shard's id-range span
     # (ceil(id_space / num_shards)) must fit in uint32 or doc_rel wraps and
     # the index is silently corrupt. Doc-id space can be much wider than the
@@ -908,7 +919,8 @@ def build_index(
         shard_groups = _plan_sort_groups(
             input_paths, text_cols, todo_shards, num_shards, n_docs, index_positions
         )
-        for gshards in shard_groups:
+
+        def run_group(gshards: list[int]) -> None:
             read_kwargs: dict = {
                 "columns": cols,
                 "override_num_blocks": max(
@@ -932,6 +944,21 @@ def build_index(
             ).materialize()  # consume; stats are read back from partition manifests
             if os.environ.get("CIDX_PRINT_STATS"):
                 print(mat.stats(), file=sys.stderr)
+
+        # CIDX_SORT_GROUP_OVERLAP > 1 runs that many group pipelines on
+        # driver threads so one group's read/encode ramp hides under its
+        # neighbor's sort barrier (groups touch disjoint doc ranges and
+        # disjoint output partitions, so concurrency is safe); the cost is
+        # ~2× sort payload in flight, so the default stays sequential
+        overlap = int(os.environ.get("CIDX_SORT_GROUP_OVERLAP", "1"))
+        if overlap > 1 and len(shard_groups) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=overlap) as ex:
+                list(ex.map(run_group, shard_groups))
+        else:
+            for gshards in shard_groups:
+                run_group(gshards)
 
     # pick up partitions completed in earlier runs (resume) or this run —
     # fingerprint-filtered so stale partitions from a different build never
