@@ -33,6 +33,7 @@ tier.
 from __future__ import annotations
 
 import json
+import os
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
@@ -63,14 +64,18 @@ class IndexHTTPServer:
         url_col: str | None = "url",
         api_key: str | None = None,
         warm: bool = True,
+        follow: bool = True,
     ):
-        self.searcher = IndexSearcher(
-            index_dir,
+        self._root = index_dir
+        self._follow = follow
+        self._ctor = dict(
             remote=remote,
             shard_group_size=shard_group_size,
             lang_col=lang_col,
             url_col=url_col,
         )
+        self.index_dir, self._stamp = self._resolve()
+        self.searcher = IndexSearcher(self.index_dir, **self._ctor)
         if warm:
             self.searcher.warm()
         self.api_key = api_key
@@ -121,6 +126,41 @@ class IndexHTTPServer:
         if self._thread is not None:
             self._thread.join(timeout=5)
 
+    # ---- index-generation following (the reference watch-daemon behavior:
+    # the watch loop publishes fresh generation dirs and atomically repoints
+    # ``current``; a daemon must follow without restarting) ----
+
+    def _resolve(self) -> tuple[str, tuple]:
+        """(active index dir, change stamp).  A ``current`` pointer file in
+        the root (WatchDriver layout) redirects to the live generation; the
+        stamp is (resolved dir, manifest mtime_ns) so both a pointer flip
+        and an in-place re-publish are detected."""
+        d = self._root
+        cur = os.path.join(d, "current")
+        if os.path.isfile(cur):
+            try:
+                with open(cur) as f:
+                    d = os.path.join(self._root, f.read().strip())
+            except OSError:
+                pass
+        try:
+            mt = os.stat(os.path.join(d, "manifest.json")).st_mtime_ns
+        except OSError:
+            mt = None
+        return d, (d, mt)
+
+    def _refresh(self) -> None:
+        """Swap to the live generation if it changed — one stat per request
+        (two with a pointer file), under the dispatch lock.  The new searcher
+        starts cold and lazy-loads (no warm() stall inside a request); the
+        old one is dropped and its readers/actors are garbage-collected."""
+        if not self._follow:
+            return
+        d, stamp = self._resolve()
+        if stamp != self._stamp:
+            self.searcher = IndexSearcher(d, **self._ctor)
+            self.index_dir, self._stamp = d, stamp
+
     # ---- request plumbing ----
 
     def _reply(self, h, code: int, payload: dict | list) -> None:
@@ -147,6 +187,7 @@ class IndexHTTPServer:
             return
         try:
             with self._lock:
+                self._refresh()
                 out = fn(self, params)
         except (ValueError, KeyError) as e:
             self._reply(h, 400, {"error": str(e)})
@@ -165,6 +206,7 @@ class IndexHTTPServer:
             "num_docs": m.num_docs,
             "num_shards": m.num_shards,
             "fields": sorted(m.fields) if m.fields else None,
+            "index_dir": self.index_dir,
         }
 
     def _r_stats(self, params: dict) -> dict:

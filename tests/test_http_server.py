@@ -151,3 +151,94 @@ class TestAuth:
             assert code == 200
         finally:
             srv.shutdown()
+
+
+class TestFollowGenerations:
+    """The watch-daemon behavior: the server follows index updates without a
+    restart — both an in-place re-publish (manifest mtime) and a WatchDriver
+    ``current`` pointer flip."""
+
+    def test_inplace_republish(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        tmp = tmp_path_factory.mktemp("reload")
+        rows = [{"doc_id": i, "text": "spark merge", "lang": "en", "url": "u"} for i in range(20)]
+        src = str(tmp / "a.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=2, num_buckets=2, resume=False)
+        srv = IndexHTTPServer(idx, port=0, warm=False)
+        srv.start()
+        base = f"http://{srv.host}:{srv.port}"
+        try:
+            _, h = _get(base + "/health")
+            assert h["num_docs"] == 20
+            # re-publish IN PLACE with a bigger corpus
+            rows2 = rows + [
+                {"doc_id": i, "text": "window sort", "lang": "de", "url": "u"}
+                for i in range(20, 50)
+            ]
+            src2 = str(tmp / "b.parquet")
+            pq.write_table(pa.Table.from_pylist(rows2), src2)
+            build_index(src2, idx, store_cols=("lang", "url"), num_shards=2, num_buckets=2, resume=False)
+            _, h2 = _get(base + "/health")
+            assert h2["num_docs"] == 50
+            _, got = _get(base + "/search?q=window&limit=5")
+            assert len(got["hits"]) == 5
+        finally:
+            srv.shutdown()
+
+    def test_current_pointer_flip(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        tmp = tmp_path_factory.mktemp("gens")
+        root = str(tmp)
+        for gen, n in (("g1", 10), ("g2", 30)):
+            rows = [{"doc_id": i, "text": "spark", "lang": "en", "url": "u"} for i in range(n)]
+            src = str(tmp / f"{gen}.parquet")
+            pq.write_table(pa.Table.from_pylist(rows), src)
+            build_index(src, str(tmp / gen), store_cols=("lang", "url"),
+                        num_shards=1, num_buckets=2, resume=False)
+        with open(str(tmp / "current"), "w") as f:
+            f.write("g1")
+        srv = IndexHTTPServer(root, port=0, warm=False)
+        srv.start()
+        base = f"http://{srv.host}:{srv.port}"
+        try:
+            _, h = _get(base + "/health")
+            assert h["num_docs"] == 10 and h["index_dir"].endswith("g1")
+            # atomic repoint (the WatchDriver swap)
+            import os as _os
+            tmpf = str(tmp / "current.tmp")
+            with open(tmpf, "w") as f:
+                f.write("g2")
+            _os.replace(tmpf, str(tmp / "current"))
+            _, h2 = _get(base + "/health")
+            assert h2["num_docs"] == 30 and h2["index_dir"].endswith("g2")
+        finally:
+            srv.shutdown()
+
+    def test_follow_off(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        tmp = tmp_path_factory.mktemp("nofollow")
+        rows = [{"doc_id": i, "text": "spark", "lang": "en", "url": "u"} for i in range(5)]
+        src = str(tmp / "a.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=1, num_buckets=2, resume=False)
+        srv = IndexHTTPServer(idx, port=0, warm=False, follow=False)
+        srv.start()
+        base = f"http://{srv.host}:{srv.port}"
+        try:
+            rows2 = rows + [{"doc_id": 5, "text": "spark", "lang": "en", "url": "u"}]
+            src2 = str(tmp / "b.parquet")
+            pq.write_table(pa.Table.from_pylist(rows2), src2)
+            build_index(src2, idx, store_cols=("lang", "url"), num_shards=1, num_buckets=2, resume=False)
+            _, h = _get(base + "/health")
+            assert h["num_docs"] == 5  # pinned snapshot
+        finally:
+            srv.shutdown()
