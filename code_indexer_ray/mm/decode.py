@@ -4,7 +4,8 @@ Images/audio/video ride as ``binary`` columns with metadata columns beside
 them.  Round 3: PNG payloads get a REAL spec-conforming decode
 (:mod:`.png` — stdlib zlib + numpy, 8-bit non-interlaced gray/RGB/RGBA,
 all five scanline filters) — no external imaging library exists in this
-container, so the codec is implemented from the PNG spec directly.  WAV
+container, so the codec is implemented from the PNG spec directly.  BMP
+payloads (8/24/32-bit BI_RGB) decode through :mod:`.bmp`.  WAV
 payloads decode through the stdlib ``wave`` module.  Payloads in any OTHER
 format still fall back to the deterministic md5-derived fake (flagged per
 row via ``real_decode``), because PIL/ffmpeg are unavailable — the fallback
@@ -19,12 +20,13 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 
+from .bmp import BMP_SIG, UnsupportedBMP, decode_bmp
 from .png import PNG_SIG, UnsupportedPNG, decode_png
 
-#: retained for backward compatibility: PNG/WAV now decode for real; the
+#: retained for backward compatibility: PNG/BMP/WAV now decode for real; the
 #: fake only answers for formats with no in-container codec.
 DETERMINISTIC_FAKE = True
-REAL_FORMATS = ("png", "wav")
+REAL_FORMATS = ("png", "bmp", "wav")
 
 
 class MediaDecodeStage:
@@ -53,6 +55,15 @@ class MediaDecodeStage:
             try:
                 img = decode_png(payload)
             except UnsupportedPNG:
+                pass  # fall through to the fake (flagged)
+            else:
+                h, w, _c = img.shape
+                feat = float(img.astype(np.float64).mean() / 255.0)
+                return w, h, round(feat, 6), True
+        if payload[:2] == BMP_SIG:
+            try:
+                img = decode_bmp(payload)
+            except UnsupportedBMP:
                 pass  # fall through to the fake (flagged)
             else:
                 h, w, _c = img.shape

@@ -34,12 +34,17 @@ class ImageResizeStage:
         self.width = int(width)
         self.height = int(height)
         # codec state resolved once per actor, not per payload
+        from .bmp import BMP_SIG, UnsupportedBMP, decode_bmp, encode_bmp
         from .png import PNG_SIG, UnsupportedPNG, decode_png, encode_png
 
         self._png_sig = PNG_SIG
         self._unsupported = UnsupportedPNG
         self._decode = staticmethod(decode_png).__func__
         self._encode = staticmethod(encode_png).__func__
+        self._bmp_sig = BMP_SIG
+        self._bmp_unsupported = UnsupportedBMP
+        self._bmp_decode = staticmethod(decode_bmp).__func__
+        self._bmp_encode = staticmethod(encode_bmp).__func__
 
     def _fake_resize(self, payload: bytes) -> bytes:
         n_out = self.width * self.height
@@ -60,6 +65,16 @@ class ImageResizeStage:
                 ys = (np.arange(self.height, dtype=np.int64) * h) // self.height
                 xs = (np.arange(self.width, dtype=np.int64) * w) // self.width
                 return self._encode(img[ys][:, xs]), True
+        if payload[:2] == self._bmp_sig:
+            try:
+                img = self._bmp_decode(payload)
+            except self._bmp_unsupported:
+                pass
+            else:
+                h, w, _c = img.shape
+                ys = (np.arange(self.height, dtype=np.int64) * h) // self.height
+                xs = (np.arange(self.width, dtype=np.int64) * w) // self.width
+                return self._bmp_encode(img[ys][:, xs]), True
         return self._fake_resize(payload), False
 
     def __call__(self, batch: pa.Table) -> pa.Table:

@@ -3421,6 +3421,36 @@ def q_mm_decode_png(sf_dir: str):
     return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
 
 
+def q_mm_decode_bmp(sf_dir: str):
+    """REAL second-container image decode: per doc a spec-conforming 24-bit
+    bottom-up BI_RGB BMP is synthesized (pixel(x,y)=(doc_id+2x+3y)%256 on
+    all 3 channels; W=8+id%21 forces non-trivial 4-byte row padding) and
+    the actor-pool stage decodes it with the in-repo numpy codec
+    (mm/bmp.py) — padding, BGR order and the bottom-up row flip must all be
+    undone for width/height/pixel-mean to match the closed-form twin."""
+    import ray.data as rd
+
+    from ..mm.bmp import encode_bmp
+
+    def to_bmp(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids.tolist():
+            w, h = 8 + d % 21, 8 + d % 11
+            img = (
+                (d + 2 * np.arange(w)[None, :] + 3 * np.arange(h)[:, None]) % 256
+            ).astype(np.uint8)
+            payloads.append(encode_bmp(img))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
+        to_bmp, batch_format="pyarrow"
+    )
+    return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
+
+
 def q_mm_resize_png(sf_dir: str):
     """REAL image resize chain: synthesized PNG → decode → 8×8
     nearest-neighbour resample → re-encode → decode AGAIN for stats.  The
@@ -5913,6 +5943,21 @@ def oracle_catalog() -> dict[str, str]:
         "FROM cells GROUP BY doc_id"
     )
 
+    # REAL BMP decode: padded bottom-up BGR scanlines, pixel(x,y) =
+    # (doc_id + 2x + 3y) % 256 identical across channels.
+    out["mm_decode_bmp"] = (
+        "WITH dims AS (SELECT doc_id, (8 + doc_id % 21)::BIGINT AS width,\n"
+        "  (8 + doc_id % 11)::BIGINT AS height FROM documents),\n"
+        "cells AS (SELECT d.doc_id, d.width, d.height,\n"
+        "  ((d.doc_id + 2 * x.i + 3 * y.i) % 256)::DOUBLE AS v\n"
+        "  FROM dims d, (SELECT unnest(generate_series(0, 28)) AS i) x,\n"
+        "       (SELECT unnest(generate_series(0, 18)) AS i) y\n"
+        "  WHERE x.i < d.width AND y.i < d.height)\n"
+        "SELECT doc_id, any_value(width) AS width, any_value(height) AS height,\n"
+        "  round(avg(v) / 255.0, 6) AS feat_mean, TRUE AS real_decode\n"
+        "FROM cells GROUP BY doc_id"
+    )
+
     out["mm_resize_png"] = (
         "WITH dims AS (SELECT doc_id, (16 + doc_id % 17)::BIGINT AS w,\n"
         "  (16 + doc_id % 13)::BIGINT AS h FROM documents),\n"
@@ -6038,6 +6083,7 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "mm_decode_bmp",
     "fts_bm25_multifield",
     "fts_multifield_title",
     "fts_bm25f",
@@ -6274,6 +6320,7 @@ def _query_catalog_unordered():
         "antijoin_customers": q_antijoin,
         "mm_decode": q_mm_decode,
         "mm_decode_png": q_mm_decode_png,
+        "mm_decode_bmp": q_mm_decode_bmp,
         "mm_resize_png": q_mm_resize_png,
         "mm_decode_wav": q_mm_decode_wav,
     }
