@@ -21,12 +21,13 @@ import numpy as np
 import pyarrow as pa
 
 from .bmp import BMP_SIG, UnsupportedBMP, decode_bmp
+from .gif import GIF_SIG, UnsupportedGIF, decode_gif
 from .png import PNG_SIG, UnsupportedPNG, decode_png
 
-#: retained for backward compatibility: PNG/BMP/WAV now decode for real; the
-#: fake only answers for formats with no in-container codec.
+#: retained for backward compatibility: PNG/BMP/GIF/WAV now decode for real;
+#: the fake only answers for formats with no in-container codec.
 DETERMINISTIC_FAKE = True
-REAL_FORMATS = ("png", "bmp", "wav")
+REAL_FORMATS = ("png", "bmp", "gif", "wav")
 
 
 class MediaDecodeStage:
@@ -64,6 +65,15 @@ class MediaDecodeStage:
             try:
                 img = decode_bmp(payload)
             except UnsupportedBMP:
+                pass  # fall through to the fake (flagged)
+            else:
+                h, w, _c = img.shape
+                feat = float(img.astype(np.float64).mean() / 255.0)
+                return w, h, round(feat, 6), True
+        if payload[:4] == GIF_SIG:
+            try:
+                img = decode_gif(payload)
+            except UnsupportedGIF:
                 pass  # fall through to the fake (flagged)
             else:
                 h, w, _c = img.shape

@@ -3451,6 +3451,36 @@ def q_mm_decode_bmp(sf_dir: str):
     return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
 
 
+def q_mm_decode_gif(sf_dir: str):
+    """REAL palette-format image decode: per doc a spec-conforming GIF89a is
+    synthesized (grayscale palette, pixel(x,y)=(doc_id+5x+7y)%256,
+    W=4+id%13, H=4+id%7) and the actor-pool stage runs the in-repo
+    variable-width LZW decode (mm/gif.py) — sub-block reassembly, clear-code
+    handling and the palette map must all be right for the pixel mean to
+    match the closed-form twin."""
+    import ray.data as rd
+
+    from ..mm.gif import encode_gif
+
+    def to_gif(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids.tolist():
+            w, h = 4 + d % 13, 4 + d % 7
+            img = (
+                (d + 5 * np.arange(w)[None, :] + 7 * np.arange(h)[:, None]) % 256
+            ).astype(np.uint8)
+            payloads.append(encode_gif(img))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
+        to_gif, batch_format="pyarrow"
+    )
+    return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
+
+
 def q_mm_resize_png(sf_dir: str):
     """REAL image resize chain: synthesized PNG → decode → 8×8
     nearest-neighbour resample → re-encode → decode AGAIN for stats.  The
@@ -5958,6 +5988,21 @@ def oracle_catalog() -> dict[str, str]:
         "FROM cells GROUP BY doc_id"
     )
 
+    # REAL GIF decode: LZW sub-blocks through a grayscale palette,
+    # pixel(x,y) = (doc_id + 5x + 7y) % 256 identical across channels.
+    out["mm_decode_gif"] = (
+        "WITH dims AS (SELECT doc_id, (4 + doc_id % 13)::BIGINT AS width,\n"
+        "  (4 + doc_id % 7)::BIGINT AS height FROM documents),\n"
+        "cells AS (SELECT d.doc_id, d.width, d.height,\n"
+        "  ((d.doc_id + 5 * x.i + 7 * y.i) % 256)::DOUBLE AS v\n"
+        "  FROM dims d, (SELECT unnest(generate_series(0, 16)) AS i) x,\n"
+        "       (SELECT unnest(generate_series(0, 10)) AS i) y\n"
+        "  WHERE x.i < d.width AND y.i < d.height)\n"
+        "SELECT doc_id, any_value(width) AS width, any_value(height) AS height,\n"
+        "  round(avg(v) / 255.0, 6) AS feat_mean, TRUE AS real_decode\n"
+        "FROM cells GROUP BY doc_id"
+    )
+
     out["mm_resize_png"] = (
         "WITH dims AS (SELECT doc_id, (16 + doc_id % 17)::BIGINT AS w,\n"
         "  (16 + doc_id % 13)::BIGINT AS h FROM documents),\n"
@@ -6084,6 +6129,7 @@ def query_catalog():
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
     "mm_decode_bmp",
+    "mm_decode_gif",
     "fts_bm25_multifield",
     "fts_multifield_title",
     "fts_bm25f",
@@ -6321,6 +6367,7 @@ def _query_catalog_unordered():
         "mm_decode": q_mm_decode,
         "mm_decode_png": q_mm_decode_png,
         "mm_decode_bmp": q_mm_decode_bmp,
+        "mm_decode_gif": q_mm_decode_gif,
         "mm_resize_png": q_mm_resize_png,
         "mm_decode_wav": q_mm_decode_wav,
     }
