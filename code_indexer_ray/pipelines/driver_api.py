@@ -2302,6 +2302,45 @@ def q_embed_text(sf_dir: str):
     )
 
 
+def q_embed_provider(sf_dir: str):
+    """Provider-CLIENT embedding path (reference voyage_ai.py contract):
+    the actor-pool stage holds an EmbeddingClient whose retry / backoff /
+    token-aware-batching plumbing wraps the deterministic hashing transport
+    — so the full client code path (dynamic batch splitting included, via a
+    small per-request token budget) is driver-verified against the SAME
+    DuckDB twin as embed_text, then exploded to (doc_id, i, v_r)."""
+    import ray.data as rd
+
+    from ..text.provider import ProviderConfig, ProviderEmbedStage
+
+    dim = 16
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        emb = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64).reshape(n, dim)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, dim)),
+                "i": pa.array(np.tile(np.arange(dim, dtype=np.int64), n)),
+                "v_r": pa.array(np.round(emb, 4).reshape(-1)),
+            }
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        ProviderEmbedStage,
+        fn_constructor_kwargs={
+            "dim": dim,
+            # tiny token budget forces several client-side sub-requests per
+            # Arrow batch, exercising the dynamic batching for real
+            "config": ProviderConfig(token_limits={"hashing-16": 4000}),
+        },
+        concurrency=2,
+        batch_format="pyarrow",
+    )
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
 def q_semantic_search(sf_dir: str):
     """END-TO-END semantic search (the reference's flagship flow,
     ``filesystem_vector_store`` + embedder): documents → actor-pool embedder
@@ -5452,6 +5491,8 @@ def oracle_catalog() -> dict[str, str]:
     from ..text.embed import SEMANTIC_DIM, sql_embed_text
 
     out["embed_text"] = sql_embed_text()
+    # provider-client path produces the IDENTICAL embedding table
+    out["embed_provider"] = sql_embed_text()
 
     D = SEMANTIC_DIM
     sem_qids = ",".join(str(i) for i in SEM_QUERY_IDS)
@@ -6130,6 +6171,7 @@ _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
     "mm_decode_bmp",
     "mm_decode_gif",
+    "embed_provider",
     "fts_bm25_multifield",
     "fts_multifield_title",
     "fts_bm25f",
@@ -6314,6 +6356,7 @@ def _query_catalog_unordered():
         "text_quality": q_text_quality,
         "token_count": q_token_count,
         "embed_text": q_embed_text,
+        "embed_provider": q_embed_provider,
         "semantic_search": q_semantic_search,
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
