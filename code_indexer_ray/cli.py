@@ -97,6 +97,11 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--remote", action="store_true", help="shard work in Ray actors")
     sv.add_argument("--shard-group-size", type=int, default=1)
     sv.add_argument("--api-key", default=None)
+    sv.add_argument(
+        "--jobs",
+        action="store_true",
+        help="enable POST /index background builds publishing generations under --index",
+    )
 
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
@@ -194,6 +199,7 @@ def main(argv: list[str] | None = None) -> int:
                 remote=args.remote,
                 shard_group_size=args.shard_group_size,
                 api_key=args.api_key,
+                enable_jobs=args.jobs,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:

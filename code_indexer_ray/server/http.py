@@ -16,6 +16,19 @@ Routes (all JSON):
     GET  /suggest?word=...             spell suggestion ("did you mean")
     GET  /complete?prefix=...&limit=   df-ranked prefix completion
 
+With ``enable_jobs=True`` (the reference's background-job routes,
+``server/repositories/background_jobs.py``), builds run server-side:
+
+    POST /index       {"input": parquet, ...build params}  → 202 {"job_id"}
+    GET  /jobs                         recent job records (newest first)
+    GET  /jobs/<id>                    one job record
+    POST /jobs/<id>/cancel             cancel pending / stamp running
+
+A completed build publishes a fresh ``gen_%06d`` under the server root and
+repoints ``current``; the follower logic below picks it up on the next
+request, so POST /index → poll /jobs/<id> → /search hits the new corpus
+with no restart.
+
 Auth: pass ``api_key=`` to require ``X-API-Key`` on every route except
 ``/health`` (the reference's credential-manager analog, scoped to what a
 sandboxed stdlib server can honestly provide).
@@ -65,9 +78,15 @@ class IndexHTTPServer:
         api_key: str | None = None,
         warm: bool = True,
         follow: bool = True,
+        enable_jobs: bool = False,
     ):
         self._root = index_dir
         self._follow = follow
+        self.jobs = None
+        if enable_jobs:
+            from .jobs import JobManager
+
+            self.jobs = JobManager(index_dir)
         self._ctor = dict(
             remote=remote,
             shard_group_size=shard_group_size,
@@ -75,9 +94,14 @@ class IndexHTTPServer:
             url_col=url_col,
         )
         self.index_dir, self._stamp = self._resolve()
-        self.searcher = IndexSearcher(self.index_dir, **self._ctor)
-        if warm:
-            self.searcher.warm()
+        if self._stamp[1] is None and self.jobs is not None:
+            # jobs-enabled server over an empty root: no generation published
+            # yet — searcher comes up on the first request after a build
+            self.searcher = None
+        else:
+            self.searcher = IndexSearcher(self.index_dir, **self._ctor)
+            if warm:
+                self.searcher.warm()
         self.api_key = api_key
         self._lock = threading.Lock()
         server = self
@@ -125,6 +149,8 @@ class IndexHTTPServer:
         self.httpd.server_close()
         if self._thread is not None:
             self._thread.join(timeout=5)
+        if self.jobs is not None:
+            self.jobs.stop()
 
     # ---- index-generation following (the reference watch-daemon behavior:
     # the watch loop publishes fresh generation dirs and atomically repoints
@@ -158,7 +184,7 @@ class IndexHTTPServer:
             return
         d, stamp = self._resolve()
         if stamp != self._stamp:
-            self.searcher = IndexSearcher(d, **self._ctor)
+            self.searcher = IndexSearcher(d, **self._ctor) if stamp[1] is not None else None
             self.index_dir, self._stamp = d, stamp
 
     # ---- request plumbing ----
@@ -181,6 +207,9 @@ class IndexHTTPServer:
             if h.headers.get("X-API-Key") != self.api_key:
                 self._reply(h, 401, {"error": "missing or invalid X-API-Key"})
                 return
+        if route == "/index" or route == "/jobs" or route.startswith("/jobs/"):
+            self._dispatch_jobs(h, route, params)
+            return
         fn = _ROUTES.get(route)
         if fn is None:
             self._reply(h, 404, {"error": f"unknown route {route!r}"})
@@ -188,6 +217,9 @@ class IndexHTTPServer:
         try:
             with self._lock:
                 self._refresh()
+                if self.searcher is None and route != "/health":
+                    self._reply(h, 503, {"error": "no index generation published yet"})
+                    return
                 out = fn(self, params)
         except (ValueError, KeyError) as e:
             self._reply(h, 400, {"error": str(e)})
@@ -197,9 +229,39 @@ class IndexHTTPServer:
             return
         self._reply(h, 200, out)
 
+    def _dispatch_jobs(self, h, route: str, params: dict) -> None:
+        """Job routes: registry ops under the manager's own lock — never the
+        searcher lock, so status polls stay instant during a long build."""
+        if self.jobs is None:
+            self._reply(h, 404, {"error": "jobs are not enabled on this server"})
+            return
+        try:
+            if route == "/index":
+                if h.command != "POST":
+                    raise ValueError("POST /index with a JSON body")
+                job_id = self.jobs.submit_build(params)
+                self._reply(h, 202, {"job_id": job_id})
+            elif route == "/jobs":
+                self._reply(h, 200, {"jobs": self.jobs.list(int(params.get("limit", 50)))})
+            elif route.endswith("/cancel"):
+                if h.command != "POST":
+                    raise ValueError("POST /jobs/<id>/cancel")
+                self._reply(h, 200, self.jobs.cancel(route[len("/jobs/") : -len("/cancel")]))
+            else:
+                self._reply(h, 200, self.jobs.get(route[len("/jobs/") :]))
+        except KeyError as e:
+            self._reply(h, 404, {"error": str(e)})
+        except ValueError as e:
+            self._reply(h, 400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001
+            self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+
     # ---- routes ----
 
     def _r_health(self, params: dict) -> dict:
+        if self.searcher is None:
+            return {"status": "ok", "num_docs": 0, "num_shards": 0,
+                    "fields": None, "index_dir": None}
         m = self.searcher.manifest
         return {
             "status": "ok",
