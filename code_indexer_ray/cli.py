@@ -103,6 +103,19 @@ def main(argv: list[str] | None = None) -> int:
         help="enable POST /index background builds publishing generations under --index",
     )
 
+    mc = sub.add_parser(
+        "serve-mcp",
+        help="MCP JSON-RPC server on stdio (reference server/mcp analog)",
+    )
+    mc.add_argument("--index", required=True)
+    mc.add_argument("--remote", action="store_true", help="shard work in Ray actors")
+    mc.add_argument("--shard-group-size", type=int, default=1)
+    mc.add_argument(
+        "--jobs",
+        action="store_true",
+        help="expose sync_repository/get_job_status tools (background builds)",
+    )
+
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
 
@@ -206,6 +219,21 @@ def main(argv: list[str] | None = None) -> int:
                 srv.serve_forever()
             except KeyboardInterrupt:
                 srv.shutdown()
+        elif args.cmd == "serve-mcp":
+            from .server.mcp import MCPServer
+
+            srv = MCPServer(
+                args.index,
+                remote=args.remote,
+                shard_group_size=args.shard_group_size,
+                enable_jobs=args.jobs,
+            )
+            try:
+                srv.serve_stdio()
+            except KeyboardInterrupt:
+                pass
+            finally:
+                srv.close()
         elif args.cmd == "stats":
             from .index.manifest import load_manifest
 

@@ -57,6 +57,67 @@ from ..query.parser import search_query_string
 _MAX_BODY = 8 * 1024 * 1024  # reject absurd request bodies outright
 
 
+class GenerationFollower:
+    """Tracks the live index generation under a root directory — the
+    reference watch-daemon behavior (the watch loop publishes fresh
+    generation dirs and atomically repoints ``current``; a daemon must
+    follow without restarting).  Shared by the HTTP and MCP tiers.
+
+    A ``current`` pointer file in the root (WatchDriver layout) redirects to
+    the live generation; the change stamp is (resolved dir, manifest
+    mtime_ns) so both a pointer flip and an in-place re-publish are
+    detected.  ``defer_missing=True`` lets a jobs-enabled server start over
+    an empty root: ``searcher`` stays None until a generation is published.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        ctor: dict,
+        *,
+        follow: bool = True,
+        warm: bool = False,
+        defer_missing: bool = False,
+    ):
+        self._root = root
+        self._follow = follow
+        self._ctor = ctor
+        self.index_dir, self._stamp = self._resolve()
+        if self._stamp[1] is None and defer_missing:
+            self.searcher: IndexSearcher | None = None
+        else:
+            self.searcher = IndexSearcher(self.index_dir, **ctor)
+            if warm:
+                self.searcher.warm()
+
+    def _resolve(self) -> tuple[str, tuple]:
+        d = self._root
+        cur = os.path.join(d, "current")
+        if os.path.isfile(cur):
+            try:
+                with open(cur) as f:
+                    d = os.path.join(self._root, f.read().strip())
+            except OSError:
+                pass
+        try:
+            mt = os.stat(os.path.join(d, "manifest.json")).st_mtime_ns
+        except OSError:
+            mt = None
+        return d, (d, mt)
+
+    def refresh(self) -> None:
+        """Swap to the live generation if it changed — one stat per call
+        (two with a pointer file).  The new searcher starts cold and
+        lazy-loads (no warm() stall inside a request); the old one is
+        dropped and its readers/actors are garbage-collected."""
+        if not self._follow:
+            return
+        d, stamp = self._resolve()
+        if stamp != self._stamp:
+            self.searcher = IndexSearcher(d, **self._ctor) if stamp[1] is not None else None
+            self.index_dir, self._stamp = d, stamp
+
+
 class IndexHTTPServer:
     """Owns the searcher, the lock and the listening socket.
 
@@ -80,28 +141,25 @@ class IndexHTTPServer:
         follow: bool = True,
         enable_jobs: bool = False,
     ):
-        self._root = index_dir
-        self._follow = follow
         self.jobs = None
         if enable_jobs:
             from .jobs import JobManager
 
             self.jobs = JobManager(index_dir)
-        self._ctor = dict(
-            remote=remote,
-            shard_group_size=shard_group_size,
-            lang_col=lang_col,
-            url_col=url_col,
+        # jobs-enabled server over an empty root: no generation published
+        # yet — searcher comes up on the first request after a build
+        self._follower = GenerationFollower(
+            index_dir,
+            dict(
+                remote=remote,
+                shard_group_size=shard_group_size,
+                lang_col=lang_col,
+                url_col=url_col,
+            ),
+            follow=follow,
+            warm=warm,
+            defer_missing=self.jobs is not None,
         )
-        self.index_dir, self._stamp = self._resolve()
-        if self._stamp[1] is None and self.jobs is not None:
-            # jobs-enabled server over an empty root: no generation published
-            # yet — searcher comes up on the first request after a build
-            self.searcher = None
-        else:
-            self.searcher = IndexSearcher(self.index_dir, **self._ctor)
-            if warm:
-                self.searcher.warm()
         self.api_key = api_key
         self._lock = threading.Lock()
         server = self
@@ -152,40 +210,19 @@ class IndexHTTPServer:
         if self.jobs is not None:
             self.jobs.stop()
 
-    # ---- index-generation following (the reference watch-daemon behavior:
-    # the watch loop publishes fresh generation dirs and atomically repoints
-    # ``current``; a daemon must follow without restarting) ----
+    # ---- index-generation following: delegated to GenerationFollower;
+    # refresh runs under the dispatch lock (one stat per request) ----
 
-    def _resolve(self) -> tuple[str, tuple]:
-        """(active index dir, change stamp).  A ``current`` pointer file in
-        the root (WatchDriver layout) redirects to the live generation; the
-        stamp is (resolved dir, manifest mtime_ns) so both a pointer flip
-        and an in-place re-publish are detected."""
-        d = self._root
-        cur = os.path.join(d, "current")
-        if os.path.isfile(cur):
-            try:
-                with open(cur) as f:
-                    d = os.path.join(self._root, f.read().strip())
-            except OSError:
-                pass
-        try:
-            mt = os.stat(os.path.join(d, "manifest.json")).st_mtime_ns
-        except OSError:
-            mt = None
-        return d, (d, mt)
+    @property
+    def searcher(self) -> IndexSearcher | None:
+        return self._follower.searcher
+
+    @property
+    def index_dir(self) -> str:
+        return self._follower.index_dir
 
     def _refresh(self) -> None:
-        """Swap to the live generation if it changed — one stat per request
-        (two with a pointer file), under the dispatch lock.  The new searcher
-        starts cold and lazy-loads (no warm() stall inside a request); the
-        old one is dropped and its readers/actors are garbage-collected."""
-        if not self._follow:
-            return
-        d, stamp = self._resolve()
-        if stamp != self._stamp:
-            self.searcher = IndexSearcher(d, **self._ctor) if stamp[1] is not None else None
-            self.index_dir, self._stamp = d, stamp
+        self._follower.refresh()
 
     # ---- request plumbing ----
 

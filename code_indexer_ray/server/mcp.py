@@ -1,0 +1,325 @@
+"""MCP (Model Context Protocol) server surface — the reference's
+``server/mcp/`` (JSON-RPC 2.0 ``initialize`` / ``tools/list`` /
+``tools/call`` dispatch, ``protocol.py:211-260``; tool declarations with
+JSON-schema inputs, ``tools.py``) recast over this engine, stdlib-only.
+
+The reference exposes 22 tools, most of which manage golden repos; the
+honest mapping to THIS engine's capabilities is:
+
+    search_code        full query-string grammar → ranked hits
+    get_file_content   stored fields by doc_id (mget)
+    check_health       liveness + index identity
+    get_statistics     manifest summary (docs / tokens / shards)
+    suggest            spell suggestion ("did you mean")
+    complete           df-ranked prefix completion
+    sync_repository    submit a background build job (jobs-enabled only)
+    get_job_status     one job record / recent job list
+
+Transport: newline-delimited JSON-RPC 2.0 over stdio (``serve_stdio``),
+matching the MCP stdio transport, plus a direct ``process(dict)`` entry
+point the tests and embedders drive.  Notifications (no ``id``) get no
+response, per JSON-RPC.  Errors use the standard codes: -32700 parse,
+-32600 invalid request, -32601 unknown method, -32602 invalid params;
+tool-level failures return ``isError: true`` content instead of a protocol
+error, mirroring the reference's ``_mcp_response`` convention.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from typing import Any, Callable
+
+from ..query.engine import IndexSearcher
+from ..query.parser import search_query_string
+
+PROTOCOL_VERSION = "2025-06-18"
+SERVER_INFO = {"name": "code-indexer-ray", "version": "0.3"}
+
+PARSE_ERROR = -32700
+INVALID_REQUEST = -32600
+METHOD_NOT_FOUND = -32601
+INVALID_PARAMS = -32602
+
+
+def _tool(name: str, description: str, properties: dict, required: list[str]) -> dict:
+    return {
+        "name": name,
+        "description": description,
+        "inputSchema": {
+            "type": "object",
+            "properties": properties,
+            "required": required,
+        },
+    }
+
+
+class MCPServer:
+    """Owns a searcher (with the same generation-follower semantics as the
+    HTTP tier) and optionally a :class:`~code_indexer_ray.server.jobs.JobManager`."""
+
+    def __init__(
+        self,
+        index_dir: str,
+        *,
+        lang_col: str | None = "lang",
+        url_col: str | None = "url",
+        remote: bool = False,
+        shard_group_size: int = 1,
+        enable_jobs: bool = False,
+        warm: bool = False,
+    ):
+        from .http import GenerationFollower
+
+        self.jobs = None
+        if enable_jobs:
+            from .jobs import JobManager
+
+            self.jobs = JobManager(index_dir)
+        self._follower = GenerationFollower(
+            index_dir,
+            dict(
+                remote=remote,
+                shard_group_size=shard_group_size,
+                lang_col=lang_col,
+                url_col=url_col,
+            ),
+            warm=warm,
+            defer_missing=enable_jobs,
+        )
+
+    # ---- searcher access ----------------------------------------------------
+
+    @property
+    def searcher(self) -> IndexSearcher:
+        self._follower.refresh()
+        s = self._follower.searcher
+        if s is None:
+            raise ValueError("no index generation published yet")
+        return s
+
+    # ---- tool registry ------------------------------------------------------
+
+    def tools(self) -> list[dict]:
+        out = [
+            _tool(
+                "search_code",
+                "Full-text search with the complete query grammar (boolean, "
+                "phrase, fuzzy~, wildcard*, lang:/path: filters, field:term).",
+                {
+                    "query": {"type": "string", "description": "query string"},
+                    "limit": {"type": "integer", "default": 10},
+                    "snippet_lines": {"type": "integer", "default": 0},
+                },
+                ["query"],
+            ),
+            _tool(
+                "get_file_content",
+                "Stored fields (path, text, metadata) for document ids.",
+                {"doc_ids": {"type": "array", "items": {"type": "integer"}}},
+                ["doc_ids"],
+            ),
+            _tool("check_health", "Server liveness and index identity.", {}, []),
+            _tool("get_statistics", "Corpus statistics from the manifest.", {}, []),
+            _tool(
+                "suggest",
+                "Spell suggestion for a (possibly misspelled) word.",
+                {
+                    "word": {"type": "string"},
+                    "max_distance": {"type": "integer", "default": 2},
+                },
+                ["word"],
+            ),
+            _tool(
+                "complete",
+                "Document-frequency-ranked prefix completion.",
+                {"prefix": {"type": "string"}, "limit": {"type": "integer", "default": 10}},
+                ["prefix"],
+            ),
+        ]
+        if self.jobs is not None:
+            out.append(
+                _tool(
+                    "sync_repository",
+                    "Submit a background index build; returns a job_id to poll.",
+                    {
+                        "input": {"type": "string", "description": "parquet path"},
+                        "num_shards": {"type": "integer"},
+                        "num_buckets": {"type": "integer"},
+                        "store_cols": {"type": "array", "items": {"type": "string"}},
+                    },
+                    ["input"],
+                )
+            )
+            out.append(
+                _tool(
+                    "get_job_status",
+                    "One job record by id, or the recent job list without an id.",
+                    {"job_id": {"type": "string"}, "limit": {"type": "integer", "default": 20}},
+                    [],
+                )
+            )
+        return out
+
+    # ---- tool handlers --------------------------------------------------------
+
+    def _t_search_code(self, p: dict) -> dict:
+        hits = search_query_string(
+            self.searcher,
+            p["query"],
+            limit=int(p.get("limit", 10)),
+            snippet_lines=int(p.get("snippet_lines", 0)),
+        )
+        return {"hits": hits, "total": len(hits)}
+
+    def _t_get_file_content(self, p: dict) -> dict:
+        return {"docs": self.searcher.mget([int(x) for x in p["doc_ids"]])}
+
+    def _t_check_health(self, p: dict) -> dict:
+        try:
+            m = self.searcher.manifest
+        except ValueError:
+            return {"status": "ok", "num_docs": 0, "index_dir": None}
+        return {
+            "status": "ok",
+            "num_docs": m.num_docs,
+            "num_shards": m.num_shards,
+            "index_dir": self._follower.index_dir,
+        }
+
+    def _t_get_statistics(self, p: dict) -> dict:
+        m = self.searcher.manifest
+        return {
+            "num_docs": m.num_docs,
+            "total_tokens": m.total_tokens,
+            "avgdl": round(m.avgdl, 4),
+            "num_shards": m.num_shards,
+            "num_buckets": m.num_buckets,
+        }
+
+    def _t_suggest(self, p: dict) -> dict:
+        return {
+            "suggestion": self.searcher.suggest(
+                p["word"], max_distance=int(p.get("max_distance", 2))
+            )
+        }
+
+    def _t_complete(self, p: dict) -> dict:
+        return {
+            "completions": self.searcher.complete(p["prefix"], limit=int(p.get("limit", 10)))
+        }
+
+    def _t_sync_repository(self, p: dict) -> dict:
+        if self.jobs is None:
+            raise ValueError("jobs are not enabled on this server")
+        return {"job_id": self.jobs.submit_build(dict(p))}
+
+    def _t_get_job_status(self, p: dict) -> dict:
+        if self.jobs is None:
+            raise ValueError("jobs are not enabled on this server")
+        if p.get("job_id"):
+            return self.jobs.get(p["job_id"])
+        return {"jobs": self.jobs.list(int(p.get("limit", 20)))}
+
+    # ---- JSON-RPC dispatch ------------------------------------------------------
+
+    def _handler(self, name: str) -> Callable[[dict], dict] | None:
+        fn = getattr(self, f"_t_{name}", None)
+        if fn is None:
+            return None
+        if name in ("sync_repository", "get_job_status") and self.jobs is None:
+            return None  # undeclared tools are unknown tools
+        return fn
+
+    @staticmethod
+    def _error(req_id: Any, code: int, message: str) -> dict:
+        return {"jsonrpc": "2.0", "error": {"code": code, "message": message}, "id": req_id}
+
+    @staticmethod
+    def _result(req_id: Any, result: dict) -> dict:
+        return {"jsonrpc": "2.0", "result": result, "id": req_id}
+
+    def process(self, request: Any) -> dict | None:
+        """One JSON-RPC request dict → response dict (None for notifications)."""
+        if not isinstance(request, dict):
+            return self._error(None, INVALID_REQUEST, "request must be an object")
+        req_id = request.get("id")
+        is_notification = "id" not in request
+        if request.get("jsonrpc") != "2.0":
+            return self._error(req_id, INVALID_REQUEST, "jsonrpc must be '2.0'")
+        method = request.get("method")
+        if not isinstance(method, str):
+            return self._error(req_id, INVALID_REQUEST, "missing 'method'")
+        params = request.get("params") or {}
+
+        if method == "initialize":
+            out = self._result(
+                req_id,
+                {
+                    "protocolVersion": PROTOCOL_VERSION,
+                    "capabilities": {"tools": {}},
+                    "serverInfo": SERVER_INFO,
+                },
+            )
+        elif method == "tools/list":
+            out = self._result(req_id, {"tools": self.tools()})
+        elif method == "tools/call":
+            name = params.get("name")
+            if not isinstance(name, str):
+                return None if is_notification else self._error(
+                    req_id, INVALID_PARAMS, "tools/call needs params.name"
+                )
+            fn = self._handler(name)
+            if fn is None:
+                return None if is_notification else self._error(
+                    req_id, INVALID_PARAMS, f"unknown tool {name!r}"
+                )
+            args = params.get("arguments") or {}
+            try:
+                payload = fn(args)
+                out = self._result(
+                    req_id,
+                    {
+                        "content": [{"type": "text", "text": json.dumps(payload)}],
+                        "isError": False,
+                    },
+                )
+            except (ValueError, KeyError, TypeError) as e:
+                # tool failure is CONTENT, not a protocol error (reference
+                # handlers.py `_mcp_response` convention)
+                out = self._result(
+                    req_id,
+                    {
+                        "content": [{"type": "text", "text": f"{type(e).__name__}: {e}"}],
+                        "isError": True,
+                    },
+                )
+        elif method.startswith("notifications/"):
+            return None
+        else:
+            out = self._error(req_id, METHOD_NOT_FOUND, f"unknown method {method!r}")
+        return None if is_notification else out
+
+    # ---- stdio transport ----------------------------------------------------------
+
+    def serve_stdio(self, stdin=None, stdout=None) -> None:
+        """Newline-delimited JSON-RPC over stdio (the MCP stdio transport)."""
+        stdin = stdin or sys.stdin
+        stdout = stdout or sys.stdout
+        for line in stdin:
+            line = line.strip()
+            if not line:
+                continue
+            try:
+                request = json.loads(line)
+            except json.JSONDecodeError:
+                response: dict | None = self._error(None, PARSE_ERROR, "parse error")
+            else:
+                response = self.process(request)
+            if response is not None:
+                stdout.write(json.dumps(response) + "\n")
+                stdout.flush()
+
+    def close(self) -> None:
+        if self.jobs is not None:
+            self.jobs.stop()
