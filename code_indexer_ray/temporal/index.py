@@ -1,0 +1,115 @@
+"""Time-bucketed temporal index build.
+
+One sub-index per ``bucket_days`` window of commit time (the
+Elasticsearch / Loki time-based-indices pattern): a date-range query opens
+only the buckets its range touches, old windows are immutable once their
+time has passed (append-only corpus ⇒ new commits land only in the newest
+bucket, which rebuilds/merges incrementally like any other index), and the
+driver-side state is one manifest row per window — never corpus-sized.
+
+Each bucket is a full :func:`~code_indexer_ray.index.build.build_index`
+run (its own distributed shuffle, shards, doc store), with the composite
+``tkey = diff_type || '@' || commit_day`` stored column wired as the
+engine's language-filter column so (diff-type, day) filtering is exact and
+pre-limit with zero new engine machinery (reference filter semantics:
+``temporal_search_service.py:248-360``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+TEMPORAL_MANIFEST = "temporal.json"
+#: stored fields every bucket keeps for filtering / hit assembly
+STORE_COLS = ("tkey", "path", "diff_type", "commit_day", "commit_ts", "author", "message")
+
+
+def build_temporal_index(
+    changes_path: str,
+    out_root: str,
+    *,
+    bucket_days: int = 4,
+    num_shards: int | None = None,
+    num_buckets: int | None = None,
+    resume: bool = True,
+) -> dict:
+    """Build the bucketed index under ``out_root`` from a change-row table
+    (schema of :func:`..temporal.history.change_rows`; any real git source
+    producing those columns works the same).  Returns the temporal manifest.
+
+    The bucket key derives from ``commit_ts`` (``day_idx = commit_ts //
+    86400``), so arbitrary change tables bucket correctly whether or not
+    they carry a ``day_idx`` column.  The per-bucket partition write and
+    every per-bucket build are Ray Data pipelines; the driver holds only
+    the bucket list.
+    """
+    import ray.data as rd
+
+    from ..index.build import build_index
+
+    mpath = os.path.join(out_root, TEMPORAL_MANIFEST)
+    if resume and os.path.isfile(mpath):
+        with open(mpath) as f:
+            return json.load(f)
+
+    part_dir = os.path.join(out_root, "changes")
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["commit_ts"], 86400)
+        b = pc.divide(day, bucket_days)
+        cols = [c for c in ("change_id", "text", *STORE_COLS) if c in batch.column_names]
+        out = batch.select(cols).append_column("tbucket", b.cast(pa.int64()))
+        # the engine's stored-field reader keys on ``doc_id`` — present the
+        # change id under that name inside each bucket index
+        return out.rename_columns(
+            ["doc_id" if c == "change_id" else c for c in out.column_names]
+        )
+
+    ds = rd.read_parquet(changes_path).map_batches(with_bucket, batch_format="pyarrow")
+    ds.write_parquet(part_dir, partition_cols=["tbucket"])
+
+    # bucket inventory: one tiny aggregate row per window (driver-safe)
+    stats = (
+        pads.dataset(part_dir, partitioning="hive")
+        .to_table(columns=["tbucket", "commit_day", "doc_id"])
+        .group_by("tbucket")
+        .aggregate(
+            [("commit_day", "min"), ("commit_day", "max"), ("doc_id", "count")]
+        )
+        .sort_by("tbucket")
+    )
+    buckets = []
+    for row in stats.to_pylist():
+        b = int(row["tbucket"])
+        idx_dir = os.path.join(out_root, f"idx_{b:06d}")
+        build_index(
+            os.path.join(part_dir, f"tbucket={b}"),
+            idx_dir,
+            id_col="doc_id",
+            text_col="text",
+            store_cols=STORE_COLS,
+            num_shards=num_shards,
+            num_buckets=num_buckets,
+            resume=resume,
+        )
+        buckets.append(
+            {
+                "bucket": b,
+                "min_day": row["commit_day_min"],
+                "max_day": row["commit_day_max"],
+                "num_changes": int(row["doc_id_count"]),
+                "dir": f"idx_{b:06d}",
+            }
+        )
+
+    manifest = {"bucket_days": bucket_days, "buckets": buckets}
+    tmp = mpath + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, mpath)  # manifest lands LAST: its presence == build complete
+    return manifest

@@ -1,0 +1,196 @@
+"""Date-range temporal search over the bucketed index.
+
+Reference semantics (``temporal_search_service.py:248-360``): query +
+``time_range=(start_date, end_date)`` (YYYY-MM-DD, inclusive) +
+optional ``diff_types`` / ``author`` / path filters.  Here:
+
+- **bucket routing**: only sub-indexes whose day span overlaps the range
+  are opened (manifest lookup — one row per window, driver-tiny).
+- **(diff-type, day) filter**: exact and PRE-limit — the composite stored
+  ``tkey`` column rides the engine's include-languages filter; the value
+  set is |diff_types| × |days in range| strings (range-sized, never
+  corpus-sized).
+- **scoring**: merged corpus statistics over the SELECTED buckets
+  (N = ΣNᵢ, df = Σdfᵢ, avgdl = Σtokensᵢ/ΣNᵢ — the ``search_global``
+  federated-stats contract), so a bucket-aligned range scores exactly as a
+  monolithic index of that range would; for unaligned ranges the stats
+  come from the covering windows while the candidate filter stays
+  day-exact (documented divergence, mirroring the include-language
+  precedent of corpus stats + candidate gating).
+- **author / path filters**: post-filters with the reference's ×3
+  over-fetch (O1 semantics): rank the day/type-filtered candidates, cut at
+  3·limit, filter, cut at limit.  Author values for the over-fetched set
+  (≤ 3·limit rows) come from bounded docstore point-reads — never a
+  corpus-sized fetch.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ..index.manifest import DOCSTORE_DIR
+from ..query.engine import UNLIMITED_LIMIT, IndexSearcher
+from ..query.globmatch import matches_any
+from ..text.analysis import tokenize_query
+
+DIFF_TYPES = ("added", "modified", "deleted")
+
+
+def _days_between(start_day: str, end_day: str) -> list[str]:
+    a = np.datetime64(start_day, "D")
+    b = np.datetime64(end_day, "D")
+    if b < a:
+        raise ValueError(f"end_day {end_day!r} before start_day {start_day!r}")
+    return np.datetime_as_string(np.arange(a, b + 1), unit="D").tolist()
+
+
+class TemporalSearcher:
+    def __init__(self, root: str, **searcher_kwargs):
+        import json
+
+        from .index import TEMPORAL_MANIFEST
+
+        self.root = root
+        with open(os.path.join(root, TEMPORAL_MANIFEST)) as f:
+            self.manifest = json.load(f)
+        self._kw = dict(searcher_kwargs)
+        self._kw.setdefault("lang_col", "tkey")
+        self._kw.setdefault("url_col", "path")
+        self._searchers: dict[int, IndexSearcher] = {}
+
+    def _searcher(self, bucket: int) -> IndexSearcher:
+        s = self._searchers.get(bucket)
+        if s is None:
+            ent = next(b for b in self.manifest["buckets"] if b["bucket"] == bucket)
+            s = IndexSearcher(os.path.join(self.root, ent["dir"]), **self._kw)
+            self._searchers[bucket] = s
+        return s
+
+    def buckets_for(self, start_day: str, end_day: str) -> list[dict]:
+        """Manifest rows whose day span overlaps [start_day, end_day]
+        (ISO date strings compare lexicographically)."""
+        return [
+            b
+            for b in self.manifest["buckets"]
+            if b["min_day"] <= end_day and b["max_day"] >= start_day
+        ]
+
+    def _stored_for(self, bucket: int, ids: list[int], cols: list[str]) -> dict[int, dict]:
+        """Bounded docstore point-read: the requested stored columns for a
+        SMALL id set (over-fetched candidates / final winners)."""
+        ent = next(b for b in self.manifest["buckets"] if b["bucket"] == bucket)
+        dset = pads.dataset(os.path.join(self.root, ent["dir"], DOCSTORE_DIR))
+        t = dset.to_table(
+            columns=["doc_id", *cols], filter=pc.field("doc_id").isin(ids)
+        )
+        rows = t.to_pylist()
+        return {r["doc_id"]: r for r in rows}
+
+    def query(
+        self,
+        query_text: str,
+        *,
+        start_day: str,
+        end_day: str,
+        diff_types: list[str] | None = None,
+        authors: list[str] | None = None,
+        path_filters: list[str] | None = None,
+        limit: int = 10,
+    ) -> list[dict]:
+        """Top-``limit`` changes matching ALL query terms within the date
+        range, ranked by (score desc, change_id asc).  ``limit=0`` means
+        unlimited, engine-wide convention."""
+        for dt in diff_types or ():
+            if dt not in DIFF_TYPES:
+                raise ValueError(f"unknown diff_type {dt!r}")
+        terms = sorted(dict.fromkeys(tokenize_query(query_text)))
+        if not terms:
+            return []
+        ents = self.buckets_for(start_day, end_day)
+        if not ents:
+            return []
+        searchers = [(e["bucket"], self._searcher(e["bucket"])) for e in ents]
+
+        # merged federated statistics over the selected windows
+        n_docs = sum(s.manifest.num_docs for _, s in searchers)
+        total_tokens = sum(s.manifest.total_tokens for _, s in searchers)
+        avgdl = total_tokens / n_docs if n_docs else 0.0
+        global_df = {t: 0 for t in terms}
+        for _, s in searchers:
+            for t, df in s._global_df(terms).items():
+                global_df[t] += df
+        if any(global_df[t] == 0 for t in terms):
+            return []
+
+        days = _days_between(start_day, end_day)
+        tkeys = [f"{dt}@{day}" for dt in (diff_types or DIFF_TYPES) for day in days]
+
+        needs_post = bool(authors or path_filters)
+        depth = limit if limit > 0 else UNLIMITED_LIMIT
+        m = depth * 3 if (needs_post and limit > 0) else depth
+
+        groups = [[t] for t in terms]
+        hits: list[tuple[int, float, str, str, int]] = []  # +bucket
+        for bucket, s in searchers:
+            per_shard = s._fanout(
+                "search_groups", groups, n_docs, avgdl, global_df, m,
+                tkeys, self._kw["lang_col"], self._kw["url_col"],
+            )
+            hits.extend(
+                (h[0], h[1], h[2], h[3], bucket) for sh in per_shard for h in sh
+            )
+        if not hits:
+            return []
+        ids = np.array([h[0] for h in hits], dtype=np.int64)
+        scores = np.array([h[1] for h in hits], dtype=np.float64)
+        order = np.lexsort((ids, -scores))[:m]
+
+        # author values for the (bounded) over-fetched set, per bucket
+        auth_by_id: dict[int, str] = {}
+        if authors:
+            by_bucket: dict[int, list[int]] = {}
+            for i in order:
+                by_bucket.setdefault(hits[i][4], []).append(int(hits[i][0]))
+            for b, bids in by_bucket.items():
+                for did, row in self._stored_for(b, bids, ["author"]).items():
+                    auth_by_id[did] = row["author"]
+
+        selected: list[tuple[int, float, str, str, int]] = []
+        for i in order:
+            cid, score, tkey, path, bucket = hits[i]
+            if authors and auth_by_id.get(int(cid)) not in authors:
+                continue
+            if path_filters and not matches_any(path, path_filters):
+                continue
+            selected.append((int(cid), float(score), tkey, path, bucket))
+            if limit > 0 and len(selected) >= limit:
+                break
+
+        # assemble hit rows; remaining stored fields via one bounded read
+        extra: dict[int, dict] = {}
+        by_bucket2: dict[int, list[int]] = {}
+        for cid, _, _, _, b in selected:
+            by_bucket2.setdefault(b, []).append(cid)
+        for b, bids in by_bucket2.items():
+            extra.update(self._stored_for(b, bids, ["commit_ts", "author", "message"]))
+        out = []
+        for cid, score, tkey, path, _b in selected:
+            diff_type, day = tkey.split("@", 1)
+            e = extra.get(cid, {})
+            out.append(
+                {
+                    "change_id": cid,
+                    "path": path,
+                    "diff_type": diff_type,
+                    "commit_day": day,
+                    "commit_ts": e.get("commit_ts"),
+                    "author": e.get("author"),
+                    "message": e.get("message"),
+                    "score": score,
+                }
+            )
+        return out

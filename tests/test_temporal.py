@@ -1,0 +1,202 @@
+"""Temporal indexing (reference ``services/temporal/`` analog): synthesis
+spec invariants, time-bucketed build + manifest, bucket routing (a range
+opens only its windows), exact (diff-type, day) pre-limit filtering vs a
+brute-force scorer, author over-fetch semantics, and resume."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from code_indexer_ray.temporal.history import AUTHORS, change_rows
+from code_indexer_ray.temporal.index import build_temporal_index
+from code_indexer_ray.temporal.search import TemporalSearcher, _days_between
+
+
+def _docs_table(n: int = 120, seed: int = 11) -> pa.Table:
+    rng = np.random.default_rng(seed)
+    vocab = ["spark", "merge", "window", "batch", "row", "scan"]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), type=pa.int64()),
+            "source": pa.array([f"src{i % 5}" for i in range(n)]),
+            "text": pa.array(
+                [
+                    " ".join(vocab[j] for j in rng.integers(0, 6, int(rng.integers(5, 30))))
+                    for _ in range(n)
+                ]
+            ),
+            "lang": pa.array(["en", "de"] * (n // 2)),
+        }
+    )
+
+
+class TestHistorySynthesis:
+    def test_change_rows_spec(self):
+        docs = _docs_table(40)
+        chg = change_rows(docs)
+        d = chg.to_pylist()
+        by_doc: dict[int, list[dict]] = {}
+        for r in d:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        for doc_id, rows in by_doc.items():
+            rows.sort(key=lambda r: r["version"])
+            k = 2 + doc_id % 2
+            want_n = k + (1 if doc_id % 13 == 5 else 0)
+            assert len(rows) == want_n
+            assert rows[0]["diff_type"] == "added"
+            for r in rows[1:]:
+                assert r["diff_type"] == ("deleted" if r["version"] >= k else "modified")
+            # commit order == day order, strictly increasing per path
+            ts = [r["commit_ts"] for r in rows]
+            assert ts == sorted(ts) and len(set(ts)) == len(ts)
+            for r in rows:
+                assert r["change_id"] == doc_id * 8 + r["version"]
+                assert r["author"] == AUTHORS[(doc_id + r["version"]) % 4]
+                assert r["tkey"] == f"{r['diff_type']}@{r['commit_day']}"
+                assert r["day_idx"] == r["version"] * 3 + doc_id % 3
+                if r["diff_type"] == "deleted":
+                    assert r["text"] == ""
+                elif r["version"] > 0:
+                    assert r["text"].endswith(f" rev{r['version']}")
+
+    def test_days_between(self):
+        assert _days_between("2025-03-01", "2025-03-03") == [
+            "2025-03-01",
+            "2025-03-02",
+            "2025-03-03",
+        ]
+        with pytest.raises(ValueError):
+            _days_between("2025-03-05", "2025-03-01")
+
+
+@pytest.fixture(scope="module")
+def temporal_idx(ray_session, tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("temporal")
+    docs = _docs_table(120)
+    src = str(tmp / "docs.parquet")
+    pq.write_table(docs, src)
+    chg = change_rows(docs)
+    chg_path = str(tmp / "changes.parquet")
+    pq.write_table(chg, chg_path)
+    root = str(tmp / "tidx")
+    manifest = build_temporal_index(
+        chg_path, root, bucket_days=4, num_shards=2, num_buckets=1
+    )
+    return root, manifest, chg
+
+
+class TestBuild:
+    def test_manifest_windows(self, temporal_idx):
+        _, m, chg = temporal_idx
+        assert m["bucket_days"] == 4
+        days = chg["day_idx"].to_numpy()
+        want_buckets = sorted(set((days // 4).tolist()))
+        assert [b["bucket"] for b in m["buckets"]] == want_buckets
+        assert sum(b["num_changes"] for b in m["buckets"]) == len(chg)
+        for b in m["buckets"]:
+            sel = chg.to_pylist()
+            rows = [r for r in sel if r["day_idx"] // 4 == b["bucket"]]
+            assert b["min_day"] == min(r["commit_day"] for r in rows)
+            assert b["max_day"] == max(r["commit_day"] for r in rows)
+
+    def test_resume_short_circuits(self, temporal_idx):
+        root, m, _ = temporal_idx
+        again = build_temporal_index("/nonexistent", root, bucket_days=4)
+        assert again == m  # manifest present → no rebuild, input not touched
+
+
+class TestSearch:
+    def _brute(self, chg: pa.Table, terms: list[str], lo: int, hi: int,
+               diff_types=None) -> list[tuple[int, float]]:
+        """Independent scorer: stats over the covering-bucket window rows,
+        candidates gated to the exact (day, type) filter."""
+        from tests.oracle import BruteForceIndex
+
+        rows = [r for r in chg.to_pylist() if lo <= r["day_idx"] <= hi]
+        idx = BruteForceIndex({r["change_id"]: r["text"] for r in rows})
+        keep = {
+            r["change_id"]
+            for r in rows
+            if diff_types is None or r["diff_type"] in diff_types
+        }
+        hits = idx.search_groups([[t] for t in terms], limit=10**9)
+        return [(d, s) for d, s in hits if d in keep]
+
+    def test_bucket_routing_opens_only_range_windows(self, temporal_idx):
+        root, _, _ = temporal_idx
+        s = TemporalSearcher(root)
+        s.query("spark", start_day="2025-03-01", end_day="2025-03-04", limit=5)
+        assert set(s._searchers) == {0}  # days 0..3 → window 0 only
+        ents = s.buckets_for("2025-03-05", "2025-03-12")
+        assert [e["bucket"] for e in ents] == [1, 2]
+
+    def test_matches_brute_force_aligned_range(self, temporal_idx):
+        root, _, chg = temporal_idx
+        s = TemporalSearcher(root)
+        got = s.query(
+            "spark merge", start_day="2025-03-05", end_day="2025-03-12",
+            diff_types=["modified"], limit=0,
+        )
+        want = self._brute(chg, ["spark", "merge"], 4, 11, {"modified"})
+        assert [(r["change_id"], round(r["score"], 9)) for r in got] == [
+            (d, round(sc, 9))
+            for d, sc in sorted(want, key=lambda x: (-round(x[1], 9), x[0]))
+        ]
+        for r in got:
+            assert r["diff_type"] == "modified"
+            assert "2025-03-05" <= r["commit_day"] <= "2025-03-12"
+            assert r["author"] in AUTHORS and r["commit_ts"] is not None
+
+    def test_unaligned_range_is_day_exact(self, temporal_idx):
+        """Days 5..6 cover only part of window 1: stats come from the
+        window, but every hit's day must be inside the requested range."""
+        root, _, chg = temporal_idx
+        s = TemporalSearcher(root)
+        got = s.query("spark", start_day="2025-03-06", end_day="2025-03-07", limit=0)
+        assert got, "expected hits in the 2-day slice"
+        for r in got:
+            assert "2025-03-06" <= r["commit_day"] <= "2025-03-07"
+        # candidate set == brute-force day filter (scores use window stats)
+        rows = [
+            r for r in chg.to_pylist() if r["commit_day"] in ("2025-03-06", "2025-03-07")
+        ]
+        want_ids = {
+            r["change_id"] for r in rows if "spark" in r["text"].lower().split()
+        }
+        assert {r["change_id"] for r in got} == want_ids
+
+    def test_author_overfetch_semantics(self, temporal_idx):
+        root, _, _ = temporal_idx
+        s = TemporalSearcher(root)
+        full = s.query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12", limit=0
+        )
+        lim = 3
+        got = s.query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12",
+            authors=["alice"], limit=lim,
+        )
+        # reference O1 semantics: top-3·limit of the unfiltered ranking,
+        # author-filtered, cut at limit
+        over = full[: lim * 3]
+        want = [r["change_id"] for r in over if r["author"] == "alice"][:lim]
+        assert [r["change_id"] for r in got] == want
+        assert all(r["author"] == "alice" for r in got)
+
+    def test_path_filter_and_empty_cases(self, temporal_idx):
+        root, _, _ = temporal_idx
+        s = TemporalSearcher(root)
+        got = s.query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12",
+            path_filters=["src1/*"], limit=5,
+        )
+        assert got and all(r["path"].startswith("src1/") for r in got)
+        assert s.query("zzzunknown", start_day="2025-03-01", end_day="2025-03-12") == []
+        assert s.query("spark", start_day="2031-01-01", end_day="2031-01-02") == []
+        assert s.query("", start_day="2025-03-01", end_day="2025-03-12") == []
+        with pytest.raises(ValueError):
+            s.query("spark", start_day="2025-03-01", end_day="2025-03-12",
+                    diff_types=["renamed"])
