@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from .bmp import BMP_SIG, UnsupportedBMP, decode_bmp
 from .gif import GIF_SIG, UnsupportedGIF, decode_gif
+from .jpeg import JPEG_SIG, UnsupportedJPEG, decode_jpeg
 from .png import PNG_SIG, UnsupportedPNG, decode_png
 
 #: retained for backward compatibility: PNG/BMP/GIF/WAV now decode for real;
@@ -74,6 +75,15 @@ class MediaDecodeStage:
             try:
                 img = decode_gif(payload)
             except UnsupportedGIF:
+                pass  # fall through to the fake (flagged)
+            else:
+                h, w, _c = img.shape
+                feat = float(img.astype(np.float64).mean() / 255.0)
+                return w, h, round(feat, 6), True
+        if payload[:3] == JPEG_SIG:
+            try:
+                img = decode_jpeg(payload)
+            except UnsupportedJPEG:
                 pass  # fall through to the fake (flagged)
             else:
                 h, w, _c = img.shape

@@ -1,0 +1,398 @@
+"""Real baseline JPEG codec — pure python/numpy, no external imaging library.
+
+Implements the public ITU-T T.81 baseline sequential DCT process:
+
+- **encode** (grayscale, 4:4:4 single component): level shift, orthonormal
+  8×8 DCT-II, quantization (round-half-up, ``floor(x/q + 0.5)`` — frozen so
+  oracle twins can reproduce constant-block round-trips in SQL), zigzag,
+  DC-difference + AC run-length entropy coding with the Annex K standard
+  luminance Huffman tables, byte stuffing, JFIF/DQT/SOF0/DHT/SOS framing.
+- **decode** (1- or 3-component baseline, no subsampling): marker walk,
+  canonical Huffman reconstruction from DHT, entropy decode (EXTEND, ZRL,
+  EOB), dequantize, inverse zigzag, IDCT, level unshift; 3-component scans
+  convert JFIF YCbCr → RGB.
+
+Out-of-scope shapes raise ``UnsupportedJPEG`` loudly (progressive / other
+SOFn, chroma subsampling, 12-bit precision, arithmetic coding, restart
+intervals) — never silently wrong.
+
+Reference provenance: the reference delegates media decoding to external
+libraries; this codec exists so the Ray decode stage operates on real bytes
+for the dominant lossy photo container (see ``mm/decode.py``).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_SIG = b"\xff\xd8\xff"
+
+
+class UnsupportedJPEG(ValueError):
+    pass
+
+
+# zigzag scan order: ZIGZAG[k] = flat index (row*8+col) of the k-th coefficient
+ZIGZAG = np.array(
+    [
+         0,  1,  8, 16,  9,  2,  3, 10,
+        17, 24, 32, 25, 18, 11,  4,  5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13,  6,  7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1 luminance quantization table (natural row order)
+STD_QT_LUM = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int32,
+).reshape(8, 8)
+
+# Annex K.3 standard Huffman tables: (BITS[1..16], HUFFVAL)
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal DCT-II matrix M: F = M @ B @ M.T (constant block c → DC=8c)."""
+    x = np.arange(8)
+    u = np.arange(8)[:, None]
+    m = np.sqrt(2.0 / 8.0) * np.cos((2 * x[None, :] + 1) * u * np.pi / 16.0)
+    m[0, :] = np.sqrt(1.0 / 8.0)
+    return m
+
+
+_DCT_M = _dct_matrix()
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) canonical Huffman assignment (T.81 C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) per T.81 F.1.2.1: negatives as v + 2^size - 1."""
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(img: np.ndarray, *, quant: np.ndarray | None = None) -> bytes:
+    """Baseline grayscale JFIF from an (H, W) uint8 array."""
+    if img.dtype != np.uint8 or img.ndim != 2:
+        raise ValueError("encode_jpeg expects a 2-D uint8 array")
+    q = STD_QT_LUM if quant is None else np.asarray(quant, dtype=np.int32).reshape(8, 8)
+    h, w = img.shape
+    ph, pw = -(-h // 8) * 8, -(-w // 8) * 8
+    padded = np.pad(img, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
+
+    # all blocks DCT'd in one vectorized einsum pass
+    blocks = padded.reshape(ph // 8, 8, pw // 8, 8).transpose(0, 2, 1, 3)
+    f = np.einsum("ux,byxz,vz->byuv", _DCT_M, blocks, _DCT_M)
+    # frozen quantizer: half-up on the 6-dp-rounded coefficient — the
+    # rounding step keeps float noise in the matrix DCT (≈1e-10 on exact
+    # half-integer DC values) from flipping the floor, so constant-block
+    # round-trips have the closed form 2·floor((v−128)/2 + 0.5) + 128 that
+    # oracle twins reproduce in SQL
+    qf = np.floor(np.round(f, 6) / q[None, None] + 0.5).astype(np.int64)
+
+    dc_codes = _canonical_codes(DC_LUM_BITS, DC_LUM_VALS)
+    ac_codes = _canonical_codes(AC_LUM_BITS, AC_LUM_VALS)
+    bw = _BitWriter()
+    pred = 0
+    flat = qf.reshape(-1, 64)[:, ZIGZAG]  # zigzag each block
+    for zz in flat:
+        dc = int(zz[0])
+        size, bits_v = _magnitude(dc - pred)
+        pred = dc
+        c, ln = dc_codes[size]
+        bw.write(c, ln)
+        if size:
+            bw.write(bits_v, size)
+        run = 0
+        nz = np.nonzero(zz[1:])[0]
+        last = int(nz[-1]) + 1 if len(nz) else 0
+        for k in range(1, last + 1):
+            v = int(zz[k])
+            if v == 0:
+                run += 1
+                continue
+            while run > 15:
+                c, ln = ac_codes[0xF0]  # ZRL
+                bw.write(c, ln)
+                run -= 16
+            size, bits_v = _magnitude(v)
+            c, ln = ac_codes[(run << 4) | size]
+            bw.write(c, ln)
+            bw.write(bits_v, size)
+            run = 0
+        if last < 63:
+            c, ln = ac_codes[0x00]  # EOB
+            bw.write(c, ln)
+    data = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    qz = q.reshape(-1)[ZIGZAG]  # DQT stores zigzag order
+    dht_dc = bytes([0x00] + DC_LUM_BITS + DC_LUM_VALS)
+    dht_ac = bytes([0x10] + AC_LUM_BITS + AC_LUM_VALS)
+    out = b"".join(
+        [
+            b"\xff\xd8",  # SOI
+            seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"),
+            seg(0xFFDB, b"\x00" + bytes(int(v) for v in qz)),
+            seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"),
+            seg(0xFFC4, dht_dc),
+            seg(0xFFC4, dht_ac),
+            seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00"),
+            data,
+            b"\xff\xd9",  # EOI
+        ]
+    )
+    return out
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read_bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise UnsupportedJPEG("truncated entropy-coded segment")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    return {(ln, c): s for s, (c, ln) in _canonical_codes(bits, vals).items()}
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        s = table.get((length, code))
+        if s is not None:
+            return s
+    raise UnsupportedJPEG("invalid Huffman code in entropy data")
+
+
+def _extend(v: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """(H, W, 1) grayscale or (H, W, 3) RGB uint8 from a baseline
+    non-subsampled JFIF stream."""
+    if data[:3] != JPEG_SIG:
+        raise UnsupportedJPEG("not a JPEG stream")
+    qts: dict[int, np.ndarray] = {}
+    dc_tabs: dict[int, dict] = {}
+    ac_tabs: dict[int, dict] = {}
+    frame = None
+    i = 2
+    while i + 4 <= len(data):
+        if data[i] != 0xFF:
+            raise UnsupportedJPEG(f"marker expected at offset {i}")
+        marker = data[i + 1]
+        if marker == 0xD9:  # EOI
+            break
+        ln = struct.unpack(">H", data[i + 2 : i + 4])[0]
+        seg = data[i + 4 : i + 2 + ln]
+        if len(seg) != ln - 2:
+            raise UnsupportedJPEG("truncated marker segment")
+        i += 2 + ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                if pq != 0:
+                    raise UnsupportedJPEG("16-bit quantization tables")
+                zz = np.frombuffer(seg[j + 1 : j + 65], dtype=np.uint8).astype(np.int32)
+                nat = np.empty(64, dtype=np.int32)
+                nat[ZIGZAG] = zz
+                qts[tq] = nat.reshape(8, 8)
+                j += 65
+        elif marker == 0xC4:  # DHT (possibly several tables per segment)
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1 : j + 17])
+                nv = sum(bits)
+                vals = list(seg[j + 17 : j + 17 + nv])
+                (dc_tabs if tc == 0 else ac_tabs)[th] = _decode_table(bits, vals)
+                j += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, height, width, nf = struct.unpack(">BHHB", seg[:6])
+            if prec != 8:
+                raise UnsupportedJPEG(f"{prec}-bit precision")
+            comps = []
+            for c in range(nf):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                if hv != 0x11:
+                    raise UnsupportedJPEG("chroma subsampling")
+                comps.append({"id": cid, "tq": tq})
+            frame = {"h": height, "w": width, "comps": comps}
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedJPEG(f"SOF{marker - 0xC0} process (not baseline sequential)")
+        elif marker == 0xDD:
+            raise UnsupportedJPEG("restart intervals")
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise UnsupportedJPEG("SOS before SOF0")
+            ns = seg[0]
+            if ns != len(frame["comps"]):
+                raise UnsupportedJPEG("non-interleaved scans")
+            scan = {}
+            for c in range(ns):
+                cs, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cs] = (tt >> 4, tt & 0x0F)
+            # de-stuff entropy bytes up to the next marker
+            out = bytearray()
+            j = i
+            while j < len(data):
+                b = data[j]
+                if b == 0xFF:
+                    nxt = data[j + 1] if j + 1 < len(data) else 0xD9
+                    if nxt == 0x00:
+                        out.append(0xFF)
+                        j += 2
+                        continue
+                    if 0xD0 <= nxt <= 0xD7:
+                        raise UnsupportedJPEG("restart markers")
+                    break
+                out.append(b)
+                j += 1
+            return _decode_scan(frame, scan, qts, dc_tabs, ac_tabs, bytes(out))
+        # other segments (APPn, COM) are skipped
+    raise UnsupportedJPEG("no SOS segment found")
+
+
+def _decode_scan(frame, scan, qts, dc_tabs, ac_tabs, entropy: bytes) -> np.ndarray:
+    h, w = frame["h"], frame["w"]
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    comps = frame["comps"]
+    br = _BitReader(entropy)
+    planes = [np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in comps]
+    preds = [0] * len(comps)
+    for by in range(bh):
+        for bx in range(bw_):
+            for ci, comp in enumerate(comps):
+                td, ta = scan[comp["id"]]
+                q = qts.get(comp["tq"])
+                if q is None:
+                    raise UnsupportedJPEG(f"missing quantization table {comp['tq']}")
+                zz = np.zeros(64, dtype=np.int64)
+                size = _read_symbol(br, dc_tabs[td])
+                diff = _extend(br.read_bits(size), size)
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = _read_symbol(br, ac_tabs[ta])
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k >= 64:
+                        raise UnsupportedJPEG("AC coefficient index overflow")
+                    zz[k] = _extend(br.read_bits(size), size)
+                    k += 1
+                nat = np.empty(64, dtype=np.float64)
+                nat[ZIGZAG] = zz * q.reshape(-1)[ZIGZAG]
+                blk = _DCT_M.T @ nat.reshape(8, 8) @ _DCT_M  # IDCT
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = blk
+    arrs = [np.clip(np.round(p[:h, :w] + 128.0), 0, 255) for p in planes]
+    if len(arrs) == 1:
+        return arrs[0].astype(np.uint8)[:, :, None]
+    if len(arrs) == 3:  # JFIF YCbCr → RGB
+        y, cb, cr = arrs
+        r = y + 1.402 * (cr - 128.0)
+        g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+        b = y + 1.772 * (cb - 128.0)
+        return np.clip(np.round(np.stack([r, g, b], axis=2)), 0, 255).astype(np.uint8)
+    raise UnsupportedJPEG(f"{len(arrs)}-component scan")

@@ -3672,6 +3672,39 @@ def q_mm_decode_gif(sf_dir: str):
     return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
 
 
+def q_mm_decode_jpeg(sf_dir: str):
+    """REAL lossy-format image decode: per doc a baseline JFIF is
+    synthesized (grayscale, tx×2 grid of constant 8×8 tiles, tile value
+    t=(id·3+(ty·tx+txi)·7)%256, W=tx·8 with tx=2+id%2, H=16) and the
+    actor-pool stage runs the in-repo T.81 codec (mm/jpeg.py) — Huffman
+    tables, DC differences, byte stuffing and the IDCT must all be right
+    for the pixel mean to match the twin's closed-form lossy round-trip
+    (constant block → DC-only → value 2·floor((t−128)/2+0.5)+128, clipped
+    to 255)."""
+    import ray.data as rd
+
+    from ..mm.jpeg import encode_jpeg
+
+    def to_jpeg(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        payloads = []
+        for d in ids.tolist():
+            tx = 2 + d % 2
+            tiles = np.array(
+                [[(d * 3 + (by * tx + bx) * 7) % 256 for bx in range(tx)] for by in range(2)]
+            )
+            img = np.kron(tiles, np.ones((8, 8), dtype=np.int64)).astype(np.uint8)
+            payloads.append(encode_jpeg(img))
+        return pa.table(
+            {"doc_id": pa.array(ids), "payload": pa.array(payloads, type=pa.binary())}
+        )
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
+        to_jpeg, batch_format="pyarrow"
+    )
+    return media_decode(ds, concurrency=2, batch_size=128).drop_columns(["n_bytes"])
+
+
 def q_mm_resize_png(sf_dir: str):
     """REAL image resize chain: synthesized PNG → decode → 8×8
     nearest-neighbour resample → re-encode → decode AGAIN for stats.  The
@@ -6181,6 +6214,23 @@ def oracle_catalog() -> dict[str, str]:
         "FROM cells GROUP BY doc_id"
     )
 
+    # REAL baseline JPEG decode: constant 8×8 tiles survive the lossy
+    # round-trip in closed form (DC-only block, frozen half-up quantizer):
+    # v' = min(2·floor((t−128)/2 + 0.5) + 128, 255).
+    out["mm_decode_jpeg"] = (
+        "WITH jd AS (SELECT doc_id, (2 + doc_id % 2)::BIGINT AS tx FROM documents),\n"
+        "jt AS (SELECT d.doc_id, d.tx,\n"
+        "  ((d.doc_id * 3 + (y.i * d.tx + x.i) * 7) % 256)::BIGINT AS t\n"
+        "  FROM jd d, (SELECT unnest(generate_series(0, 2)) AS i) x,\n"
+        "       (SELECT unnest(generate_series(0, 1)) AS i) y\n"
+        "  WHERE x.i < d.tx),\n"
+        "jr AS (SELECT doc_id, tx,\n"
+        "  LEAST(2 * floor((t - 128) / 2.0 + 0.5) + 128, 255)::DOUBLE AS v FROM jt)\n"
+        "SELECT doc_id, (any_value(tx) * 8)::BIGINT AS width, 16::BIGINT AS height,\n"
+        "  round(avg(v) / 255.0, 6) AS feat_mean, TRUE AS real_decode\n"
+        "FROM jr GROUP BY doc_id"
+    )
+
     # REAL GIF decode: LZW sub-blocks through a grayscale palette,
     # pixel(x,y) = (doc_id + 5x + 7y) % 256 identical across channels.
     out["mm_decode_gif"] = (
@@ -6401,6 +6451,7 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "mm_decode_jpeg",
     "temporal_search",
     "temporal_search_author",
     "temporal_asof",
@@ -6549,6 +6600,7 @@ def _query_catalog_unordered():
         "fts_fielded_or": q_fielded_or,
         "fts_fielded_and": q_fielded_and,
         "warc_bm25f": q_warc_bm25f,
+        "mm_decode_jpeg": q_mm_decode_jpeg,
         "temporal_asof": q_temporal_asof,
         "temporal_diff": q_temporal_diff,
         "temporal_blame": q_temporal_blame,
