@@ -18,7 +18,7 @@ from .history import (
     change_rows,
     sql_changes_cte,
 )
-from .index import build_temporal_index
+from .index import append_changes, build_temporal_index
 from .search import TemporalSearcher
 
 __all__ = [
@@ -27,5 +27,6 @@ __all__ = [
     "change_rows",
     "sql_changes_cte",
     "build_temporal_index",
+    "append_changes",
     "TemporalSearcher",
 ]

@@ -107,9 +107,112 @@ def build_temporal_index(
             }
         )
 
-    manifest = {"bucket_days": bucket_days, "buckets": buckets}
+    manifest = {
+        "bucket_days": bucket_days,
+        "num_shards": num_shards,
+        "num_buckets": num_buckets,
+        "buckets": buckets,
+    }
+    _write_manifest(out_root, manifest)
+    return manifest
+
+
+def _write_manifest(out_root: str, manifest: dict) -> None:
+    mpath = os.path.join(out_root, TEMPORAL_MANIFEST)
     tmp = mpath + ".tmp"
     with open(tmp, "w") as f:
         json.dump(manifest, f, indent=1)
-    os.replace(tmp, mpath)  # manifest lands LAST: its presence == build complete
+    os.replace(tmp, mpath)  # manifest lands LAST: its presence == publish
+
+
+def _bucket_stats(part_dir: str, bucket: int) -> dict:
+    frag = pads.dataset(os.path.join(part_dir, f"tbucket={bucket}")).to_table(
+        columns=["commit_day", "doc_id"]
+    )
+    return {
+        "min_day": pc.min(frag["commit_day"]).as_py(),
+        "max_day": pc.max(frag["commit_day"]).as_py(),
+        "num_changes": frag.num_rows,
+    }
+
+
+def append_changes(changes_path: str, out_root: str) -> dict:
+    """Incremental append — the reference's ``last_indexed_commit``
+    incremental path (``temporal_indexer.py:395-404``) under the bucketed
+    layout.  Commit time only moves forward, so:
+
+    - changes landing in windows NEWER than the current newest get fresh
+      sub-index builds (old windows stay immutable — never rewritten);
+    - changes landing in the CURRENT newest window rebuild that one
+      window over old + new rows (the hot-index pattern: rebuild cost ∝
+      window size, never corpus size); the rebuilt index publishes under a
+      fresh generation-suffixed dir and the manifest swap is atomic, so
+      concurrent readers keep a consistent view;
+    - changes OLDER than the newest window are rejected (``ValueError``) —
+      history is append-only.
+    """
+    import shutil
+
+    import ray.data as rd
+
+    from ..index.build import build_index
+
+    mpath = os.path.join(out_root, TEMPORAL_MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    bucket_days = manifest["bucket_days"]
+    by_bucket = {b["bucket"]: b for b in manifest["buckets"]}
+    hot = max(by_bucket) if by_bucket else -1
+
+    part_dir = os.path.join(out_root, "changes")
+
+    def with_bucket(batch: pa.Table) -> pa.Table:
+        day = pc.divide(batch["commit_ts"], 86400)
+        b = pc.divide(day, bucket_days)
+        cols = [c for c in ("change_id", "text", *STORE_COLS) if c in batch.column_names]
+        out = batch.select(cols).append_column("tbucket", b.cast(pa.int64()))
+        return out.rename_columns(
+            ["doc_id" if c == "change_id" else c for c in out.column_names]
+        )
+
+    ds = rd.read_parquet(changes_path).map_batches(with_bucket, batch_format="pyarrow")
+    lo_bucket = ds.min("tbucket")
+    if lo_bucket < hot:
+        raise ValueError(
+            f"append contains window {lo_bucket} older than the newest window "
+            f"{hot} — temporal history is append-only"
+        )
+    # collision-safe: Ray parquet file names carry a per-write UUID
+    ds.write_parquet(part_dir, partition_cols=["tbucket"])
+
+    touched = sorted(
+        set(
+            pads.dataset(part_dir, partitioning="hive")
+            .to_table(columns=["tbucket"])["tbucket"]
+            .unique()
+            .to_pylist()
+        )
+    )
+    for b in touched:
+        if b < hot:
+            continue  # immutable window, untouched by this append
+        ent = by_bucket.get(b)
+        gen = int(ent["dir"].rsplit("_g", 1)[1]) + 1 if ent and "_g" in ent["dir"] else 1
+        new_dir = f"idx_{b:06d}_g{gen}" if ent else f"idx_{b:06d}"
+        build_index(
+            os.path.join(part_dir, f"tbucket={b}"),
+            os.path.join(out_root, new_dir),
+            id_col="doc_id",
+            text_col="text",
+            store_cols=STORE_COLS,
+            num_shards=manifest.get("num_shards"),
+            num_buckets=manifest.get("num_buckets"),
+            resume=False,
+        )
+        old_dir = ent["dir"] if ent else None
+        by_bucket[b] = {"bucket": int(b), **_bucket_stats(part_dir, b), "dir": new_dir}
+        manifest["buckets"] = [by_bucket[k] for k in sorted(by_bucket)]
+        _write_manifest(out_root, manifest)  # atomic swap, THEN retire the old gen
+        if old_dir and old_dir != new_dir:
+            shutil.rmtree(os.path.join(out_root, old_dir), ignore_errors=True)
     return manifest

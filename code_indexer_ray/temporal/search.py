@@ -90,6 +90,43 @@ class TemporalSearcher:
         rows = t.to_pylist()
         return {r["doc_id"]: r for r in rows}
 
+    def file_at(self, path: str, day: str) -> dict | None:
+        """Content of ``path`` as of end-of-``day`` (the reference's
+        temporal content reconstruction): the latest change at or before
+        the cut, ``None`` if the path doesn't exist yet or its latest
+        change is a deletion.  A point lookup: partition pruning drops
+        windows newer than the cut, parquet row-group statistics prune
+        within the remaining fragments — never a corpus scan."""
+        cand = [b for b in self.manifest["buckets"] if b["min_day"] <= day]
+        if not cand:
+            return None
+        day_bucket = max(b["bucket"] for b in cand)
+        dset = pads.dataset(
+            os.path.join(self.root, "changes"), partitioning="hive"
+        )
+        t = dset.to_table(
+            columns=["doc_id", "path", "diff_type", "commit_day", "commit_ts", "text"],
+            filter=(pc.field("path") == path)
+            & (pc.field("commit_day") <= day)
+            & (pc.field("tbucket") <= day_bucket),
+        )
+        if t.num_rows == 0:
+            return None
+        order = np.lexsort(
+            (t["doc_id"].to_numpy(zero_copy_only=False),
+             t["commit_ts"].to_numpy(zero_copy_only=False))
+        )
+        r = t.slice(int(order[-1]), 1).to_pylist()[0]
+        if r["diff_type"] == "deleted":
+            return None
+        return {
+            "path": r["path"],
+            "change_id": r["doc_id"],
+            "commit_day": r["commit_day"],
+            "commit_ts": r["commit_ts"],
+            "text": r["text"],
+        }
+
     def query(
         self,
         query_text: str,

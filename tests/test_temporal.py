@@ -200,3 +200,106 @@ class TestSearch:
         with pytest.raises(ValueError):
             s.query("spark", start_day="2025-03-01", end_day="2025-03-12",
                     diff_types=["renamed"])
+
+
+class TestAppendAndReconstruct:
+    def _changes_slice(self, chg: pa.Table, lo: int, hi: int) -> pa.Table:
+        days = chg["day_idx"].to_numpy()
+        return chg.filter(pa.array((days >= lo) & (days <= hi)))
+
+    @pytest.fixture()
+    def split_idx(self, ray_session, tmp_path):
+        """Index built from days 0..7 only; days 8..11 held back for append."""
+        docs = _docs_table(80, seed=23)
+        chg = change_rows(docs)
+        base = self._changes_slice(chg, 0, 7)
+        tail = self._changes_slice(chg, 8, 11)
+        bpath, tpath = str(tmp_path / "base.parquet"), str(tmp_path / "tail.parquet")
+        pq.write_table(base, bpath)
+        pq.write_table(tail, tpath)
+        root = str(tmp_path / "tidx")
+        build_temporal_index(bpath, root, bucket_days=4, num_shards=2, num_buckets=1)
+        return root, chg, tpath
+
+    def test_append_new_and_hot_windows(self, split_idx):
+        from code_indexer_ray.temporal.index import append_changes
+
+        root, chg, tpath = split_idx
+        before = TemporalSearcher(root)
+        n_before = sum(b["num_changes"] for b in before.manifest["buckets"])
+        m = append_changes(tpath, root)
+        assert sum(b["num_changes"] for b in m["buckets"]) == len(chg)
+        # window 2 (days 8..11) is new; windows 0,1 untouched
+        assert [b["bucket"] for b in m["buckets"]] == [0, 1, 2]
+        assert n_before == len(chg) - next(
+            b["num_changes"] for b in m["buckets"] if b["bucket"] == 2
+        )
+        # post-append search result == search over a from-scratch build
+        s = TemporalSearcher(root)
+        got = s.query("spark", start_day="2025-03-01", end_day="2025-03-12", limit=0)
+        full_ids = {
+            r["change_id"]
+            for r in chg.to_pylist()
+            if "spark" in r["text"].lower().split()
+        }
+        assert {r["change_id"] for r in got} == full_ids
+
+    def test_append_hot_window_rebuild_swaps_generation(self, ray_session, tmp_path):
+        from code_indexer_ray.temporal.index import append_changes
+
+        docs = _docs_table(60, seed=29)
+        chg = change_rows(docs)
+        days = chg["day_idx"].to_numpy()
+        base = chg.filter(pa.array(days <= 5))   # hot window 1 partially filled
+        tail = chg.filter(pa.array((days >= 6) & (days <= 7)))  # same window 1
+        bpath, tpath = str(tmp_path / "b.parquet"), str(tmp_path / "t.parquet")
+        pq.write_table(base, bpath)
+        pq.write_table(tail, tpath)
+        root = str(tmp_path / "tidx")
+        m0 = build_temporal_index(bpath, root, bucket_days=4, num_shards=2, num_buckets=1)
+        hot0 = next(b for b in m0["buckets"] if b["bucket"] == 1)
+        m1 = append_changes(tpath, root)
+        hot1 = next(b for b in m1["buckets"] if b["bucket"] == 1)
+        assert hot1["dir"] != hot0["dir"] and hot1["dir"].endswith("_g1")
+        import os
+        assert not os.path.isdir(os.path.join(root, hot0["dir"]))  # old gen retired
+        assert hot1["num_changes"] == hot0["num_changes"] + len(tail)
+        # window 0 untouched
+        assert next(b for b in m1["buckets"] if b["bucket"] == 0) == next(
+            b for b in m0["buckets"] if b["bucket"] == 0
+        )
+
+    def test_append_rejects_old_windows(self, split_idx):
+        from code_indexer_ray.temporal.index import append_changes
+
+        root, chg, _ = split_idx
+        old = self._changes_slice(chg, 0, 2)
+        import pyarrow.parquet as pqq, tempfile, os
+        p = os.path.join(tempfile.mkdtemp(), "old.parquet")
+        pqq.write_table(old, p)
+        with pytest.raises(ValueError, match="append-only"):
+            append_changes(p, root)
+
+    def test_file_at_reconstruction(self, temporal_idx):
+        root, _, chg = temporal_idx
+        s = TemporalSearcher(root)
+        rows = sorted(chg.to_pylist(), key=lambda r: r["change_id"])
+        by_path: dict[str, list[dict]] = {}
+        for r in rows:
+            by_path.setdefault(r["path"], []).append(r)
+        # a path with 3 versions: text follows the latest change ≤ the cut
+        p3 = next(p for p, rs in by_path.items() if len(rs) == 3 and rs[-1]["diff_type"] != "deleted")
+        rs = by_path[p3]
+        for cut_r in rs:
+            got = s.file_at(p3, cut_r["commit_day"])
+            assert got is not None and got["change_id"] == cut_r["change_id"]
+            assert got["text"] == cut_r["text"]
+        # before the first change → None
+        assert s.file_at(p3, "2025-02-28") is None
+        # a deleted path: None after the deletion, content before it
+        pd_ = next(p for p, rs in by_path.items() if rs[-1]["diff_type"] == "deleted")
+        rs = by_path[pd_]
+        assert s.file_at(pd_, rs[-1]["commit_day"]) is None
+        assert s.file_at(pd_, rs[-2]["commit_day"])["change_id"] == rs[-2]["change_id"]
+        # unknown path
+        assert s.file_at("nope/never.txt", "2025-03-12") is None
