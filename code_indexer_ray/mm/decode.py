@@ -5,8 +5,10 @@ them.  Round 3: PNG payloads get a REAL spec-conforming decode
 (:mod:`.png` — stdlib zlib + numpy, 8-bit non-interlaced gray/RGB/RGBA,
 all five scanline filters) — no external imaging library exists in this
 container, so the codec is implemented from the PNG spec directly.  BMP
-payloads (8/24/32-bit BI_RGB) decode through :mod:`.bmp`.  WAV
-payloads decode through the stdlib ``wave`` module.  Payloads in any OTHER
+payloads (8/24/32-bit BI_RGB) decode through :mod:`.bmp`, GIF through
+:mod:`.gif` (variable-width LZW), baseline JPEG through :mod:`.jpeg`
+(T.81 sequential DCT).  WAV payloads decode through the stdlib ``wave``
+module.  Payloads in any OTHER
 format still fall back to the deterministic md5-derived fake (flagged per
 row via ``real_decode``), because PIL/ffmpeg are unavailable — the fallback
 is honest, per-row visible, and swap-in isolated to
@@ -25,10 +27,10 @@ from .gif import GIF_SIG, UnsupportedGIF, decode_gif
 from .jpeg import JPEG_SIG, UnsupportedJPEG, decode_jpeg
 from .png import PNG_SIG, UnsupportedPNG, decode_png
 
-#: retained for backward compatibility: PNG/BMP/GIF/WAV now decode for real;
+#: retained for backward compatibility: PNG/BMP/GIF/JPEG/WAV decode for real;
 #: the fake only answers for formats with no in-container codec.
 DETERMINISTIC_FAKE = True
-REAL_FORMATS = ("png", "bmp", "gif", "wav")
+REAL_FORMATS = ("png", "bmp", "gif", "jpeg", "wav")
 
 
 class MediaDecodeStage:

@@ -264,7 +264,20 @@ def _extend(v: int, size: int) -> int:
 
 def decode_jpeg(data: bytes) -> np.ndarray:
     """(H, W, 1) grayscale or (H, W, 3) RGB uint8 from a baseline
-    non-subsampled JFIF stream."""
+    non-subsampled JFIF stream.  MALFORMED data of any kind raises
+    :class:`UnsupportedJPEG` — truncated headers (struct.error), missing
+    Huffman tables (KeyError) and short scan headers (IndexError) all land
+    on the same loud, catchable boundary so batch stages can fall back per
+    row instead of dying (same contract as ``decode_png``)."""
+    try:
+        return _decode_jpeg_inner(data)
+    except UnsupportedJPEG:
+        raise
+    except (struct.error, KeyError, ValueError, IndexError) as e:
+        raise UnsupportedJPEG(f"malformed JPEG: {e}") from e
+
+
+def _decode_jpeg_inner(data: bytes) -> np.ndarray:
     if data[:3] != JPEG_SIG:
         raise UnsupportedJPEG("not a JPEG stream")
     qts: dict[int, np.ndarray] = {}

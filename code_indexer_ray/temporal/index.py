@@ -29,6 +29,21 @@ TEMPORAL_MANIFEST = "temporal.json"
 STORE_COLS = ("tkey", "path", "diff_type", "commit_day", "commit_ts", "author", "message")
 
 
+def _bucketize(batch: pa.Table, bucket_days: int) -> pa.Table:
+    """ONE shared kernel for build and append — the tkey/store-column/
+    doc_id-rename contract must stay byte-identical between them or
+    appended windows get a divergent schema."""
+    day = pc.divide(batch["commit_ts"], 86400)
+    b = pc.divide(day, bucket_days)
+    cols = [c for c in ("change_id", "text", *STORE_COLS) if c in batch.column_names]
+    out = batch.select(cols).append_column("tbucket", b.cast(pa.int64()))
+    # the engine's stored-field reader keys on ``doc_id`` — present the
+    # change id under that name inside each bucket index
+    return out.rename_columns(
+        ["doc_id" if c == "change_id" else c for c in out.column_names]
+    )
+
+
 def build_temporal_index(
     changes_path: str,
     out_root: str,
@@ -56,21 +71,18 @@ def build_temporal_index(
     if resume and os.path.isfile(mpath):
         with open(mpath) as f:
             return json.load(f)
+    # no manifest → any content under out_root is a partial build (Ray's
+    # parquet writer APPENDS uuid-named files, so a retry over leftovers
+    # would double every row) — clear and start clean
+    import shutil
+
+    shutil.rmtree(out_root, ignore_errors=True)
+    os.makedirs(out_root, exist_ok=True)
 
     part_dir = os.path.join(out_root, "changes")
-
-    def with_bucket(batch: pa.Table) -> pa.Table:
-        day = pc.divide(batch["commit_ts"], 86400)
-        b = pc.divide(day, bucket_days)
-        cols = [c for c in ("change_id", "text", *STORE_COLS) if c in batch.column_names]
-        out = batch.select(cols).append_column("tbucket", b.cast(pa.int64()))
-        # the engine's stored-field reader keys on ``doc_id`` — present the
-        # change id under that name inside each bucket index
-        return out.rename_columns(
-            ["doc_id" if c == "change_id" else c for c in out.column_names]
-        )
-
-    ds = rd.read_parquet(changes_path).map_batches(with_bucket, batch_format="pyarrow")
+    ds = rd.read_parquet(changes_path).map_batches(
+        lambda b: _bucketize(b, bucket_days), batch_format="pyarrow"
+    )
     ds.write_parquet(part_dir, partition_cols=["tbucket"])
 
     # bucket inventory: one tiny aggregate row per window (driver-safe)
@@ -146,10 +158,12 @@ def append_changes(changes_path: str, out_root: str) -> dict:
     - changes landing in the CURRENT newest window rebuild that one
       window over old + new rows (the hot-index pattern: rebuild cost ∝
       window size, never corpus size); the rebuilt index publishes under a
-      fresh generation-suffixed dir and the manifest swap is atomic, so
-      concurrent readers keep a consistent view;
+      fresh generation-suffixed dir, the manifest swap is atomic, and the
+      PREVIOUS generation is kept until the next rotation (the same
+      current+previous grace the pindex GC gives in-flight readers);
     - changes OLDER than the newest window are rejected (``ValueError``) —
-      history is append-only.
+      history is append-only;
+    - an EMPTY append (a poller tick with no new commits) is a no-op.
     """
     import shutil
 
@@ -165,37 +179,26 @@ def append_changes(changes_path: str, out_root: str) -> dict:
     hot = max(by_bucket) if by_bucket else -1
 
     part_dir = os.path.join(out_root, "changes")
-
-    def with_bucket(batch: pa.Table) -> pa.Table:
-        day = pc.divide(batch["commit_ts"], 86400)
-        b = pc.divide(day, bucket_days)
-        cols = [c for c in ("change_id", "text", *STORE_COLS) if c in batch.column_names]
-        out = batch.select(cols).append_column("tbucket", b.cast(pa.int64()))
-        return out.rename_columns(
-            ["doc_id" if c == "change_id" else c for c in out.column_names]
-        )
-
-    ds = rd.read_parquet(changes_path).map_batches(with_bucket, batch_format="pyarrow")
-    lo_bucket = ds.min("tbucket")
-    if lo_bucket < hot:
+    ds = rd.read_parquet(changes_path).map_batches(
+        lambda b: _bucketize(b, bucket_days), batch_format="pyarrow"
+    )
+    # touched windows from the APPEND alone: a tiny per-window count — the
+    # hot window is NOT rebuilt when a tick only adds newer windows
+    counts = {
+        int(r["tbucket"]): int(r["count()"])
+        for r in ds.groupby("tbucket").count().take_all()
+    }
+    if not counts:
+        return manifest  # empty poller tick → no-op
+    if min(counts) < hot:
         raise ValueError(
-            f"append contains window {lo_bucket} older than the newest window "
+            f"append contains window {min(counts)} older than the newest window "
             f"{hot} — temporal history is append-only"
         )
     # collision-safe: Ray parquet file names carry a per-write UUID
     ds.write_parquet(part_dir, partition_cols=["tbucket"])
 
-    touched = sorted(
-        set(
-            pads.dataset(part_dir, partitioning="hive")
-            .to_table(columns=["tbucket"])["tbucket"]
-            .unique()
-            .to_pylist()
-        )
-    )
-    for b in touched:
-        if b < hot:
-            continue  # immutable window, untouched by this append
+    for b in sorted(counts):
         ent = by_bucket.get(b)
         gen = int(ent["dir"].rsplit("_g", 1)[1]) + 1 if ent and "_g" in ent["dir"] else 1
         new_dir = f"idx_{b:06d}_g{gen}" if ent else f"idx_{b:06d}"
@@ -209,10 +212,15 @@ def append_changes(changes_path: str, out_root: str) -> dict:
             num_buckets=manifest.get("num_buckets"),
             resume=False,
         )
-        old_dir = ent["dir"] if ent else None
-        by_bucket[b] = {"bucket": int(b), **_bucket_stats(part_dir, b), "dir": new_dir}
+        entry = {"bucket": int(b), **_bucket_stats(part_dir, b), "dir": new_dir}
+        if ent:
+            entry["prev_dir"] = ent["dir"]  # grace for in-flight readers
+        by_bucket[b] = entry
         manifest["buckets"] = [by_bucket[k] for k in sorted(by_bucket)]
-        _write_manifest(out_root, manifest)  # atomic swap, THEN retire the old gen
-        if old_dir and old_dir != new_dir:
-            shutil.rmtree(os.path.join(out_root, old_dir), ignore_errors=True)
+        _write_manifest(out_root, manifest)  # atomic swap first...
+        retired = ent.get("prev_dir") if ent else None
+        if retired and retired != new_dir:
+            # ...then retire the generation BEFORE the previous one — readers
+            # holding the pre-swap manifest still resolve prev_dir
+            shutil.rmtree(os.path.join(out_root, retired), ignore_errors=True)
     return manifest

@@ -163,6 +163,32 @@ class TestUnsupported:
         with pytest.raises(UnsupportedJPEG):  # truncated entropy data
             decode_jpeg(good[:-8])
 
+    def test_malformed_streams_raise_unsupported_not_raw_errors(self):
+        """struct.error / KeyError / IndexError from malformed bytes must
+        land on the UnsupportedJPEG boundary so the decode stage falls back
+        per row instead of the Ray task dying."""
+        cases = [
+            b"\xff\xd8\xff\xc0\x00\x04\xaa\xbb",  # truncated SOF0 body
+            b"\xff\xd8\xff\xda\x00\x03\x01",  # SOS before SOF0, short header
+            b"\xff\xd8\xff\xdb\x00\x03\x00",  # truncated DQT
+            b"\xff\xd8\xff",  # nothing after signature
+        ]
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        good = encode_jpeg(img)
+        # valid stream except the DC Huffman table is stripped → the scan
+        # references an undefined table (KeyError inside, Unsupported out)
+        i = good.index(b"\xff\xc4")
+        ln = struct.unpack(">H", good[i + 2 : i + 4])[0]
+        cases.append(good[:i] + good[i + 2 + ln :])
+        for payload in cases:
+            with pytest.raises(UnsupportedJPEG):
+                decode_jpeg(payload)
+        # the stage-level contract: such payloads fall back, flagged
+        from code_indexer_ray.mm.decode import MediaDecodeStage
+
+        w, h, _f, real = MediaDecodeStage._decode_payload(cases[0])
+        assert real is False
+
     def test_stage_falls_back_flagged(self):
         from code_indexer_ray.mm.decode import MediaDecodeStage
 

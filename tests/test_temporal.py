@@ -262,12 +262,59 @@ class TestAppendAndReconstruct:
         hot1 = next(b for b in m1["buckets"] if b["bucket"] == 1)
         assert hot1["dir"] != hot0["dir"] and hot1["dir"].endswith("_g1")
         import os
-        assert not os.path.isdir(os.path.join(root, hot0["dir"]))  # old gen retired
+
+        # current+previous grace: the pre-swap generation survives one
+        # rotation so in-flight readers keep resolving
+        assert hot1["prev_dir"] == hot0["dir"]
+        assert os.path.isdir(os.path.join(root, hot0["dir"]))
         assert hot1["num_changes"] == hot0["num_changes"] + len(tail)
         # window 0 untouched
         assert next(b for b in m1["buckets"] if b["bucket"] == 0) == next(
             b for b in m0["buckets"] if b["bucket"] == 0
         )
+        # a SECOND rotation retires the grace generation
+        extra = tail.slice(0, 1).to_pylist()[0]
+        extra["change_id"] += 4  # unused version slot of the same doc
+        extra["commit_ts"] += 1
+        p2 = str(root) + "_x2.parquet"
+        pq.write_table(pa.Table.from_pylist([extra], schema=tail.schema), p2)
+        m2 = append_changes(p2, root)
+        hot2 = next(b for b in m2["buckets"] if b["bucket"] == 1)
+        assert hot2["dir"].endswith("_g2") and hot2["prev_dir"] == hot1["dir"]
+        assert os.path.isdir(os.path.join(root, hot1["dir"]))
+        assert not os.path.isdir(os.path.join(root, hot0["dir"]))  # retired now
+
+    def test_empty_append_is_noop(self, split_idx):
+        import pyarrow.parquet as pqq
+
+        from code_indexer_ray.temporal.index import append_changes
+
+        root, chg, _ = split_idx
+        import tempfile, os
+        p = os.path.join(tempfile.mkdtemp(), "empty.parquet")
+        pqq.write_table(chg.slice(0, 0), p)
+        before = TemporalSearcher(root).manifest
+        assert append_changes(p, root) == before
+
+    def test_append_newer_window_leaves_hot_untouched(self, ray_session, tmp_path):
+        from code_indexer_ray.temporal.index import append_changes
+
+        docs = _docs_table(50, seed=31)
+        chg = change_rows(docs)
+        days = chg["day_idx"].to_numpy()
+        base = chg.filter(pa.array(days <= 7))    # windows 0, 1 (hot = 1)
+        newer = chg.filter(pa.array(days >= 8))   # window 2 only
+        bpath, npath = str(tmp_path / "b.parquet"), str(tmp_path / "n.parquet")
+        pq.write_table(base, bpath)
+        pq.write_table(newer, npath)
+        root = str(tmp_path / "tidx")
+        m0 = build_temporal_index(bpath, root, bucket_days=4, num_shards=2, num_buckets=1)
+        m1 = append_changes(npath, root)
+        # hot window 1 NOT rebuilt (same dir, no generation churn)
+        assert next(b for b in m1["buckets"] if b["bucket"] == 1) == next(
+            b for b in m0["buckets"] if b["bucket"] == 1
+        )
+        assert any(b["bucket"] == 2 for b in m1["buckets"])
 
     def test_append_rejects_old_windows(self, split_idx):
         from code_indexer_ray.temporal.index import append_changes
