@@ -276,6 +276,52 @@ def run() -> dict:
         qstats["warc_e2e_sec"] = round(time.perf_counter() - t7a, 3)
         qstats["warc_e2e_hits"] = len(hits)
 
+        # temporal family (round 3): synthesized commit history → bucketed
+        # build → date-range search; cost is windows × per-window build
+        from code_indexer_ray.temporal import (
+            TemporalSearcher,
+            build_temporal_index,
+            change_rows,
+        )
+
+        t7t = time.perf_counter()
+        tchg, tidx = "/tmp/cidx_bench_tchanges", "/tmp/cidx_bench_tidx"
+        shutil.rmtree(tchg, ignore_errors=True)
+        shutil.rmtree(tidx, ignore_errors=True)
+        docs_for_hist = rd.read_parquet(corpus, columns=["doc_id", "url", "text"])
+
+        def as_docs(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": batch["doc_id"].cast(pa.int64()),
+                    "source": batch["url"],
+                    "text": batch["text"],
+                }
+            )
+
+        docs_for_hist.map_batches(as_docs, batch_format="pyarrow").map_batches(
+            change_rows, batch_format="pyarrow"
+        ).write_parquet(tchg)
+        build_temporal_index(tchg, tidx, bucket_days=4, num_buckets=16)
+        qstats["temporal_build_sec"] = round(time.perf_counter() - t7t, 3)
+        ts_ = TemporalSearcher(tidx)
+        t7q = time.perf_counter()
+        thits = ts_.query(
+            "t000123", start_day="2025-03-05", end_day="2025-03-12",
+            diff_types=["modified"], limit=10,
+        )
+        qstats["temporal_query_cold_ms"] = round((time.perf_counter() - t7q) * 1000, 2)
+        qstats["temporal_hits"] = len(thits)
+        tlat = []
+        for qi in range(20):  # unique terms: the result cache must not answer
+            t7q = time.perf_counter()
+            ts_.query(
+                f"t{100 + qi:06d}", start_day="2025-03-05", end_day="2025-03-12",
+                diff_types=["modified"], limit=10,
+            )
+            tlat.append(time.perf_counter() - t7q)
+        qstats["temporal_query_p50_ms"] = round(sorted(tlat)[len(tlat) // 2] * 1000, 2)
+
         # KV doc store (round 3): derivation cost + 10-id mget p50, KV vs
         # parquet row-group point reads
         import numpy as np

