@@ -1610,6 +1610,113 @@ def q_sym_callgraph(sf_dir: str):
     return call_graph_edges(ds)
 
 
+def _calls_ds(sf_dir: str):
+    """documents → synthesized code-with-calls corpus (closed-form in SQL)."""
+    import ray.data as rd
+
+    from ..text.structured import synthesize_calls_batch
+
+    return rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        synthesize_calls_batch, batch_format="pyarrow"
+    )
+
+
+_SYMBOL_EDGES: dict[str, object] = {}
+
+
+def _sym_edges(sf_dir: str):
+    """Aggregated call-graph edges, materialized once per sf_dir (the edge
+    table is symbols²-bounded — the small side every graph query reuses)."""
+    em = _SYMBOL_EDGES.get(sf_dir)
+    if em is None:
+        from ..text.symbols import call_graph_edges
+
+        em = call_graph_edges(_calls_ds(sf_dir)).materialize()
+        _SYMBOL_EDGES[sf_dir] = em
+    return em
+
+
+_SYMBOL_STORES: dict[str, object] = {}
+
+
+def symbol_store_for(sf_dir: str):
+    """Persisted symbol store (the reference's .scip.db analog), built once
+    per sf_dir — hash-partitioned sorted occurrence parquet + edge sidecar."""
+    s = _SYMBOL_STORES.get(sf_dir)
+    if s is None:
+        from ..scip.store import SymbolStore, build_symbol_store
+
+        root = os.path.join(_corpus_dir(sf_dir), "symstore")
+        build_symbol_store(
+            _calls_ds(sf_dir), root, num_parts=8, fingerprint="calls-v1"
+        )
+        s = SymbolStore(root)
+        _SYMBOL_STORES[sf_dir] = s
+    return s
+
+
+def q_sym_dependencies(sf_dir: str):
+    """SCIP get_dependencies (scip/query/primitives.py:273): the symbols
+    'f0' CALLS, with call counts — one filter pass over the aggregated edge
+    Dataset, no driver state."""
+    from ..scip.graph import dependencies
+
+    return dependencies(_sym_edges(sf_dir), "f0")
+
+
+def q_sym_dependents(sf_dir: str):
+    """SCIP get_dependents (scip/query/primitives.py:292): the symbols that
+    CALL 'f0', with call counts — one filter pass over the edge Dataset."""
+    from ..scip.graph import dependents
+
+    return dependents(_sym_edges(sf_dir), "f0")
+
+
+def q_sym_impact(sf_dir: str):
+    """SCIP analyze_impact (scip/query/composites.py:379): every symbol
+    depending on 'f0' within 3 reverse-call hops at its first-visit depth —
+    per level ONE broadcast-frontier filter pass over the edge Dataset;
+    driver state is the (result-sized) impacted set, never the corpus."""
+    from ..scip.graph import analyze_impact
+
+    return analyze_impact(_sym_edges(sf_dir), "f0", max_depth=3)
+
+
+def q_sym_call_chain(sf_dir: str):
+    """SCIP trace_call_chain (scip/query/composites.py:550): all simple
+    call chains f0 → … → f9 of ≤3 edges, rendered 'a -> b -> c' — per
+    level one edge-filter pass ships back only tip-adjacent edges."""
+    from ..scip.graph import trace_call_chain
+
+    return trace_call_chain(_sym_edges(sf_dir), "f0", "f9", max_depth=3)
+
+
+def q_sym_impact_files(sf_dir: str):
+    """SCIP impact-by-file (scip/query/composites.py:347
+    _aggregate_by_file): documents DEFINING a symbol impacted by 'f0'
+    (depth ≤ 3) → (doc_id, n_symbols, min_depth) via a broadcast
+    impact-set filter over the definitions Dataset + doc-keyed groupby."""
+    from ..scip.graph import affected_files, analyze_impact
+    from ..text.symbols import symbol_defs
+
+    imp = analyze_impact(_sym_edges(sf_dir), "f0", max_depth=3)
+    return affected_files(symbol_defs(_calls_ds(sf_dir)), imp)
+
+
+def q_sym_store_defs(sf_dir: str):
+    """Persisted-store DEFINITIONS point lookup (reference .scip.db,
+    scip/database/queries.py): defs of 'f3' — opens exactly ONE
+    hash-routed part file, row-group stats prune the sym-sorted column."""
+    return symbol_store_for(sf_dir).definitions("f3")
+
+
+def q_sym_store_refs(sf_dir: str):
+    """Persisted-store FIND-REFERENCES point lookup: call sites of 'f3'
+    with enclosing callers — same one-part pruned read, no corpus scan
+    (the scan-based twin is q_sym_refs)."""
+    return symbol_store_for(sf_dir).references("f3")
+
+
 def q_chunks_structured(sf_dir: str):
     """Language-aware STRUCTURAL chunking (reference indexing/chunker.py —
     per-language regex splitters feeding the same chunk table): synthesized
@@ -5325,6 +5432,72 @@ def oracle_catalog() -> dict[str, str]:
         "FROM b GROUP BY 1, 2"
     )
 
+    # graph-query twins: the aggregated edge CTE + recursive CTEs for the
+    # BFS operators (min-depth ≡ BFS first-visit; '>'-delimited pathkey ≡
+    # the simple-path check)
+    _sym_edges_cte = (
+        "WITH RECURSIVE m AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),\n"
+        "p AS (SELECT doc_id, (n + 7) // 8 AS n_body,\n"
+        "  ((n + 7) // 8 - 1) // 3 + 1 AS H FROM m),\n"
+        "b AS (SELECT doc_id, H, x.i AS j FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < n_body),\n"
+        "e AS (SELECT 'f' || (3 * (j // 3)) AS caller,\n"
+        "  'f' || (3 * ((j * 5 + 1) % H)) AS callee, count(*)::BIGINT AS n_calls\n"
+        "  FROM b GROUP BY 1, 2),\n"
+    )
+    out["sym_dependencies"] = (
+        _sym_edges_cte + "x AS (SELECT 1)\n"
+        "SELECT callee, n_calls FROM e WHERE caller = 'f0'"
+    )
+    out["sym_dependents"] = (
+        _sym_edges_cte + "x AS (SELECT 1)\n"
+        "SELECT caller, n_calls FROM e WHERE callee = 'f0'"
+    )
+    _sym_imp_cte = (
+        _sym_edges_cte
+        + "walk AS (SELECT caller AS sym, 1 AS depth FROM e WHERE callee = 'f0'\n"
+        "  UNION\n"
+        "  SELECT e2.caller, walk.depth + 1 FROM walk JOIN e e2 ON e2.callee = walk.sym\n"
+        "  WHERE walk.depth < 3),\n"
+        "imp AS (SELECT sym, min(depth) AS depth FROM walk WHERE sym <> 'f0' GROUP BY sym)"
+    )
+    out["sym_impact"] = _sym_imp_cte + "\nSELECT sym, depth::BIGINT AS depth FROM imp"
+    out["sym_impact_files"] = (
+        _sym_imp_cte + ",\n"
+        "d AS (SELECT doc_id, 'f' || (3 * x.i) AS sym FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < H)\n"
+        "SELECT doc_id, count(DISTINCT d.sym)::BIGINT AS n_symbols,\n"
+        "  min(imp.depth)::BIGINT AS min_depth\n"
+        "FROM d JOIN imp ON imp.sym = d.sym GROUP BY doc_id"
+    )
+    out["sym_call_chain"] = (
+        _sym_edges_cte
+        + "ch AS (SELECT caller || ' -> ' || callee AS chain,\n"
+        "    '>' || caller || '>' || callee || '>' AS pathkey, callee AS tip, 1 AS depth\n"
+        "  FROM e WHERE caller = 'f0' AND callee <> caller\n"
+        "  UNION\n"
+        "  SELECT ch.chain || ' -> ' || e2.callee, ch.pathkey || e2.callee || '>',\n"
+        "    e2.callee, ch.depth + 1\n"
+        "  FROM ch JOIN e e2 ON e2.caller = ch.tip\n"
+        "  WHERE ch.depth < 3 AND ch.tip <> 'f9'\n"
+        "    AND position('>' || e2.callee || '>' IN ch.pathkey) = 0)\n"
+        "SELECT chain, depth::BIGINT AS depth FROM ch WHERE tip = 'f9'"
+    )
+    out["sym_store_defs"] = (
+        _sym_base
+        + "d AS (SELECT doc_id, x.i AS di FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < H)\n"
+        "SELECT doc_id, (4 * di + 1)::BIGINT AS line FROM d WHERE 3 * di = 3"
+    )
+    out["sym_store_refs"] = (
+        _sym_base
+        + "b AS (SELECT doc_id, H, x.i AS j FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < n_body)\n"
+        "SELECT doc_id, (j + j // 3 + 2)::BIGINT AS line,\n"
+        "  'f' || (3 * (j // 3)) AS caller\n"
+        "FROM b WHERE 3 * ((j * 5 + 1) % H) = 3"
+    )
+
     out["fts_extract_roundtrip"] = (
         "WITH pages AS (SELECT doc_id, source || '/' || doc_id AS url,\n"
         "  '<html><head><title>D' || doc_id || '</title></head><body><p>' || text || '</p></body></html>' AS html,\n"
@@ -6517,6 +6690,13 @@ _SAMPLE_FIRST = [
     "sym_defs",
     "sym_refs",
     "sym_callgraph",
+    "sym_dependencies",
+    "sym_dependents",
+    "sym_impact",
+    "sym_call_chain",
+    "sym_impact_files",
+    "sym_store_defs",
+    "sym_store_refs",
     "mm_decode_png",
     "mm_resize_png",
     # dedup family (driver-r1, unsampled r2)
@@ -6660,6 +6840,13 @@ def _query_catalog_unordered():
         "sym_defs": q_sym_defs,
         "sym_refs": q_sym_refs,
         "sym_callgraph": q_sym_callgraph,
+        "sym_dependencies": q_sym_dependencies,
+        "sym_dependents": q_sym_dependents,
+        "sym_impact": q_sym_impact,
+        "sym_call_chain": q_sym_call_chain,
+        "sym_impact_files": q_sym_impact_files,
+        "sym_store_defs": q_sym_store_defs,
+        "sym_store_refs": q_sym_store_refs,
         "fts_extract_roundtrip": q_extract_roundtrip,
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,
