@@ -6699,32 +6699,40 @@ _SAMPLE_FIRST = [
     "sym_store_refs",
     "mm_decode_png",
     "mm_resize_png",
-    # dedup family (driver-r1, unsampled r2)
+    # slots ~31-50: one-per-family diversification so the driver's 50-key
+    # sample spans dedup + ANN + events + TPC-H + curation every round
     "dedup_exact",
-    "dedup_minhash_sig",
     "dedup_minhash_bands",
     "dedup_near_pairs",
     "dedup_components",
-    "dedup_ngram_jaccard",
-    "dedup_embed_cosine",
-    "dedup_simhash",
     "line_dedup",
-    "span_dedup",
-    "span_removal",
     "url_dedup",
-    # ANN family
     "ann_cosine",
-    "ann_cosine_filtered",
     "ann_range",
     "kmeans_embed",
     "semantic_search",
-    "embed_text",
-    # events / analytics
     "events_keep_latest",
     "events_window",
+    "events_funnel",
+    "agg_lineitem",
+    "q3_shipping",
+    "q9_profit",
+    "q10_returns",
+    "topk_orders",
+    "pagerank",
+    # ---- 50-key sample line falls here ----
+    "curate_corpus",
+    "token_count",
+    "dedup_minhash_sig",
+    "dedup_ngram_jaccard",
+    "dedup_embed_cosine",
+    "dedup_simhash",
+    "span_dedup",
+    "span_removal",
+    "ann_cosine_filtered",
+    "embed_text",
     "events_session",
     "events_hopping",
-    "events_funnel",
     "events_retention",
     "events_cumsum",
     "events_dau_mau",
@@ -6736,22 +6744,12 @@ _SAMPLE_FIRST = [
     "distinct_users",
     "median_value",
     "percentiles_by_lang",
-    # joins / TPC-H
     "join_orders_customer",
     "revenue_by_nation",
-    "agg_lineitem",
-    "q3_shipping",
-    "q9_profit",
-    "q10_returns",
     "asof_orders",
     "range_events",
-    "topk_orders",
     "antijoin_customers",
-    "pagerank",
-    # curation / text
-    "curate_corpus",
     "training_shards",
-    "token_count",
     "text_quality",
     "pii_redact",
     "decontam_flags",
