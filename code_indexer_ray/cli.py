@@ -102,6 +102,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="enable POST /index background builds publishing generations under --index",
     )
+    sv.add_argument(
+        "--scip-store",
+        default=None,
+        help="symbol store dir enabling the /scip/* code-intelligence routes",
+    )
 
     mc = sub.add_parser(
         "serve-mcp",
@@ -124,6 +129,41 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("word")
     sg.add_argument("--prefix", action="store_true", help="df-ranked completion instead")
     sg.add_argument("--limit", type=int, default=10)
+
+    # SCIP-analog code-intelligence group (reference cli_scip.py: generate /
+    # status / definition / references / dependencies / dependents / impact /
+    # callchain / context)
+    sc = sub.add_parser("scip", help="symbol store + call-graph queries")
+    scsub = sc.add_subparsers(dest="scip_cmd", required=True)
+    g = scsub.add_parser("generate", help="build the persisted symbol store")
+    g.add_argument("--input", required=True, help="docs parquet (doc_id, text)")
+    g.add_argument("--out", required=True)
+    g.add_argument("--num-parts", type=int, default=16)
+    g.add_argument("--id-col", default="doc_id")
+    g.add_argument("--text-col", default="text")
+    scsub.add_parser("status", help="store manifest summary").add_argument(
+        "--store", required=True
+    )
+    for name, hlp in [
+        ("definition", "definition sites of SYMBOL"),
+        ("references", "call sites of SYMBOL"),
+        ("dependencies", "symbols SYMBOL calls"),
+        ("dependents", "symbols calling SYMBOL"),
+        ("context", "definition + references + direct graph neighborhood"),
+    ]:
+        c = scsub.add_parser(name, help=hlp)
+        c.add_argument("--store", required=True)
+        c.add_argument("symbol")
+    ip = scsub.add_parser("impact", help="transitive dependents BFS")
+    ip.add_argument("--store", required=True)
+    ip.add_argument("symbol")
+    ip.add_argument("--depth", type=int, default=3)
+    cc = scsub.add_parser("callchain", help="simple call chains FROM -> ... -> TO")
+    cc.add_argument("--store", required=True)
+    cc.add_argument("from_symbol")
+    cc.add_argument("to_symbol")
+    cc.add_argument("--depth", type=int, default=3)
+    cc.add_argument("--max-chains", type=int, default=None)
 
     args = p.parse_args(argv)
     _ray_init(args.num_cpus)
@@ -213,6 +253,7 @@ def main(argv: list[str] | None = None) -> int:
                 shard_group_size=args.shard_group_size,
                 api_key=args.api_key,
                 enable_jobs=args.jobs,
+                scip_store=args.scip_store,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:
@@ -264,6 +305,78 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 out = s.suggest(args.word)
                 print(json.dumps(out if out is not None else {}))
+        elif args.cmd == "scip":
+            if args.scip_cmd == "generate":
+                import ray.data as rd
+
+                from .scip.store import build_symbol_store
+
+                man = build_symbol_store(
+                    rd.read_parquet(args.input, columns=[args.id_col, args.text_col]),
+                    args.out,
+                    num_parts=args.num_parts,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "out": args.out,
+                            "total_rows": man["total_rows"],
+                            "total_defs": man["total_defs"],
+                            "num_parts": man["num_parts"],
+                        }
+                    )
+                )
+            else:
+                from .scip.store import SymbolStore
+
+                s = SymbolStore(args.store)
+                if args.scip_cmd == "status":
+                    print(
+                        json.dumps(
+                            {
+                                k: s.manifest[k]
+                                for k in ("num_parts", "total_rows", "total_defs")
+                            }
+                        )
+                    )
+                elif args.scip_cmd == "definition":
+                    for r in s.definitions(args.symbol).to_pylist():
+                        print(json.dumps(r))
+                elif args.scip_cmd == "references":
+                    for r in s.references(args.symbol).to_pylist():
+                        print(json.dumps(r))
+                elif args.scip_cmd == "dependencies":
+                    for r in s.dependencies(args.symbol).to_pylist():
+                        print(json.dumps(r))
+                elif args.scip_cmd == "dependents":
+                    for r in s.dependents(args.symbol).to_pylist():
+                        print(json.dumps(r))
+                elif args.scip_cmd == "impact":
+                    for r in s.analyze_impact(args.symbol, max_depth=args.depth).to_pylist():
+                        print(json.dumps(r))
+                elif args.scip_cmd == "callchain":
+                    t = s.trace_call_chain(
+                        args.from_symbol,
+                        args.to_symbol,
+                        max_depth=args.depth,
+                        max_chains=args.max_chains,
+                    )
+                    for r in t.to_pylist():
+                        print(json.dumps(r))
+                elif args.scip_cmd == "context":
+                    print(
+                        json.dumps(
+                            {
+                                "symbol": args.symbol,
+                                "definitions": s.definitions(args.symbol).to_pylist(),
+                                "references": s.references(args.symbol).to_pylist(),
+                                "dependencies": s.dependencies(args.symbol).to_pylist(),
+                                "dependents": s.dependents(args.symbol).to_pylist(),
+                            }
+                        )
+                    )
         return 0
     finally:
         import ray

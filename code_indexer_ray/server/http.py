@@ -140,7 +140,10 @@ class IndexHTTPServer:
         warm: bool = True,
         follow: bool = True,
         enable_jobs: bool = False,
+        scip_store: str | None = None,
     ):
+        self._scip_root = scip_store
+        self._scip = None
         self.jobs = None
         if enable_jobs:
             from .jobs import JobManager
@@ -247,6 +250,9 @@ class IndexHTTPServer:
         if route == "/index" or route == "/jobs" or route.startswith("/jobs/"):
             self._dispatch_jobs(h, route, params)
             return
+        if route.startswith("/scip/"):
+            self._dispatch_scip(h, route, params)
+            return
         fn = _ROUTES.get(route)
         if fn is None:
             self._reply(h, 404, {"error": f"unknown route {route!r}"})
@@ -292,6 +298,62 @@ class IndexHTTPServer:
             self._reply(h, 400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001
             self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    # ---- SCIP code-intelligence routes (reference
+    # server/routers/scip_queries.py: /scip/definition /references
+    # /dependencies /dependents /impact /callchain) ----
+
+    def _dispatch_scip(self, h, route: str, params: dict) -> None:
+        if self._scip_root is None:
+            self._reply(h, 503, {"error": "no symbol store configured (--scip-store)"})
+            return
+        try:
+            if self._scip is None:
+                from ..scip.store import SymbolStore
+
+                self._scip = SymbolStore(self._scip_root)
+            s = self._scip
+
+            def need(key: str) -> str:
+                v = params.get(key)
+                if not v:
+                    raise ValueError(f"missing required parameter {key!r}")
+                return v
+
+            if route == "/scip/definition":
+                out = {"definitions": s.definitions(need("symbol")).to_pylist()}
+            elif route == "/scip/references":
+                out = {"references": s.references(need("symbol")).to_pylist()}
+            elif route == "/scip/dependencies":
+                out = {"dependencies": s.dependencies(need("symbol")).to_pylist()}
+            elif route == "/scip/dependents":
+                out = {"dependents": s.dependents(need("symbol")).to_pylist()}
+            elif route == "/scip/impact":
+                out = {
+                    "impact": s.analyze_impact(
+                        need("symbol"), max_depth=int(params.get("depth", 3))
+                    ).to_pylist()
+                }
+            elif route == "/scip/callchain":
+                mc = params.get("max_chains")
+                out = {
+                    "chains": s.trace_call_chain(
+                        need("from"),
+                        need("to"),
+                        max_depth=int(params.get("depth", 3)),
+                        max_chains=int(mc) if mc is not None else None,
+                    ).to_pylist()
+                }
+            else:
+                self._reply(h, 404, {"error": f"unknown route {route!r}"})
+                return
+        except ValueError as e:
+            self._reply(h, 400, {"error": str(e)})
+            return
+        except Exception as e:  # noqa: BLE001 — the server must not die on a bad request
+            self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._reply(h, 200, out)
 
     # ---- routes ----
 

@@ -53,3 +53,37 @@ print("CLI_OK")
     assert len(lines) >= 4
     for ln in lines:
         json.loads(ln)
+
+
+def test_cli_scip(tmp_path):
+    src = tmp_path / "docs.parquet"
+    t0 = "def a():\n    x b()\ndef b():\n    x c()\ndef c():\n    x x\n"
+    t1 = "def d():\n    x a()\ndef e():\n    x d()\n    x e()\n"
+    pq.write_table(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": [t0, t1]}), str(src)
+    )
+    store = str(tmp_path / "symstore")
+
+    script = f"""
+from code_indexer_ray.cli import main
+assert main(["--num-cpus", "4", "scip", "generate", "--input", {str(src)!r},
+             "--out", {store!r}, "--num-parts", "4"]) == 0
+assert main(["scip", "status", "--store", {store!r}]) == 0
+assert main(["scip", "definition", "--store", {store!r}, "a"]) == 0
+assert main(["scip", "references", "--store", {store!r}, "a"]) == 0
+assert main(["scip", "dependencies", "--store", {store!r}, "a"]) == 0
+assert main(["scip", "dependents", "--store", {store!r}, "a"]) == 0
+assert main(["scip", "impact", "--store", {store!r}, "c", "--depth", "3"]) == 0
+assert main(["scip", "callchain", "--store", {store!r}, "e", "c", "--depth", "4"]) == 0
+assert main(["scip", "context", "--store", {store!r}, "a"]) == 0
+print("SCIP_CLI_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True, text=True, timeout=300, cwd=REPO_ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SCIP_CLI_OK" in out.stdout
+    lines = [json.loads(x) for x in out.stdout.splitlines() if x.startswith("{")]
+    assert {"sym": "b", "depth": 1} in lines
+    assert {"chain": "e -> d -> a -> b -> c", "depth": 4} in lines

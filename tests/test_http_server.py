@@ -242,3 +242,62 @@ class TestFollowGenerations:
             assert h["num_docs"] == 5  # pinned snapshot
         finally:
             srv.shutdown()
+
+
+class TestScipRoutes:
+    """/scip/* code-intelligence routes (reference scip_queries.py)."""
+
+    @pytest.fixture(scope="class")
+    def scip_srv(self, ray_session, tmp_path_factory):
+        import ray.data as rd
+
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.scip import build_symbol_store
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        tmp = tmp_path_factory.mktemp("scip_http")
+        t0 = "def a():\n    x b()\ndef b():\n    x c()\ndef c():\n    x x\n"
+        t1 = "def d():\n    x a()\ndef e():\n    x d()\n    x e()\n"
+        tbl = pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": [t0, t1],
+                        "lang": ["py", "py"], "url": ["a.py", "b.py"]})
+        src = str(tmp / "docs.parquet")
+        pq.write_table(tbl, src)
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=1,
+                    num_buckets=2, resume=False)
+        store = str(tmp / "symstore")
+        build_symbol_store(rd.read_parquet(src, columns=["doc_id", "text"]),
+                           store, num_parts=4)
+        srv = IndexHTTPServer(idx, port=0, scip_store=store)
+        srv.start()
+        yield f"http://{srv.host}:{srv.port}"
+        srv.shutdown()
+
+    def test_definition_references(self, scip_srv):
+        _, d = _get(scip_srv + "/scip/definition?symbol=a")
+        assert d["definitions"] == [{"doc_id": 0, "line": 1}]
+        _, r = _get(scip_srv + "/scip/references?symbol=a")
+        assert r["references"] == [{"doc_id": 1, "line": 2, "caller": "d"}]
+
+    def test_graph_routes(self, scip_srv):
+        _, d = _get(scip_srv + "/scip/dependencies?symbol=a")
+        assert d["dependencies"] == [{"callee": "b", "n_calls": 1}]
+        _, d = _get(scip_srv + "/scip/dependents?symbol=a")
+        assert d["dependents"] == [{"caller": "d", "n_calls": 1}]
+        _, i = _get(scip_srv + "/scip/impact?symbol=c&depth=3")
+        assert i["impact"] == [
+            {"sym": "b", "depth": 1}, {"sym": "a", "depth": 2}, {"sym": "d", "depth": 3}
+        ]
+        _, c = _get(scip_srv + "/scip/callchain?from=e&to=c&depth=4")
+        assert c["chains"] == [{"chain": "e -> d -> a -> b -> c", "depth": 4}]
+
+    def test_errors(self, scip_srv):
+        code, e = _err(_get, scip_srv + "/scip/impact")
+        assert code == 400 and "symbol" in e["error"]
+        code, e = _err(_get, scip_srv + "/scip/nosuch?symbol=a")
+        assert code == 404
+
+    def test_unconfigured_store_503(self, http_idx):
+        base, _s, _srv = http_idx
+        code, e = _err(_get, base + "/scip/definition?symbol=a")
+        assert code == 503 and "symbol store" in e["error"]
