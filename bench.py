@@ -348,6 +348,34 @@ def run() -> dict:
                 float(np.percentile(np.array(lat) * 1000, 50)), 2
             )
 
+        # SCIP symbol store (round 3): extraction+build cost over the
+        # code-synthesized corpus, then point-read and graph-query latency
+        from code_indexer_ray.scip.store import SymbolStore, build_symbol_store
+        from code_indexer_ray.text.structured import synthesize_calls_batch
+
+        sroot = "/tmp/cidx_bench_symstore"
+        shutil.rmtree(sroot, ignore_errors=True)
+        code_ds = rd.read_parquet(corpus, columns=["doc_id", "text"]).map_batches(
+            synthesize_calls_batch, batch_format="pyarrow"
+        )
+        t8 = time.perf_counter()
+        sman = build_symbol_store(code_ds, sroot, num_parts=16)
+        qstats["symstore_build_sec"] = round(time.perf_counter() - t8, 3)
+        qstats["symstore_rows"] = sman["total_rows"]
+        ss = SymbolStore(sroot)
+        ss.references("f3")  # warm (manifest + first part open)
+        slat = []
+        for qi in range(40):
+            t8q = time.perf_counter()
+            ss.references(f"f{3 * (qi % 20)}")
+            slat.append(time.perf_counter() - t8q)
+        qstats["symstore_refs_p50_ms"] = round(
+            float(np.percentile(np.array(slat) * 1000, 50)), 2
+        )
+        t8q = time.perf_counter()
+        ss.analyze_impact("f0", max_depth=3)
+        qstats["symstore_impact_ms"] = round((time.perf_counter() - t8q) * 1000, 2)
+
     result = {
         "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
         "value": round(build_sec, 3),
