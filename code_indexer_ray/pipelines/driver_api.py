@@ -1747,6 +1747,45 @@ def q_chunks_structured(sf_dir: str):
     )
 
 
+def q_rag_context(sf_dir: str):
+    """RAG context extraction (reference services/rag_context_extractor.py):
+    structural-chunk hits for 'spark' (score = occurrence count) → ±C line
+    windows (C shrunk by the ensure-all-files rule), per-doc overlap merge,
+    global best-file-first ``max_total_lines`` budget with truncation —
+    content as md5 so rows stay constant-size.  Hits broadcast (top-k
+    contract); the two corpus passes stream."""
+    import ray.data as rd
+
+    from ..query.ragctx import extract_contexts
+    from ..text.structured import structured_chunk_batch, synthesize_code_batch
+
+    code = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        synthesize_code_batch, batch_format="pyarrow"
+    )
+
+    def hits_fn(batch: pa.Table) -> pa.Table:
+        t = structured_chunk_batch(batch, language="python", max_chars=120)
+        n = pc.count_substring(t["chunk_text"], "spark")
+        t = t.append_column("score", n.cast(pa.int64()))
+        t = t.filter(pc.greater(t["score"], 0))
+        return t.select(["doc_id", "line_start", "line_end", "score"])
+
+    hits = pa.Table.from_pylist(
+        code.map_batches(hits_fn, batch_format="pyarrow").take_all(),
+        schema=pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("line_start", pa.int64()),
+                ("line_end", pa.int64()),
+                ("score", pa.int64()),
+            ]
+        ),
+    )
+    return extract_contexts(
+        hits, code, context_lines=3, max_total_lines=150, buffer=2, min_context=1
+    )
+
+
 def q_extract_roundtrip(sf_dir: str):
     import hashlib
 
@@ -5368,7 +5407,8 @@ def oracle_catalog() -> dict[str, str]:
 
     # structural chunker twin: token-exact synthesis + line segmentation +
     # fixed-size fallback (size=120, overlap=18, step=102) all in SQL
-    out["chunks_structured"] = (
+    # (the prefix through `pieces` is shared with the rag_context twin)
+    _code_chunks_cte = (
         "WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t,\n"
         "  generate_subscripts(string_split(text, ' '), 1) AS p,\n"
         "  len(string_split(text, ' ')) AS n FROM documents),\n"
@@ -5390,8 +5430,10 @@ def oracle_catalog() -> dict[str, str]:
         "  FROM segs WHERE trim(stext, ' ' || chr(9) || chr(10) || chr(13)) <> ''),\n"
         "ch AS (SELECT ks.*, i.i AS ci FROM ks, (SELECT unnest(generate_series(0, 10000)) AS i) i WHERE i.i <= m),\n"
         "pieces AS (SELECT doc_id, seg, ci, seg_ls, substr(stext, ci * 102 + 1, 120) AS piece,\n"
-        "  substr(stext, 1, ci * 102) AS pref FROM ch)\n"
-        "SELECT doc_id,\n"
+        "  substr(stext, 1, ci * 102) AS pref FROM ch)"
+    )
+    out["chunks_structured"] = (
+        _code_chunks_cte + "\nSELECT doc_id,\n"
         "  (row_number() OVER (PARTITION BY doc_id ORDER BY seg, ci) - 1)::BIGINT AS chunk_index,\n"
         "  (count(*) OVER (PARTITION BY doc_id))::BIGINT AS total_chunks,\n"
         "  length(piece)::BIGINT AS size,\n"
@@ -5399,6 +5441,45 @@ def oracle_catalog() -> dict[str, str]:
         "  ((length(pref || piece) - length(replace(pref || piece, chr(10), '')) + 1) + seg_ls - 1)::BIGINT AS line_end,\n"
         "  md5(piece) AS chunk_md5\n"
         "FROM pieces"
+    )
+
+    # RAG context twin: hits = structural chunks containing 'spark' (score =
+    # occurrence count), ±C window (C shrunk by the ensure-all-files rule),
+    # per-doc gaps-and-islands merge, global (best-score file first) budget
+    # with truncation of the crossing island, md5 of the line slice
+    out["rag_context"] = (
+        _code_chunks_cte + ",\n"
+        "pc2 AS (SELECT doc_id, piece,\n"
+        "  ((length(pref) - length(replace(pref, chr(10), '')) + 1) + seg_ls - 1) AS ls,\n"
+        "  ((length(pref || piece) - length(replace(pref || piece, chr(10), '')) + 1) + seg_ls - 1) AS le\n"
+        "  FROM pieces),\n"
+        "hits AS (SELECT doc_id, ls, le,\n"
+        "  (length(piece) - length(replace(piece, 'spark', ''))) // 5 AS score\n"
+        "  FROM pc2 WHERE position('spark' IN piece) > 0),\n"
+        "nf AS (SELECT count(DISTINCT doc_id) AS n FROM hits),\n"
+        "cc AS (SELECT CASE WHEN n > 0 AND n * (3 + 2) > 150\n"
+        "  THEN greatest(1, 150 // n - 2) ELSE 3 END AS c FROM nf),\n"
+        "dl AS (SELECT doc_id, length(text) - length(replace(text, chr(10), '')) + 1 AS nl,\n"
+        "  text FROM d2),\n"
+        "w AS (SELECT h.doc_id, greatest(1, h.ls - cc.c) AS ws,\n"
+        "  least(dl.nl, h.le + cc.c) AS we, h.score\n"
+        "  FROM hits h CROSS JOIN cc JOIN dl ON dl.doc_id = h.doc_id),\n"
+        "wi AS (SELECT *, max(we) OVER (PARTITION BY doc_id ORDER BY ws, we, score\n"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax FROM w),\n"
+        "wk AS (SELECT *, sum(CASE WHEN pmax IS NULL OR ws > pmax + 1 THEN 1 ELSE 0 END)\n"
+        "  OVER (PARTITION BY doc_id ORDER BY ws, we, score ROWS UNBOUNDED PRECEDING) AS isl FROM wi),\n"
+        "mi AS (SELECT doc_id, isl, min(ws) AS s, max(we) AS e, max(score) AS sc\n"
+        "  FROM wk GROUP BY doc_id, isl),\n"
+        "mf AS (SELECT *, max(sc) OVER (PARTITION BY doc_id) AS fbest FROM mi),\n"
+        "go AS (SELECT *, coalesce(sum(e - s + 1) OVER (ORDER BY fbest DESC, doc_id, s\n"
+        "  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pcum FROM mf),\n"
+        "fi AS (SELECT doc_id, s,\n"
+        "  CASE WHEN pcum + (e - s + 1) <= 150 THEN e ELSE s + (150 - pcum) - 1 END AS e2, sc\n"
+        "  FROM go WHERE pcum < 150)\n"
+        "SELECT fi.doc_id, fi.s::BIGINT AS line_start, fi.e2::BIGINT AS line_end,\n"
+        "  fi.sc::BIGINT AS score,\n"
+        "  md5(array_to_string(string_split(dl.text, chr(10))[fi.s:fi.e2], chr(10))) AS content_md5\n"
+        "FROM fi JOIN dl ON dl.doc_id = fi.doc_id WHERE fi.e2 >= fi.s"
     )
 
     # SCIP-analog twins: the planted-call synthesis is closed-form, so defs /
@@ -6697,6 +6778,7 @@ _SAMPLE_FIRST = [
     "sym_impact_files",
     "sym_store_defs",
     "sym_store_refs",
+    "rag_context",
     "mm_decode_png",
     "mm_resize_png",
     # slots ~31-50: one-per-family diversification so the driver's 50-key
@@ -6845,6 +6927,7 @@ def _query_catalog_unordered():
         "sym_impact_files": q_sym_impact_files,
         "sym_store_defs": q_sym_store_defs,
         "sym_store_refs": q_sym_store_refs,
+        "rag_context": q_rag_context,
         "fts_extract_roundtrip": q_extract_roundtrip,
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,
