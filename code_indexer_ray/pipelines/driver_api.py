@@ -1747,6 +1747,34 @@ def q_chunks_structured(sf_dir: str):
     )
 
 
+def _ensure_branch_ops(index_dir: str, num_docs: int) -> None:
+    """Deterministic visibility op log (idempotent fold): hide docs ≡3 (mod
+    7) and ≡2 (mod 5) on 'feature', then unhide ≡2 (mod 10) — replaying the
+    triple is a no-op for the folded set, so partial writes self-heal."""
+    from ..index.visibility import hide_docs, op_count, unhide_docs
+
+    if op_count(index_dir) >= 3:
+        return
+    ids = range(num_docs)
+    hide_docs(index_dir, "feature", [d for d in ids if d % 7 == 3])
+    hide_docs(index_dir, "feature", [d for d in ids if d % 5 == 2])
+    unhide_docs(index_dir, "feature", [d for d in ids if d % 10 == 2])
+
+
+def q_branch_hidden(sf_dir: str):
+    """Branch-visibility filter (SURVEY J4, now NATIVE — reference
+    hidden_branches must-not filter, smart_indexer.py:2388, maintained by
+    high_throughput_processor.py:1158-1212 list add/remove): an append-only
+    hide/unhide op log beside the immutable index, folded per branch and
+    applied with the reference's ×3 over-fetch post-filter.  Query on
+    branch='feature' excludes (≡3 mod 7 ∪ ≡2 mod 5) ∖ (≡2 mod 10)."""
+    s = searcher_for(sf_dir)
+    _ensure_branch_ops(s.index_dir, s.manifest.num_docs)
+    return _bm25_table(
+        s.search("spark", limit=10, snippet_lines=0, branch="feature"), 10
+    )
+
+
 def q_rag_context(sf_dir: str):
     """RAG context extraction (reference services/rag_context_extractor.py):
     structural-chunk hits for 'spark' (score = occurrence count) → ±C line
@@ -5065,6 +5093,15 @@ def oracle_catalog() -> dict[str, str]:
         _scored_cte("'merge'", None), _overfetch_filtered(5, "url LIKE 'src1/%'")
     )
     out["fts_bm25_limit0"] = _q(_scored_cte("'window'", None), _ranked_topk(100000))
+    # branch visibility (J4): folded hidden set = (≡3 mod 7 ∪ ≡2 mod 5) ∖
+    # (≡2 mod 10), applied with the reference's over-fetch semantics
+    out["fts_branch_hidden"] = _q(
+        _scored_cte("'spark'", None),
+        _overfetch_filtered(
+            10,
+            "NOT ((doc_id % 7 = 3 OR doc_id % 5 = 2) AND doc_id % 10 <> 2)",
+        ),
+    )
 
     # proximity phrase: 'spark' then 'merge' within slop+1 positions (ordered)
     out["fts_phrase_slop"] = (
@@ -6779,6 +6816,7 @@ _SAMPLE_FIRST = [
     "sym_store_defs",
     "sym_store_refs",
     "rag_context",
+    "fts_branch_hidden",
     "mm_decode_png",
     "mm_resize_png",
     # slots ~31-50: one-per-family diversification so the driver's 50-key
@@ -6928,6 +6966,7 @@ def _query_catalog_unordered():
         "sym_store_defs": q_sym_store_defs,
         "sym_store_refs": q_sym_store_refs,
         "rag_context": q_rag_context,
+        "fts_branch_hidden": q_branch_hidden,
         "fts_extract_roundtrip": q_extract_roundtrip,
         "dedup_exact": q_dedup_exact,
         "fts_extract_html": q_extract_html,

@@ -1334,6 +1334,8 @@ class IndexSearcher:
         # reference fts_index_cache.py / <10ms repeated-query target)
         self._result_cache: dict[tuple, list[dict]] = {}
         self._result_cache_max = 256
+        # per-branch hidden-doc folds, keyed (branch, visibility op count)
+        self._vis_cache: dict[tuple[str, int], frozenset[int]] = {}
         # decoded doc-store row groups, LRU-bounded: Zipf workloads hit the
         # same hot documents' row groups over and over (block-cache analog
         # of Tantivy's store cache)
@@ -2312,6 +2314,26 @@ class IndexSearcher:
         return res[:limit] if limit > 0 else res
 
     # ---- the reference-shaped search ----
+    def _visibility_gen(self) -> int:
+        from ..index.visibility import op_count
+
+        return op_count(self.index_dir)
+
+    def _hidden_for(self, branch: str) -> frozenset[int] | None:
+        """Folded hidden-doc set for ``branch`` (reference hidden_branches
+        must-not filter, smart_indexer.py:2388) — cached per op-log length,
+        None when nothing is hidden."""
+        from ..index.visibility import hidden_ids, op_count
+
+        key = (branch, op_count(self.index_dir))
+        got = self._vis_cache.get(key)
+        if got is None:
+            got = frozenset(int(x) for x in hidden_ids(self.index_dir, branch))
+            if len(self._vis_cache) >= 64:
+                self._vis_cache.pop(next(iter(self._vis_cache)))
+            self._vis_cache[key] = got
+        return got or None
+
     def search(
         self,
         query_text: str,
@@ -2333,16 +2355,18 @@ class IndexSearcher:
         boosts: dict[str, float] | None = None,
         slop: int = 0,
         after: tuple[float, int] | None = None,
+        branch: str | None = None,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
+        vis_gen = self._visibility_gen() if branch is not None else -1
         cache_key = (
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             tuple(languages or ()), tuple(path_filters or ()),
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
             phrase, match_any, tuple(exclude_terms or ()), offset, prefix,
             tuple(should_terms or ()), tuple(sorted((boosts or {}).items())),
-            slop, after,
+            slop, after, branch, vis_gen,
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -2351,7 +2375,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
             phrase, match_any, exclude_terms, offset, prefix, should_terms,
-            boosts, slop, after,
+            boosts, slop, after, branch,
         )
         if len(self._result_cache) >= self._result_cache_max:
             self._result_cache.pop(next(iter(self._result_cache)))
@@ -2379,6 +2403,7 @@ class IndexSearcher:
         boosts: dict[str, float] | None = None,
         slop: int = 0,
         after: tuple[float, int] | None = None,
+        branch: str | None = None,
     ) -> list[dict]:
         if self.manifest.fields:
             # a multi-field dictionary holds only field-prefixed keys; a
@@ -2430,6 +2455,7 @@ class IndexSearcher:
             raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
         languages = languages or None
         path_filters = path_filters or None
+        hidden = self._hidden_for(branch) if branch is not None else None
 
         groups = self._build_groups(
             query_text, edit_distance, use_regex, match_any, prefix=prefix
@@ -2461,7 +2487,9 @@ class IndexSearcher:
             search_limit = UNLIMITED_LIMIT
             snippet_lines = 0
         else:
-            needs_increased = bool(path_filters or exclude_paths or exclude_languages)
+            needs_increased = bool(
+                path_filters or exclude_paths or exclude_languages or hidden
+            )
             depth = limit + offset  # pagination: rank depth includes skipped rows
             search_limit = depth * 3 if needs_increased else depth
 
@@ -2516,6 +2544,8 @@ class IndexSearcher:
         selected: list[tuple[int, float, str | None, str | None]] = []
         for i in order:
             doc_id, score, lang, url = hits[i]
+            if hidden is not None and doc_id in hidden:
+                continue
             if exclude_languages and lang in exclude_languages:
                 continue
             if languages and lang not in languages:

@@ -384,8 +384,11 @@ class IndexHTTPServer:
     def _hits(self, q: str, params: dict) -> list[dict]:
         limit = int(params.get("limit", 10))
         snippet_lines = int(params.get("snippet_lines", 0))
+        kw = {}
+        if params.get("branch"):  # branch-visibility filter (J4)
+            kw["branch"] = params["branch"]
         return search_query_string(
-            self.searcher, q, limit=limit, snippet_lines=snippet_lines
+            self.searcher, q, limit=limit, snippet_lines=snippet_lines, **kw
         )
 
     def _r_search(self, params: dict) -> dict:

@@ -301,3 +301,15 @@ class TestScipRoutes:
         base, _s, _srv = http_idx
         code, e = _err(_get, base + "/scip/definition?symbol=a")
         assert code == 503 and "symbol store" in e["error"]
+
+
+def test_search_branch_param(http_idx):
+    from code_indexer_ray.index.visibility import hide_docs
+
+    base, s, srv = http_idx
+    _, all_hits = _get(base + "/search?q=spark&limit=0")
+    top = all_hits["hits"][0]["doc_id"]
+    hide_docs(srv.index_dir, "httpfeat", [top])
+    _, got = _get(base + "/search?q=spark&limit=0&branch=httpfeat")
+    assert top not in {h["doc_id"] for h in got["hits"]}
+    assert len(got["hits"]) == len(all_hits["hits"]) - 1
