@@ -198,6 +198,15 @@ def main(argv: list[str] | None = None) -> int:
 
             s = IndexSearcher(args.index)
             split = lambda v: v.split(",") if v else None  # noqa: E731
+            from .query.filtercheck import check_filters
+
+            for w in check_filters(
+                include_languages=split(args.languages),
+                exclude_languages=split(args.exclude_languages),
+                include_paths=split(args.path_filters),
+                exclude_paths=split(args.exclude_paths),
+            ):
+                print(f"warning: {w.message}", file=sys.stderr)
             res = s.search(
                 args.query,
                 case_sensitive=args.case_sensitive,
@@ -378,6 +387,9 @@ def main(argv: list[str] | None = None) -> int:
                         )
                     )
         return 0
+    except ValueError as e:
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 2
     finally:
         import ray
 
