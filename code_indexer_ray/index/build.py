@@ -112,6 +112,38 @@ def _shard_lo_vec(shards: np.ndarray, num_shards: int, doc_id_upper: int) -> np.
 
 VOCAB_DIR = "vocab"
 
+
+def ensure_threadsafe_fs_imports() -> None:
+    """Make Ray's fsspec-http probe deterministic before driving Ray Data
+    pipelines from multiple driver threads.
+
+    ``fsspec.implementations.http`` raises at import when aiohttp is absent
+    (this container); Ray probes it on every path resolution and catches
+    only ``ModuleNotFoundError``.  CPython retries failed module inits, so
+    two threads resolving paths concurrently can observe the neighbor's
+    half-initialized module and get a bare ``ImportError`` ("cannot import
+    name 'HTTPFileSystem'") that Ray does NOT catch — a ~1-in-4 flake under
+    thread overlap.  When the real import fails, install a minimal stub
+    with a sentinel ``HTTPFileSystem`` (nothing is ever an instance), so
+    every later probe resolves instantly and identically.  Harmless: no
+    http filesystem can work without aiohttp anyway."""
+    import sys as _sys
+
+    try:
+        import fsspec.implementations.http  # noqa: F401
+    except ModuleNotFoundError:
+        import types
+
+        mod = types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # sentinel — never instantiated
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = mod
+    except Exception:
+        pass
+
 _FNV_OFFSET = np.uint64(0xCBF29CE484222325)
 _FNV_PRIME = np.uint64(0x100000001B3)
 
@@ -954,6 +986,7 @@ def build_index(
         if overlap > 1 and len(shard_groups) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
+            ensure_threadsafe_fs_imports()
             with ThreadPoolExecutor(max_workers=overlap) as ex:
                 list(ex.map(run_group, shard_groups))
         else:

@@ -52,6 +52,7 @@ def build_temporal_index(
     num_shards: int | None = None,
     num_buckets: int | None = None,
     resume: bool = True,
+    window_concurrency: int = 1,
 ) -> dict:
     """Build the bucketed index under ``out_root`` from a change-row table
     (schema of :func:`..temporal.history.change_rows`; any real git source
@@ -85,18 +86,48 @@ def build_temporal_index(
     )
     ds.write_parquet(part_dir, partition_cols=["tbucket"])
 
-    # bucket inventory: one tiny aggregate row per window (driver-safe)
-    stats = (
-        pads.dataset(part_dir, partitioning="hive")
-        .to_table(columns=["tbucket", "commit_day", "doc_id"])
-        .group_by("tbucket")
-        .aggregate(
-            [("commit_day", "min"), ("commit_day", "max"), ("doc_id", "count")]
+    # bucket inventory: one tiny aggregate row per window — map-side
+    # per-batch partials through a bucket-keyed groupby, so the driver sees
+    # bucket-count rows, never the change table (a 3-column to_table here
+    # was corpus-row-sized driver state)
+    def _inv_partial(t: pa.Table) -> pa.Table:
+        g = (
+            t.select(["tbucket", "commit_day"])
+            .group_by("tbucket", use_threads=False)
+            .aggregate(
+                [("commit_day", "min"), ("commit_day", "max"), ("commit_day", "count")]
+            )
         )
-        .sort_by("tbucket")
+        return pa.table(
+            {
+                "tbucket": g["tbucket"],
+                "dmin": g["commit_day_min"],
+                "dmax": g["commit_day_max"],
+                "n": g["commit_day_count"].cast(pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    stats_rows = (
+        rd.read_parquet(part_dir)
+        .map_batches(_inv_partial, batch_format="pyarrow")
+        .groupby("tbucket")
+        .aggregate(
+            Min("dmin", alias_name="commit_day_min"),
+            Max("dmax", alias_name="commit_day_max"),
+            Sum("n", alias_name="doc_id_count"),
+        )
+        .take_all()
     )
-    buckets = []
-    for row in stats.to_pylist():
+    stats_rows.sort(key=lambda r: r["tbucket"])
+
+    # per-window builds are independent pipelines over disjoint inputs and
+    # output dirs; a single small window can't saturate the cluster, so
+    # window_concurrency > 1 overlaps them from driver threads (each thread
+    # drives its own Ray Data executor).  Build output is per-window
+    # deterministic, so concurrency never changes bytes.
+    def _one(row: dict) -> dict:
         b = int(row["tbucket"])
         idx_dir = os.path.join(out_root, f"idx_{b:06d}")
         build_index(
@@ -109,15 +140,25 @@ def build_temporal_index(
             num_buckets=num_buckets,
             resume=resume,
         )
-        buckets.append(
-            {
-                "bucket": b,
-                "min_day": row["commit_day_min"],
-                "max_day": row["commit_day_max"],
-                "num_changes": int(row["doc_id_count"]),
-                "dir": f"idx_{b:06d}",
-            }
-        )
+        return {
+            "bucket": b,
+            "min_day": row["commit_day_min"],
+            "max_day": row["commit_day_max"],
+            "num_changes": int(row["doc_id_count"]),
+            "dir": f"idx_{b:06d}",
+        }
+
+    if window_concurrency > 1 and len(stats_rows) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        from ..index.build import ensure_threadsafe_fs_imports
+
+        ensure_threadsafe_fs_imports()
+        with ThreadPoolExecutor(max_workers=window_concurrency) as ex:
+            buckets = list(ex.map(_one, stats_rows))
+    else:
+        buckets = [_one(r) for r in stats_rows]
+    buckets.sort(key=lambda x: x["bucket"])
 
     manifest = {
         "bucket_days": bucket_days,

@@ -350,3 +350,51 @@ class TestAppendAndReconstruct:
         assert s.file_at(pd_, rs[-2]["commit_day"])["change_id"] == rs[-2]["change_id"]
         # unknown path
         assert s.file_at("nope/never.txt", "2025-03-12") is None
+
+
+class TestWindowConcurrency:
+    def test_concurrent_build_identical(self, ray_session, tmp_path, temporal_idx):
+        """window_concurrency overlaps per-window pipelines; output must be
+        deterministic — identical manifests and identical index segment
+        bytes vs the serial build."""
+        import hashlib
+        import os
+
+        serial_root, serial_man, chg = temporal_idx
+        chg_path = str(tmp_path / "chg.parquet")
+        pq.write_table(chg, chg_path)
+        root = str(tmp_path / "tidx_conc")
+        man = build_temporal_index(
+            chg_path, root, bucket_days=4, num_shards=2, num_buckets=1,
+            window_concurrency=3,
+        )
+        assert [
+            {k: b[k] for k in ("bucket", "min_day", "max_day", "num_changes", "dir")}
+            for b in man["buckets"]
+        ] == [
+            {k: b[k] for k in ("bucket", "min_day", "max_day", "num_changes", "dir")}
+            for b in serial_man["buckets"]
+        ]
+
+        def seg_hashes(r):
+            out = {}
+            for dp, _dn, fn in sorted(os.walk(r)):
+                for f in sorted(fn):
+                    if f.endswith(".bin") or (
+                        f.endswith(".parquet") and "changes" not in dp
+                    ):
+                        p = os.path.join(dp, f)
+                        out[os.path.relpath(p, r)] = hashlib.md5(
+                            open(p, "rb").read()
+                        ).hexdigest()
+            return out
+
+        assert seg_hashes(root) == seg_hashes(serial_root)
+
+        s1 = TemporalSearcher(serial_root)
+        s2 = TemporalSearcher(root)
+        a = s1.query("t000007", start_day="2025-03-01", end_day="2025-03-12", limit=10)
+        b = s2.query("t000007", start_day="2025-03-01", end_day="2025-03-12", limit=10)
+        assert [(h["change_id"], round(h["score"], 9)) for h in a] == [
+            (h["change_id"], round(h["score"], 9)) for h in b
+        ]
