@@ -302,6 +302,8 @@ def run() -> dict:
         docs_for_hist.map_batches(as_docs, batch_format="pyarrow").map_batches(
             change_rows, batch_format="pyarrow"
         ).write_parquet(tchg)
+        qstats["temporal_synth_sec"] = round(time.perf_counter() - t7t, 3)
+        t7t = time.perf_counter()
         build_temporal_index(tchg, tidx, bucket_days=4, num_buckets=16,
                              window_concurrency=4)
         qstats["temporal_build_sec"] = round(time.perf_counter() - t7t, 3)

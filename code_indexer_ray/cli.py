@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
         action="store_true",
         help="expose sync_repository/get_job_status tools (background builds)",
     )
+    mc.add_argument(
+        "--scip-store",
+        default=None,
+        help="symbol store dir exposing the code-intelligence tools",
+    )
 
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
@@ -277,6 +282,7 @@ def main(argv: list[str] | None = None) -> int:
                 remote=args.remote,
                 shard_group_size=args.shard_group_size,
                 enable_jobs=args.jobs,
+                scip_store=args.scip_store,
             )
             try:
                 srv.serve_stdio()

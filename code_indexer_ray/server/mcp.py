@@ -68,9 +68,12 @@ class MCPServer:
         shard_group_size: int = 1,
         enable_jobs: bool = False,
         warm: bool = False,
+        scip_store: str | None = None,
     ):
         from .http import GenerationFollower
 
+        self._scip_root = scip_store
+        self._scip = None
         self.jobs = None
         if enable_jobs:
             from .jobs import JobManager
@@ -159,9 +162,81 @@ class MCPServer:
                     [],
                 )
             )
+        if self._scip_root is not None:
+            # code-intelligence tools over the persisted symbol store
+            # (reference exposes the same verbs via scip_queries routes)
+            out.append(
+                _tool(
+                    "get_definition",
+                    "Definition sites of a symbol from the symbol store.",
+                    {"symbol": {"type": "string"}},
+                    ["symbol"],
+                )
+            )
+            out.append(
+                _tool(
+                    "get_references",
+                    "Call sites of a symbol, with enclosing callers.",
+                    {"symbol": {"type": "string"}},
+                    ["symbol"],
+                )
+            )
+            out.append(
+                _tool(
+                    "analyze_impact",
+                    "Transitive dependents of a symbol (BFS, first-visit depth).",
+                    {
+                        "symbol": {"type": "string"},
+                        "depth": {"type": "integer", "default": 3},
+                    },
+                    ["symbol"],
+                )
+            )
+            out.append(
+                _tool(
+                    "trace_call_chain",
+                    "Simple call chains from one symbol to another.",
+                    {
+                        "from_symbol": {"type": "string"},
+                        "to_symbol": {"type": "string"},
+                        "depth": {"type": "integer", "default": 3},
+                    },
+                    ["from_symbol", "to_symbol"],
+                )
+            )
         return out
 
     # ---- tool handlers --------------------------------------------------------
+
+    @property
+    def scip(self):
+        if self._scip_root is None:
+            raise ValueError("no symbol store configured (--scip-store)")
+        if self._scip is None:
+            from ..scip.store import SymbolStore
+
+            self._scip = SymbolStore(self._scip_root)
+        return self._scip
+
+    def _t_get_definition(self, p: dict) -> dict:
+        return {"definitions": self.scip.definitions(p["symbol"]).to_pylist()}
+
+    def _t_get_references(self, p: dict) -> dict:
+        return {"references": self.scip.references(p["symbol"]).to_pylist()}
+
+    def _t_analyze_impact(self, p: dict) -> dict:
+        return {
+            "impact": self.scip.analyze_impact(
+                p["symbol"], max_depth=int(p.get("depth", 3))
+            ).to_pylist()
+        }
+
+    def _t_trace_call_chain(self, p: dict) -> dict:
+        return {
+            "chains": self.scip.trace_call_chain(
+                p["from_symbol"], p["to_symbol"], max_depth=int(p.get("depth", 3))
+            ).to_pylist()
+        }
 
     def _t_search_code(self, p: dict) -> dict:
         hits = search_query_string(
@@ -229,6 +304,11 @@ class MCPServer:
             return None
         if name in ("sync_repository", "get_job_status") and self.jobs is None:
             return None  # undeclared tools are unknown tools
+        if (
+            name in ("get_definition", "get_references", "analyze_impact", "trace_call_chain")
+            and self._scip_root is None
+        ):
+            return None
         return fn
 
     @staticmethod

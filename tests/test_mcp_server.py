@@ -246,3 +246,59 @@ class TestGenerationsAndJobs:
             assert st["num_docs"] == 120
         finally:
             srv.close()
+
+
+class TestScipTools:
+    """Code-intelligence tools gated on a configured symbol store."""
+
+    @pytest.fixture(scope="class")
+    def scip_srv(self, ray_session, tmp_path_factory, mcp_idx):
+        import ray.data as rd
+
+        from code_indexer_ray.scip import build_symbol_store
+
+        _, _, idx = mcp_idx
+        tmp = tmp_path_factory.mktemp("mcp_scip")
+        t0 = "def a():\n    x b()\ndef b():\n    x c()\ndef c():\n    x x\n"
+        t1 = "def d():\n    x a()\ndef e():\n    x d()\n    x e()\n"
+        src = str(tmp / "docs.parquet")
+        pq.write_table(
+            pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": [t0, t1]}), src
+        )
+        store = str(tmp / "symstore")
+        build_symbol_store(rd.read_parquet(src), store, num_parts=4)
+        return MCPServer(idx, scip_store=store)
+
+    def test_tools_listed_only_with_store(self, scip_srv, mcp_idx):
+        plain, _, _ = mcp_idx
+        names = lambda s: {t["name"] for t in s.tools()}  # noqa: E731
+        scip_names = {"get_definition", "get_references", "analyze_impact", "trace_call_chain"}
+        assert scip_names <= names(scip_srv)
+        assert not (scip_names & names(plain))
+        # undeclared → unknown tool (protocol error) on the plain server
+        resp = plain.process(
+            {
+                "jsonrpc": "2.0",
+                "id": 1,
+                "method": "tools/call",
+                "params": {"name": "analyze_impact", "arguments": {"symbol": "c"}},
+            }
+        )
+        assert resp["error"]["code"] == INVALID_PARAMS
+
+    def test_tool_results(self, scip_srv):
+        d = _payload(_call(scip_srv, "get_definition", {"symbol": "a"}))
+        assert d["definitions"] == [{"doc_id": 0, "line": 1}]
+        r = _payload(_call(scip_srv, "get_references", {"symbol": "a"}))
+        assert r["references"] == [{"doc_id": 1, "line": 2, "caller": "d"}]
+        i = _payload(_call(scip_srv, "analyze_impact", {"symbol": "c", "depth": 3}))
+        assert i["impact"] == [
+            {"sym": "b", "depth": 1}, {"sym": "a", "depth": 2}, {"sym": "d", "depth": 3}
+        ]
+        c = _payload(_call(scip_srv, "trace_call_chain",
+                           {"from_symbol": "e", "to_symbol": "c", "depth": 4}))
+        assert c["chains"] == [{"chain": "e -> d -> a -> b -> c", "depth": 4}]
+
+    def test_search_still_works_alongside(self, scip_srv):
+        out = _payload(_call(scip_srv, "search_code", {"query": "spark", "limit": 3}))
+        assert out["total"] == 3
