@@ -304,7 +304,12 @@ def run() -> dict:
         ).write_parquet(tchg)
         qstats["temporal_synth_sec"] = round(time.perf_counter() - t7t, 3)
         t7t = time.perf_counter()
-        build_temporal_index(tchg, tidx, bucket_days=4, num_buckets=16,
+        # window layout measured at 32 cpus on 258k changes (BASELINE.md):
+        # buckets carry encode parallelism without widening the query
+        # fan-out (bucket-lazy term loads), a couple of shards carry the
+        # sort: 51.4 s (16b/1s) → 23.5 s with query p50 at parity
+        build_temporal_index(tchg, tidx, bucket_days=4, num_buckets=32,
+                             target_docs_per_shard=max(1000, N_DOCS // 2),
                              window_concurrency=4)
         qstats["temporal_build_sec"] = round(time.perf_counter() - t7t, 3)
         ts_ = TemporalSearcher(tidx)

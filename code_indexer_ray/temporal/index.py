@@ -51,6 +51,7 @@ def build_temporal_index(
     bucket_days: int = 4,
     num_shards: int | None = None,
     num_buckets: int | None = None,
+    target_docs_per_shard: int | None = None,
     resume: bool = True,
     window_concurrency: int = 1,
 ) -> dict:
@@ -130,6 +131,12 @@ def build_temporal_index(
     def _one(row: dict) -> dict:
         b = int(row["tbucket"])
         idx_dir = os.path.join(out_root, f"idx_{b:06d}")
+        bkw = {}
+        if target_docs_per_shard is not None:
+            # window parallelism: the global 250k-doc default leaves a small
+            # window as ONE sort + few encode groups — measured 35.4→10.9 s
+            # (3.2×) on a 133k-change window at 32 cpus once sharded
+            bkw["target_docs_per_shard"] = target_docs_per_shard
         build_index(
             os.path.join(part_dir, f"tbucket={b}"),
             idx_dir,
@@ -139,6 +146,7 @@ def build_temporal_index(
             num_shards=num_shards,
             num_buckets=num_buckets,
             resume=resume,
+            **bkw,
         )
         return {
             "bucket": b,
