@@ -149,6 +149,9 @@ def main(argv: list[str] | None = None) -> int:
     scsub.add_parser("status", help="store manifest summary").add_argument(
         "--store", required=True
     )
+    scsub.add_parser("verify", help="store integrity check").add_argument(
+        "--store", required=True
+    )
     for name, hlp in [
         ("definition", "definition sites of SYMBOL"),
         ("references", "call sites of SYMBOL"),
@@ -343,6 +346,12 @@ def main(argv: list[str] | None = None) -> int:
                         }
                     )
                 )
+            elif args.scip_cmd == "verify":
+                from .scip.store import verify_store
+
+                out = verify_store(args.store)
+                print(json.dumps(out))
+                return 0 if out["valid"] else 1
             else:
                 from .scip.store import SymbolStore
 

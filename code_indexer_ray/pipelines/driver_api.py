@@ -1703,6 +1703,23 @@ def q_sym_impact_files(sf_dir: str):
     return affected_files(symbol_defs(_calls_ds(sf_dir)), imp)
 
 
+def q_sym_dependencies_deep(sf_dir: str):
+    """SCIP get_dependencies with depth (scip/query/primitives.py:273,
+    depth=3): everything 'f0' calls transitively within 3 forward hops at
+    first-visit depth — the forward twin of the impact BFS."""
+    from ..scip.graph import transitive_dependencies
+
+    return transitive_dependencies(_sym_edges(sf_dir), "f0", max_depth=3)
+
+
+def q_sym_store_refs_limit(sf_dir: str):
+    """Persisted-store find-references with the reference's LIMIT
+    (primitives.py:250, limit=100 default; 25 here): rows are (sym, doc_id,
+    line)-sorted on disk, so the read walks covering row groups and stops
+    early — limit = the first 25 call sites in (doc_id, line) order."""
+    return symbol_store_for(sf_dir).references("f0", limit=25)
+
+
 def q_sym_store_defs(sf_dir: str):
     """Persisted-store DEFINITIONS point lookup (reference .scip.db,
     scip/database/queries.py): defs of 'f3' — opens exactly ONE
@@ -5580,6 +5597,24 @@ def oracle_catalog() -> dict[str, str]:
         "imp AS (SELECT sym, min(depth) AS depth FROM walk WHERE sym <> 'f0' GROUP BY sym)"
     )
     out["sym_impact"] = _sym_imp_cte + "\nSELECT sym, depth::BIGINT AS depth FROM imp"
+    out["sym_dependencies_deep"] = (
+        _sym_edges_cte
+        + "walk AS (SELECT callee AS sym, 1 AS depth FROM e WHERE caller = 'f0'\n"
+        "  UNION\n"
+        "  SELECT e2.callee, walk.depth + 1 FROM walk JOIN e e2 ON e2.caller = walk.sym\n"
+        "  WHERE walk.depth < 3),\n"
+        "dep AS (SELECT sym, min(depth) AS depth FROM walk WHERE sym <> 'f0' GROUP BY sym)\n"
+        "SELECT sym, depth::BIGINT AS depth FROM dep"
+    )
+    out["sym_store_refs_limit"] = (
+        _sym_base
+        + "b AS (SELECT doc_id, H, x.i AS j FROM p,\n"
+        "  (SELECT unnest(generate_series(0, 2000)) AS i) x WHERE x.i < n_body)\n"
+        "SELECT doc_id, (j + j // 3 + 2)::BIGINT AS line,\n"
+        "  'f' || (3 * (j // 3)) AS caller\n"
+        "FROM b WHERE 3 * ((j * 5 + 1) % H) = 0\n"
+        "ORDER BY doc_id, line LIMIT 25"
+    )
     out["sym_impact_files"] = (
         _sym_imp_cte + ",\n"
         "d AS (SELECT doc_id, 'f' || (3 * x.i) AS sym FROM p,\n"
@@ -6815,6 +6850,8 @@ _SAMPLE_FIRST = [
     "sym_impact_files",
     "sym_store_defs",
     "sym_store_refs",
+    "sym_dependencies_deep",
+    "sym_store_refs_limit",
     "rag_context",
     "fts_branch_hidden",
     "mm_decode_png",
@@ -6965,6 +7002,8 @@ def _query_catalog_unordered():
         "sym_impact_files": q_sym_impact_files,
         "sym_store_defs": q_sym_store_defs,
         "sym_store_refs": q_sym_store_refs,
+        "sym_dependencies_deep": q_sym_dependencies_deep,
+        "sym_store_refs_limit": q_sym_store_refs_limit,
         "rag_context": q_rag_context,
         "fts_branch_hidden": q_branch_hidden,
         "fts_extract_roundtrip": q_extract_roundtrip,

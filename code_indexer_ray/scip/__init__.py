@@ -8,8 +8,9 @@ from .graph import (
     dependencies,
     dependents,
     trace_call_chain,
+    transitive_dependencies,
 )
-from .store import SymbolStore, build_symbol_store, fnv64
+from .store import SymbolStore, build_symbol_store, fnv64, verify_store
 
 __all__ = [
     "affected_files",
@@ -17,7 +18,9 @@ __all__ = [
     "dependencies",
     "dependents",
     "trace_call_chain",
+    "transitive_dependencies",
     "SymbolStore",
     "build_symbol_store",
     "fnv64",
+    "verify_store",
 ]

@@ -54,37 +54,29 @@ def dependents(edges_ds, symbol: str):
     return edges_ds.map_batches(fn, batch_format="pyarrow")
 
 
-def _callers_of(edges, frontier: list[str]) -> set[str]:
-    """One BFS round: distinct callers of any frontier symbol.  The frontier
-    rides the closure (result-sized); per-batch output is deduped so only
-    distinct symbols return to the driver."""
+def _neighbors(edges, frontier: list[str], reverse: bool) -> set[str]:
+    """One BFS round: distinct callers (reverse) or callees (forward) of any
+    frontier symbol.  The frontier rides the closure (result-sized);
+    per-batch output is deduped so only distinct symbols return."""
     vals = pa.array(sorted(frontier), type=pa.string())
+    src, dst = ("callee", "caller") if reverse else ("caller", "callee")
 
     def fn(t: pa.Table) -> pa.Table:
-        m = pc.is_in(t["callee"].cast(pa.string()), value_set=vals)
-        return pa.table({"caller": t.filter(m)["caller"].unique()})
+        m = pc.is_in(t[src].cast(pa.string()), value_set=vals)
+        return pa.table({"n": t.filter(m)[dst].unique()})
 
     out = edges.map_batches(fn, batch_format="pyarrow").take_all()
-    return {r["caller"] for r in out}
+    return {r["n"] for r in out}
 
 
-def analyze_impact(edges_ds, symbol: str, max_depth: int = 3) -> pa.Table:
-    """Transitive impact of changing ``symbol``: every symbol that depends
-    on it within ``max_depth`` reverse-call hops, at its FIRST-VISIT (= min)
-    depth, root excluded — (sym, depth) ordered by (depth, sym).
-
-    Reference: ``analyze_impact`` / ``_bfs_traverse_dependents``
-    (``scip/query/composites.py:247``) — same BFS-with-seen-set semantics,
-    expressed as one broadcast-filter pass over the edge Dataset per level.
-    """
-    edges = edges_ds.materialize()
+def _bfs_table(edges, symbol: str, max_depth: int, reverse: bool) -> pa.Table:
     seen: dict[str, int] = {symbol: 0}
     frontier = [symbol]
     rows: list[tuple[str, int]] = []
     for depth in range(1, max_depth + 1):
         if not frontier:
             break
-        new = _callers_of(edges, frontier) - seen.keys()
+        new = _neighbors(edges, frontier, reverse) - seen.keys()
         for s in new:
             seen[s] = depth
             rows.append((s, depth))
@@ -96,6 +88,26 @@ def analyze_impact(edges_ds, symbol: str, max_depth: int = 3) -> pa.Table:
             "depth": pa.array([r[1] for r in rows], type=pa.int64()),
         }
     )
+
+
+def analyze_impact(edges_ds, symbol: str, max_depth: int = 3) -> pa.Table:
+    """Transitive impact of changing ``symbol``: every symbol that depends
+    on it within ``max_depth`` reverse-call hops, at its FIRST-VISIT (= min)
+    depth, root excluded — (sym, depth) ordered by (depth, sym).
+
+    Reference: ``analyze_impact`` / ``_bfs_traverse_dependents``
+    (``scip/query/composites.py:247``) — same BFS-with-seen-set semantics,
+    expressed as one broadcast-filter pass over the edge Dataset per level.
+    """
+    return _bfs_table(edges_ds.materialize(), symbol, max_depth, reverse=True)
+
+
+def transitive_dependencies(edges_ds, symbol: str, max_depth: int = 3) -> pa.Table:
+    """Transitive dependencies (what ``symbol`` calls, directly or through
+    intermediaries) within ``max_depth`` forward hops — (sym, depth), same
+    first-visit semantics as :func:`analyze_impact`.  Reference:
+    ``get_dependencies(depth=...)``, ``scip/query/primitives.py:273``."""
+    return _bfs_table(edges_ds.materialize(), symbol, max_depth, reverse=False)
 
 
 def trace_call_chain(

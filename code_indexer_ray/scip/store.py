@@ -184,6 +184,89 @@ def build_symbol_store(
     return man
 
 
+def verify_store(root: str) -> dict:
+    """Store integrity check — the reference's ``scip/database/verify.py``
+    (``SCIPDatabaseVerifier``: symbol/occurrence counts + sampled content
+    equality between the database and its source).  Checks, per part file:
+    existence, manifest row/def counts vs parquet metadata, the (sym,
+    doc_id, line) sort invariant (vectorized), hash routing (every row's
+    symbol belongs in its part), and the edge sidecar equals a recount from
+    the call rows.  One part in memory at a time; returns
+    {valid, errors, parts_checked, rows_checked}."""
+    errors: list[str] = []
+    with open(os.path.join(root, MANIFEST)) as f:
+        man = json.load(f)
+    num_parts = int(man["num_parts"])
+    rows_checked = 0
+    recount: dict[tuple[str, str], int] = {}
+    tot_rows = tot_defs = 0
+    for ent in man["parts"]:
+        p = int(ent["part"])
+        path = os.path.join(root, f"part-{p:05d}.parquet")
+        if not os.path.exists(path):
+            errors.append(f"part {p}: file missing")
+            continue
+        t = pq.read_table(path)
+        rows_checked += t.num_rows
+        if t.num_rows != int(ent["rows"]):
+            errors.append(f"part {p}: rows {t.num_rows} != manifest {ent['rows']}")
+        n_defs = int(pc.sum(pc.equal(t["kind"], "def")).as_py() or 0)
+        if n_defs != int(ent["n_defs"]):
+            errors.append(f"part {p}: defs {n_defs} != manifest {ent['n_defs']}")
+        tot_rows += t.num_rows
+        tot_defs += n_defs
+        if t.num_rows:
+            key = pa.table(
+                {"sym": t["sym"], "doc_id": t["doc_id"], "line": t["line"]}
+            )
+            order = pc.sort_indices(
+                key,
+                sort_keys=[("sym", "ascending"), ("doc_id", "ascending"), ("line", "ascending")],
+            ).to_numpy(zero_copy_only=False)
+            if not (order == np.arange(len(order))).all():
+                errors.append(f"part {p}: rows not (sym, doc_id, line)-sorted")
+            uniq = t["sym"].combine_chunks().unique()
+            hp = _hash64_batch(uniq) % np.uint64(num_parts)
+            if not (hp == np.uint64(p)).all():
+                errors.append(f"part {p}: contains symbols routed to other parts")
+            calls = t.filter(
+                pc.and_(pc.equal(t["kind"], "call"), pc.is_valid(t["caller"]))
+            )
+            g = (
+                pa.table({"caller": calls["caller"], "callee": calls["sym"]})
+                .group_by(["caller", "callee"], use_threads=False)
+                .aggregate([("callee", "count")])
+            )
+            for r in g.to_pylist():
+                k = (r["caller"], r["callee"])
+                recount[k] = recount.get(k, 0) + int(r["callee_count"])
+    if tot_rows != int(man["total_rows"]):
+        errors.append(f"total_rows {tot_rows} != manifest {man['total_rows']}")
+    if tot_defs != int(man["total_defs"]):
+        errors.append(f"total_defs {tot_defs} != manifest {man['total_defs']}")
+    e = pads.dataset(os.path.join(root, EDGES_DIR)).to_table()
+    stored = {
+        (c, d): int(n)
+        for c, d, n in zip(
+            e["caller"].to_pylist(), e["callee"].to_pylist(), e["n_calls"].to_pylist()
+        )
+    }
+    if stored != recount:
+        extra = set(stored) - set(recount)
+        missing = set(recount) - set(stored)
+        wrong = {k for k in set(stored) & set(recount) if stored[k] != recount[k]}
+        errors.append(
+            f"edge sidecar mismatch: {len(extra)} extra, {len(missing)} missing, "
+            f"{len(wrong)} wrong counts"
+        )
+    return {
+        "valid": not errors,
+        "errors": errors,
+        "parts_checked": len(man["parts"]),
+        "rows_checked": rows_checked,
+    }
+
+
 class SymbolStore:
     """Point-lookup reader over a built store (see module docstring)."""
 
@@ -193,31 +276,78 @@ class SymbolStore:
             self.manifest = json.load(f)
         self.num_parts = int(self.manifest["num_parts"])
         self._edges: pa.Table | None = None
+        # per-part (ParquetFile, sym row-group min/max) — stats once per part
+        self._parts: dict[str, tuple] = {}
 
     def _part_path(self, sym: str) -> str:
         return os.path.join(
             self.root, f"part-{fnv64(sym) % self.num_parts:05d}.parquet"
         )
 
-    def occurrences(self, sym: str, kind: str | None = None) -> pa.Table:
-        """All occurrence rows for one symbol: ONE part file, row-group
-        stats prune the sorted sym column to the covering groups."""
+    def _part(self, path: str):
+        got = self._parts.get(path)
+        if got is None:
+            pf = pq.ParquetFile(path)
+            sym_idx = pf.schema_arrow.get_field_index("sym")
+            mins, maxs = [], []
+            for i in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(i).column(sym_idx).statistics
+                mins.append(st.min)
+                maxs.append(st.max)
+            got = (pf, mins, maxs)
+            if len(self._parts) >= 64:
+                self._parts.pop(next(iter(self._parts)))
+            self._parts[path] = got
+        return got
+
+    def occurrences(
+        self, sym: str, kind: str | None = None, limit: int | None = None
+    ) -> pa.Table:
+        """Occurrence rows for one symbol: ONE part file; the sorted sym
+        column makes matching row groups CONTIGUOUS, so the read walks only
+        the covering groups and — rows being (sym, doc_id, line)-sorted —
+        stops early once ``limit`` rows are collected (the reference's
+        find_references(limit=100), primitives.py:250)."""
         path = self._part_path(sym)
         if not os.path.exists(path):
             from ..text.symbols import _empty
 
             t = _empty()
             return t if kind is None else t.filter(pc.equal(t["kind"], kind))
-        flt = pc.field("sym") == sym
-        if kind is not None:
-            flt = flt & (pc.field("kind") == kind)
-        return pads.dataset(path).to_table(filter=flt)
+        pf, mins, maxs = self._part(path)
+        parts = []
+        got = 0
+        for i in range(len(mins)):
+            if mins[i] > sym:
+                break
+            if maxs[i] < sym:
+                continue
+            t = pf.read_row_group(i)
+            m = pc.equal(t["sym"], sym)
+            if kind is not None:
+                m = pc.and_(m, pc.equal(t["kind"], kind))
+            t = t.filter(m)
+            if t.num_rows:
+                parts.append(t)
+                got += t.num_rows
+                if limit is not None and got >= limit:
+                    break
+        if not parts:
+            from ..text.symbols import _empty
 
-    def definitions(self, sym: str) -> pa.Table:
-        return self.occurrences(sym, kind="def").select(["doc_id", "line"])
+            return _empty()
+        out = pa.concat_tables(parts)
+        return out.slice(0, limit) if limit is not None else out
 
-    def references(self, sym: str) -> pa.Table:
-        return self.occurrences(sym, kind="call").select(["doc_id", "line", "caller"])
+    def definitions(self, sym: str, limit: int | None = None) -> pa.Table:
+        return self.occurrences(sym, kind="def", limit=limit).select(
+            ["doc_id", "line"]
+        )
+
+    def references(self, sym: str, limit: int | None = None) -> pa.Table:
+        return self.occurrences(sym, kind="call", limit=limit).select(
+            ["doc_id", "line", "caller"]
+        )
 
     def edges(self) -> pa.Table:
         """The aggregated call graph (symbols²-bounded — the reference's
@@ -258,6 +388,31 @@ class SymbolStore:
             nxt: set[str] = set()
             for s in frontier:
                 nxt.update(radj.get(s, ()))
+            new = nxt - seen
+            seen |= new
+            rows.extend((s, depth) for s in new)
+            frontier = sorted(new)
+            if not frontier:
+                break
+        rows.sort(key=lambda r: (r[1], r[0]))
+        return pa.table(
+            {
+                "sym": pa.array([r[0] for r in rows], type=pa.string()),
+                "depth": pa.array([r[1] for r in rows], type=pa.int64()),
+            }
+        )
+
+    def transitive_dependencies(self, sym: str, max_depth: int = 3) -> pa.Table:
+        """(sym, depth) forward BFS — identical semantics to
+        :func:`..scip.graph.transitive_dependencies` (parity-tested)."""
+        adj = self._adj(reverse=False)
+        seen = {sym}
+        frontier = [sym]
+        rows: list[tuple[str, int]] = []
+        for depth in range(1, max_depth + 1):
+            nxt: set[str] = set()
+            for s in frontier:
+                nxt.update(adj.get(s, ()))
             new = nxt - seen
             seen |= new
             rows.extend((s, depth) for s in new)

@@ -159,3 +159,64 @@ def test_store_empty_corpus(ray_session, tmp_path):
     s = SymbolStore(root)
     assert s.definitions("a").num_rows == 0
     assert s.analyze_impact("a", 3).num_rows == 0
+
+
+def test_transitive_dependencies(edges, store):
+    from code_indexer_ray.scip import transitive_dependencies
+
+    t = transitive_dependencies(edges, "e", max_depth=4)
+    # forward from e: d(1) [e self-loop excluded], a(2), b(3), c(4)
+    assert t.to_pydict() == {"sym": ["d", "a", "b", "c"], "depth": [1, 2, 3, 4]}
+    s, _ = store
+    assert s.transitive_dependencies("e", 4).equals(t)
+    assert transitive_dependencies(edges, "c", 3).num_rows == 0
+
+
+def test_reference_limit_early_stop(store):
+    s, _ = store
+    full = s.references("a")
+    lim = s.references("a", limit=1)
+    assert lim.num_rows == min(1, full.num_rows)
+    assert lim.to_pylist() == full.to_pylist()[:1]
+    # limit larger than result: identical
+    assert s.references("a", limit=99).equals(full)
+    assert s.definitions("a", limit=1).num_rows == 1
+
+
+def test_verify_store_clean_and_corrupt(store, tmp_path):
+    import json
+    import os
+    import shutil
+
+    from code_indexer_ray.scip import verify_store
+
+    s, _ = store
+    out = verify_store(s.root)
+    assert out["valid"], out["errors"]
+    assert out["rows_checked"] == s.manifest["total_rows"]
+
+    # corrupt a copy: claim one extra def in the manifest + tamper an edge
+    bad = str(tmp_path / "bad_store")
+    shutil.copytree(s.root, bad)
+    man = json.load(open(os.path.join(bad, "manifest.json")))
+    man["parts"][0]["n_defs"] += 1
+    json.dump(man, open(os.path.join(bad, "manifest.json"), "w"))
+    import pyarrow.parquet as _pq
+
+    edir = os.path.join(bad, "edges")
+    efile = sorted(
+        os.path.join(edir, f) for f in os.listdir(edir) if f.endswith(".parquet")
+    )[0]
+    t = _pq.read_table(efile)
+    import pyarrow.compute as _pc
+
+    t = t.set_column(
+        t.schema.get_field_index("n_calls"),
+        "n_calls",
+        _pc.add(t["n_calls"], 1),
+    )
+    _pq.write_table(t, efile)
+    out = verify_store(bad)
+    assert not out["valid"]
+    assert any("n_defs" in e or "defs" in e for e in out["errors"])
+    assert any("edge sidecar" in e for e in out["errors"])
