@@ -40,6 +40,57 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def format_contexts(
+    contexts: list[dict],
+    *,
+    include_line_numbers: bool = True,
+    max_chars: int = 50_000,
+) -> str:
+    """Render extracted contexts as a prompt block (reference
+    ``format_contexts_for_prompt``, ``rag_context_extractor.py:295`` —
+    minus its repo-specific path guessing): one ``## Context i`` header per
+    context with line range + relevance tier (HIGH >0.8 / MEDIUM >0.5 /
+    LOW), a line-numbered fenced code block, and a global character budget
+    that truncates the crossing section and notes the cut.
+
+    ``contexts``: dicts with ``path`` (or doc_id), ``line_start``,
+    ``line_end``, ``score``, ``content``, optional ``language`` /
+    ``total_lines``."""
+    if not contexts:
+        return "No relevant code contexts found."
+    parts: list[str] = []
+    total = 0
+    for i, c in enumerate(contexts, 1):
+        where = c.get("path") or f"doc {c.get('doc_id')}"
+        lang = c.get("language") or ""
+        score = float(c.get("score", 0.0))
+        tier = "HIGH" if score > 0.8 else "MEDIUM" if score > 0.5 else "LOW"
+        header = f"\n## Context {i}: {where}" + (f" ({lang})" if lang else "")
+        span = f"{c['line_start']}-{c['line_end']}"
+        if c.get("total_lines"):
+            span += f"/{c['total_lines']}"
+        header += f"\n**Lines {span}** | **Relevance: {score:.3f} ({tier})**\n"
+        content = c.get("content", "")
+        if include_line_numbers:
+            content = "\n".join(
+                f"{int(c['line_start']) + j:4d}: {line}"
+                for j, line in enumerate(content.split("\n"))
+            )
+        section = header + f"```{lang}\n{content}\n```\n"
+        if total + len(section) > max_chars:
+            remaining = max_chars - total
+            if remaining > 100:
+                parts.append(section[: remaining - 50] + "\n... [truncated]\n```\n")
+            parts.append(
+                f"\n*Note: output truncated at {max_chars:,} characters; "
+                f"{len(contexts)} contexts available.*"
+            )
+            break
+        parts.append(section)
+        total += len(section)
+    return "".join(parts)
+
+
 def _empty() -> pa.Table:
     return pa.table(
         {

@@ -142,3 +142,37 @@ def test_empty_hits(docs_ds):
     )
     assert out.num_rows == 0
     assert out.column_names == ["doc_id", "line_start", "line_end", "score", "content_md5"]
+
+
+def test_format_contexts():
+    from code_indexer_ray.query.ragctx import format_contexts
+
+    assert format_contexts([]) == "No relevant code contexts found."
+    ctxs = [
+        {"path": "a.py", "language": "python", "line_start": 3, "line_end": 4,
+         "total_lines": 10, "score": 0.91, "content": "x = 1\ny = 2"},
+        {"doc_id": 7, "line_start": 1, "line_end": 1, "score": 0.4,
+         "content": "hello"},
+    ]
+    out = format_contexts(ctxs)
+    assert "## Context 1: a.py (python)" in out
+    assert "**Lines 3-4/10** | **Relevance: 0.910 (HIGH)**" in out
+    assert "   3: x = 1\n   4: y = 2" in out
+    assert "## Context 2: doc 7" in out and "(LOW)" in out
+    # no line numbers
+    plain = format_contexts(ctxs, include_line_numbers=False)
+    assert "x = 1\ny = 2" in plain and "   3:" not in plain
+
+
+def test_format_contexts_budget():
+    from code_indexer_ray.query.ragctx import format_contexts
+
+    ctxs = [
+        {"path": f"f{i}.py", "line_start": 1, "line_end": 2, "score": 0.9,
+         "content": "A" * 400}
+        for i in range(10)
+    ]
+    out = format_contexts(ctxs, max_chars=1200)
+    assert len(out) <= 1400  # budget + truncation note
+    assert "truncated" in out
+    assert out.count("## Context") < 10
