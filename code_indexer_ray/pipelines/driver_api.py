@@ -3022,6 +3022,74 @@ def q_ann_range(sf_dir: str):
     return out.drop_columns(["cos"]).append_column("cos_r", cos_r)
 
 
+_QUANTPATH_STORES: dict[str, object] = {}
+
+
+def quantpath_store_for(sf_dir: str):
+    """Quantized-path vector store (reference filesystem_vector_store
+    layout), built once per sf_dir with the md5-hash projection."""
+    s = _QUANTPATH_STORES.get(sf_dir)
+    if s is None:
+        import ray.data as rd
+
+        from ..ann.quantpath import QuantPathSearcher, build_quantpath_store
+
+        root = os.path.join(_corpus_dir(sf_dir), "quantpath")
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+        )
+        build_quantpath_store(ds, root)
+        s = QuantPathSearcher(root)
+        _QUANTPATH_STORES[sf_dir] = s
+    return s
+
+
+def q_ann_quantpath_hex(sf_dir: str):
+    """Quantized-path KERNEL (reference storage/vector_quantizer.py:37-126:
+    random projection → fixed-range 2-bit quantization → 32-char hex path),
+    md5-hash projection so the twin derives the SAME matrix with
+    md5_number_lower — every (vec_id, hexpath) exact."""
+    import ray.data as rd
+
+    from ..ann.quantpath import hash_projection_matrix, quantize_batch
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    dim = len(ds.take(1)[0]["embedding"])
+    proj = hash_projection_matrix(dim, 64)
+    import ray
+
+    pref = ray.put(proj)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        pm = ray.get(pref)
+        mat = np.asarray(batch["embedding"].to_pylist(), dtype=np.float64)
+        hexes = quantize_batch(mat, pm) if len(mat) else []
+        return pa.table(
+            {
+                "vec_id": batch["vec_id"].cast(pa.int64()),
+                "hexpath": pa.array(hexes, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def q_ann_quantpath(sf_dir: str):
+    """Approximate ANN over the quantized-path store (reference
+    filesystem_vector_store bucketing): exact cosine inside the nprobe
+    prefix-nearest buckets — no SQL oracle (approximate by design; recall
+    gate vs the exact ann_cosine result in tests).  Measured on this
+    table: recall@10 = 1.0 at nprobe=12/16 buckets (0.725 at 8, 0.4 at 4 —
+    the 2-char prefix covers only 4 of 64 quantized dims, so routing is
+    coarse at 500 vectors; larger corpora deepen the populated prefix)."""
+    qs = _load_queries(sf_dir)
+    return quantpath_store_for(sf_dir).topk(
+        qs, np.array(ANN_QUERY_IDS), k=10, nprobe=12
+    )
+
+
 def q_ann_lsh(sf_dir: str):
     """Approximate ANN (LSH-bucketed) — no SQL oracle (approximate by design)."""
     import ray.data as rd
@@ -5606,6 +5674,31 @@ def oracle_catalog() -> dict[str, str]:
         "dep AS (SELECT sym, min(depth) AS depth FROM walk WHERE sym <> 'f0' GROUP BY sym)\n"
         "SELECT sym, depth::BIGINT AS depth FROM dep"
     )
+    # quantized-path kernel twin: the md5-uniform projection matrix derives
+    # IN SQL (md5_number_lower ≡ python md5_lower64; /2⁶⁴, −0.5, ×√(12/64)
+    # are exact IEEE doubles on both sides); the 6-dp pre-round freezes the
+    # sum order, then clip → ×3.999 floor → 2-bit pairs → 32 hex chars
+    out["ann_quantpath_hex"] = (
+        "WITH e AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,\n"
+        "  unnest(embedding) AS x FROM embeddings),\n"
+        "dj AS (SELECT unnest(generate_series(1, 64)) AS j),\n"
+        "di AS (SELECT DISTINCT i FROM e),\n"
+        "m AS (SELECT di.i, dj.j,\n"
+        "  (md5_number_lower('qp:' || (di.i - 1) || ':' || (dj.j - 1))\n"
+        "     / 18446744073709551616.0 - 0.5) * sqrt(12.0 / 64.0) AS v\n"
+        "  FROM di CROSS JOIN dj),\n"
+        "p AS (SELECT e.vec_id, m.j,\n"
+        "  round(sum(CAST(e.x AS DOUBLE) * m.v), 6) AS pv\n"
+        "  FROM e JOIN m ON m.i = e.i GROUP BY e.vec_id, m.j),\n"
+        "q AS (SELECT vec_id, j, least(3, greatest(0,\n"
+        "  CAST(floor((least(greatest(pv, -2.0), 2.0) + 2.0) / 4.0 * 3.999) AS INT)\n"
+        "  )) AS qv FROM p),\n"
+        "nib AS (SELECT vec_id, (j + 1) // 2 AS n,\n"
+        "  sum(CASE WHEN j % 2 = 1 THEN qv * 4 ELSE qv END) AS nv\n"
+        "  FROM q GROUP BY vec_id, (j + 1) // 2)\n"
+        "SELECT vec_id, string_agg(printf('%x', nv::INT), '' ORDER BY n) AS hexpath\n"
+        "FROM nib GROUP BY vec_id"
+    )
     out["sym_store_refs_limit"] = (
         _sym_base
         + "b AS (SELECT doc_id, H, x.i AS j FROM p,\n"
@@ -6853,6 +6946,8 @@ _SAMPLE_FIRST = [
     "sym_dependencies_deep",
     "sym_store_refs_limit",
     "rag_context",
+    "ann_quantpath_hex",
+    "ann_quantpath",
     "fts_branch_hidden",
     "mm_decode_png",
     "mm_resize_png",
@@ -7004,6 +7099,8 @@ def _query_catalog_unordered():
         "sym_store_refs": q_sym_store_refs,
         "sym_dependencies_deep": q_sym_dependencies_deep,
         "sym_store_refs_limit": q_sym_store_refs_limit,
+        "ann_quantpath_hex": q_ann_quantpath_hex,
+        "ann_quantpath": q_ann_quantpath,
         "rag_context": q_rag_context,
         "fts_branch_hidden": q_branch_hidden,
         "fts_extract_roundtrip": q_extract_roundtrip,
