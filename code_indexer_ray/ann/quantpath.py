@@ -43,7 +43,12 @@ def projection_matrix(input_dim: int, output_dim: int = 64, seed: int | None = N
     the reference construction (projection_matrix_manager.py:26-56,
     including the legacy np.random.seed API and the auto-seed hash)."""
     if seed is None:
-        seed = hash(f"projection_matrix_{input_dim}_{output_dim}") % (2**32)
+        # stable auto-seed (the reference uses hash(), which is
+        # PYTHONHASHSEED-salted and NOT reproducible across processes —
+        # crc32 keeps the documented determinism actually true)
+        import zlib
+
+        seed = zlib.crc32(f"projection_matrix_{input_dim}_{output_dim}".encode())
     np.random.seed(seed)
     m = np.random.randn(input_dim, output_dim)
     m /= np.sqrt(output_dim)
@@ -112,7 +117,11 @@ def build_quantpath_store(
     mpath = os.path.join(out_dir, MANIFEST)
     if os.path.exists(mpath):
         with open(mpath) as f:
-            return json.load(f)
+            man = json.load(f)
+        # reuse only when the build parameters match (content staleness is
+        # the caller's contract, as with the other stores)
+        if man.get("projection") == projection and man.get("seed") == seed:
+            return man
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 

@@ -1804,9 +1804,12 @@ def q_rag_context(sf_dir: str):
     from ..query.ragctx import extract_contexts
     from ..text.structured import structured_chunk_batch, synthesize_code_batch
 
+    # three consumers (hits pass + extract passes A/B): materialize the
+    # synthesized corpus once so the parquet read + synthesis don't rerun
+    # per pass (blocks stay in the object store, still batch-streamed)
     code = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
         synthesize_code_batch, batch_format="pyarrow"
-    )
+    ).materialize()
 
     def hits_fn(batch: pa.Table) -> pa.Table:
         t = structured_chunk_batch(batch, language="python", max_chars=120)

@@ -283,12 +283,26 @@ def _glob_to_regex(glob: str) -> str:
     return "".join(out)
 
 
+def _branch_filtered(searcher, branch: str | None, limit: int, run) -> list[dict]:
+    """Branch-visibility for routes whose engines don't take ``branch``:
+    the engine's own over-fetch semantics applied here — fetch 3× limit
+    (everything when limit=0), drop hidden docs, cut at limit."""
+    if branch is None:
+        return run(limit)
+    hidden = searcher._hidden_for(branch)
+    if not hidden:
+        return run(limit)
+    rows = run(limit * 3 if limit else 0)
+    kept = [r for r in rows if r["doc_id"] not in hidden]
+    return kept[:limit] if limit else kept
+
+
 def search_query_string(searcher, q: str, **extra) -> list[dict]:
     """Parse ``q`` and execute it on an :class:`IndexSearcher`.  Mixed
     AND/OR strings compile to the DNF route (``search_dnf``) and
     ``field:term`` clauses to ``search_fields`` — both accept only ``limit``
-    from the extra kwargs (their rows carry no snippets, so a disabled
-    ``snippet_lines`` is tolerated and a requested one raises)."""
+    (and ``branch``) from the extra kwargs (their rows carry no snippets, so
+    a disabled ``snippet_lines`` is tolerated and a requested one raises)."""
     idx_fields = searcher.manifest.fields
     kwargs = parse_query(q, fields=set(idx_fields) if idx_fields else None)
     f_must = kwargs.pop("fielded_must", None)
@@ -298,10 +312,15 @@ def search_query_string(searcher, q: str, **extra) -> list[dict]:
         snip = extra.pop("snippet_lines", 0)
         if snip:
             raise ValueError("field:term queries do not produce snippets")
+        branch = extra.pop("branch", None)
         bad = set(extra) - {"limit"}
         if bad:
             raise ValueError(f"field:term queries support only limit, got {sorted(bad)}")
-        return searcher.search_fields(f_must, f_should or None, **extra)
+        limit = int(extra.get("limit", 10))
+        return _branch_filtered(
+            searcher, branch, limit,
+            lambda lim: searcher.search_fields(f_must, f_should or None, limit=lim),
+        )
     dnf = kwargs.pop("dnf_clauses", None)
     if dnf is not None:
         # DNF rows carry only (doc_id, score) — snippets are unavailable, so
@@ -311,8 +330,12 @@ def search_query_string(searcher, q: str, **extra) -> list[dict]:
         snip = extra.pop("snippet_lines", 0)
         if snip:
             raise ValueError("DNF (mixed AND/OR) queries do not produce snippets")
+        branch = extra.pop("branch", None)
         bad = set(extra) - {"limit"}
         if bad:
             raise ValueError(f"DNF queries support only limit, got {sorted(bad)}")
-        return searcher.search_dnf(dnf, **extra)
+        limit = int(extra.get("limit", 10))
+        return _branch_filtered(
+            searcher, branch, limit, lambda lim: searcher.search_dnf(dnf, limit=lim)
+        )
     return searcher.search(**kwargs, **extra)

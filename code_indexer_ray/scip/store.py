@@ -82,11 +82,20 @@ def build_symbol_store(
         try:
             with open(mpath) as f:
                 man = json.load(f)
-            if fingerprint is None or man.get("fingerprint") == fingerprint:
+            # a complete store is reused only when its recorded parameters
+            # match; content staleness is the caller's contract via
+            # fingerprint= (same as build_index)
+            if man.get("num_parts") == num_parts and (
+                fingerprint is None or man.get("fingerprint") == fingerprint
+            ):
                 return man
         except (OSError, ValueError):
             pass
-        shutil.rmtree(out_dir, ignore_errors=True)
+    # no manifest = a partial/param-mismatched build: stale part files would
+    # survive the groupby rewrite (a rerun with fewer parts, or a part that
+    # gets zero rows) and pollute point reads AND the edge read-back glob —
+    # always start from an empty dir
+    shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
     def occ(batch: pa.Table) -> pa.Table:
@@ -377,35 +386,11 @@ class SymbolStore:
             adj.setdefault(k, []).append(v)
         return adj
 
-    def analyze_impact(self, sym: str, max_depth: int = 3) -> pa.Table:
-        """(sym, depth) BFS over reverse edges — identical semantics to
-        :func:`..scip.graph.analyze_impact` (parity-tested)."""
-        radj = self._adj(reverse=True)
-        seen = {sym}
-        frontier = [sym]
-        rows: list[tuple[str, int]] = []
-        for depth in range(1, max_depth + 1):
-            nxt: set[str] = set()
-            for s in frontier:
-                nxt.update(radj.get(s, ()))
-            new = nxt - seen
-            seen |= new
-            rows.extend((s, depth) for s in new)
-            frontier = sorted(new)
-            if not frontier:
-                break
-        rows.sort(key=lambda r: (r[1], r[0]))
-        return pa.table(
-            {
-                "sym": pa.array([r[0] for r in rows], type=pa.string()),
-                "depth": pa.array([r[1] for r in rows], type=pa.int64()),
-            }
-        )
-
-    def transitive_dependencies(self, sym: str, max_depth: int = 3) -> pa.Table:
-        """(sym, depth) forward BFS — identical semantics to
-        :func:`..scip.graph.transitive_dependencies` (parity-tested)."""
-        adj = self._adj(reverse=False)
+    def _bfs(self, sym: str, max_depth: int, reverse: bool) -> pa.Table:
+        """First-visit-depth BFS over the in-memory adjacency — ONE
+        implementation for both directions, semantics identical to
+        :func:`..scip.graph._bfs_table` (parity-tested)."""
+        adj = self._adj(reverse=reverse)
         seen = {sym}
         frontier = [sym]
         rows: list[tuple[str, int]] = []
@@ -426,6 +411,16 @@ class SymbolStore:
                 "depth": pa.array([r[1] for r in rows], type=pa.int64()),
             }
         )
+
+    def analyze_impact(self, sym: str, max_depth: int = 3) -> pa.Table:
+        """(sym, depth) BFS over reverse edges — identical semantics to
+        :func:`..scip.graph.analyze_impact` (parity-tested)."""
+        return self._bfs(sym, max_depth, reverse=True)
+
+    def transitive_dependencies(self, sym: str, max_depth: int = 3) -> pa.Table:
+        """(sym, depth) forward BFS — identical semantics to
+        :func:`..scip.graph.transitive_dependencies` (parity-tested)."""
+        return self._bfs(sym, max_depth, reverse=False)
 
     def trace_call_chain(
         self, frm: str, to: str, max_depth: int = 3, max_chains: int | None = None

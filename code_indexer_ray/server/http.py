@@ -144,6 +144,11 @@ class IndexHTTPServer:
     ):
         self._scip_root = scip_store
         self._scip = None
+        # SymbolStore's part cache + shared ParquetFile handles are not
+        # thread-safe; scip routes serialize under their own lock (separate
+        # from the searcher lock so code-intel and search don't queue on
+        # each other)
+        self._scip_lock = threading.Lock()
         self.jobs = None
         if enable_jobs:
             from .jobs import JobManager
@@ -308,50 +313,52 @@ class IndexHTTPServer:
             self._reply(h, 503, {"error": "no symbol store configured (--scip-store)"})
             return
         try:
-            if self._scip is None:
-                from ..scip.store import SymbolStore
-
-                self._scip = SymbolStore(self._scip_root)
-            s = self._scip
-
-            def need(key: str) -> str:
-                v = params.get(key)
-                if not v:
-                    raise ValueError(f"missing required parameter {key!r}")
-                return v
-
-            if route == "/scip/definition":
-                out = {"definitions": s.definitions(need("symbol")).to_pylist()}
-            elif route == "/scip/references":
-                out = {"references": s.references(need("symbol")).to_pylist()}
-            elif route == "/scip/dependencies":
-                out = {"dependencies": s.dependencies(need("symbol")).to_pylist()}
-            elif route == "/scip/dependents":
-                out = {"dependents": s.dependents(need("symbol")).to_pylist()}
-            elif route == "/scip/impact":
-                out = {
-                    "impact": s.analyze_impact(
-                        need("symbol"), max_depth=int(params.get("depth", 3))
-                    ).to_pylist()
-                }
-            elif route == "/scip/callchain":
-                mc = params.get("max_chains")
-                out = {
-                    "chains": s.trace_call_chain(
-                        need("from"),
-                        need("to"),
-                        max_depth=int(params.get("depth", 3)),
-                        max_chains=int(mc) if mc is not None else None,
-                    ).to_pylist()
-                }
-            else:
-                self._reply(h, 404, {"error": f"unknown route {route!r}"})
-                return
+            with self._scip_lock:
+                return self._scip_call(h, route, params)
         except ValueError as e:
             self._reply(h, 400, {"error": str(e)})
-            return
         except Exception as e:  # noqa: BLE001 — the server must not die on a bad request
             self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    def _scip_call(self, h, route: str, params: dict) -> None:
+        if self._scip is None:
+            from ..scip.store import SymbolStore
+
+            self._scip = SymbolStore(self._scip_root)
+        s = self._scip
+
+        def need(key: str) -> str:
+            v = params.get(key)
+            if not v:
+                raise ValueError(f"missing required parameter {key!r}")
+            return v
+
+        if route == "/scip/definition":
+            out = {"definitions": s.definitions(need("symbol")).to_pylist()}
+        elif route == "/scip/references":
+            out = {"references": s.references(need("symbol")).to_pylist()}
+        elif route == "/scip/dependencies":
+            out = {"dependencies": s.dependencies(need("symbol")).to_pylist()}
+        elif route == "/scip/dependents":
+            out = {"dependents": s.dependents(need("symbol")).to_pylist()}
+        elif route == "/scip/impact":
+            out = {
+                "impact": s.analyze_impact(
+                    need("symbol"), max_depth=int(params.get("depth", 3))
+                ).to_pylist()
+            }
+        elif route == "/scip/callchain":
+            mc = params.get("max_chains")
+            out = {
+                "chains": s.trace_call_chain(
+                    need("from"),
+                    need("to"),
+                    max_depth=int(params.get("depth", 3)),
+                    max_chains=int(mc) if mc is not None else None,
+                ).to_pylist()
+            }
+        else:
+            self._reply(h, 404, {"error": f"unknown route {route!r}"})
             return
         self._reply(h, 200, out)
 

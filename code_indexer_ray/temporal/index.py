@@ -101,7 +101,9 @@ def build_temporal_index(
         )
         return pa.table(
             {
-                "tbucket": g["tbucket"],
+                # hive partition values read back as strings — normalize so
+                # bucket ordering is numeric, not lexicographic
+                "tbucket": g["tbucket"].cast(pa.string()).cast(pa.int64()),
                 "dmin": g["commit_day_min"],
                 "dmax": g["commit_day_max"],
                 "n": g["commit_day_count"].cast(pa.int64()),
@@ -111,7 +113,9 @@ def build_temporal_index(
     from ray.data.aggregate import Max, Min, Sum
 
     stats_rows = (
-        rd.read_parquet(part_dir)
+        # prune to the two inventory columns — the full change rows (text
+        # dominating) must not stream through this pass
+        rd.read_parquet(part_dir, columns=["tbucket", "commit_day"])
         .map_batches(_inv_partial, batch_format="pyarrow")
         .groupby("tbucket")
         .aggregate(

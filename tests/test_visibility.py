@@ -113,3 +113,70 @@ def test_limited_search_overfetch_matches_manual(branch_idx):
     assert [(h["doc_id"], h["score"]) for h in got] == [
         (h["doc_id"], h["score"]) for h in want
     ]
+
+
+def test_branch_on_dnf_and_fielded_queries(branch_idx):
+    from code_indexer_ray.query.parser import search_query_string
+
+    idx, s = branch_idx
+    base = search_query_string(s, "spark OR (merge AND window)", limit=0, snippet_lines=0)
+    assert base
+    victim = base[0]["doc_id"]
+    hide_docs(idx, "dnfb", [victim])
+    got = search_query_string(
+        s, "spark OR (merge AND window)", limit=0, snippet_lines=0, branch="dnfb"
+    )
+    assert victim not in {h["doc_id"] for h in got}
+    assert len(got) == len(base) - 1
+    # unknown branch: results unchanged (no hidden set → no over-fetch)
+    same = search_query_string(
+        s, "spark OR (merge AND window)", limit=0, snippet_lines=0, branch="nope"
+    )
+    assert [h["doc_id"] for h in same] == [h["doc_id"] for h in base]
+    # limited query: over-fetch semantics (rank, 3x cut, filter, cut)
+    lim = search_query_string(
+        s, "spark OR (merge AND window)", limit=5, snippet_lines=0, branch="dnfb"
+    )
+    want = [h for h in base[: 5 * 3] if h["doc_id"] != victim][:5]
+    assert [(h["doc_id"], h["score"]) for h in lim] == [
+        (h["doc_id"], h["score"]) for h in want
+    ]
+
+
+def test_compact_log(tmp_path):
+    from code_indexer_ray.index.visibility import compact_log
+
+    idx = str(tmp_path)
+    hide_docs(idx, "a", [1, 2, 3])
+    unhide_docs(idx, "a", [2])
+    hide_docs(idx, "b", [9])
+    before_a = hidden_ids(idx, "a").tolist()
+    before_b = hidden_ids(idx, "b").tolist()
+    removed = compact_log(idx)
+    assert removed == 3
+    assert op_count(idx) == 2  # one 'set' snapshot per branch
+    assert hidden_ids(idx, "a").tolist() == before_a == [1, 3]
+    assert hidden_ids(idx, "b").tolist() == before_b == [9]
+    # ops after compaction keep folding correctly
+    unhide_docs(idx, "a", [1])
+    assert hidden_ids(idx, "a").tolist() == [3]
+
+
+def test_record_seq_robust_past_padding(tmp_path):
+    import json as _json
+
+    from code_indexer_ray.index.visibility import _op_files
+
+    idx = str(tmp_path)
+    d = tmp_path / "_visibility"
+    d.mkdir()
+    # simulate a log that outgrew the 6-digit padding
+    (d / "op-999999.json").write_text(_json.dumps({"branch": "x", "op": "hide", "ids": [1]}))
+    (d / "op-1000000.json").write_text(_json.dumps({"branch": "x", "op": "unhide", "ids": [1]}))
+    # numeric order: unhide is LAST → folds empty
+    assert hidden_ids(idx, "x").tolist() == []
+    # next op gets seq 1000001, not a clobber of 999999
+    p = hide_docs(idx, "x", [5])
+    assert p.endswith("op-1000001.json")
+    assert _op_files(idx)[-1] == "op-1000001.json"
+    assert hidden_ids(idx, "x").tolist() == [5]
