@@ -2329,8 +2329,11 @@ class IndexSearcher:
         got = self._vis_cache.get(key)
         if got is None:
             got = frozenset(int(x) for x in hidden_ids(self.index_dir, branch))
-            if len(self._vis_cache) >= 64:
-                self._vis_cache.pop(next(iter(self._vis_cache)))
+            while len(self._vis_cache) >= 64:
+                try:
+                    self._vis_cache.pop(next(iter(self._vis_cache)))
+                except (KeyError, RuntimeError, StopIteration):
+                    break
             self._vis_cache[key] = got
         return got or None
 
@@ -2377,8 +2380,11 @@ class IndexSearcher:
             phrase, match_any, exclude_terms, offset, prefix, should_terms,
             boosts, slop, after, branch,
         )
-        if len(self._result_cache) >= self._result_cache_max:
-            self._result_cache.pop(next(iter(self._result_cache)))
+        while len(self._result_cache) >= self._result_cache_max:
+            try:
+                self._result_cache.pop(next(iter(self._result_cache)))
+            except (KeyError, RuntimeError, StopIteration):
+                break  # concurrent evictor (threaded actor) got there first
         self._result_cache[cache_key] = [dict(r) for r in results]
         return results
 
@@ -2655,18 +2661,27 @@ class IndexSearcher:
             by_file.setdefault(path, []).append((rg, sub))
         for path, groups in by_file.items():
             rgs = sorted({rg for rg, _ in groups})
-            missing = [rg for rg in rgs if (path, rg) not in self._rg_cache]
-            if missing:
-                f = pq.ParquetFile(path)
-                for rg in missing:
-                    if len(self._rg_cache) >= self._rg_cache_max:
+            # Ray actor pools run the UDF on an internal thread pool, so two
+            # queries can be in here concurrently: every cache interaction
+            # must be a single atomic dict op with the value HELD locally —
+            # a check-then-pop recency refresh raced a neighbor's eviction
+            # into a KeyError (seen in the bench's parallel-qps stage)
+            tabs = []
+            f = None
+            for rg in rgs:
+                t = self._rg_cache.pop((path, rg), None)
+                if t is None:
+                    if f is None:
+                        f = pq.ParquetFile(path)
+                    t = f.read_row_groups([rg], columns=["doc_id", text_col])
+                while len(self._rg_cache) >= self._rg_cache_max:
+                    try:
                         self._rg_cache.pop(next(iter(self._rg_cache)))
-                    self._rg_cache[(path, rg)] = f.read_row_groups(
-                        [rg], columns=["doc_id", text_col]
-                    )
-            for rg in rgs:  # refresh recency (dict order = LRU order)
-                self._rg_cache[(path, rg)] = self._rg_cache.pop((path, rg))
-            tbl = pa.concat_tables(self._rg_cache[(path, rg)] for rg in rgs)
+                    except (KeyError, RuntimeError, StopIteration):
+                        break  # concurrent evictor got there first
+                self._rg_cache[(path, rg)] = t  # re-insert = most recent
+                tabs.append(t)
+            tbl = pa.concat_tables(tabs)
             want = {i for _, sub in groups for i in sub}
             mask = pc.is_in(tbl["doc_id"], value_set=pa.array(list(want), type=pa.int64()))
             sel = tbl.filter(mask)

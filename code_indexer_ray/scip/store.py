@@ -304,8 +304,11 @@ class SymbolStore:
                 mins.append(st.min)
                 maxs.append(st.max)
             got = (pf, mins, maxs)
-            if len(self._parts) >= 64:
-                self._parts.pop(next(iter(self._parts)))
+            while len(self._parts) >= 64:
+                try:
+                    self._parts.pop(next(iter(self._parts)))
+                except (KeyError, RuntimeError, StopIteration):
+                    break
             self._parts[path] = got
         return got
 
