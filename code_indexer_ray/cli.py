@@ -135,6 +135,30 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--prefix", action="store_true", help="df-ranked completion instead")
     sg.add_argument("--limit", type=int, default=10)
 
+    # temporal group (reference temporal CLI surface: time-bucketed index
+    # over a change table, date-range search, as-of file reconstruction)
+    tp = sub.add_parser("temporal", help="time-bucketed commit-history index")
+    tpsub = tp.add_subparsers(dest="temporal_cmd", required=True)
+    tb = tpsub.add_parser("build", help="build the bucketed index from change rows")
+    tb.add_argument("--changes", required=True, help="change-row parquet (change_rows schema)")
+    tb.add_argument("--out", required=True)
+    tb.add_argument("--bucket-days", type=int, default=4)
+    tb.add_argument("--num-buckets", type=int, default=None)
+    tb.add_argument("--target-docs-per-shard", type=int, default=None)
+    tb.add_argument("--window-concurrency", type=int, default=1)
+    tq = tpsub.add_parser("search", help="date-range BM25 over the change docs")
+    tq.add_argument("--index", required=True)
+    tq.add_argument("query")
+    tq.add_argument("--start-day", required=True, help="YYYY-MM-DD")
+    tq.add_argument("--end-day", required=True)
+    tq.add_argument("--diff-types", default=None, help="comma list (added,modified,deleted)")
+    tq.add_argument("--author", default=None)
+    tq.add_argument("--limit", type=int, default=10)
+    tf = tpsub.add_parser("file-at", help="content of PATH as of end-of-DAY")
+    tf.add_argument("--index", required=True)
+    tf.add_argument("path")
+    tf.add_argument("day")
+
     # SCIP-analog code-intelligence group (reference cli_scip.py: generate /
     # status / definition / references / dependencies / dependents / impact /
     # callchain / context)
@@ -323,6 +347,45 @@ def main(argv: list[str] | None = None) -> int:
             else:
                 out = s.suggest(args.word)
                 print(json.dumps(out if out is not None else {}))
+        elif args.cmd == "temporal":
+            if args.temporal_cmd == "build":
+                from .temporal import build_temporal_index
+
+                man = build_temporal_index(
+                    args.changes,
+                    args.out,
+                    bucket_days=args.bucket_days,
+                    num_buckets=args.num_buckets,
+                    target_docs_per_shard=args.target_docs_per_shard,
+                    window_concurrency=args.window_concurrency,
+                )
+                print(
+                    json.dumps(
+                        {
+                            "out": args.out,
+                            "windows": len(man["buckets"]),
+                            "num_changes": sum(b["num_changes"] for b in man["buckets"]),
+                        }
+                    )
+                )
+            else:
+                from .temporal import TemporalSearcher
+
+                ts = TemporalSearcher(args.index)
+                if args.temporal_cmd == "search":
+                    rows = ts.query(
+                        args.query,
+                        start_day=args.start_day,
+                        end_day=args.end_day,
+                        diff_types=args.diff_types.split(",") if args.diff_types else None,
+                        authors=[args.author] if args.author else None,
+                        limit=args.limit,
+                    )
+                    for r in rows:
+                        print(json.dumps({k: v for k, v in r.items() if k != "text"}))
+                elif args.temporal_cmd == "file-at":
+                    hit = ts.file_at(args.path, args.day)
+                    print(json.dumps(hit if hit is not None else {}))
         elif args.cmd == "scip":
             if args.scip_cmd == "generate":
                 import ray.data as rd

@@ -28,9 +28,30 @@ import pyarrow.compute as pc
 DEF_RE = r"^def (?P<s>[A-Za-z_][A-Za-z0-9_]*)\(\):"
 CALL_RE = r"(?P<s>[A-Za-z_][A-Za-z0-9_]*)\(\)$"
 
+#: per-language definition anchors (reference ships one indexer per
+#: language — scip/indexers/{python,go,java,typescript,csharp}.py; this is
+#: the same surface as the structural chunker's BOUNDARY_PATTERNS, anchored
+#: on the definition NAME).  Call sites share CALL_RE (C-family call syntax).
+DEF_PATTERNS: dict[str, str] = {
+    "python": DEF_RE,
+    "go": r"^func (?P<s>[A-Za-z_][A-Za-z0-9_]*)\(\) \{",
+    "rust": r"^fn (?P<s>[A-Za-z_][A-Za-z0-9_]*)\(\) \{",
+    "javascript": r"^function (?P<s>[A-Za-z_][A-Za-z0-9_$]*)\(\) \{",
+    "typescript": r"^function (?P<s>[A-Za-z_][A-Za-z0-9_$]*)\(\) \{",
+    "java": r"^(?:public |private |protected )?(?:static )?void (?P<s>[A-Za-z_][A-Za-z0-9_]*)\(\) \{",
+}
+
+
+def def_pattern(language: str | None) -> str:
+    return DEF_PATTERNS.get((language or "python").lower(), DEF_RE)
+
 
 def extract_symbols_batch(
-    batch: pa.Table, *, id_col: str = "doc_id", text_col: str = "text"
+    batch: pa.Table,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    language: str | None = None,
 ) -> pa.Table:
     """(doc_id, kind, sym, line, caller) rows — kind ∈ {def, call}; ``line``
     is 1-based; ``caller`` is the enclosing definition's symbol (equal to
@@ -49,7 +70,7 @@ def extract_symbols_batch(
     row_offs = np.concatenate(([0], np.cumsum(n_lines)))
     line_no = np.arange(len(flat), dtype=np.int64) - row_offs[parents] + 1
 
-    dm = pc.extract_regex(flat, DEF_RE)
+    dm = pc.extract_regex(flat, def_pattern(language))
     def_sym = pc.struct_field(dm, "s")
     is_def = pc.is_valid(def_sym).to_numpy(zero_copy_only=False)
     cm = pc.extract_regex(flat, CALL_RE)

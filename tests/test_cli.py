@@ -87,3 +87,40 @@ print("SCIP_CLI_OK")
     lines = [json.loads(x) for x in out.stdout.splitlines() if x.startswith("{")]
     assert {"sym": "b", "depth": 1} in lines
     assert {"chain": "e -> d -> a -> b -> c", "depth": 4} in lines
+
+
+def test_cli_temporal(tmp_path):
+    # synthesize a small change table with the library, then drive the CLI
+    gen = f"""
+import pyarrow as pa, pyarrow.parquet as pq
+from code_indexer_ray.temporal.history import change_rows
+docs = pa.table({{"doc_id": pa.array(range(30), type=pa.int64()),
+                 "source": [f"s{{i%3}}" for i in range(30)],
+                 "text": ["alpha beta gamma delta " * 4] * 30}})
+pq.write_table(change_rows(docs), {str(tmp_path / "chg.parquet")!r})
+print("GEN_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", gen], capture_output=True, text=True,
+                         timeout=120, cwd=REPO_ROOT)
+    assert "GEN_OK" in out.stdout, out.stderr[-1500:]
+
+    idx = str(tmp_path / "tidx")
+    script = f"""
+from code_indexer_ray.cli import main
+assert main(["--num-cpus", "4", "temporal", "build", "--changes",
+             {str(tmp_path / "chg.parquet")!r}, "--out", {idx!r},
+             "--bucket-days", "4", "--num-buckets", "2"]) == 0
+assert main(["temporal", "search", "--index", {idx!r}, "alpha",
+             "--start-day", "2025-03-01", "--end-day", "2025-03-12",
+             "--diff-types", "modified", "--limit", "3"]) == 0
+assert main(["temporal", "file-at", "--index", {idx!r}, "s0/0.txt",
+             "2025-03-12"]) == 0
+print("TEMPORAL_CLI_OK")
+"""
+    out = subprocess.run([sys.executable, "-c", script], capture_output=True,
+                         text=True, timeout=300, cwd=REPO_ROOT)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "TEMPORAL_CLI_OK" in out.stdout
+    lines = [json.loads(x) for x in out.stdout.splitlines() if x.startswith("{")]
+    assert any("windows" in l for l in lines)
+    assert any(l.get("diff_type") == "modified" for l in lines)

@@ -220,3 +220,30 @@ def test_verify_store_clean_and_corrupt(store, tmp_path):
     assert not out["valid"]
     assert any("n_defs" in e or "defs" in e for e in out["errors"])
     assert any("edge sidecar" in e for e in out["errors"])
+
+
+def test_multilanguage_extraction(ray_session):
+    from code_indexer_ray.text.symbols import extract_symbols_batch
+
+    cases = {
+        "go": "func main() {\n    x helper()\nfunc helper() {\n    x x\n",
+        "rust": "fn run() {\n    x step()\nfn step() {\n    x x\n",
+        "javascript": "function init$() {\n    x load()\nfunction load() {\n    x x\n",
+        "java": "public static void main() {\n    x work()\nprivate void work() {\n    x x\n",
+    }
+    for lang, text in cases.items():
+        t = extract_symbols_batch(
+            pa.table({"doc_id": pa.array([0], pa.int64()), "text": [text]}),
+            language=lang,
+        )
+        defs = t.filter(pa.compute.equal(t["kind"], "def"))
+        calls = t.filter(pa.compute.equal(t["kind"], "call"))
+        assert defs.num_rows == 2, (lang, t.to_pydict())
+        assert calls.num_rows == 1, (lang, t.to_pydict())
+        # caller attribution: the call's enclosing def is the first one
+        assert calls["caller"][0].as_py() == defs["sym"][0].as_py()
+    # default stays python (back-compat for every existing pipeline)
+    t = extract_symbols_batch(
+        pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["def a():\n    x b()\n"]})
+    )
+    assert t.filter(pa.compute.equal(t["kind"], "def"))["sym"].to_pylist() == ["a"]
