@@ -1236,6 +1236,11 @@ def temporal_searcher_for(sf_dir: str):
             temporal_changes_for(sf_dir), root,
             bucket_days=4, num_shards=2, num_buckets=2,
         )
+        # path-history sidecar: file_at / history / evolution become
+        # hash-routed point reads (idempotent; scan fallback if absent)
+        from ..temporal.pathstore import build_path_store
+
+        build_path_store(root)
         s = TemporalSearcher(root)
         _TEMPORAL_SEARCHERS[sf_dir] = s
     return s
@@ -1335,6 +1340,107 @@ def q_temporal_file_at(sf_dir: str):
             "change_id": pa.array([r["change_id"] for r in rows], type=pa.int64()),
             "commit_day": pa.array([r["commit_day"] for r in rows], type=pa.string()),
             "text_len": pa.array([r["text_len"] for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_temporal_file_at_removed(sf_dir: str):
+    """``file_at`` with the reference's API-only ``include_removed``
+    parameter (QUERY_PARAMETERS.md): a path whose latest change at the cut
+    is a deletion comes BACK as a row (diff_type='deleted', empty text)
+    instead of vanishing — same 8 probe paths and day as
+    ``temporal_file_at``, so the two entries differ exactly on doc 5 (the
+    synthesized deleted path)."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(_docs(sf_dir)).to_table(
+        columns=["doc_id", "source"], filter=pc.field("doc_id") < 8
+    )
+    srcs = {r["doc_id"]: r["source"] for r in t.to_pylist()}
+    s = temporal_searcher_for(sf_dir)
+    rows = []
+    for d in sorted(srcs):
+        hit = s.file_at(f"{srcs[d]}/{d}.txt", "2025-03-12", include_removed=True)
+        if hit is not None:
+            rows.append(hit)
+    return pa.table(
+        {
+            "path": pa.array([r["path"] for r in rows], type=pa.string()),
+            "change_id": pa.array([r["change_id"] for r in rows], type=pa.int64()),
+            "commit_day": pa.array([r["commit_day"] for r in rows], type=pa.string()),
+            "diff_type": pa.array([r["diff_type"] for r in rows], type=pa.string()),
+            "text_len": pa.array([len(r["text"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_temporal_at_commit(sf_dir: str):
+    """As-of-commit reconstruction (reference API-only ``at_commit``
+    parameter, the synthesized change id standing in for the git ref): the
+    content of 8 paths as of change_id=1 (doc 0's first edit, commit_ts =
+    3·86400) — the snapshot cut is the named commit's (ts, id) pair, so
+    paths whose first change lands after it are absent."""
+    import pyarrow.dataset as pads
+
+    t = pads.dataset(_docs(sf_dir)).to_table(
+        columns=["doc_id", "source"], filter=pc.field("doc_id") < 8
+    )
+    srcs = {r["doc_id"]: r["source"] for r in t.to_pylist()}
+    s = temporal_searcher_for(sf_dir)
+    rows = []
+    for d in sorted(srcs):
+        hit = s.file_at_commit(f"{srcs[d]}/{d}.txt", 1)
+        if hit is not None:
+            rows.append(hit)
+    return pa.table(
+        {
+            "path": pa.array([r["path"] for r in rows], type=pa.string()),
+            "change_id": pa.array([r["change_id"] for r in rows], type=pa.int64()),
+            "commit_day": pa.array([r["commit_day"] for r in rows], type=pa.string()),
+            "text_len": pa.array([len(r["text"]) for r in rows], type=pa.int64()),
+        }
+    )
+
+
+def q_temporal_evolution(sf_dir: str):
+    """Temporal search + the reference's API-only ``show_evolution`` /
+    ``evolution_limit`` parameters (semantic_query_manager.py:1516-1522):
+    the top-5 'spark merge' hits of the ``temporal_search`` window each
+    carry their path's change timeline (chronological, first 3 entries),
+    flattened to one row per (hit, evolution entry)."""
+    rows = temporal_searcher_for(sf_dir).query(
+        "spark merge",
+        start_day="2025-03-05",
+        end_day="2025-03-12",
+        diff_types=["modified"],
+        limit=5,
+        show_evolution=True,
+        evolution_limit=3,
+    )
+    rows = sorted(rows, key=lambda r: (-round(r["score"], 9), r["change_id"]))
+    flat = []
+    for rank, r in enumerate(rows, 1):
+        for seq, e in enumerate(r["evolution"], 1):
+            flat.append(
+                {
+                    "change_id": r["change_id"],
+                    "rank": rank,
+                    "evo_seq": seq,
+                    "evo_change_id": e["change_id"],
+                    "evo_diff_type": e["diff_type"],
+                    "evo_commit_day": e["commit_day"],
+                    "evo_author": e["author"],
+                }
+            )
+    return pa.table(
+        {
+            "change_id": pa.array([f["change_id"] for f in flat], type=pa.int64()),
+            "rank": pa.array([f["rank"] for f in flat], type=pa.int64()),
+            "evo_seq": pa.array([f["evo_seq"] for f in flat], type=pa.int64()),
+            "evo_change_id": pa.array([f["evo_change_id"] for f in flat], type=pa.int64()),
+            "evo_diff_type": pa.array([f["evo_diff_type"] for f in flat], type=pa.string()),
+            "evo_commit_day": pa.array([f["evo_commit_day"] for f in flat], type=pa.string()),
+            "evo_author": pa.array([f["evo_author"] for f in flat], type=pa.string()),
         }
     )
 
@@ -6826,6 +6932,28 @@ def oracle_catalog() -> dict[str, str]:
         "FROM r WHERE rn = 1 AND diff_type <> 'deleted'"
     )
 
+    out["temporal_file_at_removed"] = (
+        _chg
+        + "sel AS (SELECT * FROM chg WHERE doc_id < 8 AND commit_day <= '2025-03-12'),\n"
+        "r AS (SELECT *, row_number() OVER (PARTITION BY path\n"
+        "  ORDER BY commit_ts DESC, change_id DESC) AS rn FROM sel)\n"
+        "SELECT path, change_id, commit_day, diff_type,\n"
+        "  strlen(text)::BIGINT AS text_len\n"
+        "FROM r WHERE rn = 1"
+    )
+
+    out["temporal_at_commit"] = (
+        _chg
+        + "cut AS (SELECT commit_ts AS cts, change_id AS cid FROM chg WHERE change_id = 1),\n"
+        "sel AS (SELECT c.* FROM chg c, cut\n"
+        "  WHERE c.doc_id < 8 AND (c.commit_ts < cut.cts\n"
+        "    OR (c.commit_ts = cut.cts AND c.change_id <= cut.cid))),\n"
+        "r AS (SELECT *, row_number() OVER (PARTITION BY path\n"
+        "  ORDER BY commit_ts DESC, change_id DESC) AS rn FROM sel)\n"
+        "SELECT path, change_id, commit_day, strlen(text)::BIGINT AS text_len\n"
+        "FROM r WHERE rn = 1 AND diff_type <> 'deleted'"
+    )
+
     # BM25 over the change docs: stats over the covering buckets (days
     # 4..11 = buckets 1,2 of bucket_days=4 — range is bucket-aligned so
     # stats == range), candidates gated to diff_type='modified' pre-limit.
@@ -6858,6 +6986,21 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT doc_id AS change_id, rank::BIGINT AS rank, round(score, 4) AS score_r\n"
         "FROM ranked WHERE rank <= 10"
     )
+    out["temporal_evolution"] = (
+        _t_pre
+        + "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored),\n"
+        "hits AS (SELECT r.doc_id, r.rank, g.path FROM ranked r\n"
+        "  JOIN chg g ON g.change_id = r.doc_id WHERE r.rank <= 5),\n"
+        "evo AS (SELECT path, change_id, diff_type, commit_day, author,\n"
+        "  row_number() OVER (PARTITION BY path ORDER BY commit_ts, change_id) AS seq\n"
+        "  FROM chg)\n"
+        "SELECT h.doc_id AS change_id, h.rank::BIGINT AS rank, e.seq::BIGINT AS evo_seq,\n"
+        "  e.change_id AS evo_change_id, e.diff_type AS evo_diff_type,\n"
+        "  e.commit_day AS evo_commit_day, e.author AS evo_author\n"
+        "FROM hits h JOIN evo e ON e.path = h.path WHERE e.seq <= 3"
+    )
+
     out["temporal_search_author"] = (
         _t_pre
         + "ranked AS (SELECT doc_id, score,\n"
@@ -6917,6 +7060,9 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "temporal_evolution",
+    "temporal_at_commit",
+    "temporal_file_at_removed",
     "mm_decode_jpeg",
     "temporal_search",
     "temporal_search_author",
@@ -7086,6 +7232,9 @@ def _query_catalog_unordered():
         "temporal_search": q_temporal_search,
         "temporal_search_author": q_temporal_search_author,
         "temporal_file_at": q_temporal_file_at,
+        "temporal_file_at_removed": q_temporal_file_at_removed,
+        "temporal_at_commit": q_temporal_at_commit,
+        "temporal_evolution": q_temporal_evolution,
         "warc_fielded": q_warc_fielded,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,

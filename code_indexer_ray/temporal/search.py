@@ -62,6 +62,14 @@ class TemporalSearcher:
         self._kw.setdefault("lang_col", "tkey")
         self._kw.setdefault("url_col", "path")
         self._searchers: dict[int, IndexSearcher] = {}
+        # auto-probe the path-history store (kvstore precedent: built
+        # explicitly, picked up when present, parquet scan stays the
+        # fallback so stores built before the sidecar existed keep working)
+        from .pathstore import MANIFEST as PS_MANIFEST, PATHSTORE_DIR, PathHistoryReader
+
+        self._paths: PathHistoryReader | None = None
+        if os.path.isfile(os.path.join(root, PATHSTORE_DIR, PS_MANIFEST)):
+            self._paths = PathHistoryReader(root)
 
     def _searcher(self, bucket: int) -> IndexSearcher:
         s = self._searchers.get(bucket)
@@ -116,26 +124,123 @@ class TemporalSearcher:
                 out[r["doc_id"]] = r
         return out
 
-    def file_at(self, path: str, day: str) -> dict | None:
+    def file_at(self, path: str, day: str, *, include_removed: bool = False) -> dict | None:
         """Content of ``path`` as of end-of-``day`` (the reference's
         temporal content reconstruction): the latest change at or before
-        the cut, ``None`` if the path doesn't exist yet or its latest
-        change is a deletion.  A point lookup: partition pruning drops
-        windows newer than the cut, parquet row-group statistics prune
-        within the remaining fragments — never a corpus scan."""
-        cand = [b for b in self.manifest["buckets"] if b["min_day"] <= day]
-        if not cand:
+        the cut, ``None`` if the path doesn't exist yet or — unless
+        ``include_removed`` (reference API-only parameter,
+        QUERY_PARAMETERS.md "include_removed") — its latest change is a
+        deletion.  With the path-history store this is a true point read
+        (one hash-routed part file, pruned row groups, then one docstore
+        row-group read for the winner's text); the fallback is the
+        partition-pruned parquet filter scan."""
+        r = self._winner_at(path, day=day)
+        if r is None or (r["diff_type"] == "deleted" and not include_removed):
             return None
-        day_bucket = max(b["bucket"] for b in cand)
-        dset = pads.dataset(
-            os.path.join(self.root, "changes"), partitioning="hive"
+        return r
+
+    def file_at_commit(self, path: str, change_id: int, *, include_removed: bool = False) -> dict | None:
+        """Content of ``path`` as of commit ``change_id`` (the reference's
+        API-only ``at_commit`` parameter with the synthesized change id
+        standing in for the git ref): the latest change to ``path`` whose
+        ``(commit_ts, change_id)`` is ≤ the named commit's.  The named
+        commit may touch any path — its timestamp defines the snapshot
+        cut."""
+        cut = self._find_change(int(change_id))
+        if cut is None:
+            raise KeyError(f"unknown change_id {change_id}")
+        r = self._winner_at(path, ts=int(cut["commit_ts"]), tid=int(change_id))
+        if r is None or (r["diff_type"] == "deleted" and not include_removed):
+            return None
+        return r
+
+    def history(self, path: str) -> list[dict]:
+        """Full change timeline for ``path`` in chronological
+        ``(commit_ts, change_id)`` order — the per-hit ``evolution``
+        payload (reference ``show_evolution``).  Point read when the path
+        store exists; filtered scan fallback otherwise."""
+        if self._paths is not None:
+            t = self._paths.history(path)
+            return t.drop_columns(["path", "tbucket"]).to_pylist()
+        dset = pads.dataset(os.path.join(self.root, "changes"), partitioning="hive")
+        t = dset.to_table(
+            columns=["doc_id", "diff_type", "commit_day", "commit_ts", "author"],
+            filter=pc.field("path") == path,
         )
+        rows = t.rename_columns(
+            ["change_id" if c == "doc_id" else c for c in t.column_names]
+        ).to_pylist()
+        rows.sort(key=lambda r: (r["commit_ts"], r["change_id"]))
+        return rows
+
+    def _find_change(self, change_id: int) -> dict | None:
+        """Metadata row for one change id: the buckets are probed
+        newest-first with bounded docstore point reads (bucket count is
+        manifest-sized, each probe a couple of row groups)."""
+        for ent in sorted(self.manifest["buckets"], key=lambda b: -b["bucket"]):
+            got = self._stored_for(ent["bucket"], [change_id], ["commit_ts", "commit_day"])
+            if change_id in got:
+                return got[change_id]
+        return None
+
+    def _winner_at(
+        self,
+        path: str,
+        *,
+        day: str | None = None,
+        ts: int | None = None,
+        tid: int | None = None,
+    ) -> dict | None:
+        """Latest change to ``path`` at or before the cut (a ``day`` string
+        or a ``(commit_ts, change_id)`` pair), with its text."""
+        if self._paths is not None:
+            h = self._paths.history(path)
+            if day is not None:
+                h = h.filter(pc.less_equal(h["commit_day"], day))
+            else:
+                keep = pc.or_(
+                    pc.less(h["commit_ts"], ts),
+                    pc.and_(
+                        pc.equal(h["commit_ts"], ts), pc.less_equal(h["change_id"], tid)
+                    ),
+                )
+                h = h.filter(keep)
+            if h.num_rows == 0:
+                return None
+            r = h.slice(h.num_rows - 1, 1).to_pylist()[0]  # store sort = cut order
+            stored = self._stored_for(int(r["tbucket"]), [int(r["change_id"])], ["text"])
+            return {
+                "path": path,
+                "change_id": int(r["change_id"]),
+                "commit_day": r["commit_day"],
+                "commit_ts": int(r["commit_ts"]),
+                "diff_type": r["diff_type"],
+                "text": stored.get(int(r["change_id"]), {}).get("text", ""),
+            }
+        # fallback: partition-pruned filter scan over the changes table
+        if day is not None:
+            cand = [b for b in self.manifest["buckets"] if b["min_day"] <= day]
+            if not cand:
+                return None
+            day_bucket = max(b["bucket"] for b in cand)
+            flt = (
+                (pc.field("path") == path)
+                & (pc.field("commit_day") <= day)
+                & (pc.field("tbucket") <= day_bucket)
+            )
+        else:
+            flt = (pc.field("path") == path) & (pc.field("commit_ts") <= ts)
+        dset = pads.dataset(os.path.join(self.root, "changes"), partitioning="hive")
         t = dset.to_table(
             columns=["doc_id", "path", "diff_type", "commit_day", "commit_ts", "text"],
-            filter=(pc.field("path") == path)
-            & (pc.field("commit_day") <= day)
-            & (pc.field("tbucket") <= day_bucket),
+            filter=flt,
         )
+        if ts is not None and t.num_rows:
+            keep = pc.or_(
+                pc.less(t["commit_ts"], ts),
+                pc.and_(pc.equal(t["commit_ts"], ts), pc.less_equal(t["doc_id"], tid)),
+            )
+            t = t.filter(keep)
         if t.num_rows == 0:
             return None
         order = np.lexsort(
@@ -143,13 +248,12 @@ class TemporalSearcher:
              t["commit_ts"].to_numpy(zero_copy_only=False))
         )
         r = t.slice(int(order[-1]), 1).to_pylist()[0]
-        if r["diff_type"] == "deleted":
-            return None
         return {
             "path": r["path"],
             "change_id": r["doc_id"],
             "commit_day": r["commit_day"],
             "commit_ts": r["commit_ts"],
+            "diff_type": r["diff_type"],
             "text": r["text"],
         }
 
@@ -163,10 +267,20 @@ class TemporalSearcher:
         authors: list[str] | None = None,
         path_filters: list[str] | None = None,
         limit: int = 10,
+        show_evolution: bool = False,
+        evolution_limit: int | None = None,
     ) -> list[dict]:
         """Top-``limit`` changes matching ALL query terms within the date
         range, ranked by (score desc, change_id asc).  ``limit=0`` means
-        unlimited, engine-wide convention."""
+        unlimited, engine-wide convention.
+
+        ``show_evolution`` (reference API-only parameter, truncated by the
+        user-controlled ``evolution_limit`` exactly as
+        ``semantic_query_manager.py:1516-1522`` slices
+        ``evolution_data[:evolution_limit]``) attaches each hit's full path
+        timeline in chronological ``(commit_ts, change_id)`` order — a
+        hash-routed point read per distinct hit path (top-k-bounded), never
+        a corpus scan, when the path store exists."""
         for dt in diff_types or ():
             if dt not in DIFF_TYPES:
                 raise ValueError(f"unknown diff_type {dt!r}")
@@ -240,20 +354,30 @@ class TemporalSearcher:
             by_bucket2.setdefault(b, []).append(cid)
         for b, bids in by_bucket2.items():
             extra.update(self._stored_for(b, bids, ["commit_ts", "author", "message"]))
+        evo: dict[str, list[dict]] = {}
+        if show_evolution:
+            for _cid, _s, _tk, path, _b in selected:
+                if path not in evo:
+                    rows = self.history(path)
+                    if evolution_limit is not None and len(rows) > evolution_limit:
+                        rows = rows[:evolution_limit]
+                    evo[path] = rows
+
         out = []
         for cid, score, tkey, path, _b in selected:
             diff_type, day = tkey.split("@", 1)
             e = extra.get(cid, {})
-            out.append(
-                {
-                    "change_id": cid,
-                    "path": path,
-                    "diff_type": diff_type,
-                    "commit_day": day,
-                    "commit_ts": e.get("commit_ts"),
-                    "author": e.get("author"),
-                    "message": e.get("message"),
-                    "score": score,
-                }
-            )
+            row = {
+                "change_id": cid,
+                "path": path,
+                "diff_type": diff_type,
+                "commit_day": day,
+                "commit_ts": e.get("commit_ts"),
+                "author": e.get("author"),
+                "message": e.get("message"),
+                "score": score,
+            }
+            if show_evolution:
+                row["evolution"] = evo[path]
+            out.append(row)
         return out

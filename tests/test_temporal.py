@@ -398,3 +398,152 @@ class TestWindowConcurrency:
         assert [(h["change_id"], round(h["score"], 9)) for h in a] == [
             (h["change_id"], round(h["score"], 9)) for h in b
         ]
+
+
+class TestPathStore:
+    """Path-routed history store: point-read file_at / history / evolution
+    equal the filtered-scan fallback on every probe."""
+
+    @pytest.fixture(scope="class")
+    def store_root(self, temporal_idx):
+        from code_indexer_ray.temporal.pathstore import build_path_store
+
+        root, _m, chg = temporal_idx
+        man = build_path_store(root, num_parts=4)
+        return root, man, chg
+
+    def test_manifest_counts(self, store_root):
+        root, man, chg = store_root
+        assert man["total_rows"] == len(chg)
+        assert man["num_parts"] == 4
+        # idempotent: a second build with matching params is a no-op
+        from code_indexer_ray.temporal.pathstore import build_path_store
+
+        assert build_path_store(root, num_parts=4) == man
+
+    def test_routing_and_sort(self, store_root):
+        import pyarrow.parquet as pqq
+
+        from code_indexer_ray.scip.store import fnv64
+
+        root, man, _ = store_root
+        import os as _os
+
+        for ent in man["parts"]:
+            t = pqq.read_table(
+                _os.path.join(root, "pathstore", f"part-{ent['part']:05d}.parquet")
+            )
+            paths = t["path"].to_pylist()
+            ts = t["commit_ts"].to_pylist()
+            ids = t["change_id"].to_pylist()
+            assert all(fnv64(p) % 4 == ent["part"] for p in set(paths))
+            assert sorted(zip(paths, ts, ids)) == list(zip(paths, ts, ids))
+
+    def test_file_at_point_read_equals_scan(self, store_root):
+        root, _, chg = store_root
+        s_store = TemporalSearcher(root)
+        assert s_store._paths is not None
+        s_scan = TemporalSearcher(root)
+        s_scan._paths = None  # force the filtered-scan fallback
+        rows = chg.to_pylist()
+        probe_paths = sorted({r["path"] for r in rows})[:12] + ["nope/never.txt"]
+        for p in probe_paths:
+            for day in ("2025-02-28", "2025-03-02", "2025-03-07", "2025-03-12"):
+                a = s_store.file_at(p, day)
+                b = s_scan.file_at(p, day)
+                assert a == b, (p, day)
+                ar = s_store.file_at(p, day, include_removed=True)
+                br = s_scan.file_at(p, day, include_removed=True)
+                assert ar == br, (p, day)
+
+    def test_include_removed_surfaces_deletion(self, store_root):
+        root, _, chg = store_root
+        s = TemporalSearcher(root)
+        by_path: dict[str, list[dict]] = {}
+        for r in sorted(chg.to_pylist(), key=lambda r: r["change_id"]):
+            by_path.setdefault(r["path"], []).append(r)
+        pd_ = next(p for p, rs in by_path.items() if rs[-1]["diff_type"] == "deleted")
+        last = by_path[pd_][-1]
+        assert s.file_at(pd_, last["commit_day"]) is None
+        got = s.file_at(pd_, last["commit_day"], include_removed=True)
+        assert got is not None
+        assert got["diff_type"] == "deleted"
+        assert got["change_id"] == last["change_id"]
+        assert got["text"] == ""
+
+    def test_file_at_commit(self, store_root):
+        root, _, chg = store_root
+        s = TemporalSearcher(root)
+        rows = sorted(chg.to_pylist(), key=lambda r: r["change_id"])
+        by_path: dict[str, list[dict]] = {}
+        for r in rows:
+            by_path.setdefault(r["path"], []).append(r)
+        p3, rs = next((p, rs) for p, rs in by_path.items() if len(rs) == 3)
+        # as of each of the path's own commits → that version's content
+        for r in rs:
+            got = s.file_at_commit(p3, r["change_id"])
+            if r["diff_type"] == "deleted":
+                assert got is None
+            else:
+                assert got["change_id"] == r["change_id"]
+                assert got["text"] == r["text"]
+        # as of ANOTHER path's commit: the cut is that commit's timestamp
+        other = next(r for r in rows if r["path"] != p3)
+        want = [
+            r
+            for r in rs
+            if (r["commit_ts"], r["change_id"])
+            <= (other["commit_ts"], other["change_id"])
+        ]
+        got = s.file_at_commit(p3, other["change_id"])
+        if not want:
+            assert got is None
+        else:
+            assert got is not None and got["change_id"] == want[-1]["change_id"]
+        import pytest as _pytest
+
+        with _pytest.raises(KeyError):
+            s.file_at_commit(p3, 10**9)
+
+    def test_history_chronological(self, store_root):
+        root, _, chg = store_root
+        s = TemporalSearcher(root)
+        s_scan = TemporalSearcher(root)
+        s_scan._paths = None
+        rows = sorted(chg.to_pylist(), key=lambda r: r["change_id"])
+        by_path: dict[str, list[dict]] = {}
+        for r in rows:
+            by_path.setdefault(r["path"], []).append(r)
+        for p, rs in list(by_path.items())[:10]:
+            h = s.history(p)
+            assert [x["change_id"] for x in h] == [r["change_id"] for r in rs]
+            assert [x["commit_ts"] for x in h] == [r["commit_ts"] for r in rs]
+            hs = s_scan.history(p)
+            assert [x["change_id"] for x in hs] == [r["change_id"] for r in rs]
+
+    def test_query_show_evolution(self, store_root):
+        root, _, chg = store_root
+        s = TemporalSearcher(root)
+        hits = s.query(
+            "spark",
+            start_day="2025-03-01",
+            end_day="2025-03-12",
+            limit=5,
+            show_evolution=True,
+            evolution_limit=2,
+        )
+        assert hits
+        by_path: dict[str, list[dict]] = {}
+        for r in sorted(chg.to_pylist(), key=lambda r: r["change_id"]):
+            by_path.setdefault(r["path"], []).append(r)
+        for h in hits:
+            evo = h["evolution"]
+            want = by_path[h["path"]][:2]
+            assert [e["change_id"] for e in evo] == [r["change_id"] for r in want]
+            assert all(
+                set(e) == {"commit_ts", "change_id", "diff_type", "commit_day", "author"}
+                for e in evo
+            )
+        # without the flag the key is absent
+        plain = s.query("spark", start_day="2025-03-01", end_day="2025-03-12", limit=5)
+        assert all("evolution" not in h for h in plain)
