@@ -146,6 +146,15 @@ def main(argv: list[str] | None = None) -> int:
     tb.add_argument("--num-buckets", type=int, default=None)
     tb.add_argument("--target-docs-per-shard", type=int, default=None)
     tb.add_argument("--window-concurrency", type=int, default=1)
+    tb.add_argument(
+        "--index-messages", action="store_true",
+        help="also index commit messages (enables --chunk-type filtering)",
+    )
+    tps = tpsub.add_parser(
+        "pathstore", help="build the path-history sidecar (point-read file-at/history)"
+    )
+    tps.add_argument("--index", required=True)
+    tps.add_argument("--num-parts", type=int, default=16)
     tq = tpsub.add_parser("search", help="date-range BM25 over the change docs")
     tq.add_argument("--index", required=True)
     tq.add_argument("query")
@@ -154,10 +163,25 @@ def main(argv: list[str] | None = None) -> int:
     tq.add_argument("--diff-types", default=None, help="comma list (added,modified,deleted)")
     tq.add_argument("--author", default=None)
     tq.add_argument("--limit", type=int, default=10)
+    tq.add_argument(
+        "--chunk-type", default=None, choices=["commit_message", "commit_diff"],
+        help="filter message vs diff docs (message-indexed roots)",
+    )
+    tq.add_argument("--show-evolution", action="store_true")
+    tq.add_argument("--evolution-limit", type=int, default=None)
     tf = tpsub.add_parser("file-at", help="content of PATH as of end-of-DAY")
     tf.add_argument("--index", required=True)
     tf.add_argument("path")
     tf.add_argument("day")
+    tf.add_argument("--include-removed", action="store_true")
+    tac = tpsub.add_parser("at-commit", help="content of PATH as of CHANGE_ID")
+    tac.add_argument("--index", required=True)
+    tac.add_argument("path")
+    tac.add_argument("change_id", type=int)
+    tac.add_argument("--include-removed", action="store_true")
+    th = tpsub.add_parser("history", help="full change timeline of PATH")
+    th.add_argument("--index", required=True)
+    th.add_argument("path")
 
     # SCIP-analog code-intelligence group (reference cli_scip.py: generate /
     # status / definition / references / dependencies / dependents / impact /
@@ -358,6 +382,7 @@ def main(argv: list[str] | None = None) -> int:
                     num_buckets=args.num_buckets,
                     target_docs_per_shard=args.target_docs_per_shard,
                     window_concurrency=args.window_concurrency,
+                    index_messages=args.index_messages,
                 )
                 print(
                     json.dumps(
@@ -366,6 +391,16 @@ def main(argv: list[str] | None = None) -> int:
                             "windows": len(man["buckets"]),
                             "num_changes": sum(b["num_changes"] for b in man["buckets"]),
                         }
+                    )
+                )
+            elif args.temporal_cmd == "pathstore":
+                from .temporal.pathstore import build_path_store
+
+                man = build_path_store(args.index, num_parts=args.num_parts)
+                print(
+                    json.dumps(
+                        {"index": args.index, "num_parts": man["num_parts"],
+                         "rows": man["total_rows"]}
                     )
                 )
             else:
@@ -380,12 +415,23 @@ def main(argv: list[str] | None = None) -> int:
                         diff_types=args.diff_types.split(",") if args.diff_types else None,
                         authors=[args.author] if args.author else None,
                         limit=args.limit,
+                        chunk_type=args.chunk_type,
+                        show_evolution=args.show_evolution,
+                        evolution_limit=args.evolution_limit,
                     )
                     for r in rows:
                         print(json.dumps({k: v for k, v in r.items() if k != "text"}))
                 elif args.temporal_cmd == "file-at":
-                    hit = ts.file_at(args.path, args.day)
+                    hit = ts.file_at(args.path, args.day, include_removed=args.include_removed)
                     print(json.dumps(hit if hit is not None else {}))
+                elif args.temporal_cmd == "at-commit":
+                    hit = ts.file_at_commit(
+                        args.path, args.change_id, include_removed=args.include_removed
+                    )
+                    print(json.dumps(hit if hit is not None else {}))
+                elif args.temporal_cmd == "history":
+                    for r in ts.history(args.path):
+                        print(json.dumps(r))
         elif args.cmd == "scip":
             if args.scip_cmd == "generate":
                 import ray.data as rd

@@ -1252,6 +1252,69 @@ def _changes_ds(sf_dir: str):
     return rd.read_parquet(temporal_changes_for(sf_dir))
 
 
+_TEMPORAL_MSG_SEARCHERS: dict[str, "object"] = {}
+
+
+def temporal_msg_searcher_for(sf_dir: str):
+    """Message-indexed temporal root (reference temporal collections hold
+    commit_message AND commit_diff vectors): every change contributes its
+    diff doc (id·2) and its commit-message doc (id·2+1)."""
+    s = _TEMPORAL_MSG_SEARCHERS.get(sf_dir)
+    if s is None:
+        from ..temporal.index import build_temporal_index
+        from ..temporal.search import TemporalSearcher
+
+        root = os.path.join(_corpus_dir(sf_dir), "temporal_index_msg")
+        build_temporal_index(
+            temporal_changes_for(sf_dir), root,
+            bucket_days=4, num_shards=2, num_buckets=2, index_messages=True,
+        )
+        s = TemporalSearcher(root)
+        _TEMPORAL_MSG_SEARCHERS[sf_dir] = s
+    return s
+
+
+def _temporal_chunk_table(rows: list[dict]) -> pa.Table:
+    return pa.table(
+        {
+            "change_id": pa.array([r["change_id"] for r in rows], type=pa.int64()),
+            "rank": pa.array(range(1, len(rows) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r["score"], 4) for r in rows], type=pa.float64()),
+            "chunk_type": pa.array([r["chunk_type"] for r in rows], type=pa.string()),
+        }
+    )
+
+
+def q_temporal_msg_search(sf_dir: str):
+    """``chunk_type='commit_message'`` (reference Story #476): 'modified'
+    over the full window ranks BOTH doc classes (messages say 'modified
+    <path>'; web texts may contain the word too), then the parity
+    post-filter keeps messages with the reference's rare-class ×40
+    over-fetch (``temporal_search_service.py:383-390``)."""
+    rows = temporal_msg_searcher_for(sf_dir).query(
+        "modified",
+        start_day="2025-03-01",
+        end_day="2025-03-12",
+        chunk_type="commit_message",
+        limit=10,
+    )
+    return _temporal_chunk_table(rows)
+
+
+def q_temporal_diffchunk_search(sf_dir: str):
+    """``chunk_type='commit_diff'`` over the message-indexed root: the
+    majority class gets the reference's minimal ×1.5 over-fetch
+    (``temporal_search_service.py:391-395``)."""
+    rows = temporal_msg_searcher_for(sf_dir).query(
+        "spark merge",
+        start_day="2025-03-01",
+        end_day="2025-03-12",
+        chunk_type="commit_diff",
+        limit=10,
+    )
+    return _temporal_chunk_table(rows)
+
+
 def q_temporal_asof(sf_dir: str):
     """Repository snapshot AS OF day 5 (reference temporal reconstruction:
     per path, the latest change at or before the cut, deletions hiding the
@@ -7013,6 +7076,44 @@ def oracle_catalog() -> dict[str, str]:
         "FROM kept WHERE rk <= 5"
     )
 
+    # chunk_type twins: the doubled corpus (diff doc id·2 + message doc
+    # id·2+1, message = diff_type || ' ' || path), full-window stats,
+    # rank → reference over-fetch cut → parity post-filter → limit.
+    def _t_msg(terms: list[str], cut: int, parity: int, ctype: str) -> str:
+        tl = ", ".join(f"'{t}'" for t in terms)
+        return (
+            _chg
+            + "exp AS (SELECT change_id * 2 AS xid, text FROM chg\n"
+            "  UNION ALL SELECT change_id * 2 + 1, diff_type || ' ' || path FROM chg),\n"
+            f"ttok AS ({sql_tokens_cte('exp', 'xid', 'text')}),\n"
+            "tst AS (SELECT (SELECT count(*) FROM exp)::DOUBLE AS n,\n"
+            "  (SELECT count(*) FROM ttok)::DOUBLE / (SELECT count(*) FROM exp)::DOUBLE AS avgdl),\n"
+            f"tfnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+            "tdl2 AS (SELECT w.xid, q.dec::BIGINT AS dl FROM\n"
+            "  (SELECT e.xid, coalesce(c.nt, 0)::BIGINT AS n_tokens FROM exp e\n"
+            "   LEFT JOIN (SELECT doc_id AS xid, count(*) AS nt FROM ttok GROUP BY doc_id) c\n"
+            "   USING (xid)) w\n"
+            "  JOIN tfnorm q ON w.n_tokens BETWEEN q.lo AND q.hi),\n"
+            "ttf2 AS (SELECT doc_id AS xid, term, count(*)::BIGINT AS tf\n"
+            "  FROM ttok GROUP BY doc_id, term),\n"
+            "tdf2 AS (SELECT term, count(*)::BIGINT AS df FROM ttf2 GROUP BY term),\n"
+            f"tcand AS (SELECT xid, term, tf FROM ttf2 WHERE term IN ({tl})),\n"
+            "scored AS (SELECT c.xid,\n"
+            f"  sum({bm25.sql_score_expr('c.tf', 'tdl2.dl', 'tdf2.df', 'tst.n', 'tst.avgdl')}) AS score\n"
+            "  FROM tcand c JOIN tdf2 USING (term) JOIN tdl2 USING (xid), tst\n"
+            f"  GROUP BY c.xid HAVING count(DISTINCT c.term) = {len(terms)}),\n"
+            "ranked AS (SELECT xid, score,\n"
+            "  row_number() OVER (ORDER BY round(score, 9) DESC, xid) AS rank FROM scored),\n"
+            "kept AS (SELECT xid, score, row_number() OVER (ORDER BY rank) AS rk\n"
+            f"  FROM ranked WHERE rank <= {cut} AND xid % 2 = {parity})\n"
+            "SELECT (xid // 2)::BIGINT AS change_id, rk::BIGINT AS rank,\n"
+            f"  round(score, 4) AS score_r, '{ctype}' AS chunk_type\n"
+            "FROM kept WHERE rk <= 10"
+        )
+
+    out["temporal_msg_search"] = _t_msg(["modified"], 400, 1, "commit_message")
+    out["temporal_diffchunk_search"] = _t_msg(["spark", "merge"], 15, 0, "commit_diff")
+
     # REAL WAV decode (stdlib wave): mono 16-bit PCM,
     # sample_i = ((doc_id*7 + i*13) % 201) - 100, n = 400 + doc_id % 100.
     out["mm_decode_wav"] = (
@@ -7061,6 +7162,8 @@ def query_catalog():
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
     "temporal_evolution",
+    "temporal_msg_search",
+    "temporal_diffchunk_search",
     "temporal_at_commit",
     "temporal_file_at_removed",
     "mm_decode_jpeg",
@@ -7235,6 +7338,8 @@ def _query_catalog_unordered():
         "temporal_file_at_removed": q_temporal_file_at_removed,
         "temporal_at_commit": q_temporal_at_commit,
         "temporal_evolution": q_temporal_evolution,
+        "temporal_msg_search": q_temporal_msg_search,
+        "temporal_diffchunk_search": q_temporal_diffchunk_search,
         "warc_fielded": q_warc_fielded,
         "fts_match_positions": q_match_positions,
         "fts_chunks": q_chunks,

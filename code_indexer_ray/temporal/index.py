@@ -29,6 +29,31 @@ TEMPORAL_MANIFEST = "temporal.json"
 STORE_COLS = ("tkey", "path", "diff_type", "commit_day", "commit_ts", "author", "message")
 
 
+def _expand_messages(batch: pa.Table) -> pa.Table:
+    """Opt-in commit-message docs (reference ``chunk_type``,
+    ``temporal_search_service.py:358-399``: temporal collections hold BOTH
+    ``commit_diff`` and ``commit_message`` vectors).  Every change row
+    doubles: the diff doc keeps the change text under id ``change_id·2``,
+    the message doc indexes the commit message under ``change_id·2+1`` —
+    the id PARITY is the chunk type (odd = message), so the filter needs no
+    extra stored column and the schema stays identical to diff-only
+    builds."""
+    n = batch.num_rows
+    diff = batch.set_column(
+        batch.column_names.index("change_id"),
+        "change_id",
+        pc.multiply(batch["change_id"], 2),
+    )
+    msg = batch.set_column(
+        batch.column_names.index("change_id"),
+        "change_id",
+        pc.add(pc.multiply(batch["change_id"], 2), 1),
+    )
+    msg = msg.set_column(msg.column_names.index("text"), "text", msg["message"])
+    out = pa.concat_tables([diff, msg])
+    return out if n else out.slice(0, 0)
+
+
 def _bucketize(batch: pa.Table, bucket_days: int) -> pa.Table:
     """ONE shared kernel for build and append — the tkey/store-column/
     doc_id-rename contract must stay byte-identical between them or
@@ -54,6 +79,7 @@ def build_temporal_index(
     target_docs_per_shard: int | None = None,
     resume: bool = True,
     window_concurrency: int = 1,
+    index_messages: bool = False,
 ) -> dict:
     """Build the bucketed index under ``out_root`` from a change-row table
     (schema of :func:`..temporal.history.change_rows`; any real git source
@@ -82,9 +108,10 @@ def build_temporal_index(
     os.makedirs(out_root, exist_ok=True)
 
     part_dir = os.path.join(out_root, "changes")
-    ds = rd.read_parquet(changes_path).map_batches(
-        lambda b: _bucketize(b, bucket_days), batch_format="pyarrow"
-    )
+    ds = rd.read_parquet(changes_path)
+    if index_messages:
+        ds = ds.map_batches(_expand_messages, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _bucketize(b, bucket_days), batch_format="pyarrow")
     ds.write_parquet(part_dir, partition_cols=["tbucket"])
 
     # bucket inventory: one tiny aggregate row per window — map-side
@@ -176,6 +203,7 @@ def build_temporal_index(
         "bucket_days": bucket_days,
         "num_shards": num_shards,
         "num_buckets": num_buckets,
+        "index_messages": index_messages,
         "buckets": buckets,
     }
     _write_manifest(out_root, manifest)
@@ -232,9 +260,10 @@ def append_changes(changes_path: str, out_root: str) -> dict:
     hot = max(by_bucket) if by_bucket else -1
 
     part_dir = os.path.join(out_root, "changes")
-    ds = rd.read_parquet(changes_path).map_batches(
-        lambda b: _bucketize(b, bucket_days), batch_format="pyarrow"
-    )
+    ds = rd.read_parquet(changes_path)
+    if manifest.get("index_messages"):
+        ds = ds.map_batches(_expand_messages, batch_format="pyarrow")
+    ds = ds.map_batches(lambda b: _bucketize(b, bucket_days), batch_format="pyarrow")
     # touched windows from the APPEND alone: a tiny per-window count — the
     # hot window is NOT rebuilt when a tick only adds newer windows
     counts = {

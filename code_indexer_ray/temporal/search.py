@@ -134,6 +134,7 @@ class TemporalSearcher:
         (one hash-routed part file, pruned row groups, then one docstore
         row-group read for the winner's text); the fallback is the
         partition-pruned parquet filter scan."""
+        self._require_diff_root("file_at")
         r = self._winner_at(path, day=day)
         if r is None or (r["diff_type"] == "deleted" and not include_removed):
             return None
@@ -146,6 +147,7 @@ class TemporalSearcher:
         ``(commit_ts, change_id)`` is ≤ the named commit's.  The named
         commit may touch any path — its timestamp defines the snapshot
         cut."""
+        self._require_diff_root("file_at_commit")
         cut = self._find_change(int(change_id))
         if cut is None:
             raise KeyError(f"unknown change_id {change_id}")
@@ -159,6 +161,7 @@ class TemporalSearcher:
         ``(commit_ts, change_id)`` order — the per-hit ``evolution``
         payload (reference ``show_evolution``).  Point read when the path
         store exists; filtered scan fallback otherwise."""
+        self._require_diff_root("history")
         if self._paths is not None:
             t = self._paths.history(path)
             return t.drop_columns(["path", "tbucket"]).to_pylist()
@@ -172,6 +175,17 @@ class TemporalSearcher:
         ).to_pylist()
         rows.sort(key=lambda r: (r["commit_ts"], r["change_id"]))
         return rows
+
+    def _require_diff_root(self, op: str) -> None:
+        """Content reconstruction reads the latest change row per path —
+        on a message-indexed root the message doc (odd id) would shadow
+        the same commit's diff doc, so these operators are served from the
+        diff-only root."""
+        if self.manifest.get("index_messages"):
+            raise ValueError(
+                f"{op} is not supported on a message-indexed root; use the "
+                "diff-only temporal index for content reconstruction"
+            )
 
     def _find_change(self, change_id: int) -> dict | None:
         """Metadata row for one change id: the buckets are probed
@@ -267,6 +281,7 @@ class TemporalSearcher:
         authors: list[str] | None = None,
         path_filters: list[str] | None = None,
         limit: int = 10,
+        chunk_type: str | None = None,
         show_evolution: bool = False,
         evolution_limit: int | None = None,
     ) -> list[dict]:
@@ -280,10 +295,28 @@ class TemporalSearcher:
         ``evolution_data[:evolution_limit]``) attaches each hit's full path
         timeline in chronological ``(commit_ts, change_id)`` order — a
         hash-routed point read per distinct hit path (top-k-bounded), never
-        a corpus scan, when the path store exists."""
+        a corpus scan, when the path store exists.
+
+        ``chunk_type`` (reference Story #476) filters ``commit_message`` vs
+        ``commit_diff`` docs on message-indexed roots
+        (``build_temporal_index(index_messages=True)``) with the
+        reference's distribution-aware over-fetch multipliers
+        (``temporal_search_service.py:383-395``: messages are the rare
+        class → ×40; diffs the majority → ×1.5) applied as a post-filter on
+        the ranked candidates — the chunk type is the doc-id parity, no
+        stored column or extra fan-out."""
         for dt in diff_types or ():
             if dt not in DIFF_TYPES:
                 raise ValueError(f"unknown diff_type {dt!r}")
+        msg_indexed = bool(self.manifest.get("index_messages"))
+        if chunk_type is not None:
+            if chunk_type not in ("commit_message", "commit_diff"):
+                raise ValueError(f"unknown chunk_type {chunk_type!r}")
+            if not msg_indexed:
+                raise ValueError(
+                    "chunk_type filtering requires a message-indexed root "
+                    "(build_temporal_index(index_messages=True))"
+                )
         terms = sorted(dict.fromkeys(tokenize_query(query_text)))
         if not terms:
             return []
@@ -308,7 +341,17 @@ class TemporalSearcher:
 
         needs_post = bool(authors or path_filters)
         depth = limit if limit > 0 else UNLIMITED_LIMIT
-        m = depth * 3 if (needs_post and limit > 0) else depth
+        # over-fetch ladder mirrors the reference's branch order
+        # (temporal_search_service.py:383-403): chunk_type dominates with
+        # its distribution-aware multiplier, other post-filters get ×3
+        if chunk_type == "commit_message" and limit > 0:
+            m = depth * 40
+        elif chunk_type == "commit_diff" and limit > 0:
+            m = int(depth * 1.5)
+        elif needs_post and limit > 0:
+            m = depth * 3
+        else:
+            m = depth
 
         groups = [[t] for t in terms]
         hits: list[tuple[int, float, str, str, int]] = []  # +bucket
@@ -337,8 +380,11 @@ class TemporalSearcher:
                     auth_by_id[did] = row["author"]
 
         selected: list[tuple[int, float, str, str, int]] = []
+        want_msg = chunk_type == "commit_message"
         for i in order:
             cid, score, tkey, path, bucket = hits[i]
+            if chunk_type is not None and (int(cid) % 2 == 1) != want_msg:
+                continue
             if authors and auth_by_id.get(int(cid)) not in authors:
                 continue
             if path_filters and not matches_any(path, path_filters):
@@ -368,7 +414,9 @@ class TemporalSearcher:
             diff_type, day = tkey.split("@", 1)
             e = extra.get(cid, {})
             row = {
-                "change_id": cid,
+                # message-indexed roots double the ids (parity = chunk
+                # type); surface the ORIGINAL change id plus the type
+                "change_id": cid // 2 if msg_indexed else cid,
                 "path": path,
                 "diff_type": diff_type,
                 "commit_day": day,
@@ -377,6 +425,10 @@ class TemporalSearcher:
                 "message": e.get("message"),
                 "score": score,
             }
+            if msg_indexed:
+                row["chunk_type"] = (
+                    "commit_message" if cid % 2 == 1 else "commit_diff"
+                )
             if show_evolution:
                 row["evolution"] = evo[path]
             out.append(row)

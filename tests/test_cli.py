@@ -115,6 +115,19 @@ assert main(["temporal", "search", "--index", {idx!r}, "alpha",
              "--diff-types", "modified", "--limit", "3"]) == 0
 assert main(["temporal", "file-at", "--index", {idx!r}, "s0/0.txt",
              "2025-03-12"]) == 0
+assert main(["temporal", "pathstore", "--index", {idx!r}, "--num-parts", "4"]) == 0
+assert main(["temporal", "history", "--index", {idx!r}, "s0/0.txt"]) == 0
+assert main(["temporal", "at-commit", "--index", {idx!r}, "s0/0.txt", "1"]) == 0
+assert main(["temporal", "search", "--index", {idx!r}, "alpha",
+             "--start-day", "2025-03-01", "--end-day", "2025-03-12",
+             "--limit", "2", "--show-evolution", "--evolution-limit", "2"]) == 0
+msgidx = {idx!r} + "_msg"
+assert main(["temporal", "build", "--changes",
+             {str(tmp_path / "chg.parquet")!r}, "--out", msgidx,
+             "--bucket-days", "4", "--num-buckets", "2", "--index-messages"]) == 0
+assert main(["temporal", "search", "--index", msgidx, "added",
+             "--start-day", "2025-03-01", "--end-day", "2025-03-12",
+             "--chunk-type", "commit_message", "--limit", "3"]) == 0
 print("TEMPORAL_CLI_OK")
 """
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
@@ -124,3 +137,6 @@ print("TEMPORAL_CLI_OK")
     lines = [json.loads(x) for x in out.stdout.splitlines() if x.startswith("{")]
     assert any("windows" in l for l in lines)
     assert any(l.get("diff_type") == "modified" for l in lines)
+    assert any(l.get("chunk_type") == "commit_message" for l in lines)
+    assert any("evolution" in l for l in lines)
+    assert any("num_parts" in l for l in lines)  # pathstore build echo

@@ -547,3 +547,97 @@ class TestPathStore:
         # without the flag the key is absent
         plain = s.query("spark", start_day="2025-03-01", end_day="2025-03-12", limit=5)
         assert all("evolution" not in h for h in plain)
+
+
+class TestChunkType:
+    """Message-indexed roots (index_messages=True): doc-id parity is the
+    chunk type; reference over-fetch multipliers; diff-root guards."""
+
+    @pytest.fixture(scope="class")
+    def msg_root(self, ray_session, temporal_idx, tmp_path_factory):
+        root, _m, chg = temporal_idx
+        tmp = tmp_path_factory.mktemp("tmsg")
+        chg_path = str(tmp / "changes.parquet")
+        pq.write_table(chg, chg_path)
+        mroot = str(tmp / "tidx_msg")
+        man = build_temporal_index(
+            chg_path, mroot, bucket_days=4, num_shards=2, num_buckets=1,
+            index_messages=True,
+        )
+        return mroot, man, chg
+
+    def test_corpus_doubles(self, msg_root):
+        _root, man, chg = msg_root
+        assert man["index_messages"] is True
+        assert sum(b["num_changes"] for b in man["buckets"]) == 2 * len(chg)
+
+    def test_chunk_type_filter_and_mapping(self, msg_root):
+        mroot, _man, chg = msg_root
+        s = TemporalSearcher(mroot)
+        # messages all contain their diff_type word; 'added' only matches
+        # message docs (change texts never contain it in this vocab)
+        hits = s.query(
+            "added", start_day="2025-03-01", end_day="2025-03-12",
+            chunk_type="commit_message", limit=8,
+        )
+        assert hits and all(h["chunk_type"] == "commit_message" for h in hits)
+        valid_ids = set(chg["change_id"].to_pylist())
+        assert all(h["change_id"] in valid_ids for h in hits)
+        # diff-chunk search never returns message docs
+        dhits = s.query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12",
+            chunk_type="commit_diff", limit=8,
+        )
+        assert dhits and all(h["chunk_type"] == "commit_diff" for h in dhits)
+
+    def test_no_filter_returns_both(self, msg_root):
+        mroot, _man, _chg = msg_root
+        s = TemporalSearcher(mroot)
+        # path tokens appear in message docs; 'src0' hits messages
+        hits = s.query(
+            "src0", start_day="2025-03-01", end_day="2025-03-12", limit=0,
+        )
+        kinds = {h["chunk_type"] for h in hits}
+        assert "commit_message" in kinds
+
+    def test_validation(self, msg_root, temporal_idx):
+        mroot, _man, _ = msg_root
+        droot, _m2, _ = temporal_idx
+        s = TemporalSearcher(mroot)
+        with pytest.raises(ValueError, match="chunk_type"):
+            s.query("spark", start_day="2025-03-01", end_day="2025-03-12",
+                    chunk_type="bogus")
+        d = TemporalSearcher(droot)
+        with pytest.raises(ValueError, match="message-indexed"):
+            d.query("spark", start_day="2025-03-01", end_day="2025-03-12",
+                    chunk_type="commit_message")
+        for op in ("file_at",):
+            with pytest.raises(ValueError, match="not supported"):
+                s.file_at("src0/0.txt", "2025-03-12")
+        with pytest.raises(ValueError, match="not supported"):
+            s.history("src0/0.txt")
+
+    def test_matches_brute_force(self, msg_root):
+        """Parity post-filter over the ×40 cut ≡ brute-force BM25 over the
+        doubled corpus."""
+        import math
+
+        from tests.oracle import BruteForceIndex
+
+        mroot, _man, chg = msg_root
+        rows = chg.to_pylist()
+        docs = {r["change_id"] * 2: r["text"] for r in rows}
+        docs.update(
+            {r["change_id"] * 2 + 1: f"{r['diff_type']} {r['path']}" for r in rows}
+        )
+        idx = BruteForceIndex(docs)
+        hits = idx.search_groups([["modified"]], limit=10**9)
+        hits = sorted(hits, key=lambda x: (-round(x[1], 9), x[0]))
+        cut = [x for x in hits[: 5 * 40] if x[0] % 2 == 1][:5]
+        got = TemporalSearcher(mroot).query(
+            "modified", start_day="2025-03-01", end_day="2025-03-12",
+            chunk_type="commit_message", limit=5,
+        )
+        assert [(h["change_id"] * 2 + 1) for h in got] == [i for i, _ in cut]
+        for h, (_, sc) in zip(got, cut):
+            assert math.isclose(h["score"], sc, rel_tol=1e-9)
