@@ -30,6 +30,16 @@ import pyarrow as pa
 from .brute import _to_matrix
 
 
+def _ef(ef_search: int, accuracy: str | None, k: int) -> int:
+    """Reference --accuracy profile → beam width; explicit ef_search is the
+    precise override (default 64 kept when no profile is given)."""
+    if accuracy is None:
+        return ef_search
+    from .accuracy import resolve_ef
+
+    return resolve_ef(accuracy, k)
+
+
 class HNSWIndex:
     def __init__(self, dim: int, *, m: int = 8, ef_construction: int = 64, seed: int = 42):
         self.dim = dim
@@ -167,6 +177,7 @@ def hnsw_cosine_topk(
     ef_construction: int = 64,
     ef_search: int = 64,
     seed: int = 42,
+    accuracy: str | None = None,
 ) -> pa.Table:
     """Build one in-memory HNSW over the dataset (the reference's per-repo
     scope; per-shard actors at web scale) and answer all queries.
@@ -186,7 +197,7 @@ def hnsw_cosine_topk(
         idx.add(int(ext), mat[i])
     rows = []
     for qi in range(len(query_ids)):
-        hits = idx.search(queries[qi], k + 1, ef=ef_search)
+        hits = idx.search(queries[qi], k + 1, ef=_ef(ef_search, accuracy, k))
         hits = [(v, c) for v, c in hits if v != int(query_ids[qi])][:k]
         for rank, (v, c) in enumerate(hits, 1):
             rows.append((int(query_ids[qi]), rank, v, float(c)))
@@ -213,6 +224,7 @@ def hnsw_cosine_topk_sharded(
     ef_construction: int = 64,
     ef_search: int = 64,
     seed: int = 42,
+    accuracy: str | None = None,
 ) -> pa.Table:
     """Distributed HNSW: ONE hash shuffle partitions vectors into
     ``num_shards`` groups, each group builds its own graph inside
@@ -245,7 +257,7 @@ def hnsw_cosine_topk_sharded(
             idx.add(int(ext), mat[i])
         rows_q, rows_v, rows_c = [], [], []
         for qi in range(len(qids)):
-            hits = idx.search(q[qi], k + 1, ef=ef_search)
+            hits = idx.search(q[qi], k + 1, ef=_ef(ef_search, accuracy, k))
             hits = [(v, c) for v, c in hits if v != int(qids[qi])][:k]
             rows_q.extend([int(qids[qi])] * len(hits))
             rows_v.extend(v for v, _ in hits)

@@ -152,11 +152,27 @@ class VectorStoreSearcher:
         return probes, files
 
     def topk(
-        self, queries: np.ndarray, query_ids: np.ndarray, k: int, *, nprobe: int = 4
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        k: int,
+        *,
+        nprobe: int | None = None,
+        accuracy: str | None = None,
     ) -> pa.Table:
         import ray
         import ray.data as rd
 
+        if accuracy is not None:
+            # reference --accuracy profile (fast/balanced/high) resolves the
+            # probe fraction; an explicit nprobe alongside it is a conflict
+            from .accuracy import resolve_nprobe
+
+            if nprobe is not None:
+                raise ValueError("pass either accuracy= or nprobe=, not both")
+            nprobe = resolve_nprobe(accuracy, len(self.centroids))
+        elif nprobe is None:
+            nprobe = 4
         if queries.shape[1] != self.manifest["dim"]:
             raise ValueError(
                 f"query dim {queries.shape[1]} != store dim {self.manifest['dim']}"

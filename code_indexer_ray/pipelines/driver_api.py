@@ -844,6 +844,62 @@ def q_bm25_limit0(sf_dir: str):
     return _bm25_table(searcher_for(sf_dir).search("window", limit=0), 0)
 
 
+EXTS = (".py", ".js", ".md", ".txt")
+_EXT_SEARCHERS: dict[str, IndexSearcher] = {}
+
+
+def ext_searcher_for(sf_dir: str) -> IndexSearcher:
+    """Index over a corpus whose urls carry real file extensions
+    (``source/doc_id.{py,js,md,txt}`` by ``doc_id % 4``) — the
+    ``file_extensions`` filter needs extension-suffixed paths to mean
+    anything; the text column is untouched so scores match the shared
+    oracle CTEs."""
+    s = _EXT_SEARCHERS.get(sf_dir)
+    if s is None:
+        import ray.data as rd
+
+        out = os.path.join(_corpus_dir(sf_dir), "corpus_ext")
+        done = os.path.join(out, "_SUCCESS")
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(out, ignore_errors=True)
+
+            def add_ext_url(batch: pa.Table) -> pa.Table:
+                ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+                url = pa.array(
+                    [
+                        f"{src}/{int(i)}{EXTS[int(i) % 4]}"
+                        for src, i in zip(batch["source"].to_pylist(), ids)
+                    ]
+                )
+                return batch.select(["doc_id", "text", "lang"]).append_column("url", url)
+
+            rd.read_parquet(
+                _docs(sf_dir), columns=["doc_id", "text", "lang", "source"]
+            ).map_batches(add_ext_url, batch_format="pyarrow").write_parquet(out)
+            with open(done, "w") as f:
+                f.write("ok")
+        idx = os.path.join(_corpus_dir(sf_dir), "index_ext")
+        build_index(out, idx, store_cols=("lang", "url"), num_shards=2, num_buckets=2)
+        s = IndexSearcher(idx, lang_col="lang", url_col="url")
+        _EXT_SEARCHERS[sf_dir] = s
+    return s
+
+
+def q_bm25_file_ext(sf_dir: str):
+    """``file_extensions`` include filter (reference API-only parameter,
+    QUERY_PARAMETERS.md: "Array-based extension filtering"): ranked with
+    the standard ×3 post-filter over-fetch, kept iff the url ends with one
+    of the requested extensions."""
+    return _bm25_table(
+        ext_searcher_for(sf_dir).search(
+            "merge", file_extensions=[".py", ".md"], limit=5, snippet_lines=0
+        ),
+        5,
+    )
+
+
 def q_bm25_fuzzy(sf_dir: str):
     return _bm25_table(
         searcher_for(sf_dir).search("mege", edit_distance=1, limit=10, snippet_lines=0), 10
@@ -5349,6 +5405,20 @@ def oracle_catalog() -> dict[str, str]:
     out["fts_bm25_source_filter"] = _q(
         _scored_cte("'merge'", None), _overfetch_filtered(5, "url LIKE 'src1/%'")
     )
+    # file_extensions (API-only include filter): ext corpus urls carry
+    # source/doc_id.{py,js,md,txt} by doc_id % 4; text identical → shared
+    # scoring CTEs apply unchanged
+    out["fts_bm25_file_ext"] = _q(
+        _scored_cte("'merge'", None),
+        "ranked AS (SELECT doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, doc_id) AS rank FROM scored),\n"
+        "over_fetched AS (SELECT r.*,\n"
+        "  d.source || '/' || d.doc_id || (['.py','.js','.md','.txt'])[1 + d.doc_id % 4] AS url\n"
+        "  FROM ranked r JOIN documents d USING (doc_id) WHERE r.rank <= 15),\n"
+        "kept AS (SELECT doc_id, score, row_number() OVER (ORDER BY rank) AS rk\n"
+        "  FROM over_fetched WHERE url LIKE '%.py' OR url LIKE '%.md')\n"
+        "SELECT doc_id, rk::BIGINT AS rank, round(score, 4) AS score_r FROM kept WHERE rk <= 5"
+    )
     out["fts_bm25_limit0"] = _q(_scored_cte("'window'", None), _ranked_topk(100000))
     # branch visibility (J4): folded hidden set = (≡3 mod 7 ∪ ≡2 mod 5) ∖
     # (≡2 mod 10), applied with the reference's over-fetch semantics
@@ -7162,6 +7232,7 @@ def query_catalog():
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
     "temporal_evolution",
+    "fts_bm25_file_ext",
     "temporal_msg_search",
     "temporal_diffchunk_search",
     "temporal_at_commit",
@@ -7300,6 +7371,7 @@ def _query_catalog_unordered():
         "fts_bm25_lang": q_bm25_lang,
         "fts_bm25_exclude_lang": q_bm25_exclude_lang,
         "fts_bm25_source_filter": q_bm25_source_filter,
+        "fts_bm25_file_ext": q_bm25_file_ext,
         "fts_bm25_limit0": q_bm25_limit0,
         "fts_fuzzy_terms": q_fuzzy_terms,
         "fts_bm25_fuzzy": q_bm25_fuzzy,

@@ -2359,6 +2359,7 @@ class IndexSearcher:
         slop: int = 0,
         after: tuple[float, int] | None = None,
         branch: str | None = None,
+        file_extensions: list[str] | None = None,
     ) -> list[dict]:
         """Cached entry point: identical repeated queries are served from the
         in-memory result cache (daemon result-cache analog)."""
@@ -2369,7 +2370,7 @@ class IndexSearcher:
             tuple(exclude_paths or ()), tuple(exclude_languages or ()), use_regex,
             phrase, match_any, tuple(exclude_terms or ()), offset, prefix,
             tuple(should_terms or ()), tuple(sorted((boosts or {}).items())),
-            slop, after, branch, vis_gen,
+            slop, after, branch, vis_gen, tuple(file_extensions or ()),
         )
         cached = self._result_cache.get(cache_key)
         if cached is not None:
@@ -2378,7 +2379,7 @@ class IndexSearcher:
             query_text, case_sensitive, edit_distance, snippet_lines, limit,
             languages, path_filters, exclude_paths, exclude_languages, use_regex,
             phrase, match_any, exclude_terms, offset, prefix, should_terms,
-            boosts, slop, after, branch,
+            boosts, slop, after, branch, file_extensions,
         )
         while len(self._result_cache) >= self._result_cache_max:
             try:
@@ -2410,6 +2411,7 @@ class IndexSearcher:
         slop: int = 0,
         after: tuple[float, int] | None = None,
         branch: str | None = None,
+        file_extensions: list[str] | None = None,
     ) -> list[dict]:
         if self.manifest.fields:
             # a multi-field dictionary holds only field-prefixed keys; a
@@ -2461,6 +2463,15 @@ class IndexSearcher:
             raise ValueError(f"edit_distance must be 0-3, got {edit_distance}")
         languages = languages or None
         path_filters = path_filters or None
+        if file_extensions:
+            # reference passes [".py", ".js"]; bare "py" is normalized
+            file_extensions = [
+                e if e.startswith(".") else f".{e}" for e in file_extensions
+            ]
+            if any(len(e) < 2 for e in file_extensions):
+                raise ValueError("file_extensions entries must be non-empty")
+        else:
+            file_extensions = None
         hidden = self._hidden_for(branch) if branch is not None else None
 
         groups = self._build_groups(
@@ -2495,6 +2506,7 @@ class IndexSearcher:
         else:
             needs_increased = bool(
                 path_filters or exclude_paths or exclude_languages or hidden
+                or file_extensions
             )
             depth = limit + offset  # pagination: rank depth includes skipped rows
             search_limit = depth * 3 if needs_increased else depth
@@ -2559,6 +2571,10 @@ class IndexSearcher:
             if exclude_paths and url is not None and matches_any(url, exclude_paths):
                 continue
             if path_filters and url is not None and not matches_any(url, path_filters):
+                continue
+            if file_extensions and (
+                url is None or not any(url.endswith(e) for e in file_extensions)
+            ):
                 continue
             selected.append((doc_id, score, lang, url))
             if limit > 0 and len(selected) >= limit + offset:

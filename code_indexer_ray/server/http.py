@@ -57,6 +57,85 @@ from ..query.parser import search_query_string
 _MAX_BODY = 8 * 1024 * 1024  # reject absurd request bodies outright
 
 
+def _flag(params: dict, key: str) -> bool:
+    v = params.get(key)
+    if isinstance(v, str):
+        return v.lower() in ("1", "true", "yes")
+    return bool(v)
+
+
+def rest_search(searcher, q: str, params: dict) -> list[dict]:
+    """REST/MCP parameter surface + validation rules of the reference
+    (QUERY_PARAMETERS.md): limit 1-100 (0 = this engine's unlimited),
+    snippet_lines 0-50, regex+fuzzy mutually exclusive, accuracy
+    enum-validated (and ignored on the FTS route, exactly the reference's
+    non-composite warning path), min_score as a ×3-over-fetch post-filter.
+    Shared by the HTTP /search|/batch routes and the MCP search_code tool
+    (reference exposes the identical surface on both, mcp/tools.py:372)."""
+    limit = int(params.get("limit", 10))
+    if "limit" in params and limit != 0 and not (1 <= limit <= 100):
+        raise ValueError("limit must be 0 (unlimited) or 1-100")
+    snippet_lines = int(params.get("snippet_lines", 0))
+    if not (0 <= snippet_lines <= 50):
+        raise ValueError("snippet_lines must be 0-50")
+    if params.get("accuracy") is not None:
+        from ..ann.accuracy import validate_accuracy
+
+        validate_accuracy(params["accuracy"])
+    fuzzy = _flag(params, "fuzzy")
+    regex = _flag(params, "regex")
+    if fuzzy and regex:
+        raise ValueError("regex and fuzzy are mutually exclusive")
+    kw = {}
+    if params.get("branch"):  # branch-visibility filter (J4)
+        kw["branch"] = params["branch"]
+    if params.get("language"):
+        kw["languages"] = [params["language"]]
+    if params.get("exclude_language"):
+        kw["exclude_languages"] = [params["exclude_language"]]
+    if params.get("path_filter"):
+        kw["path_filters"] = [params["path_filter"]]
+    if params.get("exclude_path"):
+        kw["exclude_paths"] = [params["exclude_path"]]
+    fx = params.get("file_extensions")
+    if fx:
+        kw["file_extensions"] = fx.split(",") if isinstance(fx, str) else list(fx)
+    ed = int(params.get("edit_distance", 0) or 0)
+    if fuzzy and not ed:
+        ed = 1  # reference: --fuzzy means edit distance 1
+    if ed:
+        kw["edit_distance"] = ed
+    if _flag(params, "case_sensitive"):
+        kw["case_sensitive"] = True
+
+    ms = params.get("min_score")
+    fetch = limit
+    if ms is not None and limit > 0:
+        fetch = limit * 3  # O1 over-fetch convention for post-filters
+    try:
+        if regex:
+            # an explicit regex request carries a RAW pattern — the
+            # query-string grammar (which owns '*'/'?' wildcards) must
+            # not reinterpret it (reference REST passes it through too)
+            hits = searcher.search(
+                q, limit=fetch, snippet_lines=snippet_lines, use_regex=True, **kw
+            )
+        else:
+            hits = search_query_string(
+                searcher, q, limit=fetch, snippet_lines=snippet_lines, **kw
+            )
+    except TypeError as e:
+        # a grammar construct (wildcard → regex) colliding with an
+        # explicit structured parameter is a caller error, not a crash
+        raise ValueError(str(e)) from e
+    if ms is not None:
+        ms_f = float(ms)
+        hits = [h for h in hits if h["score"] >= ms_f]
+        if limit > 0:
+            hits = hits[:limit]
+    return hits
+
+
 class GenerationFollower:
     """Tracks the live index generation under a root directory — the
     reference watch-daemon behavior (the watch loop publishes fresh
@@ -389,14 +468,7 @@ class IndexHTTPServer:
         }
 
     def _hits(self, q: str, params: dict) -> list[dict]:
-        limit = int(params.get("limit", 10))
-        snippet_lines = int(params.get("snippet_lines", 0))
-        kw = {}
-        if params.get("branch"):  # branch-visibility filter (J4)
-            kw["branch"] = params["branch"]
-        return search_query_string(
-            self.searcher, q, limit=limit, snippet_lines=snippet_lines, **kw
-        )
+        return rest_search(self.searcher, q, params)
 
     def _r_search(self, params: dict) -> dict:
         q = params.get("q")

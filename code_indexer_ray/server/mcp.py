@@ -31,7 +31,6 @@ import sys
 from typing import Any, Callable
 
 from ..query.engine import IndexSearcher
-from ..query.parser import search_query_string
 
 PROTOCOL_VERSION = "2025-06-18"
 SERVER_INFO = {"name": "code-indexer-ray", "version": "0.3"}
@@ -113,6 +112,23 @@ class MCPServer:
                     "query": {"type": "string", "description": "query string"},
                     "limit": {"type": "integer", "default": 10},
                     "snippet_lines": {"type": "integer", "default": 0},
+                    "language": {"type": "string"},
+                    "exclude_language": {"type": "string"},
+                    "path_filter": {"type": "string"},
+                    "exclude_path": {"type": "string"},
+                    "file_extensions": {"type": "array", "items": {"type": "string"}},
+                    "fuzzy": {"type": "boolean", "default": False},
+                    "edit_distance": {"type": "integer", "default": 0},
+                    "regex": {"type": "boolean", "default": False},
+                    "case_sensitive": {"type": "boolean", "default": False},
+                    "min_score": {"type": "number"},
+                    "accuracy": {
+                        "type": "string",
+                        "enum": ["fast", "balanced", "high"],
+                        "description": "search accuracy profile (validated; "
+                        "the FTS route ignores it, as the reference does for "
+                        "backends that cannot honor it)",
+                    },
                 },
                 ["query"],
             ),
@@ -239,12 +255,9 @@ class MCPServer:
         }
 
     def _t_search_code(self, p: dict) -> dict:
-        hits = search_query_string(
-            self.searcher,
-            p["query"],
-            limit=int(p.get("limit", 10)),
-            snippet_lines=int(p.get("snippet_lines", 0)),
-        )
+        from .http import rest_search
+
+        hits = rest_search(self.searcher, p["query"], p)
         return {"hits": hits, "total": len(hits)}
 
     def _t_get_file_content(self, p: dict) -> dict:

@@ -313,3 +313,75 @@ def test_search_branch_param(http_idx):
     _, got = _get(base + "/search?q=spark&limit=0&branch=httpfeat")
     assert top not in {h["doc_id"] for h in got["hits"]}
     assert len(got["hits"]) == len(all_hits["hits"]) - 1
+
+
+class TestRestParams:
+    """Reference REST parameter surface (QUERY_PARAMETERS.md): structured
+    filters, fuzzy/regex flags + conflict rule, min_score, accuracy enum,
+    constraint validation — each vs the direct engine call."""
+
+    def test_structured_filters_match_engine(self, http_idx):
+        base, s, _srv = http_idx
+        _, got = _post(base + "/search", {"q": "spark", "limit": 5, "language": "en"})
+        want = s.search("spark", languages=["en"], limit=5, snippet_lines=0)
+        assert [h["doc_id"] for h in got["hits"]] == [h["doc_id"] for h in want]
+        _, got2 = _post(
+            base + "/search",
+            {"q": "spark", "limit": 5, "exclude_language": "en", "path_filter": "src1/*"},
+        )
+        want2 = s.search(
+            "spark", exclude_languages=["en"], path_filters=["src1/*"],
+            limit=5, snippet_lines=0,
+        )
+        assert [h["doc_id"] for h in got2["hits"]] == [h["doc_id"] for h in want2]
+        _, got3 = _post(base + "/search", {"q": "spark", "limit": 5, "exclude_path": "src1/*"})
+        want3 = s.search("spark", exclude_paths=["src1/*"], limit=5, snippet_lines=0)
+        assert [h["doc_id"] for h in got3["hits"]] == [h["doc_id"] for h in want3]
+
+    def test_file_extensions(self, http_idx):
+        base, _s, _srv = http_idx
+        _, plain = _post(base + "/search", {"q": "merge", "limit": 5})
+        _, py = _post(base + "/search", {"q": "merge", "limit": 5, "file_extensions": ".py"})
+        assert [h["doc_id"] for h in py["hits"]] == [h["doc_id"] for h in plain["hits"]]
+        _, js = _post(
+            base + "/search", {"q": "merge", "limit": 5, "file_extensions": [".js", ".go"]}
+        )
+        assert js["hits"] == []
+
+    def test_fuzzy_regex_and_conflict(self, http_idx):
+        base, s, _srv = http_idx
+        _, fz = _post(base + "/search", {"q": "mege", "limit": 5, "fuzzy": True})
+        want = s.search("mege", edit_distance=1, limit=5, snippet_lines=0)
+        assert [h["doc_id"] for h in fz["hits"]] == [h["doc_id"] for h in want]
+        _, rx = _post(base + "/search", {"q": "s.*k", "limit": 5, "regex": True})
+        wantr = s.search("s.*k", use_regex=True, limit=5, snippet_lines=0)
+        assert [h["doc_id"] for h in rx["hits"]] == [h["doc_id"] for h in wantr]
+        code, err = _err(
+            _post, base + "/search", {"q": "spark", "fuzzy": True, "regex": True}
+        )
+        assert code == 400 and "mutually exclusive" in err["error"]
+
+    def test_min_score_overfetch(self, http_idx):
+        base, s, _srv = http_idx
+        full = s.search("spark", limit=15, snippet_lines=0)
+        ms = full[4]["score"]  # threshold between hit 5 and 6
+        _, got = _post(base + "/search", {"q": "spark", "limit": 5, "min_score": ms})
+        assert [h["doc_id"] for h in got["hits"]] == [
+            h["doc_id"] for h in full if h["score"] >= ms
+        ][:5]
+        assert all(h["score"] >= ms for h in got["hits"])
+
+    def test_validation_rules(self, http_idx):
+        base, _s, _srv = http_idx
+        code, err = _err(_post, base + "/search", {"q": "spark", "limit": 101})
+        assert code == 400 and "limit" in err["error"]
+        code, err = _err(_post, base + "/search", {"q": "spark", "snippet_lines": 99})
+        assert code == 400 and "snippet_lines" in err["error"]
+        code, err = _err(_post, base + "/search", {"q": "spark", "accuracy": "turbo"})
+        assert code == 400 and "accuracy" in err["error"]
+        # valid profile is accepted (and ignored on the FTS route)
+        code, ok = _post(base + "/search", {"q": "spark", "limit": 3, "accuracy": "high"})
+        assert code == 200 and len(ok["hits"]) == 3
+        # limit=0 stays the engine-wide unlimited convention
+        code, all_ = _post(base + "/search", {"q": "spark", "limit": 0})
+        assert code == 200 and len(all_["hits"]) >= len(ok["hits"])

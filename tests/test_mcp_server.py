@@ -302,3 +302,29 @@ class TestScipTools:
     def test_search_still_works_alongside(self, scip_srv):
         out = _payload(_call(scip_srv, "search_code", {"query": "spark", "limit": 3}))
         assert out["total"] == 3
+
+
+class TestRestParamsOnMcp:
+    """search_code shares the REST parameter surface (rest_search): filters,
+    fuzzy, min_score, accuracy enum + conflict validation as isError."""
+
+    def test_language_filter_matches_engine(self, mcp_idx):
+        srv, s, _out = mcp_idx
+        got = _payload(_call(srv, "search_code", {"query": "spark", "limit": 5, "language": "en"}))
+        want = s.search("spark", languages=["en"], limit=5, snippet_lines=0)
+        assert [h["doc_id"] for h in got["hits"]] == [h["doc_id"] for h in want]
+
+    def test_fuzzy_flag(self, mcp_idx):
+        srv, s, _out = mcp_idx
+        got = _payload(_call(srv, "search_code", {"query": "mege", "limit": 5, "fuzzy": True}))
+        want = s.search("mege", edit_distance=1, limit=5, snippet_lines=0)
+        assert [h["doc_id"] for h in got["hits"]] == [h["doc_id"] for h in want]
+
+    def test_conflict_and_enum_are_tool_errors(self, mcp_idx):
+        srv, _s, _out = mcp_idx
+        r = _call(srv, "search_code", {"query": "spark", "fuzzy": True, "regex": True})
+        assert r["isError"] is True and "mutually exclusive" in r["content"][0]["text"]
+        r2 = _call(srv, "search_code", {"query": "spark", "accuracy": "turbo"})
+        assert r2["isError"] is True and "accuracy" in r2["content"][0]["text"]
+        ok = _payload(_call(srv, "search_code", {"query": "spark", "limit": 3, "accuracy": "fast"}))
+        assert len(ok["hits"]) == 3

@@ -164,3 +164,52 @@ class TestVectorStoreUpsert:
         s3 = VectorStoreSearcher(out)
         res = s3.topk(qs, qids, 10, nprobe=8)
         assert set(res["vec_id"].to_pylist()) & set(some)
+
+
+class TestAccuracyProfiles:
+    """Reference --accuracy fast|balanced|high resolved to IVF probe
+    fractions (ann/accuracy.py); high on an 8-cell store probes half the
+    cells; conflicts and bad profiles raise."""
+
+    def test_profile_resolution(self):
+        from code_indexer_ray.ann.accuracy import resolve_ef, resolve_nprobe, validate_accuracy
+
+        assert resolve_nprobe("fast", 8) == 1
+        assert resolve_nprobe("balanced", 8) == 2
+        assert resolve_nprobe("high", 8) == 4
+        assert resolve_nprobe("high", 64) == 32
+        assert resolve_nprobe("fast", 2) == 1  # floor keeps tiny stores alive
+        assert resolve_ef("fast", 10) == 32
+        assert resolve_ef("balanced", 10) == 64
+        assert resolve_ef("high", 100) == 400
+        with pytest.raises(ValueError, match="accuracy"):
+            validate_accuracy("turbo")
+
+    def test_store_accuracy_equals_explicit_nprobe(self, store, ray_session):
+        out, _man = store
+        s = VectorStoreSearcher(out)
+        qs, qids = _queries()
+        for acc, npb in (("fast", 1), ("balanced", 2), ("high", 4)):
+            a = s.topk(qs, qids, 5, accuracy=acc)
+            b = s.topk(qs, qids, 5, nprobe=npb)
+            assert a.equals(b), acc
+
+    def test_conflict_and_default(self, store, ray_session):
+        out, _man = store
+        s = VectorStoreSearcher(out)
+        qs, qids = _queries()
+        with pytest.raises(ValueError, match="not both"):
+            s.topk(qs, qids, 5, nprobe=2, accuracy="fast")
+        # omitting both keeps the historical default (nprobe=4)
+        assert s.topk(qs, qids, 5).equals(s.topk(qs, qids, 5, nprobe=4))
+
+    def test_hnsw_accuracy_profile(self, ray_session):
+        import ray.data as rd
+
+        from code_indexer_ray.ann.hnsw import hnsw_cosine_topk
+
+        ds = rd.read_parquet(SRC)
+        qs, qids = _queries()
+        hi = hnsw_cosine_topk(ds, qs, qids, 5, accuracy="high")
+        explicit = hnsw_cosine_topk(ds, qs, qids, 5, ef_search=128)
+        assert hi.equals(explicit)
