@@ -2869,6 +2869,28 @@ def q_ann_pq(sf_dir: str):
     return pq_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10, m=16, ks=32)
 
 
+def q_ann_hnsw_store(sf_dir: str):
+    """PERSISTED HNSW store (reference ``storage/hnsw_index_manager.py``:
+    build → save binary + metadata → load → knn_query), sharded by vec_id
+    hash: per-shard graphs serialized to npz, loaded once per searcher,
+    rank-identical to the in-memory sharded build (parity-tested in
+    tests/test_hnsw_store.py) — recall gate carries over."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..ann.hnsw_store import HNSWStoreSearcher, build_hnsw_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    store_dir = os.path.join("/tmp", f"cidx_hnswstore_{tag}")
+    build_hnsw_store(
+        rd.read_parquet(src, columns=["vec_id", "embedding"]), store_dir, num_shards=4
+    )
+    qs = _load_queries(sf_dir)
+    return HNSWStoreSearcher(store_dir).topk(qs, np.array(ANN_QUERY_IDS), k=10)
+
+
 def q_ann_hnsw(sf_dir: str):
     """HNSW graph ANN (the reference's actual index structure, implemented
     from Malkov & Yashunin 2016): deterministic hash-seeded levels, greedy
@@ -7233,6 +7255,7 @@ _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
     "temporal_evolution",
     "fts_bm25_file_ext",
+    "ann_hnsw_store",
     "temporal_msg_search",
     "temporal_diffchunk_search",
     "temporal_at_commit",
@@ -7490,6 +7513,7 @@ def _query_catalog_unordered():
         "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests
         "ann_pq": q_ann_pq,  # product quantization; recall gate in tests
         "ann_hnsw": q_ann_hnsw,  # HNSW graph; recall gate in tests
+        "ann_hnsw_store": q_ann_hnsw_store,  # persisted HNSW; parity + recall gates
         "events_funnel": q_events_funnel,
         "events_pivot": q_events_pivot,
         "events_retention": q_events_retention,

@@ -73,7 +73,7 @@ def test_every_query_has_oracle_or_is_flagged(catalogs):
 
 
 _NO_ORACLE = {
-    "ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw", "ann_quantpath",
+    "ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw", "ann_hnsw_store", "ann_quantpath",
     "distinct_users_hll", "approx_quantiles",
 }
 
@@ -118,7 +118,7 @@ def test_ann_lsh_rows_only(catalogs):
 
 @pytest.mark.parametrize(
     "approx_name",
-    ["ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw", "ann_quantpath"],
+    ["ann_lsh", "ann_ivf", "ann_store", "ann_pq", "ann_hnsw", "ann_hnsw_store", "ann_quantpath"],
 )
 def test_ann_recall_vs_brute(approx_name, catalogs):
     """Measured recall@10 of each approximate ANN config against the exact
