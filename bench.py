@@ -330,6 +330,38 @@ def run() -> dict:
             tlat.append(time.perf_counter() - t7q)
         qstats["temporal_query_p50_ms"] = round(sorted(tlat)[len(tlat) // 2] * 1000, 2)
 
+        # path-history store (fifth session): hash-routed point-read
+        # file_at vs the partition-pruned filtered scan fallback
+        from code_indexer_ray.temporal.pathstore import build_path_store
+
+        t7p = time.perf_counter()
+        build_path_store(tidx)
+        qstats["temporal_pathstore_build_sec"] = round(time.perf_counter() - t7p, 3)
+        probe = (
+            rd.read_parquet(corpus, columns=["doc_id", "url"]).limit(40).to_pandas()
+        )
+        fpaths = [
+            f"{u}/{int(d)}.txt" for d, u in zip(probe["doc_id"], probe["url"])
+        ][:20]
+        ts_store = TemporalSearcher(tidx)
+        ts_scan = TemporalSearcher(tidx)
+        ts_scan._paths = None  # force the fallback for the comparison leg
+        lat_s, lat_f = [], []
+        for p in fpaths:
+            t0 = time.perf_counter()
+            ts_store.file_at(p, "2025-03-12")
+            lat_s.append(time.perf_counter() - t0)
+        for p in fpaths:
+            t0 = time.perf_counter()
+            ts_scan.file_at(p, "2025-03-12")
+            lat_f.append(time.perf_counter() - t0)
+        qstats["temporal_file_at_p50_ms_store"] = round(
+            sorted(lat_s)[len(lat_s) // 2] * 1000, 2
+        )
+        qstats["temporal_file_at_p50_ms_scan"] = round(
+            sorted(lat_f)[len(lat_f) // 2] * 1000, 2
+        )
+
         # KV doc store (round 3): derivation cost + 10-id mget p50, KV vs
         # parquet row-group point reads
         import numpy as np
