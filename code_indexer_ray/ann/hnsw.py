@@ -30,14 +30,17 @@ import pyarrow as pa
 from .brute import _to_matrix
 
 
-def _ef(ef_search: int, accuracy: str | None, k: int) -> int:
+def _ef(ef_search: int | None, accuracy: str | None, k: int) -> int:
     """Reference --accuracy profile → beam width; explicit ef_search is the
-    precise override (default 64 kept when no profile is given)."""
-    if accuracy is None:
-        return ef_search
-    from .accuracy import resolve_ef
+    precise override (default 64 when neither is given).  Passing BOTH is a
+    parameter conflict, same contract as the IVF nprobe/accuracy pair."""
+    if accuracy is not None:
+        if ef_search is not None:
+            raise ValueError("pass either accuracy= or ef_search=, not both")
+        from .accuracy import resolve_ef
 
-    return resolve_ef(accuracy, k)
+        return resolve_ef(accuracy, k)
+    return 64 if ef_search is None else ef_search
 
 
 class HNSWIndex:
@@ -175,7 +178,7 @@ def hnsw_cosine_topk(
     vec_col: str = "embedding",
     m: int = 8,
     ef_construction: int = 64,
-    ef_search: int = 64,
+    ef_search: int | None = None,
     seed: int = 42,
     accuracy: str | None = None,
 ) -> pa.Table:
@@ -222,7 +225,7 @@ def hnsw_cosine_topk_sharded(
     num_shards: int = 4,
     m: int = 8,
     ef_construction: int = 64,
-    ef_search: int = 64,
+    ef_search: int | None = None,
     seed: int = 42,
     accuracy: str | None = None,
 ) -> pa.Table:

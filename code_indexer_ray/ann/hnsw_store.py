@@ -92,13 +92,15 @@ def build_hnsw_store(
 ) -> dict:
     """Build + persist the sharded store from a vector Dataset.  Returns
     the manifest; a complete store with matching params/fingerprint is a
-    no-op fast path."""
+    no-op fast path.  When no fingerprint is given one is derived from the
+    input row count (the build_vector_store precedent) so regenerated
+    source data can never silently reuse stale graphs."""
     import shutil
-
-    import pyarrow.compute as pc  # noqa: F401  (batch kernels below)
 
     from .brute import _to_matrix
 
+    if fingerprint is None:
+        fingerprint = f"rows={ds.count()}"
     mpath = os.path.join(out_dir, HNSW_MANIFEST)
     if os.path.exists(mpath):
         try:
@@ -109,7 +111,7 @@ def build_hnsw_store(
                 and man.get("m") == m
                 and man.get("ef_construction") == ef_construction
                 and man.get("seed") == seed
-                and (fingerprint is None or man.get("fingerprint") == fingerprint)
+                and man.get("fingerprint") == fingerprint
             ):
                 return man
         except (OSError, ValueError):
@@ -189,7 +191,7 @@ class HNSWStoreSearcher:
         query_ids: np.ndarray,
         k: int,
         *,
-        ef_search: int = 64,
+        ef_search: int | None = None,
         accuracy: str | None = None,
     ) -> pa.Table:
         if queries.shape[1] != self.manifest["dim"]:
@@ -203,7 +205,10 @@ class HNSWStoreSearcher:
             merged: list[tuple[int, float]] = []
             for ent in self.manifest["shards"]:
                 hits = self._graph(ent["shard"]).search(queries[qi], k + 1, ef=ef)
-                merged.extend((v, c) for v, c in hits if v != int(qids[qi]))
+                # per-shard cut to k AFTER the self-filter — the exact merge
+                # the in-memory sharded build performs (rank-identity
+                # contract holds through cross-shard cosine ties)
+                merged.extend([(v, c) for v, c in hits if v != int(qids[qi])][:k])
             merged.sort(key=lambda t: (-t[1], t[0]))
             for rank, (v, c) in enumerate(merged[:k], 1):
                 rows.append((int(qids[qi]), rank, v, float(c)))

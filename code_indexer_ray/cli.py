@@ -511,7 +511,9 @@ def main(argv: list[str] | None = None) -> int:
                         )
                     )
         return 0
-    except ValueError as e:
+    except (ValueError, KeyError) as e:
+        # KeyError carries lookup misses (e.g. at-commit with an unknown
+        # change id) — same clean JSON-error exit as validation failures
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
     finally:

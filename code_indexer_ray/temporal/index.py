@@ -277,6 +277,14 @@ def append_changes(changes_path: str, out_root: str) -> dict:
             f"append contains window {min(counts)} older than the newest window "
             f"{hot} — temporal history is append-only"
         )
+    # the path-history sidecar is derived from the changes table — drop it
+    # BEFORE the table grows (readers fall back to the filtered scan; a
+    # crash mid-append can never leave a stale point-read store) and
+    # rebuild it after the append if one existed
+    from .pathstore import build_path_store, invalidate_path_store
+
+    old_pathstore = invalidate_path_store(out_root)
+
     # collision-safe: Ray parquet file names carry a per-write UUID
     ds.write_parquet(part_dir, partition_cols=["tbucket"])
 
@@ -305,4 +313,6 @@ def append_changes(changes_path: str, out_root: str) -> dict:
             # ...then retire the generation BEFORE the previous one — readers
             # holding the pre-swap manifest still resolve prev_dir
             shutil.rmtree(os.path.join(out_root, retired), ignore_errors=True)
+    if old_pathstore is not None:
+        build_path_store(out_root, num_parts=old_pathstore["num_parts"])
     return manifest

@@ -35,6 +35,33 @@ from ..scip.store import fnv64
 
 PATHSTORE_DIR = "pathstore"
 MANIFEST = "pathstore.json"
+
+
+def _count_changes(part_dir: str) -> int:
+    """Row count of the partitioned changes table from parquet METADATA
+    (footer reads only — never the data pages)."""
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(part_dir, partitioning="hive")
+    return sum(f.metadata.num_rows for f in dset.get_fragments())
+
+
+def invalidate_path_store(temporal_root: str) -> dict | None:
+    """Remove the sidecar (e.g. after an append changed the history) —
+    readers fall back to the filtered scan until the next build.  Returns
+    the removed store's manifest (so a rebuild keeps its parameters), or
+    ``None`` if no store existed."""
+    import shutil
+
+    out_dir = os.path.join(temporal_root, PATHSTORE_DIR)
+    man = None
+    try:
+        with open(os.path.join(out_dir, MANIFEST)) as f:
+            man = json.load(f)
+    except (OSError, ValueError):
+        pass
+    shutil.rmtree(out_dir, ignore_errors=True)
+    return man
 #: metadata columns each history row keeps (change id rides as ``change_id``)
 HISTORY_COLS = ("path", "commit_ts", "change_id", "diff_type", "commit_day", "author", "tbucket")
 
@@ -56,19 +83,21 @@ def build_path_store(
     from ..index.build import _hash64_batch
 
     out_dir = os.path.join(temporal_root, PATHSTORE_DIR)
+    part_dir = os.path.join(temporal_root, "changes")
+    n_changes = _count_changes(part_dir)
     mpath = os.path.join(out_dir, MANIFEST)
     if os.path.exists(mpath):
         try:
             with open(mpath) as f:
                 man = json.load(f)
-            if man.get("num_parts") == num_parts:
+            # the row count is the staleness fingerprint: an append grows
+            # the changes table, so a stale sidecar can never no-op here
+            if man.get("num_parts") == num_parts and man.get("total_rows") == n_changes:
                 return man
         except (OSError, ValueError):
             pass
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
-
-    part_dir = os.path.join(temporal_root, "changes")
 
     def route(batch: pa.Table) -> pa.Table:
         t = pa.table(

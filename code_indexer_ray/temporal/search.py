@@ -317,6 +317,10 @@ class TemporalSearcher:
                     "chunk_type filtering requires a message-indexed root "
                     "(build_temporal_index(index_messages=True))"
                 )
+        if show_evolution:
+            # fail BEFORE the fan-out: evolution reads per-path history,
+            # which message-indexed roots cannot reconstruct
+            self._require_diff_root("show_evolution")
         terms = sorted(dict.fromkeys(tokenize_query(query_text)))
         if not terms:
             return []
@@ -343,11 +347,15 @@ class TemporalSearcher:
         depth = limit if limit > 0 else UNLIMITED_LIMIT
         # over-fetch ladder mirrors the reference's branch order
         # (temporal_search_service.py:383-403): chunk_type dominates with
-        # its distribution-aware multiplier, other post-filters get ×3
-        if chunk_type == "commit_message" and limit > 0:
-            m = depth * 40
-        elif chunk_type == "commit_diff" and limit > 0:
-            m = int(depth * 1.5)
+        # its distribution-aware multiplier, other post-filters get ×3.
+        # Two divergences where the reference formula under-fetches: a
+        # depth+1 floor (int(1·1.5)=1 gives ZERO headroom at limit=1) and
+        # chunk_type stacked with author/path filters keeps at least the
+        # ×3 those filters get alone.
+        if chunk_type is not None and limit > 0:
+            m = depth * 40 if chunk_type == "commit_message" else max(int(depth * 1.5), depth + 1)
+            if needs_post:
+                m = max(m, depth * 3)
         elif needs_post and limit > 0:
             m = depth * 3
         else:

@@ -108,3 +108,43 @@ def test_dim_mismatch_and_lazy_load(store):
     qs, qids = _queries(1)
     s.topk(qs, qids, 3)
     assert len(s._graphs) == 4  # all shards consulted, loaded once
+
+
+def test_fingerprint_guards_stale_data(ray_session, tmp_path):
+    """Regenerated source data must rebuild the store even when every
+    hyperparameter matches (row-count fingerprint, review fix)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+
+    def write(n, path):
+        pq.write_table(
+            pa.table(
+                {
+                    "vec_id": pa.array(range(n), type=pa.int64()),
+                    "embedding": pa.array(
+                        [rng.normal(size=8).tolist() for _ in range(n)],
+                        type=pa.list_(pa.float64()),
+                    ),
+                }
+            ),
+            path,
+        )
+
+    src = str(tmp_path / "v.parquet")
+    out = str(tmp_path / "store")
+    write(64, src)
+    man1 = build_hnsw_store(rd.read_parquet(src), out, num_shards=2)
+    assert man1["total_rows"] == 64
+    write(80, src)  # regenerated data, same params
+    man2 = build_hnsw_store(rd.read_parquet(src), out, num_shards=2)
+    assert man2["total_rows"] == 80 and man2["fingerprint"] != man1["fingerprint"]
+
+
+def test_ef_accuracy_conflict_raises(store):
+    out, _man = store
+    s = HNSWStoreSearcher(out)
+    qs, qids = _queries(1)
+    with pytest.raises(ValueError, match="not both"):
+        s.topk(qs, qids, 5, ef_search=128, accuracy="high")

@@ -641,3 +641,92 @@ class TestChunkType:
         assert [(h["change_id"] * 2 + 1) for h in got] == [i for i, _ in cut]
         for h, (_, sc) in zip(got, cut):
             assert math.isclose(h["score"], sc, rel_tol=1e-9)
+
+
+class TestReviewFixes:
+    def test_append_invalidates_and_rebuilds_pathstore(self, ray_session, tmp_path):
+        """An append must never leave a stale point-read sidecar (review
+        fix): the store is rebuilt over the grown history and file_at
+        reflects the appended window."""
+        import os
+
+        from code_indexer_ray.temporal.index import append_changes
+        from code_indexer_ray.temporal.pathstore import build_path_store
+
+        docs = _docs_table(40)
+        chg = change_rows(docs)
+        days = chg["day_idx"].to_numpy()
+        old = chg.filter(pa.array(days <= 5))
+        new = chg.filter(pa.array(days > 5))
+        p_old = str(tmp_path / "old.parquet")
+        p_new = str(tmp_path / "new.parquet")
+        pq.write_table(old, p_old)
+        pq.write_table(new, p_new)
+        root = str(tmp_path / "tidx")
+        build_temporal_index(p_old, root, bucket_days=4, num_shards=1, num_buckets=1)
+        man = build_path_store(root, num_parts=2)
+        assert man["total_rows"] == len(old)
+        append_changes(p_new, root)
+        s = TemporalSearcher(root)
+        assert s._paths is not None
+        assert s._paths.manifest["total_rows"] == len(chg)
+        assert s._paths.manifest["num_parts"] == 2  # parameters preserved
+        # a path whose latest change arrived in the APPEND is served fresh
+        rows = sorted(chg.to_pylist(), key=lambda r: r["change_id"])
+        by_path: dict[str, list[dict]] = {}
+        for r in rows:
+            by_path.setdefault(r["path"], []).append(r)
+        p3, rs = next(
+            (p, rs) for p, rs in by_path.items()
+            if rs[-1]["day_idx"] > 5 and rs[-1]["diff_type"] != "deleted"
+        )
+        got = s.file_at(p3, "2025-03-12")
+        assert got is not None and got["change_id"] == rs[-1]["change_id"]
+
+    def test_chunk_diff_limit1_has_headroom(self, ray_session, tmp_path):
+        """int(1·1.5)=1 gave zero over-fetch at limit=1 (review fix): a
+        diff-chunk query whose top-ranked candidate is a message doc must
+        still return the diff hit one rank deeper."""
+        # exactly ONE message doc carries the term ('deleted' appears only
+        # in doc 5's deletion message) and it outranks every diff doc
+        # (shortest doc, tf 1) — the review's failure shape at limit=1
+        docs = pa.table(
+            {
+                "doc_id": pa.array(range(12), type=pa.int64()),
+                "source": pa.array(["src"] * 12),
+                "text": pa.array(["deleted zulu " + "pad " * (5 + i) for i in range(12)]),
+                "lang": pa.array(["en"] * 12),
+            }
+        )
+        chg_path = str(tmp_path / "chg.parquet")
+        pq.write_table(change_rows(docs), chg_path)
+        root = str(tmp_path / "tmsg")
+        build_temporal_index(
+            chg_path, root, bucket_days=4, num_shards=1, num_buckets=1,
+            index_messages=True,
+        )
+        s = TemporalSearcher(root)
+        # sanity: the unfiltered top-1 really is the message doc
+        top = s.query("deleted", start_day="2025-03-01", end_day="2025-03-12", limit=1)
+        assert top and top[0]["chunk_type"] == "commit_message"
+        got = s.query(
+            "deleted", start_day="2025-03-01", end_day="2025-03-12",
+            chunk_type="commit_diff", limit=1,
+        )
+        assert got and got[0]["chunk_type"] == "commit_diff"
+
+    def test_show_evolution_fails_fast_on_msg_root(self, ray_session, tmp_path):
+        docs = _docs_table(20)
+        chg_path = str(tmp_path / "chg.parquet")
+        pq.write_table(change_rows(docs), chg_path)
+        root = str(tmp_path / "tmsg2")
+        build_temporal_index(
+            chg_path, root, bucket_days=4, num_shards=1, num_buckets=1,
+            index_messages=True,
+        )
+        s = TemporalSearcher(root)
+        with pytest.raises(ValueError, match="show_evolution"):
+            s.query(
+                "spark", start_day="2025-03-01", end_day="2025-03-12",
+                show_evolution=True,
+            )
