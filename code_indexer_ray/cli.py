@@ -182,6 +182,15 @@ def main(argv: list[str] | None = None) -> int:
     th = tpsub.add_parser("history", help="full change timeline of PATH")
     th.add_argument("--index", required=True)
     th.add_argument("path")
+    tw = tpsub.add_parser(
+        "watch", help="poll an append-only change feed; append new batches per tick"
+    )
+    tw.add_argument("--feed", required=True)
+    tw.add_argument("--index", required=True)
+    tw.add_argument("--bucket-days", type=int, default=4)
+    tw.add_argument("--num-buckets", type=int, default=None)
+    tw.add_argument("--interval", type=float, default=5.0)
+    tw.add_argument("--max-ticks", type=int, default=None)
 
     # SCIP-analog code-intelligence group (reference cli_scip.py: generate /
     # status / definition / references / dependencies / dependents / impact /
@@ -403,6 +412,27 @@ def main(argv: list[str] | None = None) -> int:
                          "rows": man["total_rows"]}
                     )
                 )
+            elif args.temporal_cmd == "watch":
+                import os
+                import time as _time
+
+                from .temporal.index import TEMPORAL_MANIFEST
+                from .temporal.watch import TemporalWatchDriver
+
+                if not os.path.isfile(os.path.join(args.index, TEMPORAL_MANIFEST)):
+                    drv = TemporalWatchDriver.initialize(
+                        args.feed, args.index,
+                        bucket_days=args.bucket_days, num_buckets=args.num_buckets,
+                    )
+                    print(json.dumps({"bootstrapped": args.index}))
+                else:
+                    drv = TemporalWatchDriver(args.feed, args.index)
+                n = 0
+                while args.max_ticks is None or n < args.max_ticks:
+                    print(json.dumps(drv.tick()))
+                    n += 1
+                    if args.max_ticks is None or n < args.max_ticks:
+                        _time.sleep(args.interval)
             else:
                 from .temporal import TemporalSearcher
 

@@ -316,3 +316,79 @@ def append_changes(changes_path: str, out_root: str) -> dict:
     if old_pathstore is not None:
         build_path_store(out_root, num_parts=old_pathstore["num_parts"])
     return manifest
+
+
+def _bucket_disk_counts(part_dir: str) -> dict[int, int]:
+    """Per-window row counts of the partitioned changes table from parquet
+    METADATA (footer reads only)."""
+    import pyarrow.dataset as pads
+
+    out: dict[int, int] = {}
+    for name in os.listdir(part_dir):
+        if not name.startswith("tbucket="):
+            continue
+        b = int(name.split("=", 1)[1])
+        d = pads.dataset(os.path.join(part_dir, name))
+        out[b] = sum(f.metadata.num_rows for f in d.get_fragments())
+    return out
+
+
+def repair_append(out_root: str) -> dict:
+    """Reconcile the temporal index with its changes table after a crashed
+    append (the reference's completed-commit reconciliation role,
+    ``cli_temporal_watch_handler.py`` progressive metadata): an append
+    writes ALL change rows first, then rebuilds touched windows and swaps
+    the manifest per bucket — a crash in between leaves windows whose disk
+    row count disagrees with the manifest.  This rebuilds exactly those
+    windows from the (complete) partitioned rows, publishes
+    generation-swapped dirs, refreshes the manifest, and rebuilds a
+    pathstore sidecar if one existed.  Idempotent; a consistent index is a
+    no-op.  It does NOT deduplicate rows — a crash in the middle of the row
+    write itself (detected by the watch driver's in-flight row accounting)
+    needs the feed file re-appended or the surplus rows removed by hand,
+    and is reported loudly there."""
+    import shutil
+
+    from ..index.build import build_index
+    from .pathstore import build_path_store, invalidate_path_store
+
+    mpath = os.path.join(out_root, TEMPORAL_MANIFEST)
+    with open(mpath) as f:
+        manifest = json.load(f)
+    by_bucket = {b["bucket"]: b for b in manifest["buckets"]}
+    part_dir = os.path.join(out_root, "changes")
+    disk = _bucket_disk_counts(part_dir)
+    stale = [
+        b for b, n in sorted(disk.items())
+        if b not in by_bucket or by_bucket[b]["num_changes"] != n
+    ]
+    if not stale:
+        return manifest
+
+    old_pathstore = invalidate_path_store(out_root)
+    for b in stale:
+        ent = by_bucket.get(b)
+        gen = int(ent["dir"].rsplit("_g", 1)[1]) + 1 if ent and "_g" in ent["dir"] else 1
+        new_dir = f"idx_{b:06d}_g{gen}" if ent else f"idx_{b:06d}"
+        build_index(
+            os.path.join(part_dir, f"tbucket={b}"),
+            os.path.join(out_root, new_dir),
+            id_col="doc_id",
+            text_col="text",
+            store_cols=STORE_COLS,
+            num_shards=manifest.get("num_shards"),
+            num_buckets=manifest.get("num_buckets"),
+            resume=False,
+        )
+        entry = {"bucket": int(b), **_bucket_stats(part_dir, b), "dir": new_dir}
+        if ent:
+            entry["prev_dir"] = ent["dir"]
+        by_bucket[b] = entry
+        manifest["buckets"] = [by_bucket[k] for k in sorted(by_bucket)]
+        _write_manifest(out_root, manifest)
+        retired = ent.get("prev_dir") if ent else None
+        if retired and retired != new_dir:
+            shutil.rmtree(os.path.join(out_root, retired), ignore_errors=True)
+    if old_pathstore is not None:
+        build_path_store(out_root, num_parts=old_pathstore["num_parts"])
+    return manifest

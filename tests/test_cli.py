@@ -128,6 +128,13 @@ assert main(["temporal", "build", "--changes",
 assert main(["temporal", "search", "--index", msgidx, "added",
              "--start-day", "2025-03-01", "--end-day", "2025-03-12",
              "--chunk-type", "commit_message", "--limit", "3"]) == 0
+import os, shutil
+feed = {str(tmp_path / "feed")!r}
+os.makedirs(feed, exist_ok=True)
+shutil.copy({str(tmp_path / "chg.parquet")!r}, os.path.join(feed, "batch-000.parquet"))
+widx = {idx!r} + "_watch"
+assert main(["temporal", "watch", "--feed", feed, "--index", widx,
+             "--bucket-days", "4", "--num-buckets", "2", "--max-ticks", "1"]) == 0
 print("TEMPORAL_CLI_OK")
 """
     out = subprocess.run([sys.executable, "-c", script], capture_output=True,
@@ -140,3 +147,5 @@ print("TEMPORAL_CLI_OK")
     assert any(l.get("chunk_type") == "commit_message" for l in lines)
     assert any("evolution" in l for l in lines)
     assert any("num_parts" in l for l in lines)  # pathstore build echo
+    assert any("bootstrapped" in l for l in lines)  # watch bootstrap echo
+    assert any(l.get("appended") == [] for l in lines)  # first watch tick

@@ -730,3 +730,165 @@ class TestReviewFixes:
                 "spark", start_day="2025-03-01", end_day="2025-03-12",
                 show_evolution=True,
             )
+
+
+class TestTemporalWatch:
+    """Temporal watch loop (reference cli_temporal_watch_handler.py):
+    bootstrap, incremental ticks, append-only feed contract, and the
+    in-flight crash-recovery protocol on both sides of the append."""
+
+    def _feed(self, tmp_path, chg, cuts):
+        """Split chg into feed files by day ranges [(lo, hi), ...]."""
+        import os
+
+        feed = str(tmp_path / "feed")
+        os.makedirs(feed, exist_ok=True)
+        days = chg["day_idx"].to_numpy()
+        names = []
+        for i, (lo, hi) in enumerate(cuts):
+            part = chg.filter(pa.array((days >= lo) & (days <= hi)))
+            name = f"batch-{i:03d}.parquet"
+            pq.write_table(part, str(tmp_path / "feed" / name))
+            names.append(name)
+        return feed, names
+
+    def test_lifecycle_and_parity(self, ray_session, tmp_path):
+        import os
+
+        from code_indexer_ray.temporal.watch import TemporalWatchDriver
+
+        docs = _docs_table(50)
+        chg = change_rows(docs)
+        feed, _ = self._feed(tmp_path, chg, [(0, 3), (4, 5)])
+        root = str(tmp_path / "tidx")
+        drv = TemporalWatchDriver.initialize(
+            feed, root, bucket_days=4, num_shards=1, num_buckets=1
+        )
+        assert drv.tick() == {"appended": [], "recovered": None}  # no-op
+
+        # new feed batches arrive → appended oldest-first in one tick
+        days = chg["day_idx"].to_numpy()
+        pq.write_table(
+            chg.filter(pa.array((days >= 6) & (days <= 8))),
+            os.path.join(feed, "batch-002.parquet"),
+        )
+        pq.write_table(
+            chg.filter(pa.array(days >= 9)), os.path.join(feed, "batch-003.parquet")
+        )
+        got = drv.tick()
+        assert got["appended"] == ["batch-002.parquet", "batch-003.parquet"]
+
+        # searcher over the watched root ≡ a from-scratch build over ALL rows
+        scratch = str(tmp_path / "scratch")
+        allp = str(tmp_path / "all.parquet")
+        pq.write_table(chg, allp)
+        build_temporal_index(allp, scratch, bucket_days=4, num_shards=1, num_buckets=1)
+        a = TemporalSearcher(root).query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12", limit=0
+        )
+        b = TemporalSearcher(scratch).query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12", limit=0
+        )
+        assert [(h["change_id"], round(h["score"], 9)) for h in a] == [
+            (h["change_id"], round(h["score"], 9)) for h in b
+        ]
+        # restart: fresh driver instance resumes from persisted state
+        drv2 = TemporalWatchDriver(feed, root)
+        assert drv2.tick() == {"appended": [], "recovered": None}
+
+    def test_mutated_feed_file_raises(self, ray_session, tmp_path):
+        import os
+
+        from code_indexer_ray.temporal.watch import TemporalWatchDriver
+
+        docs = _docs_table(20)
+        chg = change_rows(docs)
+        feed, names = self._feed(tmp_path, chg, [(0, 5)])
+        root = str(tmp_path / "tidx")
+        drv = TemporalWatchDriver.initialize(
+            feed, root, bucket_days=4, num_shards=1, num_buckets=1
+        )
+        # rewrite an already-applied batch (append-only violation)
+        pq.write_table(chg.slice(0, 5), os.path.join(feed, names[0]))
+        with pytest.raises(ValueError, match="append-only"):
+            drv.tick()
+
+    def test_recover_both_sides(self, ray_session, tmp_path):
+        import json
+        import os
+
+        from code_indexer_ray.temporal.pathstore import _count_changes
+        from code_indexer_ray.temporal.watch import TemporalWatchDriver, _fingerprint
+
+        docs = _docs_table(40)
+        chg = change_rows(docs)
+        days = chg["day_idx"].to_numpy()
+        feed, _ = self._feed(tmp_path, chg, [(0, 5)])
+        root = str(tmp_path / "tidx")
+        drv = TemporalWatchDriver.initialize(
+            feed, root, bucket_days=4, num_shards=1, num_buckets=1
+        )
+
+        # --- crash BEFORE the append landed: in-flight marker persisted,
+        # rows unchanged → recover re-appends
+        new1 = chg.filter(pa.array((days >= 6) & (days <= 8)))
+        p1 = os.path.join(feed, "batch-001.parquet")
+        pq.write_table(new1, p1)
+        pre = _count_changes(os.path.join(root, "changes"))
+        drv._state["in_flight"] = {
+            "name": "batch-001.parquet", "fp": _fingerprint(p1),
+            "rows": len(new1), "pre_rows": pre,
+        }
+        drv._save_state()
+        drv2 = TemporalWatchDriver(feed, root)  # "restart"
+        got = drv2.tick()
+        assert got["recovered"] == "reappended"
+        assert _count_changes(os.path.join(root, "changes")) == pre + len(new1)
+
+        # --- crash AFTER rows landed but with a stale manifest: recover
+        # repairs exactly the disagreeing windows
+        with open(os.path.join(root, "temporal.json")) as f:
+            stale_manifest = f.read()
+        new2 = chg.filter(pa.array(days >= 9))
+        p2 = os.path.join(feed, "batch-002.parquet")
+        pq.write_table(new2, p2)
+        pre2 = _count_changes(os.path.join(root, "changes"))
+        from code_indexer_ray.temporal.index import append_changes
+
+        append_changes(p2, root)
+        # roll the manifest back to the pre-append generation (simulated
+        # crash between the row write and the window swaps)
+        with open(os.path.join(root, "temporal.json"), "w") as f:
+            f.write(stale_manifest)
+        drv3 = TemporalWatchDriver(feed, root)
+        drv3._state["in_flight"] = {
+            "name": "batch-002.parquet", "fp": _fingerprint(p2),
+            "rows": len(new2), "pre_rows": pre2,
+        }
+        drv3._save_state()
+        got = TemporalWatchDriver(feed, root).tick()
+        assert got["recovered"] == "repaired"
+        # repaired root ≡ scratch build over everything
+        scratch = str(tmp_path / "scratch")
+        allp = str(tmp_path / "all.parquet")
+        pq.write_table(chg, allp)
+        build_temporal_index(allp, scratch, bucket_days=4, num_shards=1, num_buckets=1)
+        a = TemporalSearcher(root).query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12", limit=0
+        )
+        b = TemporalSearcher(scratch).query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12", limit=0
+        )
+        assert [(h["change_id"], round(h["score"], 9)) for h in a] == [
+            (h["change_id"], round(h["score"], 9)) for h in b
+        ]
+
+        # --- partial row write: neither pre nor post count → loud failure
+        drv4 = TemporalWatchDriver(feed, root)
+        drv4._state["in_flight"] = {
+            "name": "batch-002.parquet", "fp": _fingerprint(p2),
+            "rows": len(new2) + 7, "pre_rows": pre2,
+        }
+        drv4._save_state()
+        with pytest.raises(RuntimeError, match="partial append"):
+            TemporalWatchDriver(feed, root).tick()
