@@ -107,6 +107,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="symbol store dir enabling the /scip/* code-intelligence routes",
     )
+    sv.add_argument(
+        "--temporal-index",
+        default=None,
+        help="temporal index root enabling the /temporal/* routes",
+    )
 
     mc = sub.add_parser(
         "serve-mcp",
@@ -328,6 +333,7 @@ def main(argv: list[str] | None = None) -> int:
                 api_key=args.api_key,
                 enable_jobs=args.jobs,
                 scip_store=args.scip_store,
+                temporal_index=args.temporal_index,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:

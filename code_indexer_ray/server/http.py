@@ -220,9 +220,15 @@ class IndexHTTPServer:
         follow: bool = True,
         enable_jobs: bool = False,
         scip_store: str | None = None,
+        temporal_index: str | None = None,
     ):
         self._scip_root = scip_store
         self._scip = None
+        # temporal routes (reference REST temporal parameters: time_range,
+        # at_commit, include_removed, show_evolution, chunk_type, ...)
+        self._temporal_root = temporal_index
+        self._temporal = None
+        self._temporal_lock = threading.Lock()
         # SymbolStore's part cache + shared ParquetFile handles are not
         # thread-safe; scip routes serialize under their own lock (separate
         # from the searcher lock so code-intel and search don't queue on
@@ -337,6 +343,9 @@ class IndexHTTPServer:
         if route.startswith("/scip/"):
             self._dispatch_scip(h, route, params)
             return
+        if route.startswith("/temporal/"):
+            self._dispatch_temporal(h, route, params)
+            return
         fn = _ROUTES.get(route)
         if fn is None:
             self._reply(h, 404, {"error": f"unknown route {route!r}"})
@@ -382,6 +391,75 @@ class IndexHTTPServer:
             self._reply(h, 400, {"error": str(e)})
         except Exception as e:  # noqa: BLE001
             self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    # ---- temporal routes (reference REST temporal parameter surface,
+    # QUERY_PARAMETERS.md: time_range, diff_type, author, chunk_type,
+    # at_commit, include_removed, show_evolution, evolution_limit) ----
+
+    def _dispatch_temporal(self, h, route: str, params: dict) -> None:
+        if self._temporal_root is None:
+            self._reply(
+                h, 503, {"error": "no temporal index configured (--temporal-index)"}
+            )
+            return
+        try:
+            with self._temporal_lock:
+                return self._temporal_call(h, route, params)
+        except (ValueError, KeyError) as e:
+            self._reply(h, 400, {"error": str(e)})
+        except Exception as e:  # noqa: BLE001 — the server must not die on a bad request
+            self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+
+    def _temporal_call(self, h, route: str, params: dict) -> None:
+        if self._temporal is None:
+            from ..temporal.search import TemporalSearcher
+
+            self._temporal = TemporalSearcher(self._temporal_root)
+        ts = self._temporal
+
+        def need(key: str) -> str:
+            v = params.get(key)
+            if not v:
+                raise ValueError(f"missing required parameter {key!r}")
+            return v
+
+        if route == "/temporal/search":
+            tr = need("time_range")  # reference REST field: YYYY-MM-DD..YYYY-MM-DD
+            if ".." not in tr:
+                raise ValueError("time_range must be YYYY-MM-DD..YYYY-MM-DD")
+            start_day, end_day = tr.split("..", 1)
+            dt = params.get("diff_type")
+            if isinstance(dt, str):
+                dt = dt.split(",")
+            evl = params.get("evolution_limit")
+            rows = ts.query(
+                need("q"),
+                start_day=start_day,
+                end_day=end_day,
+                diff_types=dt or None,
+                authors=[params["author"]] if params.get("author") else None,
+                path_filters=[params["path_filter"]] if params.get("path_filter") else None,
+                limit=int(params.get("limit", 10)),
+                chunk_type=params.get("chunk_type"),
+                show_evolution=_flag(params, "show_evolution"),
+                evolution_limit=int(evl) if evl is not None else None,
+            )
+            out = {"hits": rows}
+        elif route == "/temporal/file-at":
+            inc = _flag(params, "include_removed")
+            if params.get("at_commit") is not None:
+                hit = ts.file_at_commit(
+                    need("path"), int(params["at_commit"]), include_removed=inc
+                )
+            else:
+                hit = ts.file_at(need("path"), need("day"), include_removed=inc)
+            out = {"file": hit}
+        elif route == "/temporal/history":
+            out = {"history": ts.history(need("path"))}
+        else:
+            self._reply(h, 404, {"error": f"unknown route {route!r}"})
+            return
+        self._reply(h, 200, out)
 
     # ---- SCIP code-intelligence routes (reference
     # server/routers/scip_queries.py: /scip/definition /references

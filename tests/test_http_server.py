@@ -385,3 +385,127 @@ class TestRestParams:
         # limit=0 stays the engine-wide unlimited convention
         code, all_ = _post(base + "/search", {"q": "spark", "limit": 0})
         assert code == 200 and len(all_["hits"]) >= len(ok["hits"])
+
+
+class TestTemporalRoutes:
+    """Reference REST temporal parameter surface over /temporal/*:
+    time_range, diff_type, author, at_commit, include_removed,
+    show_evolution/evolution_limit — each vs the direct TemporalSearcher."""
+
+    @pytest.fixture(scope="class")
+    def temporal_http(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.server.http import IndexHTTPServer
+        from code_indexer_ray.temporal.history import change_rows
+        from code_indexer_ray.temporal.index import build_temporal_index
+        from code_indexer_ray.temporal.pathstore import build_path_store
+        from code_indexer_ray.temporal.search import TemporalSearcher
+
+        tmp = tmp_path_factory.mktemp("thttp")
+        rng = np.random.default_rng(3)
+        vocab = ["spark", "merge", "window", "batch"]
+        docs = pa.Table.from_pylist(
+            [
+                {
+                    "doc_id": i,
+                    "source": f"s{i % 3}",
+                    "text": " ".join(
+                        vocab[j] for j in rng.integers(0, 4, int(rng.integers(5, 25)))
+                    ),
+                    "lang": "en",
+                }
+                for i in range(60)
+            ]
+        )
+        chg = str(tmp / "chg.parquet")
+        pq.write_table(change_rows(docs), chg)
+        troot = str(tmp / "tidx")
+        build_temporal_index(chg, troot, bucket_days=4, num_shards=1, num_buckets=1)
+        build_path_store(troot, num_parts=4)
+        # the FTS index the server fronts (any small one)
+        src = str(tmp / "c.parquet")
+        pq.write_table(
+            pa.Table.from_pylist(
+                [{"doc_id": i, "text": "spark merge", "lang": "en", "url": f"u/{i}"} for i in range(20)]
+            ),
+            src,
+        )
+        from code_indexer_ray.index.build import build_index
+
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=1, num_buckets=1, resume=False)
+        srv = IndexHTTPServer(idx, port=0, temporal_index=troot)
+        srv.start()
+        base = f"http://{srv.host}:{srv.port}"
+        yield base, TemporalSearcher(troot), docs
+        srv.shutdown()
+
+    def test_search_time_range_and_filters(self, temporal_http):
+        base, ts, _docs = temporal_http
+        _, got = _post(
+            base + "/temporal/search",
+            {
+                "q": "spark merge",
+                "time_range": "2025-03-05..2025-03-12",
+                "diff_type": "modified",
+                "limit": 5,
+            },
+        )
+        want = ts.query(
+            "spark merge", start_day="2025-03-05", end_day="2025-03-12",
+            diff_types=["modified"], limit=5,
+        )
+        assert [h["change_id"] for h in got["hits"]] == [h["change_id"] for h in want]
+        # author filter
+        _, got2 = _post(
+            base + "/temporal/search",
+            {"q": "spark", "time_range": "2025-03-01..2025-03-12", "author": "alice", "limit": 3},
+        )
+        want2 = ts.query(
+            "spark", start_day="2025-03-01", end_day="2025-03-12",
+            authors=["alice"], limit=3,
+        )
+        assert [h["change_id"] for h in got2["hits"]] == [h["change_id"] for h in want2]
+
+    def test_show_evolution(self, temporal_http):
+        base, ts, _docs = temporal_http
+        _, got = _post(
+            base + "/temporal/search",
+            {
+                "q": "spark",
+                "time_range": "2025-03-01..2025-03-12",
+                "limit": 3,
+                "show_evolution": True,
+                "evolution_limit": 2,
+            },
+        )
+        assert got["hits"] and all(len(h["evolution"]) <= 2 for h in got["hits"])
+
+    def test_file_at_and_at_commit(self, temporal_http):
+        base, ts, docs = temporal_http
+        p = f"{docs['source'][0].as_py()}/0.txt"
+        _, got = _post(base + "/temporal/file-at", {"path": p, "day": "2025-03-12"})
+        want = ts.file_at(p, "2025-03-12")
+        assert got["file"] == want
+        _, got2 = _post(base + "/temporal/file-at", {"path": p, "at_commit": 1})
+        want2 = ts.file_at_commit(p, 1)
+        assert got2["file"] == want2
+        code, err = _err(_post, base + "/temporal/file-at", {"path": p, "at_commit": 10**9})
+        assert code == 400  # unknown commit → clean 400, not a 500
+        _, hist = _post(base + "/temporal/history", {"path": p})
+        assert [r["change_id"] for r in hist["history"]] == [
+            r["change_id"] for r in ts.history(p)
+        ]
+
+    def test_validation_and_unconfigured(self, temporal_http, http_idx):
+        base, _ts, _docs = temporal_http
+        code, err = _err(
+            _post, base + "/temporal/search", {"q": "x", "time_range": "2025-03-01"}
+        )
+        assert code == 400 and "time_range" in err["error"]
+        # a server without --temporal-index replies 503
+        plain_base, _s, _srv = http_idx
+        code, err = _err(
+            _post, plain_base + "/temporal/search",
+            {"q": "x", "time_range": "2025-03-01..2025-03-02"},
+        )
+        assert code == 503
