@@ -130,6 +130,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="symbol store dir exposing the code-intelligence tools",
     )
+    mc.add_argument(
+        "--temporal-index",
+        default=None,
+        help="temporal index root exposing temporal_search/get_file_at tools",
+    )
 
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
@@ -349,6 +354,7 @@ def main(argv: list[str] | None = None) -> int:
                 shard_group_size=args.shard_group_size,
                 enable_jobs=args.jobs,
                 scip_store=args.scip_store,
+                temporal_index=args.temporal_index,
             )
             try:
                 srv.serve_stdio()

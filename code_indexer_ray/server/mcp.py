@@ -68,11 +68,14 @@ class MCPServer:
         enable_jobs: bool = False,
         warm: bool = False,
         scip_store: str | None = None,
+        temporal_index: str | None = None,
     ):
         from .http import GenerationFollower
 
         self._scip_root = scip_store
         self._scip = None
+        self._temporal_root = temporal_index
+        self._temporal = None
         self.jobs = None
         if enable_jobs:
             from .jobs import JobManager
@@ -220,6 +223,48 @@ class MCPServer:
                     ["from_symbol", "to_symbol"],
                 )
             )
+        if self._temporal_root is not None:
+            # temporal query tools (reference exposes the temporal parameter
+            # surface through the MCP query tool, QUERY_PARAMETERS.md)
+            out.append(
+                _tool(
+                    "temporal_search",
+                    "Date-range BM25 over the commit history with diff-type/"
+                    "author/chunk-type filters and an optional per-hit "
+                    "evolution timeline.",
+                    {
+                        "query": {"type": "string"},
+                        "time_range": {
+                            "type": "string",
+                            "description": "YYYY-MM-DD..YYYY-MM-DD (inclusive)",
+                        },
+                        "diff_type": {"type": "array", "items": {"type": "string"}},
+                        "author": {"type": "string"},
+                        "chunk_type": {
+                            "type": "string",
+                            "enum": ["commit_message", "commit_diff"],
+                        },
+                        "limit": {"type": "integer", "default": 10},
+                        "show_evolution": {"type": "boolean", "default": False},
+                        "evolution_limit": {"type": "integer"},
+                    },
+                    ["query", "time_range"],
+                )
+            )
+            out.append(
+                _tool(
+                    "get_file_at",
+                    "Content of a path as of end-of-day or as of a commit id "
+                    "(include_removed surfaces deleted-at-cut paths).",
+                    {
+                        "path": {"type": "string"},
+                        "day": {"type": "string"},
+                        "at_commit": {"type": "integer"},
+                        "include_removed": {"type": "boolean", "default": False},
+                    },
+                    ["path"],
+                )
+            )
         return out
 
     # ---- tool handlers --------------------------------------------------------
@@ -309,6 +354,47 @@ class MCPServer:
             return self.jobs.get(p["job_id"])
         return {"jobs": self.jobs.list(int(p.get("limit", 20)))}
 
+    @property
+    def temporal(self):
+        if self._temporal_root is None:
+            raise ValueError("no temporal index configured (--temporal-index)")
+        if self._temporal is None:
+            from ..temporal.search import TemporalSearcher
+
+            self._temporal = TemporalSearcher(self._temporal_root)
+        return self._temporal
+
+    def _t_temporal_search(self, p: dict) -> dict:
+        tr = p["time_range"]
+        if ".." not in tr:
+            raise ValueError("time_range must be YYYY-MM-DD..YYYY-MM-DD")
+        start_day, end_day = tr.split("..", 1)
+        evl = p.get("evolution_limit")
+        rows = self.temporal.query(
+            p["query"],
+            start_day=start_day,
+            end_day=end_day,
+            diff_types=p.get("diff_type") or None,
+            authors=[p["author"]] if p.get("author") else None,
+            limit=int(p.get("limit", 10)),
+            chunk_type=p.get("chunk_type"),
+            show_evolution=bool(p.get("show_evolution")),
+            evolution_limit=int(evl) if evl is not None else None,
+        )
+        return {"hits": rows, "total": len(rows)}
+
+    def _t_get_file_at(self, p: dict) -> dict:
+        inc = bool(p.get("include_removed"))
+        if p.get("at_commit") is not None:
+            hit = self.temporal.file_at_commit(
+                p["path"], int(p["at_commit"]), include_removed=inc
+            )
+        elif p.get("day"):
+            hit = self.temporal.file_at(p["path"], p["day"], include_removed=inc)
+        else:
+            raise ValueError("pass either day or at_commit")
+        return {"file": hit}
+
     # ---- JSON-RPC dispatch ------------------------------------------------------
 
     def _handler(self, name: str) -> Callable[[dict], dict] | None:
@@ -321,6 +407,8 @@ class MCPServer:
             name in ("get_definition", "get_references", "analyze_impact", "trace_call_chain")
             and self._scip_root is None
         ):
+            return None
+        if name in ("temporal_search", "get_file_at") and self._temporal_root is None:
             return None
         return fn
 

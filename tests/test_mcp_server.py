@@ -328,3 +328,65 @@ class TestRestParamsOnMcp:
         assert r2["isError"] is True and "accuracy" in r2["content"][0]["text"]
         ok = _payload(_call(srv, "search_code", {"query": "spark", "limit": 3, "accuracy": "fast"}))
         assert len(ok["hits"]) == 3
+
+
+class TestTemporalTools:
+    """temporal_search / get_file_at MCP tools (gated on --temporal-index),
+    each vs the direct TemporalSearcher."""
+
+    @pytest.fixture(scope="class")
+    def mcp_temporal(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.temporal.history import change_rows
+        from code_indexer_ray.temporal.index import build_temporal_index
+        from code_indexer_ray.temporal.search import TemporalSearcher
+
+        tmp = tmp_path_factory.mktemp("mcpt")
+        docs = pa.Table.from_pylist(
+            [
+                {"doc_id": i, "source": f"s{i % 2}", "text": "spark merge window", "lang": "en"}
+                for i in range(40)
+            ]
+        )
+        chg = str(tmp / "chg.parquet")
+        pq.write_table(change_rows(docs), chg)
+        troot = str(tmp / "tidx")
+        build_temporal_index(chg, troot, bucket_days=4, num_shards=1, num_buckets=1)
+        src = str(tmp / "c.parquet")
+        _corpus(src, n=20)
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=1, num_buckets=1, resume=False)
+        srv = MCPServer(idx, temporal_index=troot)
+        yield srv, TemporalSearcher(troot)
+        srv.close()
+
+    def test_tools_listed_only_when_configured(self, mcp_temporal, mcp_idx):
+        srv, _ts = mcp_temporal
+        names = {t["name"] for t in srv.tools()}
+        assert {"temporal_search", "get_file_at"} <= names
+        plain, _s, _o = mcp_idx
+        plain_names = {t["name"] for t in plain.tools()}
+        assert not {"temporal_search", "get_file_at"} & plain_names
+        # calling on an unconfigured server is an unknown tool (-32602)
+        resp = plain.process(
+            {"jsonrpc": "2.0", "id": 9, "method": "tools/call",
+             "params": {"name": "temporal_search", "arguments": {"query": "x", "time_range": "a..b"}}}
+        )
+        assert resp["error"]["code"] == INVALID_PARAMS
+
+    def test_search_and_file_at_match_engine(self, mcp_temporal):
+        srv, ts = mcp_temporal
+        got = _payload(_call(srv, "temporal_search", {
+            "query": "spark merge", "time_range": "2025-03-01..2025-03-12",
+            "diff_type": ["modified"], "limit": 5,
+        }))
+        want = ts.query("spark merge", start_day="2025-03-01", end_day="2025-03-12",
+                        diff_types=["modified"], limit=5)
+        assert [h["change_id"] for h in got["hits"]] == [h["change_id"] for h in want]
+        p = "s0/0.txt"
+        f = _payload(_call(srv, "get_file_at", {"path": p, "day": "2025-03-12"}))
+        assert f["file"] == ts.file_at(p, "2025-03-12")
+        f2 = _payload(_call(srv, "get_file_at", {"path": p, "at_commit": 1}))
+        assert f2["file"] == ts.file_at_commit(p, 1)
+        r = _call(srv, "get_file_at", {"path": p})
+        assert r["isError"] is True and "day or at_commit" in r["content"][0]["text"]
