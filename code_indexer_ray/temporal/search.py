@@ -79,6 +79,20 @@ class TemporalSearcher:
             self._searchers[bucket] = s
         return s
 
+    def warm(self, start_day: str | None = None, end_day: str | None = None) -> int:
+        """Eagerly open (and cache-warm) the window searchers covering the
+        range — the daemon cache-warm step for temporal serving (the cold
+        first query otherwise pays every window's segment loads).  Without
+        a range, every window warms.  Returns the number warmed."""
+        ents = (
+            self.manifest["buckets"]
+            if start_day is None
+            else self.buckets_for(start_day, end_day or start_day)
+        )
+        for e in ents:
+            self._searcher(e["bucket"]).warm()
+        return len(ents)
+
     def buckets_for(self, start_day: str, end_day: str) -> list[dict]:
         """Manifest rows whose day span overlaps [start_day, end_day]
         (ISO date strings compare lexicographically)."""

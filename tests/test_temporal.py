@@ -892,3 +892,44 @@ class TestTemporalWatch:
         drv4._save_state()
         with pytest.raises(RuntimeError, match="partial append"):
             TemporalWatchDriver(feed, root).tick()
+
+
+class TestModelChecks:
+    def test_file_at_matches_python_model(self, temporal_idx):
+        """Independent model: file_at(path, day) ≡ max-(commit_ts, id) fold
+        over the raw change rows — checked for every synthesized path × a
+        day grid, both include_removed modes, against the STORE path."""
+        from code_indexer_ray.temporal.pathstore import build_path_store
+
+        root, _m, chg = temporal_idx
+        build_path_store(root, num_parts=4)  # idempotent with earlier tests
+        s = TemporalSearcher(root)
+        assert s._paths is not None
+        rows = sorted(chg.to_pylist(), key=lambda r: (r["commit_ts"], r["change_id"]))
+        by_path: dict[str, list[dict]] = {}
+        for r in rows:
+            by_path.setdefault(r["path"], []).append(r)
+        days = ["2025-02-28", "2025-03-01", "2025-03-04", "2025-03-08", "2025-03-12"]
+        for p, hist in list(by_path.items())[:25]:
+            for day in days:
+                want = [r for r in hist if r["commit_day"] <= day]
+                model = want[-1] if want else None
+                for inc in (False, True):
+                    got = s.file_at(p, day, include_removed=inc)
+                    if model is None or (model["diff_type"] == "deleted" and not inc):
+                        assert got is None, (p, day, inc)
+                    else:
+                        assert got is not None, (p, day, inc)
+                        assert got["change_id"] == model["change_id"]
+                        assert got["text"] == model["text"]
+                        assert got["diff_type"] == model["diff_type"]
+
+    def test_warm_opens_covering_windows(self, temporal_idx):
+        root, m, _ = temporal_idx
+        s = TemporalSearcher(root)
+        n = s.warm("2025-03-01", "2025-03-04")
+        assert n == 1 and set(s._searchers) == {0}
+        n_all = s.warm()
+        assert n_all == len(m["buckets"])
+        got = s.query("spark", start_day="2025-03-01", end_day="2025-03-12", limit=5)
+        assert got  # warm changes latency, never results
