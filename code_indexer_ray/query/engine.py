@@ -148,9 +148,14 @@ class ShardSearcher:
             self._states[b] = st
         return st
 
-    def warm_buckets(self) -> None:
-        """Load every bucket's segment table (daemon cache-warm step)."""
+    def warm_buckets(self, lang_col: str | None = None, url_col: str | None = None) -> None:
+        """Load every bucket's segment table (daemon cache-warm step); with
+        the metadata columns given, also pre-load the per-shard doc metadata
+        (lazy `_load_meta` was the residual ~0.5 s of a warmed searcher's
+        first filtered query at 1.29M docs)."""
         self._all_state()
+        if lang_col or url_col:
+            self._load_meta(lang_col, url_col)
 
     def _all_state(self) -> tuple:
         """Union view across all buckets (vocabulary-wide operations).
@@ -1452,13 +1457,25 @@ class IndexSearcher:
                     for g in self._group_actor_list()
                 ])
                 return
-            ray.get([self._searcher(s).warm_buckets.remote() for s in shards])
+            ray.get(
+                [
+                    self._searcher(s).warm_buckets.remote(self.lang_col, self.url_col)
+                    for s in shards
+                ]
+            )
         else:
             from concurrent.futures import ThreadPoolExecutor
 
             self._prefetch_searchers(shards)
             with ThreadPoolExecutor(max_workers=min(16, max(1, len(shards)))) as ex:
-                list(ex.map(lambda s: self._searcher(s).warm_buckets(), shards))
+                list(
+                    ex.map(
+                        lambda s: self._searcher(s).warm_buckets(
+                            self.lang_col, self.url_col
+                        ),
+                        shards,
+                    )
+                )
 
     def matcher(self) -> VocabMatcher:
         """Local-mode union matcher, cached.  In LOCAL mode the process
