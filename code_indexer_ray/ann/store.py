@@ -151,6 +151,17 @@ class VectorStoreSearcher:
         ]
         return probes, files
 
+    def _resolve_nprobe(self, nprobe: int | None, accuracy: str | None) -> int:
+        if accuracy is not None:
+            # reference --accuracy profile (fast/balanced/high) resolves the
+            # probe fraction; an explicit nprobe alongside it is a conflict
+            from .accuracy import resolve_nprobe
+
+            if nprobe is not None:
+                raise ValueError("pass either accuracy= or nprobe=, not both")
+            return resolve_nprobe(accuracy, len(self.centroids))
+        return 4 if nprobe is None else nprobe
+
     def topk(
         self,
         queries: np.ndarray,
@@ -163,16 +174,7 @@ class VectorStoreSearcher:
         import ray
         import ray.data as rd
 
-        if accuracy is not None:
-            # reference --accuracy profile (fast/balanced/high) resolves the
-            # probe fraction; an explicit nprobe alongside it is a conflict
-            from .accuracy import resolve_nprobe
-
-            if nprobe is not None:
-                raise ValueError("pass either accuracy= or nprobe=, not both")
-            nprobe = resolve_nprobe(accuracy, len(self.centroids))
-        elif nprobe is None:
-            nprobe = 4
+        nprobe = self._resolve_nprobe(nprobe, accuracy)
         if queries.shape[1] != self.manifest["dim"]:
             raise ValueError(
                 f"query dim {queries.shape[1]} != store dim {self.manifest['dim']}"
@@ -257,6 +259,99 @@ class VectorStoreSearcher:
             idx = np.flatnonzero(mask)[order]
             for rank, i in enumerate(idx, 1):
                 out_rows.append((int(q), rank, int(vs[i]), float(cs[i])))
+        return pa.table(
+            {
+                "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),
+                "rank": pa.array([r[1] for r in out_rows], type=pa.int64()),
+                "vec_id": pa.array([r[2] for r in out_rows], type=pa.int64()),
+                "cos": pa.array([r[3] for r in out_rows], type=pa.float64()),
+            }
+        )
+
+
+    def topk_local(
+        self,
+        queries: np.ndarray,
+        query_ids: np.ndarray,
+        k: int,
+        *,
+        nprobe: int | None = None,
+        accuracy: str | None = None,
+    ) -> pa.Table:
+        """Ray-free point-probe path for a latency-bound QUERY TIER: the
+        same semantics as :meth:`topk` (tombstone filter, probed-cell allow
+        mask, self-exclusion, cos desc / vec_id asc order) but the probed
+        cells' files are read in-process with pyarrow — the reference
+        daemon's in-process vector-store read
+        (``storage/filesystem_vector_store.py``), where :meth:`topk` is the
+        batch/pipeline shape.  Hot cell files are held in a small bounded
+        table cache (an immutable published store never mutates a file in
+        place — publishes swap directories).  Parity-tested against
+        :meth:`topk` in tests/test_vector_store.py."""
+        import pyarrow.parquet as pq
+
+        nprobe = self._resolve_nprobe(nprobe, accuracy)
+        if queries.shape[1] != self.manifest["dim"]:
+            raise ValueError(
+                f"query dim {queries.shape[1]} != store dim {self.manifest['dim']}"
+            )
+        id_col, vec_col = self.manifest["id_col"], self.manifest["vec_col"]
+        probes, files = self.probe_dirs(queries, nprobe)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "rank": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cos": pa.array([], pa.float64()),
+            }
+        )
+        if not files:
+            return empty
+        cache = getattr(self, "_file_cache", None)
+        if cache is None:
+            cache = self._file_cache = {}
+        tabs = []
+        for path in files:
+            # atomic pop-and-hold (the round-2 LRU-race lesson): never
+            # check-then-get under a concurrent evictor
+            t = cache.pop(path, None)
+            if t is None:
+                t = pq.read_table(path, columns=[id_col, vec_col])
+            while len(cache) >= 64:
+                try:
+                    cache.pop(next(iter(cache)))
+                except (KeyError, StopIteration, RuntimeError):
+                    break
+            cache[path] = t
+            tabs.append(t)
+        tbl = pa.concat_tables(tabs)
+        ids = tbl[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(self.tombstones):
+            keep = ~np.isin(ids, self.tombstones)
+            tbl = tbl.filter(pa.array(keep))
+            ids = ids[keep]
+        if len(ids) == 0:
+            return empty
+        m = _to_matrix(tbl[vec_col])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        cells = np.argmax(mn @ self.centroids.T, axis=1)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        cos = qn @ mn.T
+        qids = query_ids.astype(np.int64)
+        out_rows: list[tuple[int, int, int, float]] = []
+        # topk() emits ascending-query_id row order (np.unique merge) —
+        # match it so the two paths are table-identical
+        for qi in np.argsort(qids, kind="stable"):
+            allow = np.zeros(len(self.centroids), dtype=bool)
+            allow[probes[qi]] = True
+            mask = allow[cells] & (ids != qids[qi])
+            cand = np.flatnonzero(mask)
+            if not len(cand):
+                continue
+            order = np.lexsort((ids[cand], -cos[qi, cand]))[:k]
+            sel = cand[order]
+            for rank, i in enumerate(sel, 1):
+                out_rows.append((int(qids[qi]), rank, int(ids[i]), float(cos[qi, i])))
         return pa.table(
             {
                 "query_id": pa.array([r[0] for r in out_rows], type=pa.int64()),

@@ -112,6 +112,11 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="temporal index root enabling the /temporal/* routes",
     )
+    sv.add_argument(
+        "--vector-store",
+        default=None,
+        help="IVF vector store dir enabling search_mode=semantic|hybrid",
+    )
 
     mc = sub.add_parser(
         "serve-mcp",
@@ -134,6 +139,11 @@ def main(argv: list[str] | None = None) -> int:
         "--temporal-index",
         default=None,
         help="temporal index root exposing temporal_search/get_file_at tools",
+    )
+    mc.add_argument(
+        "--vector-store",
+        default=None,
+        help="IVF vector store dir enabling search_mode=semantic|hybrid",
     )
 
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
@@ -339,6 +349,7 @@ def main(argv: list[str] | None = None) -> int:
                 enable_jobs=args.jobs,
                 scip_store=args.scip_store,
                 temporal_index=args.temporal_index,
+                vector_store=args.vector_store,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:
@@ -355,6 +366,7 @@ def main(argv: list[str] | None = None) -> int:
                 enable_jobs=args.jobs,
                 scip_store=args.scip_store,
                 temporal_index=args.temporal_index,
+                vector_store=args.vector_store,
             )
             try:
                 srv.serve_stdio()

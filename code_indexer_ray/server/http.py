@@ -9,7 +9,10 @@ Routes (all JSON):
     GET  /stats                        manifest summary (docs/tokens/shards)
     GET  /search?q=...&limit=10        full query-string grammar (query/parser.py:
                                        boolean, fuzzy, wildcard, phrase, lang:/path:
-                                       facets, field:term clauses on fields= builds)
+                                       facets, field:term clauses on fields= builds);
+                                       with --vector-store: search_mode=
+                                       semantic|fts|hybrid (semantic = vector
+                                       top-k, hybrid = RRF of both legs)
     POST /search      {"q": ..., "limit": ..., "snippet_lines": ...}
     POST /batch       {"queries": [{"id": ..., "q": ..., "limit": ...}, ...]}
     GET  /mget?ids=1,2,3               stored fields by doc address
@@ -64,14 +67,29 @@ def _flag(params: dict, key: str) -> bool:
     return bool(v)
 
 
-def rest_search(searcher, q: str, params: dict) -> list[dict]:
+_SEARCH_MODES = ("semantic", "fts", "hybrid")
+
+
+def rest_search(searcher, q: str, params: dict, semantic=None) -> list[dict]:
     """REST/MCP parameter surface + validation rules of the reference
     (QUERY_PARAMETERS.md): limit 1-100 (0 = this engine's unlimited),
     snippet_lines 0-50, regex+fuzzy mutually exclusive, accuracy
     enum-validated (and ignored on the FTS route, exactly the reference's
     non-composite warning path), min_score as a ×3-over-fetch post-filter.
     Shared by the HTTP /search|/batch routes and the MCP search_code tool
-    (reference exposes the identical surface on both, mcp/tools.py:372)."""
+    (reference exposes the identical surface on both, mcp/tools.py:372).
+
+    ``search_mode`` (reference "Search Mode Selection"): ``semantic`` /
+    ``fts`` / ``hybrid``.  ``semantic`` is the reference's default and the
+    default HERE when the server was configured with a vector store
+    (``semantic=`` a :class:`~..query.semantic.SemanticTier`); a server
+    without one defaults to ``fts`` and 400s explicit semantic/hybrid
+    requests.  Per the reference's validation table, FTS-only parameters
+    (fuzzy / regex / case_sensitive / edit_distance) are rejected in
+    semantic mode, and ``accuracy`` resolves the vector leg's ``nprobe``
+    (it stays validated-but-inert on pure FTS, the reference's
+    non-composite warning path).  ``branch`` visibility is an FTS index
+    feature and is rejected on the modes with a vector leg."""
     limit = int(params.get("limit", 10))
     if "limit" in params and limit != 0 and not (1 <= limit <= 100):
         raise ValueError("limit must be 0 (unlimited) or 1-100")
@@ -82,10 +100,41 @@ def rest_search(searcher, q: str, params: dict) -> list[dict]:
         from ..ann.accuracy import validate_accuracy
 
         validate_accuracy(params["accuracy"])
+    mode = params.get("search_mode")
+    if mode is None:
+        mode = "semantic" if semantic is not None else "fts"
+    if mode not in _SEARCH_MODES:
+        raise ValueError(f"search_mode must be one of {_SEARCH_MODES}, got {mode!r}")
+    if mode != "fts" and semantic is None:
+        raise ValueError(
+            f"search_mode={mode!r} requires a vector store (--vector-store)"
+        )
     fuzzy = _flag(params, "fuzzy")
     regex = _flag(params, "regex")
     if fuzzy and regex:
         raise ValueError("regex and fuzzy are mutually exclusive")
+    if mode == "semantic":
+        for p in ("fuzzy", "regex", "case_sensitive"):
+            if _flag(params, p):
+                raise ValueError(
+                    f"{p} is only applicable when search_mode is fts or hybrid"
+                )
+        if int(params.get("edit_distance", 0) or 0):
+            raise ValueError(
+                "edit_distance is only applicable when search_mode is fts or hybrid"
+            )
+    if mode != "fts":
+        if limit == 0:
+            raise ValueError("limit=0 (unlimited) is FTS-only; k-NN needs a finite k")
+        if params.get("branch"):
+            raise ValueError("branch visibility is only applicable to search_mode=fts")
+        if regex:
+            # QUERY_PARAMETERS.md marks regex "(FTS-only)" — a raw pattern
+            # has no embedding and no grammar form for the lexical leg
+            raise ValueError("regex is only applicable when search_mode is fts")
+        return _vector_mode_search(
+            searcher, semantic, mode, q, params, limit, snippet_lines
+        )
     kw = {}
     if params.get("branch"):  # branch-visibility filter (J4)
         kw["branch"] = params["branch"]
@@ -134,6 +183,56 @@ def rest_search(searcher, q: str, params: dict) -> list[dict]:
         if limit > 0:
             hits = hits[:limit]
     return hits
+
+
+def _vector_mode_search(
+    searcher, tier, mode: str, q: str, params: dict, limit: int, snippet_lines: int
+) -> list[dict]:
+    """semantic / hybrid dispatch (validation already done by rest_search)."""
+    from ..query.semantic import hybrid_hits, semantic_hits
+
+    fx = params.get("file_extensions")
+    filters = dict(
+        language=params.get("language") or None,
+        exclude_language=params.get("exclude_language") or None,
+        path_filter=params.get("path_filter") or None,
+        exclude_path=params.get("exclude_path") or None,
+        file_extensions=(fx.split(",") if isinstance(fx, str) else list(fx)) if fx else None,
+    )
+    ms = params.get("min_score")
+    npb = params.get("nprobe")
+    common = dict(
+        limit=limit,
+        snippet_lines=snippet_lines,
+        nprobe=int(npb) if npb is not None else None,
+        accuracy=params.get("accuracy"),
+        min_score=float(ms) if ms is not None else None,
+    )
+    if mode == "semantic":
+        return semantic_hits(searcher, tier, q, **common, **filters)
+    # hybrid: the lexical leg uses the engine-native filter kwargs (same
+    # params rest_search's FTS path builds), incl. fuzzy/case options
+    lex_kw = {}
+    if filters["language"]:
+        lex_kw["languages"] = [filters["language"]]
+    if filters["exclude_language"]:
+        lex_kw["exclude_languages"] = [filters["exclude_language"]]
+    if filters["path_filter"]:
+        lex_kw["path_filters"] = [filters["path_filter"]]
+    if filters["exclude_path"]:
+        lex_kw["exclude_paths"] = [filters["exclude_path"]]
+    if filters["file_extensions"]:
+        lex_kw["file_extensions"] = filters["file_extensions"]
+    ed = int(params.get("edit_distance", 0) or 0)
+    if _flag(params, "fuzzy") and not ed:
+        ed = 1
+    if ed:
+        lex_kw["edit_distance"] = ed
+    if _flag(params, "case_sensitive"):
+        lex_kw["case_sensitive"] = True
+    return hybrid_hits(
+        searcher, tier, q, lexical_kw=lex_kw, **common, **filters
+    )
 
 
 class GenerationFollower:
@@ -221,7 +320,12 @@ class IndexHTTPServer:
         enable_jobs: bool = False,
         scip_store: str | None = None,
         temporal_index: str | None = None,
+        vector_store: str | None = None,
     ):
+        # semantic/hybrid search_mode tier (reference default mode); lazy
+        # like the scip/temporal tiers — first semantic request loads it
+        self._vector_root = vector_store
+        self._semantic = None
         self._scip_root = scip_store
         self._scip = None
         # temporal routes (reference REST temporal parameters: time_range,
@@ -545,8 +649,15 @@ class IndexHTTPServer:
             "partitions": m.n_partitions,
         }
 
+    def _semantic_tier(self):
+        if self._vector_root is not None and self._semantic is None:
+            from ..query.semantic import SemanticTier
+
+            self._semantic = SemanticTier(self._vector_root)
+        return self._semantic
+
     def _hits(self, q: str, params: dict) -> list[dict]:
-        return rest_search(self.searcher, q, params)
+        return rest_search(self.searcher, q, params, semantic=self._semantic_tier())
 
     def _r_search(self, params: dict) -> dict:
         q = params.get("q")

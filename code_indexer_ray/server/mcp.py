@@ -69,9 +69,12 @@ class MCPServer:
         warm: bool = False,
         scip_store: str | None = None,
         temporal_index: str | None = None,
+        vector_store: str | None = None,
     ):
         from .http import GenerationFollower
 
+        self._vector_root = vector_store
+        self._semantic = None
         self._scip_root = scip_store
         self._scip = None
         self._temporal_root = temporal_index
@@ -103,6 +106,13 @@ class MCPServer:
             raise ValueError("no index generation published yet")
         return s
 
+    def _semantic_tier(self):
+        if self._vector_root is not None and self._semantic is None:
+            from ..query.semantic import SemanticTier
+
+            self._semantic = SemanticTier(self._vector_root)
+        return self._semantic
+
     # ---- tool registry ------------------------------------------------------
 
     def tools(self) -> list[dict]:
@@ -125,6 +135,12 @@ class MCPServer:
                     "regex": {"type": "boolean", "default": False},
                     "case_sensitive": {"type": "boolean", "default": False},
                     "min_score": {"type": "number"},
+                    "search_mode": {
+                        "type": "string",
+                        "enum": ["semantic", "fts", "hybrid"],
+                        "description": "semantic/hybrid need --vector-store; "
+                        "defaults to semantic when configured, else fts",
+                    },
                     "accuracy": {
                         "type": "string",
                         "enum": ["fast", "balanced", "high"],
@@ -302,7 +318,7 @@ class MCPServer:
     def _t_search_code(self, p: dict) -> dict:
         from .http import rest_search
 
-        hits = rest_search(self.searcher, p["query"], p)
+        hits = rest_search(self.searcher, p["query"], p, semantic=self._semantic_tier())
         return {"hits": hits, "total": len(hits)}
 
     def _t_get_file_content(self, p: dict) -> dict:
