@@ -255,18 +255,21 @@ def main(argv: list[str] | None = None) -> int:
     try:
         if args.cmd == "build":
             from .index.build import build_index
+            from .index.buildlock import BuildLock
 
-            mf = build_index(
-                args.input,
-                args.out,
-                id_col=args.id_col,
-                text_col=args.text_col,
-                store_cols=tuple(c for c in args.store_cols.split(",") if c),
-                num_shards=args.num_shards,
-                num_buckets=args.num_buckets,
-                target_docs_per_shard=args.docs_per_shard,
-                resume=not args.no_resume,
-            )
+            # one build per index root at a time (reference indexing_lock)
+            with BuildLock(args.out):
+                mf = build_index(
+                    args.input,
+                    args.out,
+                    id_col=args.id_col,
+                    text_col=args.text_col,
+                    store_cols=tuple(c for c in args.store_cols.split(",") if c),
+                    num_shards=args.num_shards,
+                    num_buckets=args.num_buckets,
+                    target_docs_per_shard=args.docs_per_shard,
+                    resume=not args.no_resume,
+                )
             print(
                 json.dumps(
                     {
@@ -570,6 +573,15 @@ def main(argv: list[str] | None = None) -> int:
         # change id) — same clean JSON-error exit as validation failures
         print(json.dumps({"error": str(e)}), file=sys.stderr)
         return 2
+    except RuntimeError as e:
+        from .index.buildlock import BuildLockError
+
+        if not isinstance(e, BuildLockError):
+            raise
+        # held build lock: clean JSON error, distinct exit (reference's
+        # "indexing already in progress" CLI message)
+        print(json.dumps({"error": str(e)}), file=sys.stderr)
+        return 3
     finally:
         import ray
 

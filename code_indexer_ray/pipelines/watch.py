@@ -133,10 +133,19 @@ class WatchDriver:
 
     # ---- the tick ----
     def tick(self) -> IndexManifest | None:
-        """One reconcile pass; returns the new manifest or None if no-op."""
+        """One reconcile pass; returns the new manifest or None if no-op.
+        The build+publish phase runs under the index root's cross-process
+        build lock (reference git_aware_watch_handler: watch ticks take the
+        same indexing lock manual builds do)."""
         changed, deleted = self.scan()
         if not changed and not deleted:
             return None
+        from ..index.buildlock import BuildLock
+
+        with BuildLock(self.index_root):
+            return self._apply(changed, deleted)
+
+    def _apply(self, changed, deleted) -> IndexManifest:
         gen = self._state["generation"] + 1
         gen_dir = os.path.join(self.index_root, f"gen_{gen:06d}")
         shutil.rmtree(gen_dir, ignore_errors=True)

@@ -184,6 +184,7 @@ class JobManager:
 
     def _execute_build(self, job: Job) -> dict:
         from ..index.build import build_index
+        from ..index.buildlock import BuildLock
 
         params = dict(job.params)
         inp = params.pop("input")
@@ -191,10 +192,14 @@ class JobManager:
             params["store_cols"] = tuple(params["store_cols"])
         if "fields" in params and params["fields"] is not None:
             params["fields"] = dict(params["fields"])
-        gen = self._next_generation()
-        gen_dir = os.path.join(self.index_root, f"gen_{gen:06d}")
-        manifest = build_index(inp, gen_dir, resume=False, **params)
-        self._publish(gen)
+        # one build per index root at a time (reference indexing_lock): the
+        # job queue already serializes THIS server's builds; the lock guards
+        # against a concurrent CLI build / second server on the same root
+        with BuildLock(self.index_root):
+            gen = self._next_generation()
+            gen_dir = os.path.join(self.index_root, f"gen_{gen:06d}")
+            manifest = build_index(inp, gen_dir, resume=False, **params)
+            self._publish(gen)
         return {
             "index_dir": gen_dir,
             "generation": gen,
