@@ -416,6 +416,58 @@ def run() -> dict:
         ss.analyze_impact("f0", max_depth=3)
         qstats["symstore_impact_ms"] = round((time.perf_counter() - t8q) * 1000, 2)
 
+        # Semantic / hybrid serving tier (round 3): actor-pool corpus embed
+        # → IVF vector store build → search_mode=semantic|hybrid latency
+        # through the same rest_search path the HTTP/MCP daemons use
+        from code_indexer_ray.ann.store import build_vector_store
+        from code_indexer_ray.query.semantic import SemanticTier, hybrid_hits, semantic_hits
+        from code_indexer_ray.text.embed import TextEmbedStage
+
+        vemb = "/tmp/cidx_bench_vemb"
+        vstore = "/tmp/cidx_bench_vstore"
+        shutil.rmtree(vemb, ignore_errors=True)
+        shutil.rmtree(vstore, ignore_errors=True)
+        t9 = time.perf_counter()
+        (
+            rd.read_parquet(corpus, columns=["doc_id", "text"])
+            .map_batches(
+                TextEmbedStage,
+                fn_constructor_kwargs={"dim": 64, "output": "list"},
+                # leave CPUs for the read/write operators: an actor pool
+                # sized to the whole session deadlocks it (NOTES_r3 gotcha)
+                concurrency=max(2, NCPU // 4),
+                batch_format="pyarrow",
+            )
+            .filter(expr="norm > 0")
+            .drop_columns(["norm"])
+            .write_parquet(vemb)
+        )
+        qstats["embed_corpus_sec"] = round(time.perf_counter() - t9, 3)
+        t9b = time.perf_counter()
+        build_vector_store(vemb, vstore, id_col="doc_id", vec_col="embedding",
+                           n_centroids=64, resume=False)
+        qstats["vector_store_build_sec"] = round(time.perf_counter() - t9b, 3)
+        tier = SemanticTier(vstore)
+        s9 = _IS(out, lang_col="lang", url_col="url")
+        sem_qs = [f"t{int(r):06d} t{int(r2):06d}" for r, r2 in zip(
+            rng2.integers(0, 2000, 30), rng2.integers(0, 49999, 30))]
+        semantic_hits(s9, tier, sem_qs[0], limit=10)  # warm (centroids+cells)
+        lat_s, lat_h = [], []
+        for q in sem_qs:
+            t_ = time.perf_counter()
+            semantic_hits(s9, tier, q, limit=10)
+            lat_s.append(time.perf_counter() - t_)
+        for q in sem_qs:
+            t_ = time.perf_counter()
+            hybrid_hits(s9, tier, q, limit=10)
+            lat_h.append(time.perf_counter() - t_)
+        qstats["semantic_p50_ms"] = round(
+            float(np.percentile(np.array(lat_s) * 1000, 50)), 2
+        )
+        qstats["hybrid_p50_ms"] = round(
+            float(np.percentile(np.array(lat_h) * 1000, 50)), 2
+        )
+
     result = {
         "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
         "value": round(build_sec, 3),
