@@ -53,6 +53,20 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--fuzzy", type=int, default=0, help="edit distance 0-3")
     q.add_argument("--regex", action="store_true")
     q.add_argument("--case-sensitive", action="store_true")
+    q.add_argument(
+        "--case-insensitive",
+        dest="case_sensitive",
+        action="store_false",
+        help="inverse flag (reference CLI naming); the default is already insensitive",
+    )
+    # search-mode selection (reference CLI: --fts / --semantic flags rather
+    # than a --search-mode enum; --hybrid per the REST surface)
+    q.add_argument("--fts", action="store_true", help="lexical mode (default)")
+    q.add_argument("--semantic", action="store_true", help="vector mode (needs --vector-store)")
+    q.add_argument("--hybrid", action="store_true", help="RRF of both legs (needs --vector-store)")
+    q.add_argument("--vector-store", default=None, help="IVF vector store dir")
+    q.add_argument("--min-score", type=float, default=None)
+    q.add_argument("--accuracy", default=None, choices=["fast", "balanced", "high"])
     q.add_argument("--languages", default=None, help="comma list")
     q.add_argument("--exclude-languages", default=None)
     q.add_argument("--path-filters", default=None)
@@ -295,18 +309,65 @@ def main(argv: list[str] | None = None) -> int:
                 exclude_paths=split(args.exclude_paths),
             ):
                 print(f"warning: {w.message}", file=sys.stderr)
-            res = s.search(
-                args.query,
-                case_sensitive=args.case_sensitive,
-                edit_distance=args.fuzzy,
-                use_regex=args.regex,
-                limit=args.limit,
-                languages=split(args.languages),
-                exclude_languages=split(args.exclude_languages),
-                path_filters=split(args.path_filters),
-                exclude_paths=split(args.exclude_paths),
-                snippet_lines=args.snippet_lines,
-            )
+            if args.semantic and args.hybrid:
+                raise ValueError("pass at most one of --semantic / --hybrid")
+            mode = "semantic" if args.semantic else "hybrid" if args.hybrid else "fts"
+            if mode != "fts":
+                # vector modes go through the SAME surface the daemons serve
+                # (rest_search), so CLI/REST/MCP validation rules agree
+                from .query.semantic import SemanticTier
+                from .server.http import rest_search
+
+                if not args.vector_store:
+                    raise ValueError(f"--{mode} requires --vector-store")
+
+                def one(v, name):
+                    vals = split(v)
+                    if vals and len(vals) > 1:
+                        raise ValueError(f"--{name} takes one value with --{mode}")
+                    return vals[0] if vals else None
+
+                params = {
+                    "search_mode": mode,
+                    "limit": args.limit,
+                    "snippet_lines": args.snippet_lines,
+                    "language": one(args.languages, "languages"),
+                    "exclude_language": one(args.exclude_languages, "exclude-languages"),
+                    "path_filter": one(args.path_filters, "path-filters"),
+                    "exclude_path": one(args.exclude_paths, "exclude-paths"),
+                }
+                if args.min_score is not None:
+                    params["min_score"] = args.min_score
+                if args.accuracy is not None:
+                    params["accuracy"] = args.accuracy
+                if mode == "hybrid":
+                    if args.fuzzy:
+                        params["edit_distance"] = args.fuzzy
+                    if args.case_sensitive:
+                        params["case_sensitive"] = True
+                res = rest_search(
+                    s, args.query, params, semantic=SemanticTier(args.vector_store)
+                )
+            else:
+                fetch = args.limit
+                if args.min_score is not None and args.limit > 0:
+                    fetch = args.limit * 3  # O1 over-fetch for the post-filter
+                res = s.search(
+                    args.query,
+                    case_sensitive=args.case_sensitive,
+                    edit_distance=args.fuzzy,
+                    use_regex=args.regex,
+                    limit=fetch,
+                    languages=split(args.languages),
+                    exclude_languages=split(args.exclude_languages),
+                    path_filters=split(args.path_filters),
+                    exclude_paths=split(args.exclude_paths),
+                    snippet_lines=args.snippet_lines,
+                )
+                if args.min_score is not None:
+                    res = [r for r in res if r["score"] >= args.min_score]
+                    if args.limit > 0:
+                        res = res[: args.limit]
             for r in res:
                 print(json.dumps(r))
         elif args.cmd == "merge":

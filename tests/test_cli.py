@@ -149,3 +149,53 @@ print("TEMPORAL_CLI_OK")
     assert any("num_parts" in l for l in lines)  # pathstore build echo
     assert any("bootstrapped" in l for l in lines)  # watch bootstrap echo
     assert any(l.get("appended") == [] for l in lines)  # first watch tick
+
+
+def test_cli_semantic_modes(tmp_path):
+    """--semantic / --hybrid (reference CLI mode flags) against a built IVF
+    vector store, plus the validation exits (missing store, both flags)."""
+    src = tmp_path / "c.parquet"
+    rows = [
+        {"doc_id": i, "text": f"spark merge w{i} stream", "lang": "en", "url": f"s{i % 3}/p/{i}"}
+        for i in range(40)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(src))
+    idx = str(tmp_path / "idx")
+    store = str(tmp_path / "vstore")
+
+    script = f"""
+import json
+import pyarrow as pa, pyarrow.parquet as pq
+from code_indexer_ray.cli import main
+assert main(["--num-cpus", "4", "build", "--input", {str(src)!r}, "--out", {idx!r},
+             "--num-shards", "2", "--num-buckets", "2"]) == 0
+from code_indexer_ray.text.embed import TextEmbedStage
+from code_indexer_ray.ann.store import build_vector_store
+emb = TextEmbedStage(dim=16, output="list")(pq.read_table({str(src)!r}, columns=["doc_id", "text"]))
+emb = emb.filter(pa.compute.greater(emb["norm"], 0)).drop_columns(["norm"])
+pq.write_table(emb, {str(src)!r} + ".emb")
+build_vector_store({str(src)!r} + ".emb", {store!r}, id_col="doc_id",
+                   vec_col="embedding", n_centroids=2, resume=False)
+assert main(["search", "--index", {idx!r}, "spark merge", "--semantic",
+             "--vector-store", {store!r}, "--limit", "3", "--snippet-lines", "0"]) == 0
+assert main(["search", "--index", {idx!r}, "spark merge", "--hybrid",
+             "--vector-store", {store!r}, "--limit", "3", "--min-score", "0.001"]) == 0
+assert main(["search", "--index", {idx!r}, "spark", "--semantic"]) == 2
+assert main(["search", "--index", {idx!r}, "spark", "--semantic", "--hybrid",
+             "--vector-store", {store!r}]) == 2
+print("SEM_CLI_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO_ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "SEM_CLI_OK" in out.stdout
+    rows_out = [json.loads(ln) for ln in out.stdout.splitlines() if ln.startswith("{")]
+    hits = [h for h in rows_out if "score" in h]  # build summary prints too
+    assert len(hits) == 6  # 3 semantic + 3 hybrid rows
+    assert all("doc_id" in h for h in hits)
+    assert "requires --vector-store" in out.stderr
