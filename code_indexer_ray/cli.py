@@ -67,6 +67,8 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--vector-store", default=None, help="IVF vector store dir")
     q.add_argument("--min-score", type=float, default=None)
     q.add_argument("--accuracy", default=None, choices=["fast", "balanced", "high"])
+    q.add_argument("--lang-col", default="lang", help="stored language column name")
+    q.add_argument("--url-col", default="url", help="stored path/url column name")
     q.add_argument("--languages", default=None, help="comma list")
     q.add_argument("--exclude-languages", default=None)
     q.add_argument("--path-filters", default=None)
@@ -131,6 +133,8 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="IVF vector store dir enabling search_mode=semantic|hybrid",
     )
+    sv.add_argument("--lang-col", default="lang", help="stored language column name")
+    sv.add_argument("--url-col", default="url", help="stored path/url column name")
 
     mc = sub.add_parser(
         "serve-mcp",
@@ -159,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="IVF vector store dir enabling search_mode=semantic|hybrid",
     )
+    mc.add_argument("--lang-col", default="lang", help="stored language column name")
+    mc.add_argument("--url-col", default="url", help="stored path/url column name")
 
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
@@ -298,7 +304,7 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "search":
             from .query.engine import IndexSearcher
 
-            s = IndexSearcher(args.index)
+            s = IndexSearcher(args.index, lang_col=args.lang_col, url_col=args.url_col)
             split = lambda v: v.split(",") if v else None  # noqa: E731
             from .query.filtercheck import check_filters
 
@@ -410,6 +416,8 @@ def main(argv: list[str] | None = None) -> int:
                 remote=args.remote,
                 shard_group_size=args.shard_group_size,
                 api_key=args.api_key,
+                lang_col=args.lang_col,
+                url_col=args.url_col,
                 enable_jobs=args.jobs,
                 scip_store=args.scip_store,
                 temporal_index=args.temporal_index,
@@ -427,6 +435,8 @@ def main(argv: list[str] | None = None) -> int:
                 args.index,
                 remote=args.remote,
                 shard_group_size=args.shard_group_size,
+                lang_col=args.lang_col,
+                url_col=args.url_col,
                 enable_jobs=args.jobs,
                 scip_store=args.scip_store,
                 temporal_index=args.temporal_index,
