@@ -270,6 +270,32 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--depth", type=int, default=3)
     cc.add_argument("--max-chains", type=int, default=None)
 
+    px = sub.add_parser("proxy", help="multi-repo proxy root (reference proxy mode)")
+    pxsub = px.add_subparsers(dest="proxy_cmd", required=True)
+    pxi = pxsub.add_parser("init", help="create proxy config, discovering index dirs")
+    pxi.add_argument("--root", required=True)
+    pxi.add_argument("--force", action="store_true", help="overwrite an existing config")
+    pxr = pxsub.add_parser("refresh", help="re-run repository discovery")
+    pxr.add_argument("--root", required=True)
+    pxa = pxsub.add_parser("add", help="register one repo (root-relative path)")
+    pxa.add_argument("--root", required=True)
+    pxa.add_argument("repo")
+    pxd = pxsub.add_parser("remove", help="unregister one repo")
+    pxd.add_argument("--root", required=True)
+    pxd.add_argument("repo")
+    pxt = pxsub.add_parser("status", help="per-repo manifest stats")
+    pxt.add_argument("--root", required=True)
+    pxq = pxsub.add_parser(
+        "search", help="fan-out BM25 across repos, score-interleaved global top-k"
+    )
+    pxq.add_argument("--root", required=True)
+    pxq.add_argument("query")
+    pxq.add_argument("--limit", type=int, default=10)
+    pxq.add_argument("--min-score", type=float, default=None)
+    pxq.add_argument("--snippet-lines", type=int, default=0)
+    pxq.add_argument("--lang-col", default=None)
+    pxq.add_argument("--url-col", default=None)
+
     args = p.parse_args(argv)
     _ray_init(args.num_cpus)
     try:
@@ -638,6 +664,34 @@ def main(argv: list[str] | None = None) -> int:
                             }
                         )
                     )
+        elif args.cmd == "proxy":
+            from .query import proxy as proxymod
+
+            if args.proxy_cmd == "init":
+                print(json.dumps(proxymod.init_proxy(args.root, force=args.force)))
+            elif args.proxy_cmd == "refresh":
+                print(json.dumps(proxymod.refresh_proxy(args.root)))
+            elif args.proxy_cmd == "add":
+                print(json.dumps(proxymod.add_repo(args.root, args.repo)))
+            elif args.proxy_cmd == "remove":
+                print(json.dumps(proxymod.remove_repo(args.root, args.repo)))
+            elif args.proxy_cmd == "status":
+                rows, errors = proxymod.ProxySearcher(args.root).status()
+                print(json.dumps({"repos": rows, "errors": errors}))
+            elif args.proxy_cmd == "search":
+                ps = proxymod.ProxySearcher(
+                    args.root, lang_col=args.lang_col, url_col=args.url_col
+                )
+                hits, errors = ps.search(
+                    args.query,
+                    limit=args.limit,
+                    min_score=args.min_score,
+                    snippet_lines=args.snippet_lines,
+                )
+                for r in hits:
+                    print(json.dumps(r))
+                if errors:  # per-repo failures to stderr, results still usable
+                    print(json.dumps({"errors": errors}), file=sys.stderr)
         return 0
     except (ValueError, KeyError) as e:
         # KeyError carries lookup misses (e.g. at-commit with an unknown
@@ -646,7 +700,12 @@ def main(argv: list[str] | None = None) -> int:
         return 2
     except RuntimeError as e:
         from .index.buildlock import BuildLockError
+        from .query.proxy import ProxyError
 
+        if isinstance(e, ProxyError):
+            # proxy config errors are caller errors: same clean JSON exit
+            print(json.dumps({"error": str(e)}), file=sys.stderr)
+            return 2
         if not isinstance(e, BuildLockError):
             raise
         # held build lock: clean JSON error, distinct exit (reference's

@@ -13,9 +13,13 @@ atomic-publish layout:
 Mechanism: ``flock(LOCK_EX | LOCK_NB)`` on ``<root>/_build.lock`` is the
 actual mutual exclusion — kernel-owned, so a SIGKILLed holder releases
 instantly (no timeout dance needed on one host).  The heartbeat JSON
-written into the lock file is observability parity with the reference
-(pid / started / last beat), refreshed by a daemon thread; ``holder()``
-reads it without acquiring.  On shared filesystems where ``flock`` may be
+is observability parity with the reference (pid / started / last beat),
+refreshed by a daemon thread; ``holder()`` reads it without acquiring.
+The record lives in a SIDECAR (``_build.lock.json``) published by
+tmp-write + ``os.replace`` so readers never see torn JSON — the flock
+must stay on a stable inode (replacing the locked file itself would let
+a new acquirer lock the fresh inode while the holder still holds the
+unlinked one), so the lock file is never rewritten in place.  On shared filesystems where ``flock`` may be
 advisory-only across hosts, the stale-heartbeat rule
 (``stale_after`` seconds without a beat) is the documented fallback
 judgment — exactly the reference's semantics.
@@ -61,6 +65,7 @@ class BuildLock:
     ):
         self.root = root
         self.path = os.path.join(root, LOCK_FILE)
+        self.json_path = self.path + ".json"
         self.heartbeat_interval = heartbeat_interval
         self.stale_after = stale_after
         self._fh = None
@@ -76,8 +81,7 @@ class BuildLock:
         try:
             fcntl.flock(fh.fileno(), fcntl.LOCK_EX | fcntl.LOCK_NB)
         except OSError:
-            fh.seek(0)
-            rec = _read_record(fh)
+            rec = _read_record(self.json_path)
             fh.close()
             pid = rec.get("pid", "unknown") if rec else "unknown"
             dur = time.time() - rec.get("started_at", time.time()) if rec else 0.0
@@ -117,12 +121,12 @@ class BuildLock:
     # ---- heartbeat ----------------------------------------------------
 
     def _write_json(self, rec: dict) -> None:
-        fh = self._fh
-        fh.seek(0)
-        fh.truncate()
-        fh.write(json.dumps(rec))
-        fh.flush()
-        os.fsync(fh.fileno())
+        tmp = f"{self.json_path}.tmp-{os.getpid()}"
+        with open(tmp, "w") as fh:
+            fh.write(json.dumps(rec))
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, self.json_path)
 
     def _beat(self, started: bool = False) -> None:
         now = time.time()
@@ -145,9 +149,10 @@ class BuildLock:
                 return  # fs went away; the flock still guards
 
 
-def _read_record(fh) -> dict | None:
+def _read_record(json_path: str) -> dict | None:
     try:
-        raw = fh.read()
+        with open(json_path, "r") as fh:
+            raw = fh.read()
         return json.loads(raw) if raw.strip() else None
     except (OSError, json.JSONDecodeError):
         return None
@@ -167,7 +172,7 @@ def holder(root: str) -> dict | None:
         try:
             fcntl.flock(fh.fileno(), fcntl.LOCK_SH | fcntl.LOCK_NB)
         except OSError:
-            rec = _read_record(fh) or {}
+            rec = _read_record(os.path.join(root, LOCK_FILE) + ".json") or {}
             beat = rec.get("heartbeat_at", 0.0)
             rec["stale"] = (time.time() - beat) > rec.get("stale_after", 300.0)
             return rec

@@ -1747,6 +1747,37 @@ def q_federated_global(sf_dir: str):
     )
 
 
+_PROXY_ROOTS: set[str] = set()
+
+
+def q_proxy_search(sf_dir: str):
+    """Proxy-mode fan-out (reference proxy/query_aggregator.py Stories
+    3.2-3.4): the two parity-split repo indexes live under ONE proxy root,
+    are DISCOVERED from disk (proxy config lists the index dirs found by
+    walking the root), searched in parallel with REPO-LOCAL BM25 stats, and
+    the hits are raw-score INTERLEAVED under one global limit — the third
+    federation mode next to fts_multi_repo (per-repo grouping, min_score)
+    and fts_federated_global (merged corpus statistics)."""
+    from ..query.proxy import ProxySearcher, init_proxy
+
+    multi_searcher_for(sf_dir)  # ensures index0/index1 exist under multi/
+    root = os.path.join(_corpus_dir(sf_dir), "multi")
+    if root not in _PROXY_ROOTS:
+        init_proxy(root, force=True)  # re-discover against rebuilt fixtures
+        _PROXY_ROOTS.add(root)
+    ps = ProxySearcher(root, lang_col="lang", url_col="url")
+    hits, errors = ps.search("spark merge", limit=10, snippet_lines=0)
+    assert not errors, errors
+    return pa.table(
+        {
+            "repo": pa.array([int(r["repository"][-1]) for r in hits], type=pa.int64()),
+            "doc_id": pa.array([r["doc_id"] for r in hits], type=pa.int64()),
+            "rank": pa.array(range(1, len(hits) + 1), type=pa.int64()),
+            "score_r": pa.array([round(r["score"], 4) for r in hits], type=pa.float64()),
+        }
+    )
+
+
 def q_regex_terms(sf_dir: str):
     s = searcher_for(sf_dir)
     terms = s.expand_terms("regex", "w.*w")
@@ -5752,6 +5783,36 @@ def oracle_catalog() -> dict[str, str]:
         "SELECT repo::BIGINT AS repo, doc_id, rank::BIGINT AS rank,\n"
         "  round(score, 4) AS score_r FROM kept"
     )
+    # proxy aggregation: same repo-local scoring CTEs as fts_multi_repo,
+    # but per-repo top-10 then ONE GLOBAL (score desc, repo, doc_id) cut
+    out["fts_proxy_search"] = (
+        f"WITH toks AS ({sql_tokens_cte()}),\n"
+        f"fnorm(id, lo, hi, dec) AS (VALUES {sql_decode_table_values()}),\n"
+        "rn AS (SELECT doc_id % 2 AS repo, count(*)::DOUBLE AS n FROM documents GROUP BY 1),\n"
+        "rt AS (SELECT doc_id % 2 AS repo, count(*)::DOUBLE AS tt FROM toks GROUP BY 1),\n"
+        "rstats AS (SELECT rn.repo, rn.n, rt.tt / rn.n AS avgdl FROM rn JOIN rt USING (repo)),\n"
+        "doclen AS (SELECT d.doc_id, coalesce(t.nt, 0)::BIGINT AS n_tokens FROM documents d\n"
+        "  LEFT JOIN (SELECT doc_id, count(*) AS nt FROM toks GROUP BY doc_id) t USING (doc_id)),\n"
+        "dl AS (SELECT doclen.doc_id, q.dec::BIGINT AS dl FROM doclen\n"
+        "  JOIN fnorm q ON doclen.n_tokens BETWEEN q.lo AND q.hi),\n"
+        "tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),\n"
+        "rdf AS (SELECT doc_id % 2 AS repo, term, count(*)::BIGINT AS df FROM tf GROUP BY 1, 2),\n"
+        "scored AS (SELECT tf.doc_id, tf.doc_id % 2 AS repo,\n"
+        f"  sum({score_r}) AS score\n"
+        "  FROM tf JOIN rdf ON rdf.term = tf.term AND rdf.repo = tf.doc_id % 2\n"
+        "  JOIN dl ON dl.doc_id = tf.doc_id\n"
+        "  JOIN rstats s ON s.repo = tf.doc_id % 2\n"
+        "  WHERE tf.term IN ('spark','merge')\n"
+        "  GROUP BY tf.doc_id HAVING count(DISTINCT tf.term) = 2),\n"
+        "local AS (SELECT repo, doc_id, score,\n"
+        "  row_number() OVER (PARTITION BY repo ORDER BY round(score, 9) DESC, doc_id) AS rn\n"
+        "  FROM scored),\n"
+        "merged AS (SELECT repo, doc_id, score,\n"
+        "  row_number() OVER (ORDER BY round(score, 9) DESC, repo, doc_id) AS rank\n"
+        "  FROM local WHERE rn <= 10)\n"
+        "SELECT repo::BIGINT AS repo, doc_id, rank::BIGINT AS rank,\n"
+        "  round(score, 4) AS score_r FROM merged WHERE rank <= 10"
+    )
     out["fts_regex_terms"] = (
         f"{pre}\nSELECT term, df FROM df WHERE regexp_full_match(term, 'w.*w')"
     )
@@ -7253,6 +7314,7 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "fts_proxy_search",
     "temporal_evolution",
     "fts_bm25_file_ext",
     "ann_hnsw_store",
@@ -7407,6 +7469,7 @@ def _query_catalog_unordered():
         "fts_batch_queries": q_batch_queries,
         "fts_multi_repo": q_multi_repo,
         "fts_federated_global": q_federated_global,
+        "fts_proxy_search": q_proxy_search,
         "fts_incremental": q_fts_incremental,
         "fts_query_dsl": q_query_dsl,
         "fts_lmdirichlet": q_lmdirichlet,
