@@ -329,9 +329,34 @@ def main(argv: list[str] | None = None) -> int:
             )
         elif args.cmd == "search":
             from .query.engine import IndexSearcher
+            from .query.proxy import ProxySearcher, detect_mode
 
-            s = IndexSearcher(args.index, lang_col=args.lang_col, url_col=args.url_col)
             split = lambda v: v.split(",") if v else None  # noqa: E731
+            if detect_mode(args.index) == "proxy":
+                # transparent proxy routing (reference mode_detection: the
+                # same command fans out when pointed at a proxy root)
+                if args.semantic or args.hybrid:
+                    raise ValueError("vector search modes are not supported in proxy mode")
+                ps = ProxySearcher(args.index, lang_col=args.lang_col, url_col=args.url_col)
+                hits, perr = ps.search(
+                    args.query,
+                    case_sensitive=args.case_sensitive,
+                    edit_distance=args.fuzzy,
+                    use_regex=args.regex,
+                    limit=args.limit,
+                    min_score=args.min_score,
+                    languages=split(args.languages),
+                    exclude_languages=split(args.exclude_languages),
+                    path_filters=split(args.path_filters),
+                    exclude_paths=split(args.exclude_paths),
+                    snippet_lines=args.snippet_lines,
+                )
+                for r in hits:
+                    print(json.dumps(r))
+                if perr:
+                    print(json.dumps({"errors": perr}), file=sys.stderr)
+                return 0
+            s = IndexSearcher(args.index, lang_col=args.lang_col, url_col=args.url_col)
             from .query.filtercheck import check_filters
 
             for w in check_filters(
@@ -476,7 +501,12 @@ def main(argv: list[str] | None = None) -> int:
                 srv.close()
         elif args.cmd == "stats":
             from .index.manifest import load_manifest
+            from .query.proxy import ProxySearcher, detect_mode
 
+            if detect_mode(args.index) == "proxy":
+                rows, perr = ProxySearcher(args.index).status()
+                print(json.dumps({"repos": rows, "errors": perr}))
+                return 0
             mf = load_manifest(args.index)
             print(
                 json.dumps(

@@ -143,6 +143,24 @@ def remove_repo(root: str, rel_path: str) -> dict:
     return cfg
 
 
+def detect_mode(path: str) -> str:
+    """``"proxy" | "index" | "uninitialized"`` for ``path`` (reference
+    ``mode_detection/command_mode_detector.py``: commands auto-detect their
+    operating mode from the config found at or above the target — nearest
+    config wins, search bounded to 10 parent levels)."""
+    cur = os.path.abspath(path)
+    for _ in range(11):
+        if os.path.exists(_config_path(cur)):
+            return "proxy"
+        if os.path.exists(os.path.join(cur, MANIFEST_NAME)):
+            return "index"
+        parent = os.path.dirname(cur)
+        if parent == cur:
+            break
+        cur = parent
+    return "uninitialized"
+
+
 class ProxySearcher:
     """Fan a query across every registered repo and interleave the hits.
 

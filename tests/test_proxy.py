@@ -94,6 +94,22 @@ class TestProxyConfig:
         with pytest.raises(ProxyError, match="not a proxy root"):
             load_config(str(tmp_path / "nowhere"))
 
+    def test_detect_mode(self, tmp_path):
+        from code_indexer_ray.query.proxy import detect_mode
+
+        root = str(tmp_path)
+        _fake_index(root, "repo")
+        assert detect_mode(os.path.join(root, "repo")) == "index"
+        assert detect_mode(os.path.join(root, "empty_nowhere")) == "uninitialized"
+        init_proxy(root)
+        assert detect_mode(root) == "proxy"
+        # nearest config wins: a repo inside the proxy root is index mode
+        assert detect_mode(os.path.join(root, "repo")) == "index"
+        # a plain subdir inherits the proxy root above it
+        sub = os.path.join(root, "plain")
+        os.makedirs(sub)
+        assert detect_mode(sub) == "proxy"
+
 
 @pytest.fixture(scope="module")
 def proxy_root(ray_session, tmp_path_factory):
@@ -218,6 +234,10 @@ assert main(["proxy", "init", "--root", {str(root)!r}]) == 2  # re-init is a cle
 assert main(["proxy", "status", "--root", {str(root)!r}]) == 0
 assert main(["proxy", "search", "--root", {str(root)!r}, "common", "--limit", "4"]) == 0
 assert main(["proxy", "remove", "--root", {str(root)!r}, "ghost"]) == 2
+# transparent mode detection: plain search/stats against the proxy root fan out
+assert main(["search", "--index", {str(root)!r}, "common", "--limit", "2",
+             "--snippet-lines", "0"]) == 0
+assert main(["stats", "--index", {str(root)!r}]) == 0
 print("PROXY_CLI_OK")
 """
     out = subprocess.run(
@@ -229,6 +249,7 @@ print("PROXY_CLI_OK")
     rows = [json.loads(l) for l in out.stdout.splitlines() if l.startswith("{")]
     hits = [r for r in rows if "repository" in r]
     # both corpora score 'common' identically, so the deterministic
-    # (score, repository, doc_id) tie-break fills the page from 'alpha'
-    assert len(hits) == 4 and all(h["repository"] == "alpha" for h in hits)
-    assert [h["doc_id"] for h in hits] == [0, 1, 2, 3]
+    # (score, repository, doc_id) tie-break fills the page from 'alpha':
+    # 4 hits from `proxy search`, then 2 from the transparent `search`
+    assert len(hits) == 6 and all(h["repository"] == "alpha" for h in hits)
+    assert [h["doc_id"] for h in hits] == [0, 1, 2, 3, 0, 1]
