@@ -2414,6 +2414,49 @@ def q_dedup_near_pairs(sf_dir: str):
     return _collect_pairs_table(out)
 
 
+_BANDSTORES: set[str] = set()
+
+
+def q_dedup_incremental(sf_dir: str):
+    """Incremental near-dup against a PERSISTED LSH band store (the
+    dedupe-today's-crawl-against-the-existing-corpus shape): the odd-id
+    half of the corpus is the existing corpus whose (band_id, band_hash,
+    doc_id) rows live hash-partitioned + band_hash-sorted on disk; the
+    even-id half is the new crawl — minhashed ONCE, co-partitioned with
+    the store by the same hash, per-part PRUNED-row-group join → distinct
+    (new, old) candidates → exact shingle-Jaccard ≥ τ verify in the data
+    plane.  The old corpus is never re-minhashed at probe time and
+    nothing doc- or candidate-sized is driver-resident."""
+    import ray.data as rd
+
+    from ..dedup.bandstore import build_band_store, probe_band_store
+    from ..dedup.minhash import DEFAULT_SHINGLE
+    from ..dedup.verify import pair_jaccard_verify, word_shingle_rows
+
+    def keep(parity):
+        def f(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            return batch.filter(pa.array(ids % 2 == parity))
+
+        return f
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    store = os.path.join(_corpus_dir(sf_dir), "bandstore")
+    if store not in _BANDSTORES:
+        build_band_store(ds.map_batches(keep(1), batch_format="pyarrow"), store)
+        _BANDSTORES.add(store)
+    cand = probe_band_store(store, ds.map_batches(keep(0), batch_format="pyarrow"))
+
+    def as_pairs(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_a": batch["new_id"], "doc_b": batch["old_id"]})
+
+    pairs = cand.map_batches(as_pairs, batch_format="pyarrow")
+    sh = ds.map_batches(
+        lambda b: word_shingle_rows(b, n=DEFAULT_SHINGLE), batch_format="pyarrow"
+    )
+    return _collect_pairs_table(pair_jaccard_verify(sh, pairs, tau=NEAR_DUP_TAU))
+
+
 def _collect_pairs_table(out) -> pa.Table:
     """Materialize a (doc_a, doc_b, jaccard_r) Dataset, tolerating the
     empty-schema blocks empty fold groups can emit."""
@@ -6220,6 +6263,35 @@ def oracle_catalog() -> dict[str, str]:
         f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
     )
 
+    # incremental band-store dedup: same CTEs as dedup_near_pairs, but the
+    # candidate join is new (even ids) × old (odd ids) instead of a<b
+    out["dedup_incremental"] = (
+        f"WITH {_fast_shingle_hash_cte()},\n"
+        f"perms(perm_id, a, b) AS (VALUES {_perm_values_fast()}),\n"
+        f"sig AS (SELECT doc_id, perm_id, min((a * x + b) % {M31}) AS minhash\n"
+        f"  FROM xall, perms GROUP BY doc_id, perm_id),\n"
+        f"bands AS (SELECT doc_id, perm_id // 2 AS band_id,\n"
+        f"  (sum((minhash * CASE WHEN perm_id % 2 = 0 THEN 1 ELSE 1000003 END) % {M31}) % {M31}) AS band_hash\n"
+        f"  FROM sig GROUP BY doc_id, perm_id // 2),\n"
+        "cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b\n"
+        "  FROM bands x JOIN bands y ON x.band_id = y.band_id AND x.band_hash = y.band_hash\n"
+        "  WHERE x.doc_id % 2 = 0 AND y.doc_id % 2 = 1),\n"
+        "shd AS (SELECT DISTINCT doc_id, shingle FROM ("
+        "SELECT doc_id, term || ' ' || lead(term, 1) OVER w || ' ' || lead(term, 2) OVER w AS shingle,"
+        " pos, nt FROM tpos WINDOW w AS (PARTITION BY doc_id ORDER BY pos)"
+        ") WHERE nt >= 3 AND pos <= nt - 2\n"
+        "  UNION SELECT doc_id, array_to_string(tks, ' ') FROM tokarr WHERE len(tks) BETWEEN 1 AND 2),\n"
+        "sizes AS (SELECT doc_id, count(*) AS n FROM shd GROUP BY doc_id),\n"
+        "inter AS (SELECT c.doc_a, c.doc_b, count(*) AS ni\n"
+        "  FROM cand c JOIN shd sa ON sa.doc_id = c.doc_a JOIN shd sb ON sb.doc_id = c.doc_b\n"
+        "  AND sa.shingle = sb.shingle GROUP BY c.doc_a, c.doc_b)\n"
+        "SELECT c.doc_a, c.doc_b,\n"
+        "  round(coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)), 4) AS jaccard_r\n"
+        "FROM cand c JOIN sizes za ON za.doc_id = c.doc_a JOIN sizes zb ON zb.doc_id = c.doc_b\n"
+        "LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b\n"
+        f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
+    )
+
     from ..text.decontam import sql_decontam
 
     out["decontam_flags"] = sql_decontam()
@@ -7314,6 +7386,7 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "dedup_incremental",
     "fts_proxy_search",
     "temporal_evolution",
     "fts_bm25_file_ext",
@@ -7531,6 +7604,7 @@ def _query_catalog_unordered():
         "dedup_minhash_md5_sig": q_minhash_md5_sig,
         "dedup_minhash_md5_bands": q_minhash_md5_bands,
         "dedup_near_pairs": q_dedup_near_pairs,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_components": q_dedup_components,
         "fts_collapse_neardup": q_collapse_neardup,
         "fts_mmr_rerank": q_mmr_rerank,
