@@ -296,6 +296,16 @@ def main(argv: list[str] | None = None) -> int:
     pxq.add_argument("--lang-col", default=None)
     pxq.add_argument("--url-col", default=None)
 
+    gr = sub.add_parser(
+        "grep", help="index-bypassing regex line scan over a parquet corpus"
+    )
+    gr.add_argument("pattern")
+    gr.add_argument("--input", required=True, help="parquet file/dir of documents")
+    gr.add_argument("--id-col", default="doc_id")
+    gr.add_argument("--text-col", default="text")
+    gr.add_argument("--max-matches", type=int, default=1000)
+    gr.add_argument("--context", type=int, choices=(0, 1), default=1)
+
     args = p.parse_args(argv)
     _ray_init(args.num_cpus)
     try:
@@ -722,6 +732,31 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps(r))
                 if errors:  # per-repo failures to stderr, results still usable
                     print(json.dumps({"errors": errors}), file=sys.stderr)
+        elif args.cmd == "grep":
+            import ray.data as rd
+
+            from .text.grepscan import regex_search
+
+            ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+            if args.id_col != "doc_id" or args.text_col != "text":
+                ds = ds.rename_columns(
+                    {args.id_col: "doc_id", args.text_col: "text"}
+                )
+            res = regex_search(
+                ds, args.pattern, max_matches=args.max_matches, context=args.context
+            )
+            for r in res["matches"]:
+                print(json.dumps(r))
+            print(
+                json.dumps(
+                    {
+                        "total_matches": res["total_matches"],
+                        "truncated": res["truncated"],
+                        "search_engine": res["search_engine"],
+                    }
+                ),
+                file=sys.stderr,
+            )
         return 0
     except (ValueError, KeyError) as e:
         # KeyError carries lookup misses (e.g. at-commit with an unknown

@@ -330,6 +330,28 @@ def q_c4_line_filter(sf_dir: str):
     )
 
 
+_GREP_PATTERN = "s(park|can|ort)"
+
+
+def q_grep_scan(sf_dir: str):
+    """Index-bypassing regex line scan (reference
+    ``global_repos/regex_search.py``: ripgrep-style direct file search with
+    line/column/context).  Same deterministic line synthesis as the C4
+    rules, then ONE shuffle-free vectorized pass: RE2 substring match over
+    the flat line array, match column = chars before the first match + 1
+    (the regexp_split_to_array definition, identical on both sides),
+    context lines by index-shifted takes within the doc."""
+    import ray.data as rd
+
+    from ..text.c4 import synthesize_lines_batch
+    from ..text.grepscan import regex_line_scan
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]).map_batches(
+        synthesize_lines_batch, batch_format="pyarrow"
+    )
+    return regex_line_scan(ds, _GREP_PATTERN, context=1)
+
+
 def q_line_dedup(sf_dir: str):
     """RefinedWeb exact line dedup (Penedo et al. 2023): per doc, how many of
     its distinct lines occur in >1 document.  Map-side DISTINCT (line-hash,
@@ -5409,6 +5431,17 @@ def oracle_catalog() -> dict[str, str]:
         f"  (CASE WHEN coalesce(st.n_kept, 0) >= {MIN_LINES} THEN 1 ELSE 0 END)::BIGINT AS kept\n"
         "FROM documents d LEFT JOIN st USING (doc_id)"
     )
+    out["grep_scan"] = (
+        "WITH " + sql_lines_cte() + ",\n"
+        "m AS (SELECT doc_id, li + 1 AS line_number, line,\n"
+        "  lag(line) OVER (PARTITION BY doc_id ORDER BY li) AS pb,\n"
+        "  lead(line) OVER (PARTITION BY doc_id ORDER BY li) AS pa FROM lines)\n"
+        "SELECT doc_id, line_number::BIGINT AS line_number,\n"
+        f"  (length(regexp_split_to_array(line, '{_GREP_PATTERN}')[1]) + 1)::BIGINT AS col,\n"
+        "  line AS line_content, coalesce(pb, '') AS ctx_before,\n"
+        "  coalesce(pa, '') AS ctx_after\n"
+        f"FROM m WHERE regexp_matches(line, '{_GREP_PATTERN}')"
+    )
     out["line_dedup"] = (
         "WITH " + sql_lines_cte() + ",\n"
         "dsx AS (SELECT DISTINCT doc_id, md5_number_lower(line) AS x FROM lines),\n"
@@ -7386,6 +7419,7 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "grep_scan",
     "dedup_incremental",
     "fts_proxy_search",
     "temporal_evolution",
@@ -7605,6 +7639,7 @@ def _query_catalog_unordered():
         "dedup_minhash_md5_bands": q_minhash_md5_bands,
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_incremental": q_dedup_incremental,
+        "grep_scan": q_grep_scan,
         "dedup_components": q_dedup_components,
         "fts_collapse_neardup": q_collapse_neardup,
         "fts_mmr_rerank": q_mmr_rerank,

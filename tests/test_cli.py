@@ -199,3 +199,44 @@ print("SEM_CLI_OK")
     assert len(hits) == 6  # 3 semantic + 3 hybrid rows
     assert all("doc_id" in h for h in hits)
     assert "requires --vector-store" in out.stderr
+
+
+def test_cli_grep(tmp_path):
+    src = tmp_path / "g.parquet"
+    rows = [
+        {"id": i, "body": f"alpha w{i}\nspark line {i}\nomega w{i}"} for i in range(12)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(src))
+    script = f"""
+from code_indexer_ray.cli import main
+assert main(["--num-cpus", "4", "grep", "spark l\\\\w+e", "--input", {str(src)!r},
+             "--id-col", "id", "--text-col", "body", "--max-matches", "5"]) == 0
+print("GREP_OK")
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO_ROOT,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "GREP_OK" in out.stdout
+    hits = [
+        json.loads(ln)
+        for ln in out.stdout.splitlines()
+        if ln.startswith("{") and "line_content" in ln
+    ]
+    assert len(hits) == 5  # truncated at max-matches
+    assert hits[0] == {
+        "doc_id": 0,
+        "line_number": 2,
+        "col": 1,
+        "line_content": "spark line 0",
+        "ctx_before": "alpha w0",
+        "ctx_after": "omega w0",
+    }
+    summary = [
+        json.loads(ln) for ln in out.stderr.splitlines() if ln.startswith("{")
+    ][-1]
+    assert summary["total_matches"] == 12 and summary["truncated"] is True
