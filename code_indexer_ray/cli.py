@@ -296,6 +296,23 @@ def main(argv: list[str] | None = None) -> int:
     pxq.add_argument("--lang-col", default=None)
     pxq.add_argument("--url-col", default=None)
 
+    rm = sub.add_parser("remote", help="remote mode: queries execute on a CIDX HTTP server")
+    rmsub = rm.add_subparsers(dest="remote_cmd", required=True)
+    rmi = rmsub.add_parser("init", help="link this root to a server")
+    rmi.add_argument("--root", required=True)
+    rmi.add_argument("--server", required=True, help="http(s)://host:port")
+    rmi.add_argument("--api-key", default=None)
+    rmi.add_argument("--force", action="store_true")
+    rms = rmsub.add_parser("status", help="server health + index stats")
+    rms.add_argument("--root", required=True)
+    rmq = rmsub.add_parser("query", help="run a query on the linked server")
+    rmq.add_argument("--root", required=True)
+    rmq.add_argument("query")
+    rmq.add_argument("--limit", type=int, default=10)
+    rmq.add_argument("--language", default=None)
+    rmq.add_argument("--min-score", type=float, default=None)
+    rmq.add_argument("--snippet-lines", type=int, default=0)
+
     gr = sub.add_parser(
         "grep", help="index-bypassing regex line scan over a parquet corpus"
     )
@@ -342,7 +359,39 @@ def main(argv: list[str] | None = None) -> int:
             from .query.proxy import ProxySearcher, detect_mode
 
             split = lambda v: v.split(",") if v else None  # noqa: E731
-            if detect_mode(args.index) == "proxy":
+            mode = detect_mode(args.index)
+            if mode == "remote":
+                # transparent remote execution (reference remote mode:
+                # identical query syntax, results come from the server)
+                from .query.remote import RemoteClient
+
+                def one(v, name):
+                    vs = split(v)
+                    if vs and len(vs) > 1:
+                        raise ValueError(f"remote mode accepts one {name}")
+                    return vs[0] if vs else None
+
+                rc = RemoteClient(args.index)
+                hits = rc.search(
+                    args.query,
+                    limit=args.limit,
+                    language=one(args.languages, "language"),
+                    exclude_language=one(args.exclude_languages, "exclude-language"),
+                    path_filter=one(args.path_filters, "path-filter"),
+                    exclude_path=one(args.exclude_paths, "exclude-path"),
+                    edit_distance=args.fuzzy or None,
+                    regex="true" if args.regex else None,
+                    case_sensitive="true" if args.case_sensitive else None,
+                    min_score=args.min_score,
+                    accuracy=args.accuracy,
+                    snippet_lines=args.snippet_lines,
+                    search_mode="hybrid" if args.hybrid
+                    else ("semantic" if args.semantic else "fts"),
+                )
+                for r in hits:
+                    print(json.dumps(r))
+                return 0
+            if mode == "proxy":
                 # transparent proxy routing (reference mode_detection: the
                 # same command fans out when pointed at a proxy root)
                 if args.semantic or args.hybrid:
@@ -732,6 +781,32 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps(r))
                 if errors:  # per-repo failures to stderr, results still usable
                     print(json.dumps({"errors": errors}), file=sys.stderr)
+        elif args.cmd == "remote":
+            from .query import remote as remotemod
+
+            if args.remote_cmd == "init":
+                print(
+                    json.dumps(
+                        remotemod.init_remote(
+                            args.root, args.server,
+                            api_key=args.api_key, force=args.force,
+                        )
+                    )
+                )
+            elif args.remote_cmd == "status":
+                rc = remotemod.RemoteClient(args.root)
+                print(json.dumps({"health": rc.health(), "stats": rc.stats()}))
+            elif args.remote_cmd == "query":
+                rc = remotemod.RemoteClient(args.root)
+                hits = rc.search(
+                    args.query,
+                    limit=args.limit,
+                    language=args.language,
+                    min_score=args.min_score,
+                    snippet_lines=args.snippet_lines,
+                )
+                for r in hits:
+                    print(json.dumps(r))
         elif args.cmd == "grep":
             import ray.data as rd
 
@@ -766,9 +841,11 @@ def main(argv: list[str] | None = None) -> int:
     except RuntimeError as e:
         from .index.buildlock import BuildLockError
         from .query.proxy import ProxyError
+        from .query.remote import RemoteError
 
-        if isinstance(e, ProxyError):
-            # proxy config errors are caller errors: same clean JSON exit
+        if isinstance(e, (ProxyError, RemoteError)):
+            # proxy/remote config + transport errors are caller-visible
+            # conditions: same clean JSON exit
             print(json.dumps({"error": str(e)}), file=sys.stderr)
             return 2
         if not isinstance(e, BuildLockError):

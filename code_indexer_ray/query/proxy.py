@@ -144,12 +144,17 @@ def remove_repo(root: str, rel_path: str) -> dict:
 
 
 def detect_mode(path: str) -> str:
-    """``"proxy" | "index" | "uninitialized"`` for ``path`` (reference
-    ``mode_detection/command_mode_detector.py``: commands auto-detect their
-    operating mode from the config found at or above the target — nearest
-    config wins, search bounded to 10 parent levels)."""
+    """``"remote" | "proxy" | "index" | "uninitialized"`` for ``path``
+    (reference ``mode_detection/command_mode_detector.py``: commands
+    auto-detect their operating mode from the config found at or above the
+    target — nearest config wins, remote beats local at the same level,
+    search bounded to 10 parent levels)."""
+    from .remote import REMOTE_CONFIG_NAME
+
     cur = os.path.abspath(path)
     for _ in range(11):
+        if os.path.exists(os.path.join(cur, REMOTE_CONFIG_NAME)):
+            return "remote"
         if os.path.exists(_config_path(cur)):
             return "proxy"
         if os.path.exists(os.path.join(cur, MANIFEST_NAME)):

@@ -1,0 +1,238 @@
+"""Remote mode — a project root whose queries execute on a CIDX HTTP server
+(reference ``remote/``: ``config.py``, ``initialization.py``,
+``query_execution.py``, ``staleness_detector.py``, ``url_validator.py``,
+``api_clients/base_client.py``).
+
+The reference's remote mode links a local checkout to a server: an on-disk
+remote config (mode marker + server URL + credentials) switches every query
+command to transparent HTTP execution with identical syntax and output, a
+retrying API client maps transport/auth failures to typed errors, and a
+staleness detector annotates each hit with whether the local working copy
+changed after the server indexed it (stale results are demoted, never
+hidden).  Here the server is this package's own ``IndexHTTPServer`` (same
+JSON surface the daemons serve), the credential is the server's X-API-Key,
+and the staleness cut is the server index's build timestamp from ``/stats``
+(this engine's index is immutable-per-generation, so one timestamp governs
+every doc in a generation).
+
+Scale: remote mode ships QUERIES, not data — the client holds zero
+corpus-sized state and the server side is the shard-group / term-routed
+engine fan-out.  Retries are bounded with exponential backoff so a dead
+server fails fast instead of hammering it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import urllib.error
+import urllib.parse
+import urllib.request
+
+from ..index.manifest import atomic_write_json
+
+REMOTE_CONFIG_NAME = ".remote-config.json"
+
+
+class RemoteError(RuntimeError):
+    """Base for remote-mode failures."""
+
+
+class RemoteConfigError(RemoteError):
+    """Missing / invalid remote configuration (reference
+    RemoteConfigurationError)."""
+
+
+class RemoteConnectionError(RemoteError):
+    """Server unreachable after retries (reference NetworkError)."""
+
+
+class RemoteAuthError(RemoteError):
+    """Server rejected the credential (reference AuthenticationError)."""
+
+
+class RemoteQueryError(RemoteError):
+    """Server answered with a non-auth error (carries the server message)."""
+
+    def __init__(self, status: int, message: str):
+        super().__init__(f"HTTP {status}: {message}")
+        self.status = status
+
+
+def validate_server_url(url: str) -> str:
+    """Normalized URL or RemoteConfigError (reference url_validator.py:
+    scheme must be http/https, host required; trailing slash dropped)."""
+    parsed = urllib.parse.urlparse(url)
+    if parsed.scheme not in ("http", "https"):
+        raise RemoteConfigError(f"server URL must be http(s), got {url!r}")
+    if not parsed.netloc:
+        raise RemoteConfigError(f"server URL has no host: {url!r}")
+    return url.rstrip("/")
+
+
+def _config_path(root: str) -> str:
+    return os.path.join(root, REMOTE_CONFIG_NAME)
+
+
+def init_remote(root: str, server_url: str, *, api_key: str | None = None,
+                force: bool = False) -> dict:
+    """Create the remote config at ``root`` (reference
+    ``create_remote_configuration``).  A root that is already an index or
+    proxy root is a mode conflict (the reference's initializers refuse to
+    stack modes); ``force`` only overwrites an existing REMOTE config."""
+    from .proxy import detect_mode
+
+    mode = detect_mode(root)
+    if mode in ("index", "proxy"):
+        raise RemoteConfigError(f"{root} is already a {mode} root")
+    path = _config_path(root)
+    if os.path.exists(path) and not force:
+        raise RemoteConfigError(f"remote config already exists at {path} (use force)")
+    cfg = {
+        "mode": "remote",
+        "server_url": validate_server_url(server_url),
+        "api_key": api_key,
+    }
+    os.makedirs(root, exist_ok=True)
+    atomic_write_json(path, cfg)
+    os.chmod(path, 0o600)  # credential file: owner-only (reference chmod)
+    return cfg
+
+
+def load_remote_config(root: str) -> dict:
+    """Nearest remote config at or above ``root`` (the mode detector's
+    walk), or RemoteConfigError."""
+    cur = os.path.abspath(root)
+    for _ in range(11):
+        path = _config_path(cur)
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)
+        parent = os.path.dirname(cur)
+        if parent == cur:
+            break
+        cur = parent
+    raise RemoteConfigError(f"no remote config at or above {root}")
+
+
+class RemoteClient:
+    """Retrying JSON client for ``IndexHTTPServer`` (reference
+    api_clients/base_client.py + remote_query_client.py).
+
+    Transport errors retry ``retries`` times with exponential backoff and
+    then raise :class:`RemoteConnectionError`; 401 raises
+    :class:`RemoteAuthError` immediately (a bad key never gets better by
+    retrying); other HTTP errors raise :class:`RemoteQueryError` carrying
+    the server's JSON error message.  5xx responses are retried too — the
+    reference treats them as transient server conditions."""
+
+    def __init__(self, root_or_config: str | dict, *, retries: int = 3,
+                 backoff: float = 0.2, timeout: float = 30.0):
+        cfg = (root_or_config if isinstance(root_or_config, dict)
+               else load_remote_config(root_or_config))
+        self.base = validate_server_url(cfg["server_url"])
+        self.api_key = cfg.get("api_key")
+        self.retries = retries
+        self.backoff = backoff
+        self.timeout = timeout
+
+    # -- transport ---------------------------------------------------------
+    def _request(self, path: str, params: dict | None = None,
+                 body: dict | None = None) -> dict:
+        url = self.base + path
+        if params:
+            clean = {k: v for k, v in params.items() if v is not None}
+            if clean:
+                url += "?" + urllib.parse.urlencode(clean)
+        headers = {"Content-Type": "application/json"}
+        if self.api_key:
+            headers["X-API-Key"] = self.api_key
+        data = json.dumps(body).encode() if body is not None else None
+        last: Exception | None = None
+        for attempt in range(self.retries + 1):
+            req = urllib.request.Request(url, data=data, headers=headers)
+            try:
+                with urllib.request.urlopen(req, timeout=self.timeout) as r:
+                    return json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                try:
+                    msg = json.loads(e.read()).get("error", "")
+                except Exception:
+                    msg = ""
+                if e.code == 401:
+                    raise RemoteAuthError(f"authentication failed: {msg}") from e
+                if e.code >= 500:  # transient server side — retry
+                    last = RemoteQueryError(e.code, msg)
+                else:
+                    raise RemoteQueryError(e.code, msg) from e
+            except (urllib.error.URLError, ConnectionError, TimeoutError) as e:
+                last = e
+            if attempt < self.retries:
+                time.sleep(self.backoff * (2 ** attempt))
+        if isinstance(last, RemoteQueryError):
+            raise last
+        raise RemoteConnectionError(f"cannot reach {self.base}: {last}") from last
+
+    # -- API surface (mirrors the server routes) ---------------------------
+    def health(self) -> dict:
+        return self._request("/health")
+
+    def stats(self) -> dict:
+        return self._request("/stats")
+
+    def search(self, q: str, **params) -> list[dict]:
+        """Transparent remote query (reference execute_remote_query):
+        the full REST parameter surface, identical hit dicts."""
+        return self._request("/search", params={"q": q, **params})["hits"]
+
+    def batch(self, queries: list[dict]) -> list[dict]:
+        return self._request("/batch", body={"queries": queries})["results"]
+
+    def mget(self, ids: list[int]) -> list[dict]:
+        return self._request("/mget", params={"ids": ",".join(map(str, ids))})["docs"]
+
+    def suggest(self, word: str, max_distance: int = 2):
+        return self._request(
+            "/suggest", params={"word": word, "max_distance": max_distance}
+        )["suggestion"]
+
+    def complete(self, prefix: str, limit: int = 10) -> list:
+        return self._request(
+            "/complete", params={"prefix": prefix, "limit": limit}
+        )["completions"]
+
+
+# -- staleness detection (reference staleness_detector.py) -----------------
+
+def apply_staleness(hits: list[dict], local_mtimes: dict[str, float],
+                    index_timestamp: float | None, *,
+                    path_key: str = "path") -> list[dict]:
+    """Annotate and re-order hits by local-vs-index freshness.
+
+    A hit is STALE when the local copy of its file changed after the server
+    indexed it (``local_mtime > index_timestamp``) — the remote result no
+    longer reflects the working tree.  Mirrors the reference's
+    EnhancedQueryResultItem fields (``is_stale``, ``local_file_mtime``,
+    ``staleness_delta_seconds``, indicator) and its
+    ``_sort_with_staleness_priority``: fresh results first, score order
+    within each class — stale hits are DEMOTED, never dropped.  Hits whose
+    path has no local counterpart are fresh by definition (nothing local to
+    contradict the server)."""
+    out = []
+    for h in hits:
+        h = dict(h)
+        mtime = local_mtimes.get(h.get(path_key))
+        stale = (mtime is not None and index_timestamp is not None
+                 and mtime > index_timestamp)
+        h["local_file_mtime"] = mtime
+        h["is_stale"] = bool(stale)
+        h["staleness_delta_seconds"] = (
+            round(mtime - index_timestamp, 3) if stale else 0.0
+        )
+        h["staleness_indicator"] = (
+            f"local +{h['staleness_delta_seconds']}s" if stale else ""
+        )
+        out.append(h)
+    out.sort(key=lambda h: (h["is_stale"], -h.get("score", 0.0)))
+    return out

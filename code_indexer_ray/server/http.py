@@ -640,6 +640,15 @@ class IndexHTTPServer:
 
     def _r_stats(self, params: dict) -> dict:
         m = self.searcher.manifest
+        # index build timestamp = manifest file mtime (this engine's index
+        # is immutable per generation) — remote-mode staleness detection
+        # compares local working-copy mtimes against it
+        try:
+            from ..index.manifest import MANIFEST_NAME
+
+            ts = round(os.path.getmtime(os.path.join(self.index_dir, MANIFEST_NAME)), 3)
+        except OSError:
+            ts = None
         return {
             "num_docs": m.num_docs,
             "total_tokens": m.total_tokens,
@@ -647,6 +656,7 @@ class IndexHTTPServer:
             "num_shards": m.num_shards,
             "num_buckets": m.num_buckets,
             "partitions": m.n_partitions,
+            "index_timestamp": ts,
         }
 
     def _semantic_tier(self):
