@@ -313,6 +313,39 @@ def main(argv: list[str] | None = None) -> int:
     rmq.add_argument("--min-score", type=float, default=None)
     rmq.add_argument("--snippet-lines", type=int, default=0)
 
+    # global repository registry (reference global_repos/: golden repos
+    # behind alias pointer files, rebuild-and-swap refresh, refcount GC)
+    rp = sub.add_parser("repos", help="global repository registry (golden repos)")
+    rpsub = rp.add_subparsers(dest="repos_cmd", required=True)
+    rpr = rpsub.add_parser("register", help="register an existing index dir")
+    rpr.add_argument("--root", required=True, help="registry root dir")
+    rpr.add_argument("--alias", required=True, help="alias (must end in -global)")
+    rpr.add_argument("--index", required=True, help="index root to register")
+    rpr.add_argument("--repo-name", default=None)
+    rpr.add_argument("--repo-url", default=None)
+    rpu = rpsub.add_parser("unregister", help="remove an alias")
+    rpu.add_argument("--root", required=True)
+    rpu.add_argument("--alias", required=True)
+    rpl = rpsub.add_parser("list", help="registered repos + live targets")
+    rpl.add_argument("--root", required=True)
+    rpf = rpsub.add_parser(
+        "refresh", help="rebuild into a fresh generation and swap the alias"
+    )
+    rpf.add_argument("--root", required=True)
+    rpf.add_argument("--alias", required=True)
+    rpf.add_argument("--input", required=True, help="parquet corpus to index")
+    rpf.add_argument("--id-col", default="doc_id")
+    rpf.add_argument("--text-col", default="text")
+    rpf.add_argument("--num-shards", type=int, default=4)
+    rpg = rpsub.add_parser("gc", help="delete drained retired generations")
+    rpg.add_argument("--root", required=True)
+    rpq = rpsub.add_parser("search", help="query one alias's current index")
+    rpq.add_argument("--root", required=True)
+    rpq.add_argument("--alias", required=True)
+    rpq.add_argument("query")
+    rpq.add_argument("--limit", type=int, default=10)
+    rpq.add_argument("--language", default=None)
+
     gr = sub.add_parser(
         "grep", help="index-bypassing regex line scan over a parquet corpus"
     )
@@ -807,6 +840,47 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in hits:
                     print(json.dumps(r))
+        elif args.cmd == "repos":
+            from .repos import GlobalRegistry
+
+            reg = GlobalRegistry(args.root)
+            if args.repos_cmd == "register":
+                print(json.dumps(reg.register(
+                    args.repo_name or args.alias,
+                    args.alias,
+                    args.index,
+                    repo_url=args.repo_url,
+                )))
+            elif args.repos_cmd == "unregister":
+                reg.unregister(args.alias)
+                print(json.dumps({"unregistered": args.alias}))
+            elif args.repos_cmd == "list":
+                for row in reg.list_repos():
+                    print(json.dumps(row))
+            elif args.repos_cmd == "refresh":
+                from .index.build import build_index
+                from .index.buildlock import BuildLock
+
+                def _build(out_dir: str) -> None:
+                    with BuildLock(out_dir):
+                        build_index(
+                            args.input,
+                            out_dir,
+                            id_col=args.id_col,
+                            text_col=args.text_col,
+                            num_shards=args.num_shards,
+                        )
+
+                new = reg.refresh(args.alias, _build)
+                print(json.dumps({"alias": args.alias, "target": new}))
+            elif args.repos_cmd == "gc":
+                print(json.dumps({"deleted": reg.collect_garbage()}))
+            elif args.repos_cmd == "search":
+                params = {"limit": args.limit}
+                if args.language:
+                    params["language"] = args.language
+                for r in reg.search(args.alias, args.query, params):
+                    print(json.dumps(r))
         elif args.cmd == "grep":
             import ray.data as rd
 
@@ -842,8 +916,9 @@ def main(argv: list[str] | None = None) -> int:
         from .index.buildlock import BuildLockError
         from .query.proxy import ProxyError
         from .query.remote import RemoteError
+        from .repos import RegistryError
 
-        if isinstance(e, (ProxyError, RemoteError)):
+        if isinstance(e, (ProxyError, RemoteError, RegistryError)):
             # proxy/remote config + transport errors are caller-visible
             # conditions: same clean JSON exit
             print(json.dumps({"error": str(e)}), file=sys.stderr)
