@@ -337,8 +337,21 @@ def main(argv: list[str] | None = None) -> int:
     rpf.add_argument("--id-col", default="doc_id")
     rpf.add_argument("--text-col", default="text")
     rpf.add_argument("--num-shards", type=int, default=4)
+    rpf.add_argument("--store-cols", default="lang,url")
     rpg = rpsub.add_parser("gc", help="delete drained retired generations")
     rpg.add_argument("--root", required=True)
+    rpt = rpsub.add_parser(
+        "tree", help="directory tree over an alias's stored paths"
+    )
+    rpt.add_argument("--root", required=True)
+    rpt.add_argument("--alias", required=True)
+    rpt.add_argument("--subdir", default=None)
+    rpt.add_argument("--depth", type=int, default=3)
+    rpt.add_argument("--cap", type=int, default=50, help="max files shown per dir")
+    rpt.add_argument("--include", action="append", default=[])
+    rpt.add_argument("--exclude", action="append", default=[])
+    rpt.add_argument("--show-stats", action="store_true")
+    rpt.add_argument("--url-col", default="url")
     rpq = rpsub.add_parser("search", help="query one alias's current index")
     rpq.add_argument("--root", required=True)
     rpq.add_argument("--alias", required=True)
@@ -868,6 +881,9 @@ def main(argv: list[str] | None = None) -> int:
                             out_dir,
                             id_col=args.id_col,
                             text_col=args.text_col,
+                            store_cols=tuple(
+                                c for c in args.store_cols.split(",") if c
+                            ),
                             num_shards=args.num_shards,
                         )
 
@@ -875,6 +891,28 @@ def main(argv: list[str] | None = None) -> int:
                 print(json.dumps({"alias": args.alias, "target": new}))
             elif args.repos_cmd == "gc":
                 print(json.dumps({"deleted": reg.collect_garbage()}))
+            elif args.repos_cmd == "tree":
+                import os
+
+                import ray.data as rd
+
+                from .index.manifest import DOCSTORE_DIR
+                from .query.explore import directory_tree, format_tree
+
+                target = reg.resolve(args.alias)
+                ds = rd.read_parquet(
+                    os.path.join(target, DOCSTORE_DIR), columns=[args.url_col]
+                )
+                t = directory_tree(
+                    ds,
+                    path_col=args.url_col,
+                    subdir=args.subdir,
+                    max_depth=args.depth,
+                    max_files_per_dir=args.cap,
+                    include=tuple(args.include),
+                    exclude=tuple(args.exclude),
+                )
+                print(format_tree(t, show_stats=args.show_stats))
             elif args.repos_cmd == "search":
                 params = {"limit": args.limit}
                 if args.language:

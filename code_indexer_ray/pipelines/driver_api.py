@@ -352,6 +352,41 @@ def q_grep_scan(sf_dir: str):
     return regex_line_scan(ds, _GREP_PATTERN, context=1)
 
 
+def q_repo_tree(sf_dir: str):
+    """Directory tree over the corpus's stored paths (reference
+    ``global_repos/directory_explorer.py``: depth limit, per-dir file caps
+    with hidden counts, exclude globs pruning subtrees, hidden-segment
+    filtering, dirs-before-files case-insensitive order).  Deterministic
+    path synthesis from doc_id: every 5th doc nests past the depth limit
+    (→ truncated dirs), every 17th lands under a hidden ``.priv`` dir
+    (→ pruned), the ``d2`` top-level dir is excluded by glob; depth 2,
+    cap 3 files/dir.  One streaming explode pass + one node-row shuffle;
+    driver state = the visible tree only."""
+    import numpy as np
+    import ray.data as rd
+
+    from ..query.explore import directory_tree
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        d = np.char.add("d", (ids % 3).astype("U1"))
+        s = np.char.add("s", (ids % 2).astype("U1"))
+        f = np.char.zfill(ids.astype("U6"), 4)
+        deep = np.char.add(np.char.add(np.char.add(d, "/"), s),
+                           np.char.add("/deep/f", np.char.add(f, ".py")))
+        priv = np.char.add(d, np.char.add("/.priv/f", np.char.add(f, ".py")))
+        plain = np.char.add(d, np.char.add("/f", np.char.add(f, ".txt")))
+        path = np.where(ids % 5 == 0, deep, np.where(ids % 17 == 0, priv, plain))
+        return pa.table({"path": pa.array(path.tolist(), pa.string())})
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id"]).map_batches(
+        synth, batch_format="pyarrow"
+    )
+    return directory_tree(
+        ds, path_col="path", max_depth=2, max_files_per_dir=3, exclude=("d2",)
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """RefinedWeb exact line dedup (Penedo et al. 2023): per doc, how many of
     its distinct lines occur in >1 document.  Map-side DISTINCT (line-hash,
@@ -5431,6 +5466,50 @@ def oracle_catalog() -> dict[str, str]:
         f"  (CASE WHEN coalesce(st.n_kept, 0) >= {MIN_LINES} THEN 1 ELSE 0 END)::BIGINT AS kept\n"
         "FROM documents d LEFT JOIN st USING (doc_id)"
     )
+    out["repo_tree"] = (
+        "WITH p AS (\n"
+        "  SELECT doc_id,\n"
+        "    CASE WHEN doc_id % 5 = 0 THEN printf('d%d/s%d/deep/f%04d.py', doc_id % 3, doc_id % 2, doc_id)\n"
+        "         WHEN doc_id % 17 = 0 THEN printf('d%d/.priv/f%04d.py', doc_id % 3, doc_id)\n"
+        "         ELSE printf('d%d/f%04d.txt', doc_id % 3, doc_id) END AS path\n"
+        "  FROM documents),\n"
+        "vis AS (SELECT path, string_split(path, '/') AS parts FROM p\n"
+        "        WHERE path NOT LIKE 'd2/%' AND path NOT LIKE '%/.%'),\n"
+        "file_nodes AS (\n"
+        "  SELECT DISTINCT coalesce(array_to_string(parts[1:len(parts)-1], '/'), '') AS parent,\n"
+        "         parts[len(parts)] AS name, len(parts)::BIGINT AS depth\n"
+        "  FROM vis WHERE len(parts) <= 2),\n"
+        "dir_nodes AS (\n"
+        "  SELECT DISTINCT coalesce(array_to_string(parts[1:i-1], '/'), '') AS parent,\n"
+        "         parts[i] AS name, i::BIGINT AS depth\n"
+        "  FROM vis, UNNEST(range(1, len(parts))) AS t(i) WHERE i <= 2),\n"
+        "deep_dirs AS (SELECT DISTINCT array_to_string(parts[1:2], '/') AS dpath\n"
+        "              FROM vis WHERE len(parts) > 2),\n"
+        "fc AS (SELECT parent, count(*)::BIGINT AS nf FROM file_nodes GROUP BY parent),\n"
+        "dc AS (SELECT parent, count(*)::BIGINT AS nd FROM dir_nodes GROUP BY parent),\n"
+        "rf AS (SELECT parent, name, depth,\n"
+        "       row_number() OVER (PARTITION BY parent ORDER BY lower(name), name) AS rk\n"
+        "       FROM file_nodes),\n"
+        "dirs AS (\n"
+        "  SELECT CASE WHEN parent = '' THEN name ELSE parent || '/' || name END AS path,\n"
+        "         name, parent, depth, 'dir' AS kind FROM dir_nodes\n"
+        "  UNION ALL SELECT '', '', '', 0::BIGINT, 'dir'),\n"
+        "dstats AS (\n"
+        "  SELECT d.path, d.name, d.parent, d.depth, d.kind,\n"
+        "    (CASE WHEN dd.dpath IS NOT NULL THEN 0 ELSE coalesce(fc.nf, 0) END)::BIGINT AS n_files,\n"
+        "    (CASE WHEN dd.dpath IS NOT NULL THEN 0 ELSE coalesce(dc.nd, 0) END)::BIGINT AS n_dirs,\n"
+        "    (CASE WHEN dd.dpath IS NOT NULL THEN 0 ELSE greatest(coalesce(fc.nf, 0) - 3, 0) END)::BIGINT AS hidden_files,\n"
+        "    (dd.dpath IS NOT NULL OR coalesce(fc.nf, 0) > 3) AS truncated\n"
+        "  FROM dirs d LEFT JOIN deep_dirs dd ON dd.dpath = d.path\n"
+        "  LEFT JOIN fc ON fc.parent = d.path LEFT JOIN dc ON dc.parent = d.path),\n"
+        "files AS (\n"
+        "  SELECT CASE WHEN parent = '' THEN name ELSE parent || '/' || name END AS path,\n"
+        "         name, parent, depth, 'file' AS kind,\n"
+        "         0::BIGINT AS n_files, 0::BIGINT AS n_dirs,\n"
+        "         0::BIGINT AS hidden_files, FALSE AS truncated\n"
+        "  FROM rf WHERE rk <= 3)\n"
+        "SELECT * FROM dstats UNION ALL SELECT * FROM files ORDER BY path, kind"
+    )
     out["grep_scan"] = (
         "WITH " + sql_lines_cte() + ",\n"
         "m AS (SELECT doc_id, li + 1 AS line_number, line,\n"
@@ -7419,6 +7498,7 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "repo_tree",
     "grep_scan",
     "dedup_incremental",
     "fts_proxy_search",
@@ -7640,6 +7720,7 @@ def _query_catalog_unordered():
         "dedup_near_pairs": q_dedup_near_pairs,
         "dedup_incremental": q_dedup_incremental,
         "grep_scan": q_grep_scan,
+        "repo_tree": q_repo_tree,
         "dedup_components": q_dedup_components,
         "fts_collapse_neardup": q_collapse_neardup,
         "fts_mmr_rerank": q_mmr_rerank,

@@ -280,6 +280,8 @@ assert main(["repos", "refresh", "--root", {root!r}, "--alias", "web-global",
              "--input", {src!r}, "--num-shards", "1"]) == 0
 assert main(["repos", "search", "--root", {root!r}, "--alias", "web-global",
              "spark merge", "--limit", "3"]) == 0
+assert main(["repos", "tree", "--root", {root!r}, "--alias", "web-global",
+             "--show-stats"]) == 0
 assert main(["repos", "gc", "--root", {root!r}]) == 0
 assert main(["repos", "unregister", "--root", {root!r},
              "--alias", "web-global"]) == 0
