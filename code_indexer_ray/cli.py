@@ -135,6 +135,39 @@ def main(argv: list[str] | None = None) -> int:
     )
     sv.add_argument("--lang-col", default="lang", help="stored language column name")
     sv.add_argument("--url-col", default="url", help="stored path/url column name")
+    sv.add_argument(
+        "--auth-dir",
+        default=None,
+        help="enable JWT auth: user store + signing secret live here"
+        " (X-API-Key is ignored when set)",
+    )
+
+    us = sub.add_parser(
+        "users", help="user store management for --auth-dir servers"
+    )
+    ussub = us.add_subparsers(dest="users_cmd", required=True)
+    usc = ussub.add_parser("create", help="create a user (reads password from stdin)")
+    usc.add_argument("--auth-dir", required=True)
+    usc.add_argument("--username", required=True)
+    usc.add_argument("--role", default="normal_user",
+                     choices=["admin", "power_user", "normal_user"])
+    usc.add_argument("--password", default=None,
+                     help="password (omit to read from stdin)")
+    usl = ussub.add_parser("list", help="list users")
+    usl.add_argument("--auth-dir", required=True)
+    usr = ussub.add_parser("set-role", help="change a user's role")
+    usr.add_argument("--auth-dir", required=True)
+    usr.add_argument("--username", required=True)
+    usr.add_argument("--role", required=True,
+                     choices=["admin", "power_user", "normal_user"])
+    usd = ussub.add_parser("delete", help="delete a user")
+    usd.add_argument("--auth-dir", required=True)
+    usd.add_argument("--username", required=True)
+    usp = ussub.add_parser("passwd", help="admin password reset")
+    usp.add_argument("--auth-dir", required=True)
+    usp.add_argument("--username", required=True)
+    usp.add_argument("--password", default=None,
+                     help="new password (omit to read from stdin)")
 
     mc = sub.add_parser(
         "serve-mcp",
@@ -578,6 +611,7 @@ def main(argv: list[str] | None = None) -> int:
                 scip_store=args.scip_store,
                 temporal_index=args.temporal_index,
                 vector_store=args.vector_store,
+                auth_dir=args.auth_dir,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:
@@ -853,6 +887,31 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in hits:
                     print(json.dumps(r))
+        elif args.cmd == "users":
+            from .server.auth import UserManager
+
+            um = UserManager(args.auth_dir)
+
+            def _pw() -> str:
+                if getattr(args, "password", None):
+                    return str(args.password)
+                return sys.stdin.readline().rstrip("\n")
+
+            if args.users_cmd == "create":
+                u = um.create_user(args.username, _pw(), args.role)
+                print(json.dumps({"user": u.to_public()}))
+            elif args.users_cmd == "list":
+                for u in um.all_users():
+                    print(json.dumps(u.to_public()))
+            elif args.users_cmd == "set-role":
+                u = um.update_role(args.username, args.role)
+                print(json.dumps({"user": u.to_public()}))
+            elif args.users_cmd == "delete":
+                um.delete_user(args.username)
+                print(json.dumps({"deleted": args.username}))
+            elif args.users_cmd == "passwd":
+                um.set_password(args.username, _pw())
+                print(json.dumps({"password_changed": args.username}))
         elif args.cmd == "repos":
             from .repos import GlobalRegistry
 

@@ -321,6 +321,8 @@ class IndexHTTPServer:
         scip_store: str | None = None,
         temporal_index: str | None = None,
         vector_store: str | None = None,
+        auth_dir: str | None = None,
+        auth=None,
     ):
         # semantic/hybrid search_mode tier (reference default mode); lazy
         # like the scip/temporal tiers — first semantic request loads it
@@ -358,6 +360,16 @@ class IndexHTTPServer:
             defer_missing=self.jobs is not None,
         )
         self.api_key = api_key
+        # JWT auth tier (reference server/auth/*): pass a prebuilt AuthTier
+        # (tests inject fake clocks) or an auth_dir to build the default one.
+        # When configured, every route except /health /auth/login
+        # /auth/refresh requires Authorization: Bearer and a role whose
+        # inherited permissions cover the route; X-API-Key is then ignored.
+        if auth is None and auth_dir is not None:
+            from .auth import AuthTier
+
+            auth = AuthTier(auth_dir)
+        self.auth = auth
         self._lock = threading.Lock()
         server = self
 
@@ -382,6 +394,11 @@ class IndexHTTPServer:
                     server._reply(self, 400, {"error": "invalid JSON body"})
                     return
                 server._dispatch(self, body=body)
+
+            do_PUT = do_POST
+
+            def do_DELETE(self):
+                server._dispatch(self, body=None)
 
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True
@@ -428,19 +445,67 @@ class IndexHTTPServer:
         h.send_response(code)
         h.send_header("Content-Type", "application/json")
         h.send_header("Content-Length", str(len(data)))
+        renewed = getattr(h, "_renewed_token", None)
+        if renewed:
+            # sliding sessions (reference jwt_manager.extend_token_expiration):
+            # every authed response carries a re-stamped token
+            h.send_header("X-Renewed-Token", renewed)
+        retry = getattr(h, "_retry_after", None)
+        if retry is not None:
+            h.send_header("Retry-After", str(int(retry) + 1))
         h.end_headers()
         h.wfile.write(data)
+
+    # routes reachable without credentials when the auth tier is on
+    _PUBLIC_ROUTES = frozenset({"/health", "/auth/login", "/auth/refresh"})
+
+    @staticmethod
+    def _required_permission(route: str, method: str) -> str | None:
+        """Reference role model: query routes need ``query_repos`` (all
+        roles), build-triggering routes need ``activate_repos``
+        (power_user+), user management needs ``manage_users`` (admin).
+        ``None`` = any authenticated user."""
+        if route.startswith("/api/admin/"):
+            return "manage_users"
+        if route == "/api/users/change-password":
+            return None
+        if route == "/index" or (route.startswith("/jobs/") and route.endswith("/cancel")):
+            return "activate_repos"
+        return "query_repos"
 
     def _dispatch(self, h, body: dict | None) -> None:
         url = urlparse(h.path)
         route = url.path.rstrip("/") or "/"
+        method = h.command
         params = {k: v[-1] for k, v in parse_qs(url.query).items()}
         if body:
             params.update(body)
-        if route != "/health" and self.api_key is not None:
+        user = None
+        if self.auth is not None:
+            from .auth import AuthError
+
+            if route not in self._PUBLIC_ROUTES:
+                try:
+                    user = self.auth.authenticate_bearer(h.headers.get("Authorization"))
+                except AuthError as e:
+                    self._reply(h, 401, {"error": str(e)})
+                    return
+                perm = self._required_permission(route, method)
+                if not user.has_permission(perm):
+                    self._reply(
+                        h,
+                        403,
+                        {"error": f"role {user.role.value!r} lacks permission {perm!r}"},
+                    )
+                    return
+                h._renewed_token = self.auth.jwt.create_token(user.to_public())
+        elif route != "/health" and self.api_key is not None:
             if h.headers.get("X-API-Key") != self.api_key:
                 self._reply(h, 401, {"error": "missing or invalid X-API-Key"})
                 return
+        if route.startswith("/auth/") or route.startswith("/api/"):
+            self._dispatch_auth(h, route, method, params, user)
+            return
         if route == "/index" or route == "/jobs" or route.startswith("/jobs/"):
             self._dispatch_jobs(h, route, params)
             return
@@ -466,6 +531,89 @@ class IndexHTTPServer:
             return
         except Exception as e:  # noqa: BLE001 — the server must not die on a bad request
             self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+            return
+        self._reply(h, 200, out)
+
+    def _dispatch_auth(self, h, route: str, method: str, params: dict, user) -> None:
+        """Auth + user-management routes (reference server/routers/auth.py +
+        users admin routes).  Error mapping: 400 validation, 401 credential,
+        404 unknown user, 405 wrong method, 429 rate limited."""
+        from .auth import AuthError, RateLimitedError
+
+        if self.auth is None:
+            self._reply(h, 404, {"error": "auth tier not configured"})
+            return
+
+        def need(key: str) -> str:
+            v = params.get(key)
+            if not v:
+                raise ValueError(f"missing required parameter {key!r}")
+            return str(v)
+
+        try:
+            if route == "/auth/login":
+                if method != "POST":
+                    self._reply(h, 405, {"error": "POST required"})
+                    return
+                out = self.auth.login(need("username"), need("password"))
+            elif route == "/auth/refresh":
+                if method != "POST":
+                    self._reply(h, 405, {"error": "POST required"})
+                    return
+                out = self.auth.refresh_pair(need("refresh_token"))
+            elif route == "/api/users/change-password":
+                lock_msg = self.auth.pw_limiter.check_rate_limit(user.username)
+                if lock_msg:
+                    self._reply(h, 429, {"error": lock_msg})
+                    return
+                old, new = need("old_password"), need("new_password")
+                try:
+                    self.auth.users.change_password(user.username, old, new)
+                except AuthError:
+                    self.auth.pw_limiter.record_failed_attempt(user.username)
+                    raise
+                self.auth.pw_limiter.record_successful_attempt(user.username)
+                out = {"message": "password changed"}
+            elif route == "/api/admin/users" and method == "GET":
+                out = {"users": [u.to_public() for u in self.auth.users.all_users()]}
+            elif route == "/api/admin/users" and method == "POST":
+                u = self.auth.users.create_user(
+                    need("username"), need("password"), need("role")
+                )
+                out = {"user": u.to_public()}
+            elif route.startswith("/api/admin/users/"):
+                name = route[len("/api/admin/users/") :]
+                if method == "DELETE":
+                    self.auth.users.delete_user(name)
+                    self.auth.refresh.revoke_user(name)
+                    out = {"message": f"user {name!r} deleted"}
+                elif method == "PUT":
+                    if "role" in params:
+                        self.auth.users.update_role(name, str(params["role"]))
+                    if "password" in params:
+                        self.auth.users.set_password(name, str(params["password"]))
+                    u = self.auth.users.get_user(name)
+                    if u is None:
+                        raise KeyError(f"user {name!r} not found")
+                    out = {"user": u.to_public()}
+                else:
+                    self._reply(h, 405, {"error": "PUT or DELETE required"})
+                    return
+            else:
+                self._reply(h, 404, {"error": f"unknown route {route!r}"})
+                return
+        except RateLimitedError as e:
+            h._retry_after = e.retry_after
+            self._reply(h, 429, {"error": "too many login attempts"})
+            return
+        except AuthError as e:
+            self._reply(h, 401, {"error": str(e)})
+            return
+        except KeyError as e:
+            self._reply(h, 404, {"error": str(e).strip("'\"")})
+            return
+        except ValueError as e:
+            self._reply(h, 400, {"error": str(e)})
             return
         self._reply(h, 200, out)
 
