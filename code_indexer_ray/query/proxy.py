@@ -177,18 +177,29 @@ class ProxySearcher:
     ``ValueError`` (bad query / params) propagates: it would fail
     identically on every repo, so it is the caller's error."""
 
-    def __init__(self, root: str, **searcher_kwargs):
+    def __init__(self, root: str, *, cache=None, **searcher_kwargs):
         self.root = root
         self.repos = list(load_config(root)["discovered_repos"])
         self._kwargs = searcher_kwargs
-        self._searchers: dict[str, IndexSearcher] = {}
+        # TTL+LRU searcher cache (reference server/cache/fts_index_cache.py):
+        # repeated proxy queries reuse warm searchers; idle repos age out on
+        # TTL instead of pinning memory for the daemon's lifetime.  Pass a
+        # shared cache to pool searchers across proxy roots.
+        if cache is None:
+            from ..server.cache import SearcherCache, SearcherCacheConfig
+
+            cache = SearcherCache(SearcherCacheConfig.from_env())
+        self._cache = cache
 
     def _searcher(self, rel: str) -> IndexSearcher:
-        s = self._searchers.get(rel)
-        if s is None:
-            s = IndexSearcher(os.path.join(self.root, rel), **self._kwargs)
-            self._searchers[rel] = s
-        return s
+        return self._cache.get_or_load(
+            os.path.join(self.root, rel),
+            loader=lambda p: IndexSearcher(p, **self._kwargs),
+        )
+
+    def cache_stats(self) -> dict:
+        """Searcher-cache statistics (reference cache AC7 monitoring)."""
+        return self._cache.get_stats().to_dict()
 
     def _fan_out(self, fn) -> tuple[dict[str, object], dict[str, str]]:
         """Run ``fn(rel_path)`` per repo in a bounded thread pool,

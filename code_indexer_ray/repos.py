@@ -197,7 +197,12 @@ class GlobalRegistry:
         self.tracker = QueryTracker()
         self._registry_path = os.path.join(root, REGISTRY_NAME)
         self._pending_cleanup: set[str] = set()
-        self._searchers: dict[str, object] = {}  # target_path → IndexSearcher
+        # TTL+LRU searcher cache keyed by target path (reference
+        # server/cache/fts_index_cache.py) — a long-lived registry daemon
+        # over many aliases no longer pins every warm searcher forever
+        from .server.cache import SearcherCache, SearcherCacheConfig
+
+        self._searchers = SearcherCache(SearcherCacheConfig.from_env())
         self._lock = threading.Lock()
 
     # -- registry file ------------------------------------------------------
@@ -280,12 +285,14 @@ class GlobalRegistry:
         from .query.engine import IndexSearcher
 
         target = self.resolve(alias_name)
-        with self._lock:
-            s = self._searchers.get(target)
-            if s is None:
-                s = IndexSearcher(target, **kwargs)
-                self._searchers[target] = s
+        s = self._searchers.get_or_load(
+            target, loader=lambda p: IndexSearcher(p, **kwargs)
+        )
         return s, target
+
+    def cache_stats(self) -> dict:
+        """Searcher-cache statistics (reference cache AC7 monitoring)."""
+        return self._searchers.get_stats().to_dict()
 
     def search(self, alias_name: str, q: str, params: dict | None = None,
                **searcher_kwargs) -> list[dict]:
@@ -322,7 +329,7 @@ class GlobalRegistry:
 
                 data[alias_name]["last_refresh"] = time.time()
                 self._save(data)
-            self._searchers.pop(old, None)
+            self._searchers.invalidate(old)
             # only generations owned by this registry are deleted; a
             # registered-in-place index dir is the caller's property
             if os.path.abspath(old).startswith(
