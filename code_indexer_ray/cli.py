@@ -391,6 +391,17 @@ def main(argv: list[str] | None = None) -> int:
     rpq.add_argument("query")
     rpq.add_argument("--limit", type=int, default=10)
     rpq.add_argument("--language", default=None)
+    rpo = rpsub.add_parser(
+        "omni", help="pattern-selected cross-repo search (reference server/omni)"
+    )
+    rpo.add_argument("--root", required=True)
+    rpo.add_argument("query")
+    rpo.add_argument(
+        "--patterns", required=True,
+        help="comma-separated alias patterns (exact, gitwildmatch, or regex)",
+    )
+    rpo.add_argument("--limit", type=int, default=10)
+    rpo.add_argument("--mode", default="global", choices=["global", "per_repo"])
 
     gr = sub.add_parser(
         "grep", help="index-bypassing regex line scan over a parquet corpus"
@@ -978,6 +989,18 @@ def main(argv: list[str] | None = None) -> int:
                     params["language"] = args.language
                 for r in reg.search(args.alias, args.query, params):
                     print(json.dumps(r))
+            elif args.repos_cmd == "omni":
+                from .query.omni import OmniSearchService
+
+                svc = OmniSearchService(reg)
+                out = svc.search(
+                    [p for p in args.patterns.split(",") if p],
+                    args.query,
+                    limit=args.limit,
+                    aggregation_mode=args.mode,
+                )
+                out.pop("cursor", None)  # meaningless across processes
+                print(json.dumps(out))
         elif args.cmd == "grep":
             import ray.data as rd
 
