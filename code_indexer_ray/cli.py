@@ -199,6 +199,14 @@ def main(argv: list[str] | None = None) -> int:
     mc.add_argument("--lang-col", default="lang", help="stored language column name")
     mc.add_argument("--url-col", default="url", help="stored path/url column name")
 
+    vf = sub.add_parser(
+        "verify", help="index integrity check (manifest/partitions/docstore; --deep decodes postings)"
+    )
+    vf.add_argument("--index", required=True)
+    vf.add_argument("--deep", action="store_true", help="decode segments and check posting invariants")
+    vf.add_argument("--deep-sample", type=int, default=None,
+                    help="deep-check only every Nth partition")
+
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
 
@@ -898,6 +906,15 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 for r in hits:
                     print(json.dumps(r))
+        elif args.cmd == "verify":
+            from .index.verify import verify_index
+
+            out = verify_index(
+                args.index, deep=args.deep, deep_sample=args.deep_sample
+            )
+            print(json.dumps(out))
+            if not out["valid"]:
+                return 1
         elif args.cmd == "users":
             from .server.auth import UserManager
 
