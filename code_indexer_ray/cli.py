@@ -141,6 +141,12 @@ def main(argv: list[str] | None = None) -> int:
         help="enable JWT auth: user store + signing secret live here"
         " (X-API-Key is ignored when set)",
     )
+    sv.add_argument(
+        "--payload-cache",
+        default=None,
+        help="dir (or .sqlite path) enabling /mget?truncate=true previews"
+        " and /payload paged retrieval",
+    )
 
     us = sub.add_parser(
         "users", help="user store management for --auth-dir servers"
@@ -631,6 +637,7 @@ def main(argv: list[str] | None = None) -> int:
                 temporal_index=args.temporal_index,
                 vector_store=args.vector_store,
                 auth_dir=args.auth_dir,
+                payload_cache=args.payload_cache,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:

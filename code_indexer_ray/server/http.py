@@ -323,6 +323,7 @@ class IndexHTTPServer:
         vector_store: str | None = None,
         auth_dir: str | None = None,
         auth=None,
+        payload_cache: str | None = None,
     ):
         # semantic/hybrid search_mode tier (reference default mode); lazy
         # like the scip/temporal tiers — first semantic request loads it
@@ -370,6 +371,17 @@ class IndexHTTPServer:
 
             auth = AuthTier(auth_dir)
         self.auth = auth
+        # payload cache (reference server/cache/payload_cache.py, Story
+        # #679): /mget?truncate=true parks oversized stored text behind a
+        # handle; /payload pages it back out
+        self.payload = None
+        if payload_cache is not None:
+            from .payload import PayloadCache, PayloadCacheConfig
+
+            db = payload_cache
+            if os.path.isdir(db) or not db.endswith(".sqlite"):
+                db = os.path.join(db, "payload_cache.sqlite")
+            self.payload = PayloadCache(db, PayloadCacheConfig.from_env())
         self._lock = threading.Lock()
         server = self
 
@@ -843,7 +855,32 @@ class IndexHTTPServer:
             ids = [int(x) for x in raw.split(",") if x]
         else:
             ids = [int(x) for x in raw]
-        return {"docs": self.searcher.mget(ids)}
+        docs = self.searcher.mget(ids)
+        if _flag(params, "truncate") and self.payload is not None:
+            # Story #679 payload control: oversized text → preview + handle
+            for d in docs:
+                t = d.pop("text", "")
+                d.update(self.payload.truncate_result(t))
+        return {"docs": docs}
+
+    def _r_payload(self, params: dict) -> dict:
+        if self.payload is None:
+            raise ValueError("payload cache not configured")
+        from .payload import CacheNotFoundError
+
+        handle = params.get("handle")
+        if not handle:
+            raise ValueError("missing required parameter 'handle'")
+        try:
+            r = self.payload.retrieve(handle, page=int(params.get("page", 0)))
+        except CacheNotFoundError as e:
+            raise KeyError(str(e)) from None  # maps to 400; 404-ish message
+        return {
+            "content": r.content,
+            "page": r.page,
+            "total_pages": r.total_pages,
+            "has_more": r.has_more,
+        }
 
     def _r_suggest(self, params: dict) -> dict:
         word = params.get("word")
@@ -865,6 +902,7 @@ _ROUTES = {
     "/search": IndexHTTPServer._r_search,
     "/batch": IndexHTTPServer._r_batch,
     "/mget": IndexHTTPServer._r_mget,
+    "/payload": IndexHTTPServer._r_payload,
     "/suggest": IndexHTTPServer._r_suggest,
     "/complete": IndexHTTPServer._r_complete,
 }
