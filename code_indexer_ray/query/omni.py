@@ -40,6 +40,7 @@ import threading
 import time
 import uuid
 from concurrent.futures import ThreadPoolExecutor
+from concurrent.futures import wait as futures_wait
 from dataclasses import dataclass
 from typing import Any, Callable, Optional
 
@@ -309,32 +310,50 @@ class OmniSearchService:
         repo_results: dict[str, list[dict]] = {}
         errors: dict[str, str] = {}
         search_params = {"limit": self.config.max_results_per_repo, **params}
-        with ThreadPoolExecutor(
-            max_workers=min(len(targets), self.config.max_workers)
-        ) as ex:
+        # one wait() with a deadline bounds the WHOLE fan-out: per-future
+        # result(timeout=) would accumulate timeouts sequentially, and a
+        # `with ThreadPoolExecutor` exit joins hung threads — one wedged
+        # repo would hang the call forever despite its recorded error
+        ex = ThreadPoolExecutor(max_workers=min(len(targets), self.config.max_workers))
+        try:
             futs = {
-                alias: ex.submit(self._search_fn, alias, query, dict(search_params))
+                ex.submit(self._search_fn, alias, query, dict(search_params)): alias
                 for alias in targets
             }
-            for alias, fut in futs.items():
-                try:
-                    rows = fut.result(timeout=self.config.per_repo_timeout_seconds)
-                    repo_results[alias] = list(rows)[: self.config.max_results_per_repo]
-                except TimeoutError:
-                    errors[alias] = (
-                        f"Search timeout after {self.config.per_repo_timeout_seconds}s"
-                    )
-                except Exception as e:  # per-repo isolation (reference)
-                    errors[alias] = str(e)
-        aggregated = ResultAggregator(mode=mode, limit=limit).aggregate(repo_results)
+            done, not_done = futures_wait(
+                futs, timeout=self.config.per_repo_timeout_seconds
+            )
+            for fut in done:
+                alias = futs[fut]
+                exc = fut.exception()
+                if exc is not None:  # per-repo isolation (reference)
+                    errors[alias] = str(exc) or type(exc).__name__
+                else:
+                    repo_results[alias] = list(fut.result())[
+                        : self.config.max_results_per_repo
+                    ]
+            for fut in not_done:
+                errors[futs[fut]] = (
+                    f"Search timeout after {self.config.per_repo_timeout_seconds}s"
+                )
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+        # the cursor parks the FULL consistently-ordered result set so
+        # pagination actually advances (the reference caches its post-limit
+        # list, which makes page 2 always empty — fixed here: aggregate with
+        # the total budget, slice the first page for the response)
+        total_avail = sum(len(v) for v in repo_results.values())
+        full = ResultAggregator(mode=mode, limit=max(limit, total_avail)).aggregate(
+            repo_results
+        )
         cursor = self.cache.store_results(
-            aggregated, query_params={"query": query, "mode": mode, "limit": limit}
+            full, query_params={"query": query, "mode": mode, "limit": limit}
         )
         return {
             "cursor": cursor,
-            "total_results": len(aggregated),
+            "total_results": len(full),
             "total_repos_searched": len(repo_results),
-            "results": aggregated[:limit],
+            "results": full[:limit],
             "errors": errors,
         }
 

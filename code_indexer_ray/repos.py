@@ -204,6 +204,11 @@ class GlobalRegistry:
 
         self._searchers = SearcherCache(SearcherCacheConfig.from_env())
         self._lock = threading.Lock()
+        # IndexSearcher's driver-side caches are not thread-safe; omni's
+        # thread-pool fan-out can hand two aliases THE SAME cached searcher
+        # when both resolve to one target path — serialize per target
+        # (distinct targets still search in parallel)
+        self._target_locks: dict[str, threading.Lock] = {}
 
     # -- registry file ------------------------------------------------------
     def _load(self) -> dict:
@@ -301,7 +306,9 @@ class GlobalRegistry:
         from .server.http import rest_search
 
         s, target = self.searcher(alias_name, **searcher_kwargs)
-        with self.tracker.track_query(target):
+        with self._lock:
+            tlock = self._target_locks.setdefault(target, threading.Lock())
+        with tlock, self.tracker.track_query(target):
             return rest_search(s, q, dict(params or {}))
 
     # -- refresh + cleanup ----------------------------------------------------

@@ -615,6 +615,12 @@ class TokenBucketManager:
 
     def consume(self, username: str) -> tuple[bool, float]:
         with self._lock:
+            # opportunistic bound: full buckets carry no state worth keeping,
+            # so sweep them before (possibly) adding a new one — without this
+            # a credential-stuffing run with millions of distinct usernames
+            # grows the map forever (cleanup() was otherwise never called)
+            if len(self._buckets) >= 10_000:
+                self._cleanup_locked()
             b = self._buckets.get(username)
             if b is None:
                 b = self._buckets[username] = TokenBucket(
@@ -630,14 +636,17 @@ class TokenBucketManager:
 
     def cleanup(self) -> int:
         with self._lock:
-            full = []
-            for k, b in self._buckets.items():
-                b._refill()
-                if b.tokens >= b.capacity:
-                    full.append(k)
-            for k in full:
-                del self._buckets[k]
-            return len(full)
+            return self._cleanup_locked()
+
+    def _cleanup_locked(self) -> int:
+        full = []
+        for k, b in self._buckets.items():
+            b._refill()
+            if b.tokens >= b.capacity:
+                full.append(k)
+        for k in full:
+            del self._buckets[k]
+        return len(full)
 
 
 # ---------------------------------------------------------------------------
@@ -674,8 +683,10 @@ class PasswordChangeRateLimiter:
     def record_failed_attempt(self, username: str) -> None:
         with self._lock:
             now = self._now_fn()
+            self._cleanup(now)
             data = self._attempts.setdefault(username, {"count": 0})
             data["count"] += 1
+            data["last_attempt"] = now
             if data["count"] >= self._max_attempts:
                 data["locked_until"] = now + self._lockout_s
 
@@ -684,10 +695,17 @@ class PasswordChangeRateLimiter:
             self._attempts.pop(username, None)
 
     def _cleanup(self, now: float) -> None:
+        # drop expired lockouts AND dormant sub-threshold records (1-4
+        # failures with no attempt for a full lockout window) — otherwise
+        # partial-failure entries accumulate per username forever
         expired = [
             k
             for k, d in self._attempts.items()
-            if d.get("locked_until") and now >= d["locked_until"]
+            if (d.get("locked_until") and now >= d["locked_until"])
+            or (
+                not d.get("locked_until")
+                and now - d.get("last_attempt", now) >= self._lockout_s
+            )
         ]
         for k in expired:
             del self._attempts[k]

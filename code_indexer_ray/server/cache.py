@@ -172,6 +172,11 @@ class SearcherCache:
         # unrelated repos; at proxy scale that would make first-query
         # latency the SUM of per-repo load times instead of the max
         self._load_locks: dict[str, threading.Lock] = {}
+        # opportunistic sweep stamp: TTL must evict IDLE entries too, not
+        # only a re-accessed key, and most embedders never start the
+        # background thread — so every get_or_load sweeps the whole map at
+        # most once per cleanup_interval_seconds
+        self._last_sweep = self._now_fn()
 
     # -- core --
 
@@ -184,6 +189,11 @@ class SearcherCache:
         """Hit path under the cache lock; None = caller must load."""
         with self._lock:
             now = self._now_fn()
+            if now - self._last_sweep >= self.config.cleanup_interval_seconds:
+                self._last_sweep = now
+                for k in [k for k, e in self._cache.items() if e.is_expired(now)]:
+                    del self._cache[k]
+                    self._eviction_count += 1
             entry = self._cache.get(key)
             if entry is None:
                 return None

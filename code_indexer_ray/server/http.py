@@ -382,6 +382,7 @@ class IndexHTTPServer:
             if os.path.isdir(db) or not db.endswith(".sqlite"):
                 db = os.path.join(db, "payload_cache.sqlite")
             self.payload = PayloadCache(db, PayloadCacheConfig.from_env())
+            self.payload.start_background_cleanup()
         self._lock = threading.Lock()
         server = self
 
@@ -435,6 +436,8 @@ class IndexHTTPServer:
             self._thread.join(timeout=5)
         if self.jobs is not None:
             self.jobs.stop()
+        if self.payload is not None:
+            self.payload.stop_background_cleanup()
 
     # ---- index-generation following: delegated to GenerationFollower;
     # refresh runs under the dispatch lock (one stat per request) ----
@@ -486,6 +489,12 @@ class IndexHTTPServer:
         return "query_repos"
 
     def _dispatch(self, h, body: dict | None) -> None:
+        # per-REQUEST response-header state: one Handler instance serves many
+        # requests on a keep-alive connection, so stale attributes from the
+        # previous request must never leak into this response (a 401 carrying
+        # the prior request's renewed JWT would be a token leak)
+        h._renewed_token = None
+        h._retry_after = None
         url = urlparse(h.path)
         route = url.path.rstrip("/") or "/"
         method = h.command
@@ -574,6 +583,11 @@ class IndexHTTPServer:
                     return
                 out = self.auth.refresh_pair(need("refresh_token"))
             elif route == "/api/users/change-password":
+                if method not in ("PUT", "POST"):
+                    # never mutate on GET — passwords in a query string land
+                    # in proxy/access logs
+                    self._reply(h, 405, {"error": "PUT or POST required"})
+                    return
                 lock_msg = self.auth.pw_limiter.check_rate_limit(user.username)
                 if lock_msg:
                     self._reply(h, 429, {"error": lock_msg})

@@ -147,12 +147,17 @@ class PayloadCache:
             raise CacheNotFoundError(f"Invalid page number: {page}")
         with self._conn() as db:
             row = db.execute(
-                "SELECT content, total_size FROM payload_cache WHERE handle = ?",
+                "SELECT content, total_size, created_at FROM payload_cache"
+                " WHERE handle = ?",
                 (handle,),
             ).fetchone()
         if row is None:
             raise CacheNotFoundError(f"Cache handle not found: {handle}")
-        content, total_size = row
+        content, total_size, created_at = row
+        # TTL is enforced at READ time too, not only by the cleanup loop —
+        # an expired handle must not resurrect between sweeps
+        if created_at < self._now_fn() - self.config.cache_ttl_seconds:
+            raise CacheNotFoundError(f"Cache handle not found: {handle}")
         page_size = self.config.max_fetch_size_chars
         total_pages = max(1, math.ceil(total_size / page_size))
         if page >= total_pages:

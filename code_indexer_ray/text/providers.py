@@ -269,9 +269,15 @@ class VoyageAIClient(EmbeddingProvider):
                     retry_after = e.headers.get("Retry-After") or e.headers.get(
                         "retry-after"
                     )
+                    wait = None
                     if retry_after:
-                        wait = float(retry_after)
-                    else:
+                        try:
+                            wait = float(retry_after)
+                        except ValueError:
+                            # RFC 7231 allows an HTTP-date here; fall back to
+                            # backoff rather than crash out of the retry loop
+                            wait = None
+                    if wait is None:
                         wait = self.config.retry_delay * (
                             2**attempt if self.config.exponential_backoff else 1
                         )

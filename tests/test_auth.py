@@ -589,3 +589,55 @@ def test_users_cli(tmp_path):
     r = run("create", "--auth-dir", auth_dir, "--username", "x",
             "--password", "weak")
     assert r.returncode == 2 and "Password too weak" in json.loads(r.stderr)["error"]
+
+
+class TestReviewRegressions:
+    """Fixes from the seventh-session code review."""
+
+    def test_keepalive_no_stale_renewed_token(self, auth_srv):
+        """A 401 on a keep-alive connection must not carry the PREVIOUS
+        request's X-Renewed-Token (token leak across requests)."""
+        import http.client
+
+        base, tier = auth_srv
+        host = base[len("http://"):]
+        pair = tier.login("admin", GOOD_PW)
+        conn = http.client.HTTPConnection(host, timeout=30)
+        try:
+            conn.request("GET", "/search?q=spark",
+                         headers={"Authorization": "Bearer " + pair["access_token"]})
+            r1 = conn.getresponse()
+            r1.read()
+            assert r1.status == 200 and r1.getheader("X-Renewed-Token")
+            conn.request("GET", "/search?q=spark",
+                         headers={"Authorization": "Bearer junk"})
+            r2 = conn.getresponse()
+            r2.read()
+            assert r2.status == 401
+            assert r2.getheader("X-Renewed-Token") is None
+        finally:
+            conn.close()
+
+    def test_change_password_rejects_get(self, auth_srv):
+        base, tier = auth_srv
+        code, body, _ = _req(
+            "POST", base + "/auth/login",
+            {"username": "admin", "password": GOOD_PW},
+        )
+        tok = body["access_token"]
+        code, body, _ = _req(
+            "GET",
+            base + "/api/users/change-password?old_password=a&new_password=b",
+            token=tok,
+        )
+        assert code == 405
+
+    def test_password_limiter_dormant_cleanup(self):
+        clk = Clock()
+        rl = PasswordChangeRateLimiter(now_fn=clk)
+        rl.record_failed_attempt("dormant")
+        rl.record_failed_attempt("dormant")
+        clk.advance(15 * 60 + 1)
+        rl.record_failed_attempt("other")  # triggers the sweep
+        assert "dormant" not in rl._attempts
+        assert "other" in rl._attempts

@@ -271,3 +271,61 @@ class TestOmniService:
         assert r.returncode == 0, r.stderr
         out = json.loads(r.stdout)
         assert out["total_repos_searched"] == 2 and len(out["results"]) <= 4
+
+
+class TestReviewRegressions:
+    """Fixes from the seventh-session code review."""
+
+    def test_cursor_pages_past_first_response(self):
+        """The cursor parks the FULL ordered set — page 2 is real data, not
+        [] (the reference caches its post-limit list, which makes paging
+        inert; we diverge deliberately)."""
+
+        class FakeReg:
+            def list_repos(self):
+                return [{"alias_name": "a-global"}, {"alias_name": "b-global"}]
+
+            def search(self, alias, q, params):
+                base = 0.9 if alias == "a-global" else 0.8
+                return [
+                    {"doc_id": i, "score": base - i * 0.01} for i in range(20)
+                ]
+
+        svc = OmniSearchService(FakeReg())
+        out = svc.search(["*-global"], "q", limit=5)
+        assert len(out["results"]) == 5 and out["total_results"] == 40
+        page2 = svc.page(out["cursor"], offset=5, limit=5)
+        assert len(page2) == 5
+        assert page2[0]["score"] <= out["results"][-1]["score"]
+        # pages concatenate into one consistent ordering
+        all_scores = [r["score"] for r in out["results"] + page2]
+        assert all_scores == sorted(all_scores, reverse=True)
+
+    def test_hung_repo_bounds_wall_clock(self):
+        """One wedged repo must not hang search(): the fan-out waits ONE
+        deadline for the whole batch and abandons stragglers."""
+        import threading
+        import time as _time
+
+        release = threading.Event()
+
+        class FakeReg:
+            def list_repos(self):
+                return [{"alias_name": "ok-global"}, {"alias_name": "hung-global"}]
+
+            def search(self, alias, q, params):
+                if alias == "hung-global":
+                    release.wait(timeout=30)
+                return [{"doc_id": 1, "score": 0.5}]
+
+        svc = OmniSearchService(
+            FakeReg(), OmniSearchConfig(per_repo_timeout_seconds=0.3)
+        )
+        t0 = _time.monotonic()
+        out = svc.search(["*-global"], "q")
+        elapsed = _time.monotonic() - t0
+        release.set()
+        assert elapsed < 5.0
+        assert out["total_repos_searched"] == 1
+        assert "timeout" in out["errors"]["hung-global"].lower()
+        assert {r["repository_alias"] for r in out["results"]} == {"ok-global"}

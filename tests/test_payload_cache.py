@@ -190,3 +190,14 @@ class TestHTTPPayload:
         except urllib.error.HTTPError as e:
             assert e.code == 400
             assert "not found" in json.loads(e.read())["error"]
+
+
+class TestReadTimeTTL:
+    def test_expired_handle_not_retrievable_without_cleanup(self, cache):
+        """TTL enforced at read time — an expired handle must not
+        resurrect between cleanup sweeps."""
+        c, clk = cache
+        h = c.store("x" * 20)
+        clk.advance(901)
+        with pytest.raises(CacheNotFoundError):
+            c.retrieve(h)

@@ -222,3 +222,15 @@ class TestFactory:
         assert isinstance(v, VoyageAIClient)
         with pytest.raises(ValueError, match="unknown embedding provider"):
             EmbeddingProviderFactory.create("openai")
+
+
+class TestReviewRegressions:
+    def test_retry_after_http_date_falls_back_to_backoff(self, fake):
+        """RFC 7231 allows an HTTP-date Retry-After; it must fall back to
+        exponential backoff, not crash with a float() ValueError."""
+        fake.script = [
+            {"status": 429, "headers": {"Retry-After": "Wed, 21 Oct 2026 07:28:00 GMT"}}
+        ]
+        c, sleeps = _client(fake)
+        assert c.get_embeddings_batch(["x"]) == [[1.0, 1.0]]
+        assert sleeps == [1.0]  # base delay * 2**0

@@ -171,8 +171,9 @@ class TestSearcherCache:
 
         def slow_loader(path):
             loads.append(path)
-            started.set()
-            release.wait(timeout=10)
+            if path.endswith("x"):  # only d1's load is stuck
+                started.set()
+                release.wait(timeout=10)
             return f"s:{path}"
 
         cache = SearcherCache(loader=slow_loader)
@@ -270,3 +271,24 @@ class TestWiring:
         reg.search("alpha-global", "merge", {"limit": 5})
         st = reg.cache_stats()
         assert st["miss_count"] == 1 and st["hit_count"] == 1
+
+
+class TestIdleSweep:
+    def test_idle_entries_age_out_without_reaccess(self, tmp_path):
+        """TTL evicts entries never touched again: any get_or_load sweeps
+        the whole map once per cleanup interval (review fix — idle warm
+        searchers used to stay pinned forever)."""
+        clk = Clock()
+        loader = CountingLoader()
+        cache = SearcherCache(
+            SearcherCacheConfig(ttl_minutes=1, cleanup_interval_seconds=60),
+            loader=loader,
+            now_fn=clk,
+        )
+        cache.get_or_load(str(tmp_path / "idle"))
+        clk.advance(120)  # idle entry expired; interval elapsed
+        cache.get_or_load(str(tmp_path / "other"))  # different key
+        st = cache.get_stats()
+        assert st.cached_repositories == 1
+        assert os.path.abspath(str(tmp_path / "idle")) not in st.per_repository_stats
+        assert st.eviction_count == 1
