@@ -44,6 +44,12 @@ def main(argv: list[str] | None = None) -> int:
     b.add_argument("--num-shards", type=int, default=None)
     b.add_argument("--num-buckets", type=int, default=8)
     b.add_argument("--docs-per-shard", type=int, default=250_000)
+    b.add_argument(
+        "--doc-id-upper",
+        type=int,
+        default=None,
+        help="reserve doc-id headroom so sync/watch increments keep the shard layout",
+    )
     b.add_argument("--no-resume", action="store_true")
 
     q = sub.add_parser("search", help="BM25 top-k query")
@@ -79,6 +85,20 @@ def main(argv: list[str] | None = None) -> int:
     m.add_argument("--base", required=True)
     m.add_argument("--delta", required=True)
     m.add_argument("--out", required=True)
+
+    sy = sub.add_parser(
+        "sync",
+        help="sync an index with a new corpus snapshot: change analysis + "
+        "reindexing decision engine, then full rebuild or incremental merge",
+    )
+    sy.add_argument("--base", required=True, help="existing index directory")
+    sy.add_argument("--snapshot", required=True, help="new corpus parquet path/dir")
+    sy.add_argument("--out", required=True, help="output index directory")
+    sy.add_argument("--url-col", default="url")
+    sy.add_argument("--ts-col", default=None, help="keep-latest column for versioned snapshots")
+    sy.add_argument("--force-full", action="store_true", help="user-requested full reindex")
+    sy.add_argument("--accuracy", type=float, default=1.0, help="measured search accuracy signal")
+    sy.add_argument("--dry-run", action="store_true", help="analyze + decide only")
 
     g = sub.add_parser("gen-corpus", help="write the deterministic synthetic pages corpus")
     g.add_argument("--out", required=True)
@@ -445,6 +465,7 @@ def main(argv: list[str] | None = None) -> int:
                     num_shards=args.num_shards,
                     num_buckets=args.num_buckets,
                     target_docs_per_shard=args.docs_per_shard,
+                    doc_id_upper=args.doc_id_upper,
                     resume=not args.no_resume,
                 )
             print(
@@ -595,6 +616,33 @@ def main(argv: list[str] | None = None) -> int:
 
             mf = merge_indexes(args.base, args.delta, args.out)
             print(json.dumps({"num_docs": mf.num_docs, "out": args.out}))
+        elif args.cmd == "sync":
+            from .index.buildlock import BuildLock
+            from .pipelines.sync import sync_repository
+
+            if args.dry_run:
+                report = sync_repository(
+                    args.base,
+                    args.snapshot,
+                    args.out,
+                    url_col=args.url_col,
+                    ts_col=args.ts_col,
+                    force_full=args.force_full,
+                    search_accuracy=args.accuracy,
+                    execute=False,
+                )
+            else:
+                with BuildLock(args.out):
+                    report = sync_repository(
+                        args.base,
+                        args.snapshot,
+                        args.out,
+                        url_col=args.url_col,
+                        ts_col=args.ts_col,
+                        force_full=args.force_full,
+                        search_accuracy=args.accuracy,
+                    )
+            print(json.dumps(report))
         elif args.cmd == "gen-corpus":
             from .pipelines.corpus import write_corpus
 

@@ -1131,6 +1131,111 @@ def q_url_dedup(sf_dir: str):
     return _collect_table(ds)
 
 
+def _sync_snapshot_sides(sf_dir: str):
+    """Two deterministic corpus snapshots for the sync-tier entries (the
+    repository-sync "yesterday vs today" shape): url synthesized from
+    (source, doc_id); the NEW snapshot drops doc_id%10==3 (deleted), misses
+    nothing the OLD has except those, gains doc_id%10==7 (absent from OLD →
+    added), rewrites text for %10==5 (modified) and relocates the url for
+    %10==1 (same content, new url → an old-url delete + new-url add that
+    move detection re-pairs)."""
+    import ray.data as rd
+
+    def synth(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            src = np.asarray(batch["source"].to_pylist(), dtype=str)
+            urls = np.char.add(
+                np.char.add(np.char.add("http://", src), "/doc/"),
+                ids.astype(str),
+            )
+            texts = batch["text"].to_pylist()
+            if side == 0:
+                keep = ids % 10 != 7
+            else:
+                keep = ids % 10 != 3
+                urls = np.where(
+                    ids % 10 == 1, np.char.add(urls, "?moved"), urls
+                )
+                texts = [
+                    t + " [updated]" if i % 10 == 5 else t
+                    for i, t in zip(ids, texts)
+                ]
+            t = pa.table(
+                {
+                    "doc_id": batch["doc_id"],
+                    "url": pa.array(urls.tolist(), pa.string()),
+                    "text": pa.array(texts, pa.string()),
+                }
+            )
+            return t.filter(pa.array(keep))
+
+        return fn
+
+    base = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text", "source"])
+    return (
+        base.map_batches(synth(0), batch_format="pyarrow"),
+        base.map_batches(synth(1), batch_format="pyarrow"),
+    )
+
+
+_SYNC_SQL_SIDES = (
+    "corpus AS (SELECT doc_id, 'http://' || source || '/doc/' || doc_id AS url, text\n"
+    "  FROM documents),\n"
+    "old AS (SELECT * FROM corpus WHERE doc_id % 10 <> 7),\n"
+    "new AS (SELECT doc_id,\n"
+    "    CASE WHEN doc_id % 10 = 1 THEN url || '?moved' ELSE url END AS url,\n"
+    "    CASE WHEN doc_id % 10 = 5 THEN text || ' [updated]' ELSE text END AS text\n"
+    "  FROM corpus WHERE doc_id % 10 <> 3)"
+)
+
+
+def q_sync_changeset(sf_dir: str):
+    """Repository-sync change classification (reference server/sync
+    git_analyzer role, data-plane): OLD snapshot = the index's view, NEW =
+    today's crawl; one co-partitioning full-outer url shuffle with md5
+    content compare classifies every url added / deleted / modified.
+    Nothing corpus-sized at the driver — the classification is a Dataset;
+    this entry collects the (small) non-unchanged slice."""
+    from .sync import UNCHANGED, classify_changes
+
+    old, new = _sync_snapshot_sides(sf_dir)
+    changes = classify_changes(old, new)
+
+    def cut(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.invert(pc.equal(batch["change"], UNCHANGED)))
+        return pa.table(
+            {"url": t["url"], "change": t["change"], "doc_id": t["doc_id"]}
+        )
+
+    tbl = _collect_table(changes.map_batches(cut, batch_format="pyarrow"))
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("url", "ascending")]))
+
+
+def q_sync_moves(sf_dir: str):
+    """Move detection over the sync change set (git rename analog): a
+    deleted url whose md5 content hash reappears under an added url —
+    content-hash groupby over ONLY the added+deleted endpoints, one min-url
+    representative per hash per side."""
+    from .sync import classify_changes, move_pairs
+
+    old, new = _sync_snapshot_sides(sf_dir)
+    pairs = move_pairs(classify_changes(old, new))
+    import ray
+
+    blocks = [
+        t
+        for t in ray.get(pairs.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows
+    ]
+    tbl = (
+        pa.concat_tables([b.select(["old_url", "new_url"]) for b in blocks])
+        if blocks
+        else pa.table({"old_url": pa.array([], pa.string()), "new_url": pa.array([], pa.string())})
+    )
+    return tbl.take(pc.sort_indices(tbl, sort_keys=[("old_url", "ascending")]))
+
+
 _TITLE_SEARCHERS: dict[str, IndexSearcher] = {}
 TITLE_CHARS = 80
 MULTIFIELD_WEIGHTS = {"title": 2.0, "body": 1.0}
@@ -5734,6 +5839,28 @@ def oracle_catalog() -> dict[str, str]:
         "FROM c GROUP BY url_canon"
     )
 
+    out["sync_changeset"] = (
+        f"WITH {_SYNC_SQL_SIDES},\n"
+        "j AS (SELECT coalesce(o.url, n.url) AS url,\n"
+        "    CASE WHEN o.url IS NULL THEN 'added'\n"
+        "         WHEN n.url IS NULL THEN 'deleted'\n"
+        "         WHEN md5(o.text) <> md5(n.text) THEN 'modified'\n"
+        "         ELSE 'unchanged' END AS change,\n"
+        "    coalesce(o.doc_id, n.doc_id) AS doc_id\n"
+        "  FROM old o FULL OUTER JOIN new n ON o.url = n.url)\n"
+        "SELECT url, change, doc_id FROM j WHERE change <> 'unchanged' ORDER BY url"
+    )
+
+    out["sync_moves"] = (
+        f"WITH {_SYNC_SQL_SIDES},\n"
+        "del AS (SELECT md5(text) AS h, url FROM old\n"
+        "  WHERE url NOT IN (SELECT url FROM new)),\n"
+        "add AS (SELECT md5(text) AS h, url FROM new\n"
+        "  WHERE url NOT IN (SELECT url FROM old))\n"
+        "SELECT min(del.url) AS old_url, min(add.url) AS new_url\n"
+        "FROM del JOIN add USING (h) GROUP BY h ORDER BY old_url"
+    )
+
     tw, bw = MULTIFIELD_WEIGHTS["title"], MULTIFIELD_WEIGHTS["body"]
     b_score = bm25.sql_score_expr("btf.tf", "bdl.dl", "bdf.df", "st0.n", "st0.avgdl")
     t_score = bm25.sql_score_expr("ttf.tf", "tdl.dl", "tdf.df", "st0.n", "st0.avgdl_t")
@@ -7498,6 +7625,8 @@ def query_catalog():
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
     # new round-3 entries are inserted here as they land
+    "sync_changeset",
+    "sync_moves",
     "repo_tree",
     "grep_scan",
     "dedup_incremental",
@@ -7665,6 +7794,8 @@ def _query_catalog_unordered():
         "fts_bm25_should": q_bm25_should,
         "url_canonical": q_url_canonical,
         "url_dedup": q_url_dedup,
+        "sync_changeset": q_sync_changeset,
+        "sync_moves": q_sync_moves,
         "fts_bm25_boost": q_bm25_boost,
         "fts_bm25_multifield": q_bm25_multifield,
         "fts_multifield_title": q_multifield_title,

@@ -1,0 +1,823 @@
+"""Repository sync tier — change analysis + re-indexing decision engine.
+
+Ray-Data-native analog of the reference's server sync stack
+(``server/sync/reindexing_engine.py``, ``reindexing_config.py``,
+``reindexing_models.py``; change discovery plays the role of
+``server/sync/git_analyzer.py`` without git):
+
+- **Change analysis runs in the data plane.**  The reference asks git for a
+  ChangeSet; here the "repository" is a corpus snapshot (Parquet of pages)
+  and the baseline is the index's own doc store, so the change set is a
+  full-outer url join with md5 content compare — ONE co-partitioning
+  shuffle, nothing corpus-sized at the driver.  Moves (same content, new
+  url) fall out of a second content-hash groupby over just the added+deleted
+  rows; directory add/remove counts are a dir-keyed presence fold.
+- **The decision engine is a faithful rule-for-rule port of the reference's
+  priority order and confidence arithmetic** (user request → corruption →
+  config changes → change % → structural → search quality → age;
+  ``reindexing_engine.py:103-118``), over a bounded ChangeSummary instead of
+  driver-resident file lists (the reference keeps every path in RAM —
+  ``reindexing_models.py`` ChangeSet — which cannot survive a web-scale
+  snapshot; we keep exact counts plus capped, deterministic samples).
+- **Execution** composes the existing primitives: full rebuild =
+  ``build_index`` with the base's layout; incremental =
+  ``apply_delta`` (delete-then-add merge) with per-doc tombstones for
+  deletions.  The incremental path collects ONLY deleted doc ids at the
+  driver — bounded by ``change_percentage_threshold``, above which the
+  engine chooses a full rebuild anyway.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..index.manifest import DOCSTORE_DIR, IndexManifest, load_manifest
+
+#: change labels (reference ChangeSet files_added / files_changed / files_deleted)
+ADDED, DELETED, MODIFIED, UNCHANGED = "added", "deleted", "modified", "unchanged"
+
+_DEF_CONFIG_FILES = frozenset(
+    {
+        # reference reindexing_config.py config_file_patterns (the subset that
+        # is meaningful for a page corpus keyed by url paths)
+        ".cidx-config", ".gitignore", "pyproject.toml", "setup.py",
+        "requirements.txt", "requirements-dev.txt", "Dockerfile",
+        "docker-compose.yml", "docker-compose.yaml", "package.json",
+        "package-lock.json", "yarn.lock", "tsconfig.json", "Pipfile",
+        "Pipfile.lock", ".env", ".env.example", "tox.ini", "pytest.ini",
+        "setup.cfg", "Makefile", "CMakeLists.txt",
+    }
+)
+_DEF_STRUCTURAL_FILES = frozenset(
+    {
+        "__init__.py", "index.js", "main.py", "app.py", "package.json",
+        "Cargo.toml", "go.mod", "pom.xml",
+    }
+)
+
+
+@dataclass
+class SyncConfig:
+    """Thresholds/toggles — reference ``ReindexingConfig`` defaults."""
+
+    change_percentage_threshold: float = 0.3
+    accuracy_threshold: float = 0.8
+    max_index_age_days: int = 30
+    enable_structural_change_detection: bool = True
+    enable_config_change_detection: bool = True
+    enable_corruption_detection: bool = True
+    enable_periodic_reindex: bool = True
+    parallel_analysis: bool = True
+    structural_change_threshold: int = 5
+    max_file_moves_threshold: int = 10
+    config_file_patterns: frozenset = _DEF_CONFIG_FILES
+    structural_indicators: frozenset = _DEF_STRUCTURAL_FILES
+    #: bound on the per-category url samples kept at the driver (counts stay
+    #: exact; the reference keeps unbounded lists)
+    sample_cap: int = 50
+
+    def __post_init__(self):
+        if not 0.0 <= self.change_percentage_threshold <= 1.0:
+            raise ValueError(
+                f"Change percentage threshold must be between 0.0 and 1.0, "
+                f"got {self.change_percentage_threshold}"
+            )
+        if not 0.0 <= self.accuracy_threshold <= 1.0:
+            raise ValueError(
+                f"Accuracy threshold must be between 0.0 and 1.0, "
+                f"got {self.accuracy_threshold}"
+            )
+        if self.max_index_age_days < 0:
+            raise ValueError(
+                f"Max index age days cannot be negative, got {self.max_index_age_days}"
+            )
+
+    def is_config_file(self, path: str) -> bool:
+        return path.rsplit("/", 1)[-1] in self.config_file_patterns
+
+    def is_structural_indicator(self, path: str) -> bool:
+        return path.rsplit("/", 1)[-1] in self.structural_indicators
+
+    def estimate_reindex_time_minutes(
+        self, total_files: int, repository_size_mb: float = 100.0
+    ) -> int:
+        """Reference ``reindexing_config.py:287-316`` formula, verbatim."""
+        base = max(total_files * 0.1, repository_size_mb * 2.0)
+        if self.parallel_analysis:
+            base *= 0.6
+        return max(1, int((base / 60) * 1.2))
+
+
+@dataclass
+class ChangeSummary:
+    """Bounded summary of a data-plane change set (reference ChangeSet, with
+    exact counts instead of driver-resident file lists)."""
+
+    total_files: int = 0
+    n_added: int = 0
+    n_deleted: int = 0
+    n_modified: int = 0
+    n_dirs_added: int = 0
+    n_dirs_removed: int = 0
+    n_moves: int = 0
+    config_files_changed: list[str] = field(default_factory=list)
+    structural_files_changed: list[str] = field(default_factory=list)
+    move_samples: list[tuple[str, str]] = field(default_factory=list)
+    has_structural_changes: bool = False  # explicit caller flag
+    has_config_changes: bool = False      # explicit caller flag
+
+    @property
+    def change_count(self) -> int:
+        return self.n_added + self.n_deleted + self.n_modified
+
+    @property
+    def percentage_changed(self) -> float:
+        return self.change_count / self.total_files if self.total_files else 0.0
+
+
+@dataclass
+class IndexMetrics:
+    """Reference ``IndexMetrics`` — quality signals for the decision rules."""
+
+    search_accuracy: float = 1.0
+    index_age_days: int = 0
+    corruption_detected: bool = False
+
+    @classmethod
+    def from_index(
+        cls,
+        index_dir: str,
+        *,
+        search_accuracy: float = 1.0,
+        now: float | None = None,
+        check_corruption: bool = True,
+    ) -> "IndexMetrics":
+        """Age from the manifest's ``built_unix``; corruption from the shallow
+        layer of :func:`code_indexer_ray.index.verify.verify_index`
+        (metadata-only — O(files) at any corpus size)."""
+        m = load_manifest(index_dir)
+        built = float(m.metrics.get("built_unix") or 0.0)
+        age_days = 0
+        if built:
+            age_days = max(0, int(((now if now is not None else time.time()) - built) // 86400))
+        corrupted = False
+        if check_corruption:
+            from ..index.verify import verify_index
+
+            corrupted = not verify_index(index_dir, deep=False)["valid"]
+        return cls(
+            search_accuracy=search_accuracy,
+            index_age_days=age_days,
+            corruption_detected=corrupted,
+        )
+
+
+@dataclass
+class SyncDecision:
+    """Reference ``ReindexingDecision`` (same fields + to_dict contract)."""
+
+    should_reindex: bool = False
+    trigger_reasons: list[str] = field(default_factory=list)
+    change_percentage: float = 0.0
+    search_accuracy: float = 1.0
+    index_age_days: int = 0
+    confidence_score: float = 1.0
+    recommended_strategy: str = "in_place"
+    estimated_time_minutes: int = 0
+
+    @property
+    def primary_trigger(self) -> str | None:
+        return self.trigger_reasons[0] if self.trigger_reasons else None
+
+    def add_trigger_reason(self, reason: str) -> None:
+        if reason not in self.trigger_reasons:
+            self.trigger_reasons.append(reason)
+
+    def to_dict(self) -> dict:
+        return {
+            "should_reindex": self.should_reindex,
+            "trigger_reasons": list(self.trigger_reasons),
+            "change_percentage": self.change_percentage,
+            "search_accuracy": self.search_accuracy,
+            "index_age_days": self.index_age_days,
+            "confidence_score": self.confidence_score,
+            "recommended_strategy": self.recommended_strategy,
+            "estimated_time_minutes": self.estimated_time_minutes,
+            "primary_trigger": self.primary_trigger,
+        }
+
+
+# ---------------------------------------------------------------------------
+# change analysis (data plane)
+# ---------------------------------------------------------------------------
+
+
+def _md5_hex(values: list) -> list:
+    return [
+        hashlib.md5(v.encode("utf-8")).hexdigest() if v is not None else None
+        for v in values
+    ]
+
+
+def classify_changes(
+    base,
+    new,
+    *,
+    url_col: str = "url",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    carry_cols: tuple[str, ...] = (),
+    num_buckets: int = 64,
+):
+    """Classify every url across two corpus snapshots: ``added`` / ``deleted``
+    / ``modified`` (md5 of ``text_col`` differs) / ``unchanged``.
+
+    ONE co-partitioning shuffle on hash-bucket(url) (both sides tagged and
+    unioned — the ``shuffle_equi_join`` pattern, full-outer), then a
+    vectorized pandas outer merge inside each bucket.  ``carry_cols`` ride
+    the NEW side through the shuffle so the sync orchestrator can cut its
+    delta without a second corpus pass.  Sides must be url-unique
+    (``keep_latest`` upstream when snapshots carry versions).
+
+    Output schema: ``(url, change, doc_id, new_doc_id, content_hash,
+    *carry_cols)`` — ``doc_id`` is the BASE id when the url exists in the
+    base (the authoritative id an incremental merge must replace), else the
+    new side's id.
+    """
+    new_schema = new.schema()
+    carry_types = {
+        n: t for n, t in zip(new_schema.names, new_schema.types) if n in carry_cols
+    }
+    missing = [c for c in carry_cols if c not in carry_types]
+    if missing:
+        raise ValueError(f"carry_cols not in new snapshot: {missing}")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            urls = batch[url_col].to_pylist()
+            bkt = [
+                int.from_bytes(hashlib.md5((u or "").encode("utf-8")).digest()[:8], "big")
+                % num_buckets
+                for u in urls
+            ]
+            cols = {
+                "url": batch[url_col].cast(pa.string()),
+                "_h": pa.array(_md5_hex(batch[text_col].to_pylist()), pa.string()),
+                "_bkt": pa.array(bkt, pa.int64()),
+                "_side": pa.array(np.full(len(urls), side, np.int8)),
+                "_id": batch[id_col].cast(pa.int64()),
+            }
+            for c, t in carry_types.items():
+                cols[c] = batch[c] if side == 1 else pa.nulls(len(urls), type=t)
+            return pa.table(cols)
+
+        return fn
+
+    both = base.map_batches(tag(0), batch_format="pyarrow").union(
+        new.map_batches(tag(1), batch_format="pyarrow")
+    )
+
+    carry = tuple(carry_cols)
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        old_side = g[g["_side"] == 0]
+        new_side = g[g["_side"] == 1]
+        m = old_side.merge(
+            new_side, on="url", how="outer", suffixes=("_old", "_new"), sort=True
+        )
+        h_old, h_new = m["_h_old"], m["_h_new"]
+        change = np.where(
+            h_old.isna(),
+            ADDED,
+            np.where(h_new.isna(), DELETED, np.where(h_old != h_new, MODIFIED, UNCHANGED)),
+        )
+        out = pd.DataFrame(
+            {
+                "url": m["url"],
+                "change": change,
+                "doc_id": m["_id_old"].fillna(m["_id_new"]).astype(np.int64),
+                "new_doc_id": m["_id_new"].astype("Int64"),
+                "content_hash": h_new.fillna(h_old),
+            }
+        )
+        for c in carry:
+            out[c] = m[f"{c}_new"]
+        return out
+
+    return both.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+
+
+def move_pairs(changes):
+    """Move pairs among the change set as a Dataset of ``(old_url,
+    new_url)``: a DELETED url whose content hash reappears under an ADDED
+    url (reference git rename detection analog).
+
+    One representative per hash per side (min url) so boilerplate content
+    can't explode the pair count; groups are content-hash-bounded.
+    """
+    def keep_endpoints(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch["change"], value_set=pa.array([ADDED, DELETED]))
+        t = batch.filter(mask)
+        return pa.table(
+            {"content_hash": t["content_hash"], "change": t["change"], "url": t["url"]}
+        )
+
+    def pair(g: pd.DataFrame) -> pd.DataFrame:
+        old = g[g["change"] == DELETED]["url"]
+        new = g[g["change"] == ADDED]["url"]
+        if len(old) == 0 or len(new) == 0:
+            return pd.DataFrame({"old_url": [], "new_url": []})
+        return pd.DataFrame({"old_url": [old.min()], "new_url": [new.min()]})
+
+    return (
+        changes.map_batches(keep_endpoints, batch_format="pyarrow")
+        .groupby("content_hash")
+        .map_groups(pair, batch_format="pandas")
+    )
+
+
+def detect_moves(changes, *, sample_cap: int = 50):
+    """:func:`move_pairs` folded to ``(n_moves, [(old_url, new_url)
+    samples])`` — the pair table is move-count-sized (≤ min(#added,
+    #deleted) hashes), counted exactly and sampled deterministically."""
+    tbl_parts = _collect(
+        move_pairs(changes), {"old_url": pa.string(), "new_url": pa.string()}
+    )
+    n = tbl_parts.num_rows
+    order = pc.sort_indices(tbl_parts, sort_keys=[("old_url", "ascending")])
+    sample = tbl_parts.take(order[: min(sample_cap, n)])
+    return n, list(
+        zip(sample["old_url"].to_pylist(), sample["new_url"].to_pylist())
+    )
+
+
+def _collect(ds, schema: dict) -> pa.Table:
+    """Materialize a SMALL Dataset result, tolerating empty pandas blocks
+    (the zero-row map_groups passthrough gotcha)."""
+    import ray
+
+    blocks = []
+    for t in ray.get(ds.to_arrow_refs()):
+        if isinstance(t, pa.Table) and t.num_rows:
+            blocks.append(t.select(list(schema)))
+    if not blocks:
+        return pa.table({c: pa.array([], type=t) for c, t in schema.items()})
+    return pa.concat_tables(blocks)
+
+
+def change_summary(
+    changes,
+    *,
+    total_files: int,
+    config: SyncConfig | None = None,
+) -> ChangeSummary:
+    """Fold a :func:`classify_changes` Dataset into the bounded summary the
+    decision engine consumes — counts by change type, directory add/remove
+    counts (dir-keyed presence fold), config/structural indicator matches
+    (capped, deterministic samples), and move detection."""
+    cfg = config or SyncConfig()
+
+    counts_tbl = _collect(
+        changes.groupby("change").count(), {"change": pa.string(), "count()": pa.int64()}
+    )
+    counts = dict(
+        zip(counts_tbl["change"].to_pylist(), counts_tbl["count()"].to_pylist())
+    )
+
+    # directories: presence fold — in_old = url existed in the base snapshot,
+    # in_new = url exists in the new one; a dir is added when no old url
+    # lives under it and some new url does
+    def dir_partial(batch: pa.Table) -> pa.Table:
+        dirs = pc.replace_substring_regex(batch["url"], pattern=r"/[^/]*$", replacement="")
+        ch = batch["change"]
+        in_old = pc.cast(pc.invert(pc.equal(ch, ADDED)), pa.int8())
+        in_new = pc.cast(pc.invert(pc.equal(ch, DELETED)), pa.int8())
+        t = pa.table({"dir": dirs, "in_old": in_old, "in_new": in_new})
+        agg = t.group_by("dir").aggregate([("in_old", "max"), ("in_new", "max")])
+        return pa.table(
+            {"dir": agg["dir"], "in_old": agg["in_old_max"], "in_new": agg["in_new_max"]}
+        )
+
+    from ray.data.aggregate import Max
+
+    dir_presence = (
+        changes.map_batches(dir_partial, batch_format="pyarrow")
+        .groupby("dir")
+        .aggregate(Max("in_old", alias_name="in_old"), Max("in_new", alias_name="in_new"))
+    )
+
+    def dir_counts(batch: pa.Table) -> pa.Table:
+        io = batch["in_old"].to_numpy(zero_copy_only=False).astype(bool)
+        inw = batch["in_new"].to_numpy(zero_copy_only=False).astype(bool)
+        return pa.table(
+            {
+                "dirs_added": pa.array([int((inw & ~io).sum())], pa.int64()),
+                "dirs_removed": pa.array([int((io & ~inw).sum())], pa.int64()),
+            }
+        )
+
+    dtotals = _collect(
+        dir_presence.map_batches(dir_counts, batch_format="pyarrow"),
+        {"dirs_added": pa.int64(), "dirs_removed": pa.int64()},
+    )
+    n_dirs_added = int(pc.sum(dtotals["dirs_added"]).as_py() or 0)
+    n_dirs_removed = int(pc.sum(dtotals["dirs_removed"]).as_py() or 0)
+
+    # config / structural indicator files among the changed set (basename
+    # match against the small pattern sets; capped deterministic sample)
+    def flagged(batch: pa.Table) -> pa.Table:
+        mask = pc.invert(pc.equal(batch["change"], UNCHANGED))
+        t = batch.filter(mask)
+        base = pc.replace_substring_regex(t["url"], pattern=r"^.*/", replacement="")
+        is_cfg = pc.is_in(base, value_set=pa.array(sorted(cfg.config_file_patterns)))
+        is_struct = pc.is_in(base, value_set=pa.array(sorted(cfg.structural_indicators)))
+        keep = pc.or_(is_cfg, is_struct)
+        t2 = t.filter(keep)
+        return pa.table(
+            {
+                "url": t2["url"],
+                "is_cfg": pc.filter(pc.cast(is_cfg, pa.bool_()), keep),
+                "is_struct": pc.filter(pc.cast(is_struct, pa.bool_()), keep),
+            }
+        )
+
+    flags = _collect(
+        changes.map_batches(flagged, batch_format="pyarrow"),
+        {"url": pa.string(), "is_cfg": pa.bool_(), "is_struct": pa.bool_()},
+    )
+    flags = flags.take(pc.sort_indices(flags, sort_keys=[("url", "ascending")]))
+    cfg_files = [
+        u for u, f in zip(flags["url"].to_pylist(), flags["is_cfg"].to_pylist()) if f
+    ][: cfg.sample_cap]
+    struct_files = [
+        u for u, f in zip(flags["url"].to_pylist(), flags["is_struct"].to_pylist()) if f
+    ][: cfg.sample_cap]
+
+    n_moves, move_samples = detect_moves(changes, sample_cap=cfg.sample_cap)
+
+    return ChangeSummary(
+        total_files=total_files,
+        n_added=int(counts.get(ADDED, 0)),
+        n_deleted=int(counts.get(DELETED, 0)),
+        n_modified=int(counts.get(MODIFIED, 0)),
+        n_dirs_added=n_dirs_added,
+        n_dirs_removed=n_dirs_removed,
+        n_moves=n_moves,
+        config_files_changed=cfg_files,
+        structural_files_changed=struct_files,
+        move_samples=move_samples,
+    )
+
+
+# ---------------------------------------------------------------------------
+# decision engine (reference reindexing_engine.py rules, in priority order)
+# ---------------------------------------------------------------------------
+
+
+class ReindexingDecisionEngine:
+    """Rule-for-rule port of the reference decision engine
+    (``server/sync/reindexing_engine.py:69-118`` and per-rule methods)."""
+
+    def __init__(self, config: SyncConfig | None = None):
+        self.config = config or SyncConfig()
+
+    def should_full_reindex(
+        self,
+        summary: ChangeSummary,
+        metrics: IndexMetrics,
+        *,
+        force_full_reindex: bool = False,
+    ) -> SyncDecision:
+        d = SyncDecision(
+            should_reindex=False,
+            change_percentage=summary.percentage_changed,
+            search_accuracy=metrics.search_accuracy,
+            index_age_days=metrics.index_age_days,
+        )
+        self._user_request(d, force_full_reindex)
+        self._corruption(d, metrics)
+        self._config_changes(d, summary)
+        self._change_percentage(d, summary)
+        self._structural(d, summary)
+        self._search_quality(d, metrics)
+        self._index_age(d, metrics)
+        self._finalize(d, summary)
+        return d
+
+    def _user_request(self, d: SyncDecision, force_full: bool) -> None:
+        if force_full:
+            d.should_reindex = True
+            d.add_trigger_reason("user_requested")
+            d.confidence_score = 1.0
+
+    def _corruption(self, d: SyncDecision, m: IndexMetrics) -> None:
+        if not self.config.enable_corruption_detection:
+            return
+        if m.corruption_detected:
+            d.should_reindex = True
+            d.add_trigger_reason("corruption_detected")
+            d.confidence_score = 1.0
+
+    def _config_changes(self, d: SyncDecision, s: ChangeSummary) -> None:
+        if not self.config.enable_config_change_detection:
+            return
+        if s.config_files_changed or s.has_config_changes:
+            d.should_reindex = True
+            d.add_trigger_reason("config_changes")
+            d.confidence_score = 0.95
+
+    def _change_percentage(self, d: SyncDecision, s: ChangeSummary) -> None:
+        if s.percentage_changed > self.config.change_percentage_threshold:
+            d.should_reindex = True
+            d.add_trigger_reason("change_percentage")
+            excess_ratio = (
+                s.percentage_changed - self.config.change_percentage_threshold
+            ) / 0.7
+            d.confidence_score = max(
+                d.confidence_score, 0.8 + min(0.2, excess_ratio * 0.2)
+            )
+
+    def _structural(self, d: SyncDecision, s: ChangeSummary) -> None:
+        if not self.config.enable_structural_change_detection:
+            return
+        if s.has_structural_changes:
+            d.should_reindex = True
+            d.add_trigger_reason("structural_changes")
+            d.confidence_score = max(d.confidence_score, 0.85)
+        if s.n_dirs_added + s.n_dirs_removed >= self.config.structural_change_threshold:
+            d.should_reindex = True
+            d.add_trigger_reason("structural_changes")
+            d.confidence_score = max(d.confidence_score, 0.8)
+        if s.n_moves >= self.config.max_file_moves_threshold:
+            d.should_reindex = True
+            d.add_trigger_reason("structural_changes")
+            d.confidence_score = max(d.confidence_score, 0.75)
+        if s.structural_files_changed:
+            d.should_reindex = True
+            d.add_trigger_reason("structural_changes")
+            d.confidence_score = max(d.confidence_score, 0.8)
+
+    def _search_quality(self, d: SyncDecision, m: IndexMetrics) -> None:
+        if m.search_accuracy < self.config.accuracy_threshold:
+            d.should_reindex = True
+            d.add_trigger_reason("search_accuracy")
+            deficit = self.config.accuracy_threshold - m.search_accuracy
+            d.confidence_score = max(d.confidence_score, 0.7 + min(0.3, deficit * 1.5))
+
+    def _index_age(self, d: SyncDecision, m: IndexMetrics) -> None:
+        if not self.config.enable_periodic_reindex:
+            return
+        if m.index_age_days > self.config.max_index_age_days:
+            d.should_reindex = True
+            d.add_trigger_reason("index_age")
+            age_excess = m.index_age_days - self.config.max_index_age_days
+            d.confidence_score = max(
+                d.confidence_score, 0.6 + min(0.4, (age_excess / 30) * 0.4)
+            )
+
+    def _finalize(self, d: SyncDecision, s: ChangeSummary) -> None:
+        if not d.should_reindex:
+            d.recommended_strategy = "incremental"
+            d.estimated_time_minutes = 0
+            return
+        if "corruption_detected" in d.trigger_reasons:
+            d.recommended_strategy = "in_place"
+        elif s.change_count > 1000:
+            d.recommended_strategy = "blue_green"
+        else:
+            d.recommended_strategy = "in_place"
+        d.estimated_time_minutes = self.config.estimate_reindex_time_minutes(
+            total_files=s.total_files
+        )
+        if d.confidence_score == 1.0 and len(d.trigger_reasons) > 1:
+            d.confidence_score = min(1.0, 0.7 + len(d.trigger_reasons) * 0.1)
+
+    def get_trigger_explanations(self) -> dict:
+        c = self.config
+        return {
+            "user_requested": "User explicitly requested full re-indexing",
+            "corruption_detected": "Index corruption detected - full rebuild required",
+            "config_changes": "Configuration files changed - may affect indexing behavior",
+            "change_percentage": f"Changes exceed {c.change_percentage_threshold*100:.0f}% threshold",
+            "structural_changes": "Major repository structure changes detected",
+            "search_accuracy": f"Search accuracy below {c.accuracy_threshold*100:.0f}% threshold",
+            "index_age": f"Index older than {c.max_index_age_days} days",
+        }
+
+
+# ---------------------------------------------------------------------------
+# orchestrator
+# ---------------------------------------------------------------------------
+
+
+def _docstore_dataset(index_dir: str, columns: list[str]):
+    import ray.data as rd
+
+    store = os.path.join(index_dir, DOCSTORE_DIR)
+    files = [
+        os.path.join(r, f)
+        for r, _, fs in os.walk(store)
+        for f in fs
+        if f.endswith(".parquet")
+    ]
+    if not files:
+        raise ValueError(f"{index_dir}: docstore has no parquet files")
+    return rd.read_parquet(files, columns=columns)
+
+
+def _docstore_schema_names(index_dir: str) -> list[str]:
+    import pyarrow.parquet as pq
+
+    store = os.path.join(index_dir, DOCSTORE_DIR)
+    for r, _, fs in os.walk(store):
+        for f in fs:
+            if f.endswith(".parquet"):
+                return list(pq.ParquetFile(os.path.join(r, f)).schema_arrow.names)
+    raise ValueError(f"{index_dir}: docstore has no parquet files")
+
+
+def sync_repository(
+    base_dir: str,
+    new_snapshot,
+    out_dir: str,
+    *,
+    url_col: str = "url",
+    ts_col: str | None = None,
+    config: SyncConfig | None = None,
+    force_full: bool = False,
+    search_accuracy: float = 1.0,
+    execute: bool = True,
+    now: float | None = None,
+) -> dict:
+    """Synchronize an index with a new corpus snapshot.
+
+    Analyze (data-plane change classification vs the index's own doc store)
+    → decide (reference rule engine) → execute: FULL rebuild with the base's
+    layout, or INCREMENTAL ``apply_delta`` (changed+added rows ride the
+    classification shuffle's carry columns; deletions become per-doc
+    tombstones).  ``execute=False`` = dry run (analysis + decision only).
+
+    Returns a report dict: the decision, the change counts, and — when
+    executed — the published manifest's summary.
+    """
+    import ray.data as rd
+
+    from ..index.build import build_index
+    from .incremental import apply_delta
+    from .ops import keep_latest
+
+    cfg = config or SyncConfig()
+    base = load_manifest(base_dir)
+    store_names = _docstore_schema_names(base_dir)
+    if url_col not in store_names:
+        raise ValueError(
+            f"sync needs {url_col!r} among the base index's stored columns "
+            f"(have {store_names}) — build the base with store_cols=({url_col!r}, ...)"
+        )
+    if base.fields:
+        raise ValueError("sync_repository does not support multi-field indexes yet")
+
+    new_ds = (
+        new_snapshot
+        if hasattr(new_snapshot, "map_batches")
+        else rd.read_parquet(new_snapshot)
+    )
+    if ts_col is not None:
+        new_ds = keep_latest(new_ds, [url_col], ts_col)
+
+    # carry every non-id snapshot column so the delta cut needs no second pass
+    new_names = list(new_ds.schema().names)
+    carry = tuple(c for c in new_names if c not in (url_col, base.id_col))
+
+    base_docs = _docstore_dataset(base_dir, [base.id_col, url_col, base.text_col])
+    changes = classify_changes(
+        base_docs,
+        new_ds,
+        url_col=url_col,
+        text_col=base.text_col,
+        id_col=base.id_col,
+        carry_cols=carry,
+    )
+    # the analysis feeds two consumers (summary + delta cut) — materialize the
+    # classified set once so the corpus isn't re-read and re-shuffled per leg
+    changes = changes.materialize()
+
+    summary = change_summary(changes, total_files=base.num_docs, config=cfg)
+    metrics = IndexMetrics.from_index(
+        base_dir,
+        search_accuracy=search_accuracy,
+        now=now,
+        check_corruption=cfg.enable_corruption_detection,
+    )
+    decision = ReindexingDecisionEngine(cfg).should_full_reindex(
+        summary, metrics, force_full_reindex=force_full
+    )
+
+    report = {
+        "decision": decision.to_dict(),
+        "changes": {
+            "total_files": summary.total_files,
+            "added": summary.n_added,
+            "deleted": summary.n_deleted,
+            "modified": summary.n_modified,
+            "dirs_added": summary.n_dirs_added,
+            "dirs_removed": summary.n_dirs_removed,
+            "moves": summary.n_moves,
+            "config_files_changed": summary.config_files_changed,
+            "structural_files_changed": summary.structural_files_changed,
+        },
+        "executed": None,
+    }
+    if not execute:
+        return report
+
+    if decision.should_reindex:
+        # build_index scans parquet paths (column-pruned read + resume
+        # predicates); a Dataset/keep-latest snapshot is staged to scratch
+        if not hasattr(new_snapshot, "map_batches") and ts_col is None:
+            build_input = new_snapshot
+        else:
+            build_input = os.path.join(out_dir.rstrip("/") + "_work", "snapshot")
+            new_ds.write_parquet(build_input)
+        m = build_index(
+            build_input,
+            out_dir,
+            id_col=base.id_col,
+            text_col=base.text_col,
+            store_cols=tuple(
+                c for c in store_names if c not in (base.id_col, base.text_col)
+            ),
+            num_shards=base.num_shards,
+            num_buckets=base.num_buckets,
+            doc_id_upper=base.doc_id_upper,
+            index_positions=bool(base.metrics.get("index_positions")),
+            resume=False,
+        )
+        report["executed"] = "full"
+    else:
+        if summary.change_count == 0:
+            report["executed"] = "noop"
+            return report
+
+        def delta_rows(batch: pa.Table) -> pa.Table:
+            mask = pc.is_in(batch["change"], value_set=pa.array([ADDED, MODIFIED]))
+            t = batch.filter(mask)
+            cols = {base.id_col: t["doc_id"], url_col: t["url"]}
+            for c in carry:
+                cols[c] = t[c]
+            return pa.table(cols)
+
+        delta = changes.map_batches(delta_rows, batch_format="pyarrow")
+
+        # deleted ids at the driver: bounded by change_percentage_threshold —
+        # above it the engine already chose a full rebuild
+        def deleted_ids(batch: pa.Table) -> pa.Table:
+            t = batch.filter(pc.equal(batch["change"], DELETED))
+            return pa.table({"doc_id": t["doc_id"]})
+
+        dtbl = _collect(
+            changes.map_batches(deleted_ids, batch_format="pyarrow"),
+            {"doc_id": pa.int64()},
+        )
+        ids = np.sort(dtbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
+        tomb_ranges = _ids_to_ranges(ids)
+        m = apply_delta(
+            base_dir,
+            delta,
+            out_dir,
+            id_col=base.id_col,
+            store_cols=tuple(
+                c
+                for c in store_names
+                if c not in (base.id_col, base.text_col)
+            ),
+            tombstone_ranges=tomb_ranges or None,
+        )
+        report["executed"] = "incremental"
+
+    report["manifest"] = {
+        "num_docs": m.num_docs,
+        "total_tokens": m.total_tokens,
+        "n_partitions": m.n_partitions,
+    }
+    return report
+
+
+def _ids_to_ranges(ids: np.ndarray) -> list[tuple[int, int]]:
+    """Sorted unique doc ids → minimal [lo, hi] run list (consecutive ids
+    collapse into one tombstone range)."""
+    if len(ids) == 0:
+        return []
+    ids = np.unique(ids)
+    breaks = np.nonzero(np.diff(ids) > 1)[0]
+    starts = np.concatenate([[0], breaks + 1])
+    ends = np.concatenate([breaks, [len(ids) - 1]])
+    return [(int(ids[s]), int(ids[e])) for s, e in zip(starts, ends)]

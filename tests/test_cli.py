@@ -240,3 +240,49 @@ print("GREP_OK")
         json.loads(ln) for ln in out.stderr.splitlines() if ln.startswith("{")
     ][-1]
     assert summary["total_matches"] == 12 and summary["truncated"] is True
+
+
+def test_cli_sync(tmp_path):
+    old = tmp_path / "old.parquet"
+    new = tmp_path / "new.parquet"
+    rows = [
+        {"doc_id": i, "text": f"sync doc w{i} body", "lang": "en", "url": f"http://c/d/{i}"}
+        for i in range(30)
+    ]
+    pq.write_table(pa.Table.from_pylist(rows), str(old))
+    new_rows = [dict(r) for r in rows if r["doc_id"] != 5]
+    new_rows[0]["text"] += " CHANGED"
+    new_rows.append({"doc_id": 90, "text": "sync doc w90 fresh", "lang": "en",
+                     "url": "http://c/d/90"})
+    pq.write_table(pa.Table.from_pylist(new_rows), str(new))
+    idx, out = str(tmp_path / "idx"), str(tmp_path / "out")
+
+    script = f"""
+import json
+from code_indexer_ray.cli import main
+assert main(["--num-cpus", "4", "build", "--input", {str(old)!r}, "--out", {idx!r},
+             "--num-shards", "1", "--num-buckets", "2", "--doc-id-upper", "199"]) == 0
+assert main(["sync", "--base", {idx!r}, "--snapshot", {str(new)!r}, "--out", {out!r},
+             "--dry-run"]) == 0
+assert main(["sync", "--base", {idx!r}, "--snapshot", {str(new)!r}, "--out", {out!r}]) == 0
+assert main(["search", "--index", {out!r}, "CHANGED", "--limit", "3",
+             "--snippet-lines", "0"]) == 0
+print("SYNC_OK")
+"""
+    out_p = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=300,
+        cwd=REPO_ROOT,
+    )
+    assert out_p.returncode == 0, out_p.stderr[-2000:]
+    assert "SYNC_OK" in out_p.stdout
+    reports = [json.loads(ln) for ln in out_p.stdout.splitlines()
+               if ln.startswith("{\"decision\"")]
+    assert len(reports) == 2
+    assert reports[0]["executed"] is None
+    assert reports[1]["executed"] == "incremental"
+    assert reports[1]["changes"]["added"] == 1
+    assert reports[1]["changes"]["deleted"] == 1
+    assert reports[1]["changes"]["modified"] == 1
