@@ -23,6 +23,9 @@ With ``enable_jobs=True`` (the reference's background-job routes,
 ``server/repositories/background_jobs.py``), builds run server-side:
 
     POST /index       {"input": parquet, ...build params}  → 202 {"job_id"}
+    POST /sync        {"input": snapshot, ...sync params}  → 202 {"job_id"}
+                      (change analysis + reindexing decision engine choose
+                      full rebuild vs incremental merge vs no-op)
     GET  /jobs                         recent job records (newest first)
     GET  /jobs/<id>                    one job record
     POST /jobs/<id>/cancel             cancel pending / stamp running
@@ -484,7 +487,9 @@ class IndexHTTPServer:
             return "manage_users"
         if route == "/api/users/change-password":
             return None
-        if route == "/index" or (route.startswith("/jobs/") and route.endswith("/cancel")):
+        if route in ("/index", "/sync") or (
+            route.startswith("/jobs/") and route.endswith("/cancel")
+        ):
             return "activate_repos"
         return "query_repos"
 
@@ -527,7 +532,7 @@ class IndexHTTPServer:
         if route.startswith("/auth/") or route.startswith("/api/"):
             self._dispatch_auth(h, route, method, params, user)
             return
-        if route == "/index" or route == "/jobs" or route.startswith("/jobs/"):
+        if route in ("/index", "/sync") or route == "/jobs" or route.startswith("/jobs/"):
             self._dispatch_jobs(h, route, params)
             return
         if route.startswith("/scip/"):
@@ -654,6 +659,11 @@ class IndexHTTPServer:
                 if h.command != "POST":
                     raise ValueError("POST /index with a JSON body")
                 job_id = self.jobs.submit_build(params)
+                self._reply(h, 202, {"job_id": job_id})
+            elif route == "/sync":
+                if h.command != "POST":
+                    raise ValueError("POST /sync with a JSON body")
+                job_id = self.jobs.submit_sync(params)
                 self._reply(h, 202, {"job_id": job_id})
             elif route == "/jobs":
                 self._reply(h, 200, {"jobs": self.jobs.list(int(params.get("limit", 50)))})

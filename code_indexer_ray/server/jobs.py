@@ -71,6 +71,18 @@ _BUILD_PARAMS = (
 )
 
 
+#: sync_repository kwargs a sync job may set (same allow-list discipline)
+_SYNC_PARAMS = (
+    "input",
+    "url_col",
+    "ts_col",
+    "force_full",
+    "search_accuracy",
+    "store_cols",    # bootstrap-build only (no current generation yet)
+    "doc_id_upper",  # bootstrap-build only: id headroom (default max_id*4+4096)
+)
+
+
 class JobManager:
     """Owns the queue, the worker thread, the registry and the JSONL log."""
 
@@ -130,6 +142,30 @@ class JobManager:
         job = Job(
             job_id=uuid.uuid4().hex[:16],
             kind="build",
+            params=dict(params),
+            submitted_at=self._clock(),
+        )
+        with self._lock:
+            self._jobs[job.job_id] = job
+            self._order.append(job.job_id)
+            self._append(job)
+        self._queue.put(job.job_id)
+        return job.job_id
+
+    def submit_sync(self, params: dict) -> str:
+        """Queue a SYNC job (reference sync_repository semantics): analyze
+        the snapshot against the CURRENT generation with the reindexing
+        decision engine, then full rebuild or incremental merge into a fresh
+        generation.  With no current generation the sync bootstraps as a
+        plain full build."""
+        if "input" not in params:
+            raise ValueError("sync job needs 'input' (new snapshot parquet path)")
+        unknown = set(params) - set(_SYNC_PARAMS)
+        if unknown:
+            raise ValueError(f"unknown sync parameters: {sorted(unknown)}")
+        job = Job(
+            job_id=uuid.uuid4().hex[:16],
+            kind="sync",
             params=dict(params),
             submitted_at=self._clock(),
         )
@@ -208,6 +244,73 @@ class JobManager:
             "total_tokens": manifest.total_tokens,
         }
 
+    def _current_dir(self) -> str | None:
+        ptr = os.path.join(self.index_root, "current")
+        if not os.path.exists(ptr):
+            return None
+        with open(ptr) as f:
+            name = f.read().strip()
+        d = os.path.join(self.index_root, name)
+        return d if os.path.isdir(d) else None
+
+    def _execute_sync(self, job: Job) -> dict:
+        from ..index.buildlock import BuildLock
+        from ..pipelines.sync import sync_repository
+
+        params = dict(job.params)
+        inp = params.pop("input")
+        with BuildLock(self.index_root):
+            base = self._current_dir()
+            if base is None:
+                # bootstrap: no generation to diff against — plain full build
+                # (store_cols must include url_col so the NEXT sync can diff,
+                # and the doc-id space reserves headroom so later increments
+                # can add documents without changing the shard layout)
+                from ..index.build import _dataset_count_and_max, build_index
+
+                url_col = params.get("url_col", "url")
+                store_cols = tuple(params.get("store_cols") or ("lang", url_col))
+                if url_col not in store_cols:
+                    store_cols = store_cols + (url_col,)
+                upper = params.get("doc_id_upper")
+                if upper is None:
+                    _, max_id = _dataset_count_and_max(inp, "doc_id")
+                    upper = max(0, max_id) * 4 + 4096
+                gen = self._next_generation()
+                gen_dir = os.path.join(self.index_root, f"gen_{gen:06d}")
+                manifest = build_index(
+                    inp, gen_dir, store_cols=store_cols,
+                    doc_id_upper=int(upper), resume=False,
+                )
+                self._publish(gen)
+                return {
+                    "index_dir": gen_dir,
+                    "generation": gen,
+                    "num_docs": manifest.num_docs,
+                    "sync": {"executed": "bootstrap_full"},
+                }
+            gen = self._next_generation()
+            gen_dir = os.path.join(self.index_root, f"gen_{gen:06d}")
+            report = sync_repository(
+                base,
+                inp,
+                gen_dir,
+                url_col=params.get("url_col", "url"),
+                ts_col=params.get("ts_col"),
+                force_full=bool(params.get("force_full", False)),
+                search_accuracy=float(params.get("search_accuracy", 1.0)),
+            )
+            if report["executed"] == "noop":
+                # nothing changed — the current generation stays published
+                return {"index_dir": base, "generation": None, "sync": report}
+            self._publish(gen)
+        return {
+            "index_dir": gen_dir,
+            "generation": gen,
+            "num_docs": report["manifest"]["num_docs"],
+            "sync": report,
+        }
+
     def _run(self) -> None:
         while True:
             job_id = self._queue.get()
@@ -221,7 +324,11 @@ class JobManager:
                 job.started_at = self._clock()
                 self._append(job)
             try:
-                result = self._execute_build(job)
+                result = (
+                    self._execute_sync(job)
+                    if job.kind == "sync"
+                    else self._execute_build(job)
+                )
             except Exception as e:  # noqa: BLE001 — job ledger, not a crash
                 with self._lock:
                     job.state = FAILED

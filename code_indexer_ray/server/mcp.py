@@ -179,12 +179,17 @@ class MCPServer:
             out.append(
                 _tool(
                     "sync_repository",
-                    "Submit a background index build; returns a job_id to poll.",
+                    "Sync the index with a new corpus snapshot: change analysis "
+                    "+ reindexing decision engine choose full rebuild vs "
+                    "incremental merge; returns a job_id to poll.",
                     {
-                        "input": {"type": "string", "description": "parquet path"},
-                        "num_shards": {"type": "integer"},
-                        "num_buckets": {"type": "integer"},
-                        "store_cols": {"type": "array", "items": {"type": "string"}},
+                        "input": {"type": "string", "description": "snapshot parquet path"},
+                        "url_col": {"type": "string", "default": "url"},
+                        "ts_col": {"type": "string"},
+                        "force_full": {"type": "boolean", "default": False},
+                        "search_accuracy": {"type": "number", "default": 1.0},
+                        "store_cols": {"type": "array", "items": {"type": "string"},
+                                       "description": "bootstrap build only"},
                     },
                     ["input"],
                 )
@@ -361,7 +366,7 @@ class MCPServer:
     def _t_sync_repository(self, p: dict) -> dict:
         if self.jobs is None:
             raise ValueError("jobs are not enabled on this server")
-        return {"job_id": self.jobs.submit_build(dict(p))}
+        return {"job_id": self.jobs.submit_sync(dict(p))}
 
     def _t_get_job_status(self, p: dict) -> dict:
         if self.jobs is None:

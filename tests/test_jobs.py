@@ -216,3 +216,117 @@ class TestHTTPJobRoutes:
             assert _err(_get, base + "/index")[0] == 400  # GET not allowed
         finally:
             srv.shutdown()
+
+
+class TestSyncJobs:
+    def _mutated(self, src: str, out: str) -> dict:
+        t = pq.read_table(src).to_pylist()
+        new = [r for r in t if r["doc_id"] != 7]              # 1 deleted
+        new[0] = {**new[0], "text": new[0]["text"] + " freshterm"}  # 1 modified
+        new.append({"doc_id": 500, "text": "spark freshterm added doc",
+                    "lang": "en", "url": "s9/new.py"})        # 1 added
+        pq.write_table(pa.Table.from_pylist(new), out)
+        return {"deleted": 1, "modified": 1, "added": 1}
+
+    def test_sync_job_bootstrap_then_incremental_then_noop(self, ray_session, tmp_path):
+        src = str(tmp_path / "c.parquet")
+        _corpus(src)
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        jm = JobManager(root)
+        try:
+            # bootstrap: empty root → plain full build (url stored for diffs)
+            jid = jm.submit_sync({"input": src})
+            rec = jm.wait(jid)
+            assert rec["state"] == COMPLETED, rec
+            assert rec["result"]["sync"]["executed"] == "bootstrap_full"
+            assert rec["result"]["generation"] == 0
+
+            # incremental: small delta → apply_delta generation
+            new_src = str(tmp_path / "new.parquet")
+            exp = self._mutated(src, new_src)
+            jid2 = jm.submit_sync({"input": new_src})
+            rec2 = jm.wait(jid2)
+            assert rec2["state"] == COMPLETED, rec2
+            rep = rec2["result"]["sync"]
+            assert rep["executed"] == "incremental"
+            assert {k: rep["changes"][k] for k in exp} == exp
+            assert rec2["result"]["generation"] == 1
+            with open(os.path.join(root, "current")) as f:
+                assert f.read().strip() == "gen_000001"
+
+            # no-op: same snapshot again → current generation stays
+            jid3 = jm.submit_sync({"input": new_src})
+            rec3 = jm.wait(jid3)
+            assert rec3["state"] == COMPLETED
+            assert rec3["result"]["sync"]["executed"] == "noop"
+            assert rec3["result"]["generation"] is None
+            with open(os.path.join(root, "current")) as f:
+                assert f.read().strip() == "gen_000001"
+        finally:
+            jm.stop()
+
+    def test_sync_force_full(self, ray_session, tmp_path):
+        src = str(tmp_path / "c.parquet")
+        _corpus(src)
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        jm = JobManager(root)
+        try:
+            jm.wait(jm.submit_sync({"input": src}))
+            rec = jm.wait(jm.submit_sync({"input": src, "force_full": True}))
+            assert rec["state"] == COMPLETED
+            assert rec["result"]["sync"]["executed"] == "full"
+            assert rec["result"]["sync"]["decision"]["primary_trigger"] == "user_requested"
+        finally:
+            jm.stop()
+
+    def test_sync_param_allowlist(self, tmp_path):
+        jm = JobManager(str(tmp_path), start_worker=False)
+        with pytest.raises(ValueError, match="unknown sync parameters"):
+            jm.submit_sync({"input": "x.parquet", "num_shards": 2})
+        with pytest.raises(ValueError, match="needs 'input'"):
+            jm.submit_sync({})
+
+    def test_http_sync_route(self, ray_session, tmp_path):
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        src = str(tmp_path / "c.parquet")
+        _corpus(src)
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        srv = IndexHTTPServer(root, port=0, enable_jobs=True)
+        srv.start()
+        base = f"http://{srv.host}:{srv.port}"
+        try:
+            code, body = _post(base + "/sync", {"input": src})
+            assert code == 202
+            jid = body["job_id"]
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                rec = _get(base + f"/jobs/{jid}")[1]
+                if rec["state"] in ("completed", "failed"):
+                    break
+                time.sleep(0.2)
+            assert rec["state"] == "completed", rec
+            assert rec["result"]["sync"]["executed"] == "bootstrap_full"
+            # incremental over the wire; the follower serves the new gen
+            new_src = str(tmp_path / "new.parquet")
+            self._mutated(src, new_src)
+            code, body = _post(base + "/sync", {"input": new_src})
+            jid2 = body["job_id"]
+            deadline = time.monotonic() + 120
+            while time.monotonic() < deadline:
+                rec2 = _get(base + f"/jobs/{jid2}")[1]
+                if rec2["state"] in ("completed", "failed"):
+                    break
+                time.sleep(0.2)
+            assert rec2["state"] == "completed", rec2
+            assert rec2["result"]["sync"]["executed"] == "incremental"
+            hits = _get(base + "/search?q=freshterm&limit=5")[1]["hits"]
+            assert len(hits) == 2  # the modified doc + the added doc
+            # GET /sync is rejected
+            code, body = _err(_get, base + "/sync?input=x")
+            assert code == 400
+        finally:
+            srv.shutdown()

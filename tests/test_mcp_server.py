@@ -231,10 +231,11 @@ class TestGenerationsAndJobs:
             res = _call(srv, "search_code", {"query": "spark"})
             assert res["isError"] is True
             job_id = _payload(
-                _call(srv, "sync_repository", {"input": src, "num_shards": 2})
+                _call(srv, "sync_repository", {"input": src})
             )["job_id"]
             rec = srv.jobs.wait(job_id, timeout=120.0)
             assert rec["state"] == "completed"
+            assert rec["result"]["sync"]["executed"] == "bootstrap_full"
             got = _payload(_call(srv, "get_job_status", {"job_id": job_id}))
             assert got["state"] == "completed"
             lst = _payload(_call(srv, "get_job_status", {}))["jobs"]
