@@ -24,6 +24,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -335,6 +336,14 @@ def merge_indexes(
             "merged_from": [base_dir, delta_dir] if delta_dir else [base_dir],
             "tombstones": int(len(tomb)),
             "tombstone_ranges": [[int(lo), int(hi)] for lo, hi in (tombstone_ranges or [])],
+            # build-lineage properties the merged index must keep: positions
+            # (or the NEXT delta builds positionless and partition decode
+            # raises a payload mismatch) and the FULL build's timestamp (the
+            # periodic-reindex age rule measures merge debt since the last
+            # full build — resetting it per merge would silence the rule on
+            # actively synced indexes)
+            "index_positions": bool(base.metrics.get("index_positions")),
+            "built_unix": float(base.metrics.get("built_unix") or time.time()),
             **(
                 {
                     "fields": {

@@ -288,24 +288,39 @@ def classify_changes(
     carry = tuple(carry_cols)
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        # nullable Int64 BEFORE the outer merge: plain int64 + NaN upcasts to
+        # float64, which corrupts doc ids above 2^53 (the headroom scheme
+        # legitimately allocates ids that large)
+        g = g.assign(_id=g["_id"].astype("Int64"))
         old_side = g[g["_side"] == 0]
         new_side = g[g["_side"] == 1]
         m = old_side.merge(
             new_side, on="url", how="outer", suffixes=("_old", "_new"), sort=True
         )
+        # side presence from the id columns, NOT hash nullness — a null text
+        # hashes to null, and misreading that as "side absent" would tombstone
+        # a live document
+        present_old = m["_id_old"].notna()
+        present_new = m["_id_new"].notna()
         h_old, h_new = m["_h_old"], m["_h_new"]
+        # "" is never a real md5 hex: null-vs-null text compares unchanged,
+        # null-vs-text compares modified
         change = np.where(
-            h_old.isna(),
+            ~present_old,
             ADDED,
-            np.where(h_new.isna(), DELETED, np.where(h_old != h_new, MODIFIED, UNCHANGED)),
+            np.where(
+                ~present_new,
+                DELETED,
+                np.where(h_old.fillna("") != h_new.fillna(""), MODIFIED, UNCHANGED),
+            ),
         )
         out = pd.DataFrame(
             {
                 "url": m["url"],
                 "change": change,
-                "doc_id": m["_id_old"].fillna(m["_id_new"]).astype(np.int64),
-                "new_doc_id": m["_id_new"].astype("Int64"),
-                "content_hash": h_new.fillna(h_old),
+                "doc_id": m["_id_old"].fillna(m["_id_new"]).astype("int64"),
+                "new_doc_id": m["_id_new"],
+                "content_hash": h_new.where(present_new, h_old),
             }
         )
         for c in carry:
@@ -324,7 +339,11 @@ def move_pairs(changes):
     can't explode the pair count; groups are content-hash-bounded.
     """
     def keep_endpoints(batch: pa.Table) -> pa.Table:
-        mask = pc.is_in(batch["change"], value_set=pa.array([ADDED, DELETED]))
+        mask = pc.and_(
+            pc.is_in(batch["change"], value_set=pa.array([ADDED, DELETED])),
+            # null-text endpoints have a null hash — they cannot pair
+            pc.is_valid(batch["content_hash"]),
+        )
         t = batch.filter(mask)
         return pa.table(
             {"content_hash": t["content_hash"], "change": t["change"], "url": t["url"]}
@@ -346,17 +365,15 @@ def move_pairs(changes):
 
 def detect_moves(changes, *, sample_cap: int = 50):
     """:func:`move_pairs` folded to ``(n_moves, [(old_url, new_url)
-    samples])`` — the pair table is move-count-sized (≤ min(#added,
-    #deleted) hashes), counted exactly and sampled deterministically."""
-    tbl_parts = _collect(
-        move_pairs(changes), {"old_url": pa.string(), "new_url": pa.string()}
-    )
-    n = tbl_parts.num_rows
-    order = pc.sort_indices(tbl_parts, sort_keys=[("old_url", "ascending")])
-    sample = tbl_parts.take(order[: min(sample_cap, n)])
-    return n, list(
-        zip(sample["old_url"].to_pylist(), sample["new_url"].to_pylist())
-    )
+    samples])`` — counted in the data plane, sampled via a distributed
+    sort + limit so only ``sample_cap`` rows ever reach the driver (a
+    repo-wide rename produces corpus-many pairs)."""
+    pairs = move_pairs(changes).materialize()  # count + sample share one run
+    n = pairs.count()
+    if n == 0:
+        return 0, []
+    sample = pairs.sort("old_url").limit(min(sample_cap, n)).take_all()
+    return n, [(r["old_url"], r["new_url"]) for r in sample]
 
 
 def _collect(ds, schema: dict) -> pa.Table:
@@ -449,17 +466,21 @@ def change_summary(
             }
         )
 
-    flags = _collect(
-        changes.map_batches(flagged, batch_format="pyarrow"),
-        {"url": pa.string(), "is_cfg": pa.bool_(), "is_struct": pa.bool_()},
-    )
-    flags = flags.take(pc.sort_indices(flags, sort_keys=[("url", "ascending")]))
-    cfg_files = [
-        u for u, f in zip(flags["url"].to_pylist(), flags["is_cfg"].to_pylist()) if f
-    ][: cfg.sample_cap]
-    struct_files = [
-        u for u, f in zip(flags["url"].to_pylist(), flags["is_struct"].to_pylist()) if f
-    ][: cfg.sample_cap]
+    # distributed sort + limit: only sample_cap rows reach the driver even
+    # when pattern-named files are corpus-many (monorepo package.json storms)
+    flags_ds = changes.map_batches(flagged, batch_format="pyarrow").materialize()
+
+    def _capped(col: str) -> list[str]:
+        sub = flags_ds.map_batches(
+            lambda b, c=col: pa.table({"url": b.filter(b[c])["url"]}),
+            batch_format="pyarrow",
+        )
+        if sub.count() == 0:
+            return []
+        return [r["url"] for r in sub.sort("url").limit(cfg.sample_cap).take_all()]
+
+    cfg_files = _capped("is_cfg")
+    struct_files = _capped("is_struct")
 
     n_moves, move_samples = detect_moves(changes, sample_cap=cfg.sample_cap)
 
@@ -721,6 +742,23 @@ def sync_repository(
         summary, metrics, force_full_reindex=force_full
     )
 
+    # engine-specific guard beyond the reference rules: a snapshot doc id
+    # past the base's reserved headroom cannot be absorbed by apply_delta
+    # (doc-range shard boundaries are pinned) — escalate to a full rebuild
+    # with GROWN headroom instead of a guaranteed merge failure
+    if not hasattr(new_snapshot, "map_batches") and ts_col is None:
+        # parquet column stats — no scan
+        from ..index.build import _dataset_count_and_max
+
+        _, snap_max = _dataset_count_and_max(new_snapshot, base.id_col)
+    else:
+        snap_max = int(new_ds.max(base.id_col) or -1)
+    doc_id_upper = base.doc_id_upper
+    if snap_max > base.doc_id_upper:
+        decision.should_reindex = True
+        decision.add_trigger_reason("id_headroom_exhausted")
+        doc_id_upper = snap_max * 4 + 4096
+
     report = {
         "decision": decision.to_dict(),
         "changes": {
@@ -757,7 +795,7 @@ def sync_repository(
             ),
             num_shards=base.num_shards,
             num_buckets=base.num_buckets,
-            doc_id_upper=base.doc_id_upper,
+            doc_id_upper=doc_id_upper,
             index_positions=bool(base.metrics.get("index_positions")),
             resume=False,
         )
@@ -766,6 +804,37 @@ def sync_repository(
         if summary.change_count == 0:
             report["executed"] = "noop"
             return report
+
+        # an ADDED url's snapshot id colliding with a doc id that survives
+        # the merge (unchanged/modified url, or a second added url) would be
+        # silently destroyed by delete-then-add — gate before executing.
+        # Deleted ids are legitimately reusable (tombstoned first).  A
+        # collision requires an added row (base ids are docstore-unique), so
+        # the corpus-sized id groupby only runs when the snapshot adds docs.
+        if summary.n_added:
+            def living_ids(batch: pa.Table) -> pa.Table:
+                t = batch.filter(pc.invert(pc.equal(batch["change"], DELETED)))
+                return pa.table(
+                    {"doc_id": t["doc_id"], "n": pa.array(np.ones(t.num_rows, np.int64))}
+                )
+
+            from ray.data.aggregate import Sum
+
+            dup = (
+                changes.map_batches(living_ids, batch_format="pyarrow")
+                .groupby("doc_id")
+                .aggregate(Sum("n", alias_name="n"))
+                .map_batches(
+                    lambda b: b.filter(pc.greater(b["n"], 1)), batch_format="pyarrow"
+                )
+            )
+            dup_sample = dup.limit(8).take_all()
+            if dup_sample:
+                raise ValueError(
+                    "snapshot assigns doc ids that collide with documents "
+                    f"surviving the merge: {sorted(int(r['doc_id']) for r in dup_sample)} — "
+                    "added documents need fresh ids (deleted ids may be reused)"
+                )
 
         def delta_rows(batch: pa.Table) -> pa.Table:
             mask = pc.is_in(batch["change"], value_set=pa.array([ADDED, MODIFIED]))
@@ -802,6 +871,12 @@ def sync_repository(
             tombstone_ranges=tomb_ranges or None,
         )
         report["executed"] = "incremental"
+
+    # scratch (delta staging / snapshot staging) must not accumulate under
+    # the index root across sync generations
+    import shutil
+
+    shutil.rmtree(out_dir.rstrip("/") + "_work", ignore_errors=True)
 
     report["manifest"] = {
         "num_docs": m.num_docs,
