@@ -145,6 +145,7 @@ def verify_index(
     total_tokens = 0
     n_parts = 0
     sampled_paths: list[str] = []
+    shard_terms: dict[int, int] = {}
     for i, p in enumerate(m.iter_partitions(index_dir)):
         n_parts += 1
         key = (p["shard"], p["bucket"])
@@ -152,6 +153,9 @@ def verify_index(
             errors.append(f"duplicate partition manifest for {key}")
         seen.add(key)
         total_tokens += p["total_tokens"]
+        shard_terms[int(p["shard"])] = shard_terms.get(int(p["shard"]), 0) + int(
+            p.get("n_terms", 0)
+        )
         path = os.path.join(index_dir, p["path"])
         if not os.path.exists(path):
             errors.append(f"missing segment file {p['path']}")
@@ -166,18 +170,13 @@ def verify_index(
     expected = {
         (s, b) for s in range(m.num_shards) for b in range(m.num_buckets)
     }
+    # missing cells are adjudicated AFTER the docstore pass: a shard whose
+    # doc range holds no documents writes NO partition manifests (delta /
+    # id-headroom builds have such shards by design), but a missing cell in
+    # a shard the docstore proves NON-empty is a lost partition — the
+    # docstore row-group id stats are the cross-check (ADVICE r3: a
+    # zero-token partition loss must not pass shallow verify)
     missing_cells = expected - seen
-    if missing_cells:
-        # a shard whose doc range holds no documents writes NO partition
-        # manifests (nothing to encode) — delta indexes and id-headroom
-        # builds (the apply_delta contract) have such shards by design, so
-        # an absent cell is indistinguishable from "legitimately empty".
-        # The detectable corruption signals stay errors: recorded files
-        # absent/truncated, token-sum mismatch, docstore count mismatch.
-        warnings.append(
-            f"partition cells with no manifest (empty shard or lost "
-            f"partition): {sorted(missing_cells)[:8]} ({len(missing_cells)} total)"
-        )
     extra_cells = seen - expected
     if extra_cells:
         errors.append(f"unexpected partition cells: {sorted(extra_cells)[:8]}")
@@ -193,6 +192,7 @@ def verify_index(
         errors.append("docstore has no parquet files")
     rows = 0
     id_min, id_max = None, None
+    rg_spans: list[tuple[int, int]] = []
     for f in ds_files:
         try:
             md = pq.ParquetFile(f).metadata
@@ -217,6 +217,7 @@ def verify_index(
                 continue
             id_min = st.min if id_min is None else min(id_min, st.min)
             id_max = st.max if id_max is None else max(id_max, st.max)
+            rg_spans.append((int(st.min), int(st.max)))
     if rows != m.num_docs:
         errors.append(f"docstore rows {rows} != manifest num_docs {m.num_docs}")
     if id_max is not None and id_max > m.doc_id_upper:
@@ -224,6 +225,41 @@ def verify_index(
     if id_min is not None and id_min < 0:
         errors.append(f"docstore min doc_id {id_min} < 0")
     checks["docstore_rows"] = rows
+
+    # -- missing-cell adjudication (needs the docstore row-group spans) --
+    if missing_cells:
+        from .build import shard_doc_range
+
+        lost: list[tuple[int, int]] = []
+        empty: list[tuple[int, int]] = []
+        for cell in sorted(missing_cells):
+            shard = cell[0]
+            lo, hi = shard_doc_range(shard, m.num_shards, m.doc_id_upper)
+            # range-overlap vs row-group stats: docstore files are written
+            # per doc-range shard, so a span intersecting [lo, hi) means the
+            # shard holds documents
+            has_docs = any(smin < hi and smax >= lo for smin, smax in rg_spans)
+            # a non-empty shard CAN legitimately lack a bucket when its
+            # vocabulary is tiny (fewer terms than buckets): with T terms
+            # hashed over B buckets, P(bucket empty) ≈ e^(-T/B), so require
+            # T ≥ 8·B (P < 4e-4 per bucket) before a missing bucket counts
+            # as a lost partition rather than a small-vocab artifact
+            vocab_rich = shard_terms.get(shard, 0) >= 8 * m.num_buckets
+            whole_shard_gone = shard_terms.get(shard) is None
+            if has_docs and (whole_shard_gone or vocab_rich):
+                lost.append(cell)
+            else:
+                empty.append(cell)
+        if lost:
+            errors.append(
+                f"partition manifests missing for NON-empty shards (lost "
+                f"partition): {lost[:8]} ({len(lost)} total)"
+            )
+        if empty:
+            warnings.append(
+                f"partition cells with no manifest (empty shard — legitimate "
+                f"in delta/headroom builds): {empty[:8]} ({len(empty)} total)"
+            )
 
     # -- deep decode --
     if deep:

@@ -1229,9 +1229,22 @@ def q_sync_moves(sf_dir: str):
         if isinstance(t, pa.Table) and t.num_rows
     ]
     tbl = (
-        pa.concat_tables([b.select(["old_url", "new_url"]) for b in blocks])
+        pa.concat_tables(
+            [
+                b.select(["old_url", "new_url", "n_pairs"]).set_column(
+                    2, "n_pairs", b["n_pairs"].cast(pa.int64())
+                )
+                for b in blocks
+            ]
+        )
         if blocks
-        else pa.table({"old_url": pa.array([], pa.string()), "new_url": pa.array([], pa.string())})
+        else pa.table(
+            {
+                "old_url": pa.array([], pa.string()),
+                "new_url": pa.array([], pa.string()),
+                "n_pairs": pa.array([], pa.int64()),
+            }
+        )
     )
     return tbl.take(pc.sort_indices(tbl, sort_keys=[("old_url", "ascending")]))
 
@@ -5857,7 +5870,8 @@ def oracle_catalog() -> dict[str, str]:
         "  WHERE url NOT IN (SELECT url FROM new)),\n"
         "add AS (SELECT md5(text) AS h, url FROM new\n"
         "  WHERE url NOT IN (SELECT url FROM old))\n"
-        "SELECT min(del.url) AS old_url, min(add.url) AS new_url\n"
+        "SELECT min(del.url) AS old_url, min(add.url) AS new_url,\n"
+        "  least(count(DISTINCT del.url), count(DISTINCT add.url))::BIGINT AS n_pairs\n"
         "FROM del JOIN add USING (h) GROUP BY h ORDER BY old_url"
     )
 
@@ -7624,86 +7638,27 @@ def query_catalog():
 
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
-    # new round-3 entries are inserted here as they land
-    "sync_changeset",
-    "sync_moves",
-    "repo_tree",
-    "grep_scan",
-    "dedup_incremental",
-    "fts_proxy_search",
-    "temporal_evolution",
-    "fts_bm25_file_ext",
-    "ann_hnsw_store",
-    "temporal_msg_search",
-    "temporal_diffchunk_search",
-    "temporal_at_commit",
-    "temporal_file_at_removed",
-    "mm_decode_jpeg",
-    "temporal_search",
-    "temporal_search_author",
-    "temporal_asof",
-    "temporal_diff",
-    "temporal_blame",
-    "temporal_activity",
-    "temporal_file_at",
-    "mm_decode_bmp",
-    "mm_decode_gif",
-    "embed_provider",
-    "fts_bm25_multifield",
-    "fts_multifield_title",
-    "fts_bm25f",
-    "fts_fielded_or",
-    "fts_fielded_and",
-    "warc_bm25f",
-    "warc_fielded",
-    "chunks_structured",
-    "sym_defs",
-    "sym_refs",
-    "sym_callgraph",
-    "sym_dependencies",
-    "sym_dependents",
-    "sym_impact",
-    "sym_call_chain",
-    "sym_impact_files",
-    "sym_store_defs",
-    "sym_store_refs",
-    "sym_dependencies_deep",
-    "sym_store_refs_limit",
-    "rag_context",
-    "ann_quantpath_hex",
-    "ann_quantpath",
-    "fts_branch_hidden",
-    "mm_decode_png",
-    "mm_resize_png",
-    # slots ~31-50: one-per-family diversification so the driver's 50-key
-    # sample spans dedup + ANN + events + TPC-H + curation every round
-    "dedup_exact",
-    "dedup_minhash_bands",
+    # Round-4 sampling priority (VERDICT r3 task #1): the driver verifies the
+    # FIRST 50 catalog keys each round; rounds 1-3 covered 116 distinct keys,
+    # leaving 83 never-driver-sampled.  Front-load the 50 oracle-backed
+    # never-sampled keys, then queue the remaining 33 (incl. the recall-gated
+    # no-oracle ANN/sketch rows, for which exact-mode twins land this round)
+    # so round 5 closes the gap.  New round-4 entries append AFTER the queue.
     "dedup_near_pairs",
     "dedup_components",
-    "line_dedup",
     "url_dedup",
-    "ann_cosine",
     "ann_range",
     "kmeans_embed",
     "semantic_search",
-    "events_keep_latest",
-    "events_window",
     "events_funnel",
-    "agg_lineitem",
     "q3_shipping",
     "q9_profit",
     "q10_returns",
-    "topk_orders",
     "pagerank",
-    # ---- 50-key sample line falls here ----
     "curate_corpus",
     "token_count",
-    "dedup_minhash_sig",
     "dedup_ngram_jaccard",
     "dedup_embed_cosine",
-    "dedup_simhash",
-    "span_dedup",
     "span_removal",
     "ann_cosine_filtered",
     "embed_text",
@@ -7724,13 +7679,56 @@ _SAMPLE_FIRST = [
     "revenue_by_nation",
     "asof_orders",
     "range_events",
-    "antijoin_customers",
     "training_shards",
-    "text_quality",
     "pii_redact",
     "decontam_flags",
-    "mm_decode",
     "mm_decode_wav",
+    "fts_near",
+    "collocations",
+    "fts_bm25_should",
+    "url_canonical",
+    "fts_bm25_boost",
+    "fts_extract_html",
+    "lang_map",
+    "lang_id",
+    "lang_confusion",
+    "text_readability",
+    "mm_frames",
+    # ---- 50-key sample line falls here: round-5 queue below ----
+    "dedup_minhash_md5_sig",
+    "dedup_minhash_md5_bands",
+    "fts_collapse_neardup",
+    "fts_mmr_rerank",
+    "domain_stats",
+    "domain_filter",
+    "tfidf_keywords",
+    "unigram_bits",
+    "join_lineitem_agg",
+    "events_interarrival",
+    "events_histogram",
+    "orders_monthly",
+    "quality_filter",
+    "sample_token_budget",
+    "curated_search",
+    "sample_docs",
+    "sample_stratified",
+    "fts_bm25_wildcard",
+    "events_pivot",
+    "top_terms_per_lang",
+    "topk_orders_per_cust",
+    "part_size_percentiles",
+    "events_rolling",
+    "docs_rollup",
+    "events_corr",
+    "content_grep",
+    "export_partitioned",
+    "ann_ivf",
+    "ann_store",
+    "ann_pq",
+    "ann_hnsw",
+    "distinct_users_hll",
+    "approx_quantiles",
+    # ---- new round-4 entries (sampled in round 5 after the queue) ----
 ]
 
 

@@ -332,11 +332,13 @@ def classify_changes(
 
 def move_pairs(changes):
     """Move pairs among the change set as a Dataset of ``(old_url,
-    new_url)``: a DELETED url whose content hash reappears under an ADDED
-    url (reference git rename detection analog).
+    new_url, n_pairs)``: a DELETED url whose content hash reappears under
+    an ADDED url (reference git rename detection analog).
 
-    One representative per hash per side (min url) so boilerplate content
-    can't explode the pair count; groups are content-hash-bounded.
+    One representative ROW per hash per side (min url) so boilerplate
+    content can't explode the emitted rows; ``n_pairs`` carries
+    ``min(#deleted, #added)`` urls for that hash so the move COUNT still
+    approximates per-file moves (reference ``file_moves`` list semantics).
     """
     def keep_endpoints(batch: pa.Table) -> pa.Table:
         mask = pc.and_(
@@ -353,8 +355,22 @@ def move_pairs(changes):
         old = g[g["change"] == DELETED]["url"]
         new = g[g["change"] == ADDED]["url"]
         if len(old) == 0 or len(new) == 0:
-            return pd.DataFrame({"old_url": [], "new_url": []})
-        return pd.DataFrame({"old_url": [old.min()], "new_url": [new.min()]})
+            return pd.DataFrame(
+                {"old_url": [], "new_url": [], "n_pairs": pd.Series([], dtype="int64")}
+            )
+        # n_pairs approximates the reference's per-FILE move count (its
+        # file_moves list pairs files 1:1): a mass rename of N copies of the
+        # same boilerplate counts as N moves, not 1, so the
+        # max_file_moves_threshold structural trigger can't be dodged by
+        # duplicated content — while the emitted ROWS stay one-per-hash
+        # (bounded) for sampling.
+        return pd.DataFrame(
+            {
+                "old_url": [old.min()],
+                "new_url": [new.min()],
+                "n_pairs": [int(min(old.nunique(), new.nunique()))],
+            }
+        )
 
     return (
         changes.map_batches(keep_endpoints, batch_format="pyarrow")
@@ -369,10 +385,11 @@ def detect_moves(changes, *, sample_cap: int = 50):
     sort + limit so only ``sample_cap`` rows ever reach the driver (a
     repo-wide rename produces corpus-many pairs)."""
     pairs = move_pairs(changes).materialize()  # count + sample share one run
-    n = pairs.count()
-    if n == 0:
+    n_rows = pairs.count()
+    if n_rows == 0:
         return 0, []
-    sample = pairs.sort("old_url").limit(min(sample_cap, n)).take_all()
+    n = int(pairs.sum("n_pairs") or 0)
+    sample = pairs.sort("old_url").limit(min(sample_cap, n_rows)).take_all()
     return n, [(r["old_url"], r["new_url"]) for r in sample]
 
 
@@ -484,8 +501,16 @@ def change_summary(
 
     n_moves, move_samples = detect_moves(changes, sample_cap=cfg.sample_cap)
 
+    # the reference's ChangeSet.total_files is the REPOSITORY file count, not
+    # the base index's: for a growing corpus base.num_docs under-counts and
+    # percentage_changed could exceed 1.0.  The classification output holds
+    # the url-union of both snapshots — its cardinality (sum over change
+    # types, unchanged included) is the honest denominator; keep the caller's
+    # figure only when it is larger (shrinking corpus measured against the
+    # old file count, matching the reference's repo-side count).
+    union_files = sum(counts.values())
     return ChangeSummary(
-        total_files=total_files,
+        total_files=max(int(total_files), int(union_files)),
         n_added=int(counts.get(ADDED, 0)),
         n_deleted=int(counts.get(DELETED, 0)),
         n_modified=int(counts.get(MODIFIED, 0)),
@@ -677,6 +702,7 @@ def sync_repository(
     search_accuracy: float = 1.0,
     execute: bool = True,
     now: float | None = None,
+    doc_id_upper: int | None = None,
 ) -> dict:
     """Synchronize an index with a new corpus snapshot.
 
@@ -753,11 +779,19 @@ def sync_repository(
         _, snap_max = _dataset_count_and_max(new_snapshot, base.id_col)
     else:
         snap_max = int(new_ds.max(base.id_col) or -1)
+    requested_upper = int(doc_id_upper) if doc_id_upper is not None else None
     doc_id_upper = base.doc_id_upper
     if snap_max > base.doc_id_upper:
         decision.should_reindex = True
         decision.add_trigger_reason("id_headroom_exhausted")
         doc_id_upper = snap_max * 4 + 4096
+    # caller-requested headroom growth (e.g. submit_sync doc_id_upper): the
+    # shard layout pins the id space, so growing it requires a full rebuild
+    if requested_upper is not None and requested_upper > doc_id_upper:
+        if requested_upper > base.doc_id_upper:
+            decision.should_reindex = True
+            decision.add_trigger_reason("id_headroom_growth_requested")
+        doc_id_upper = requested_upper
 
     report = {
         "decision": decision.to_dict(),
@@ -846,18 +880,38 @@ def sync_repository(
 
         delta = changes.map_batches(delta_rows, batch_format="pyarrow")
 
-        # deleted ids at the driver: bounded by change_percentage_threshold —
-        # above it the engine already chose a full rebuild
+        # deletions: fold consecutive-id RUNS in the data plane (sort →
+        # per-block run detection) and collect only [lo, hi] ranges — a
+        # sub-threshold deletion wave at web scale can still be billions of
+        # ids, but crawl deletions are doc-range-clustered so the range list
+        # stays small; cross-block adjacency is stitched at the driver
+        # (ADVICE r3: never materialize the raw id array driver-side)
         def deleted_ids(batch: pa.Table) -> pa.Table:
             t = batch.filter(pc.equal(batch["change"], DELETED))
-            return pa.table({"doc_id": t["doc_id"]})
+            return pa.table({"doc_id": t["doc_id"].cast(pa.int64())})
 
-        dtbl = _collect(
-            changes.map_batches(deleted_ids, batch_format="pyarrow"),
-            {"doc_id": pa.int64()},
+        def block_runs(batch: pa.Table) -> pa.Table:
+            ids = np.unique(batch["doc_id"].to_numpy(zero_copy_only=False))
+            if len(ids) == 0:
+                return pa.table(
+                    {"lo": pa.array([], pa.int64()), "hi": pa.array([], pa.int64())}
+                )
+            breaks = np.nonzero(np.diff(ids) > 1)[0]
+            starts = np.concatenate([[0], breaks + 1])
+            ends = np.concatenate([breaks, [len(ids) - 1]])
+            return pa.table(
+                {"lo": pa.array(ids[starts], pa.int64()), "hi": pa.array(ids[ends], pa.int64())}
+            )
+
+        rtbl = _collect(
+            changes.map_batches(deleted_ids, batch_format="pyarrow")
+            .sort("doc_id")
+            .map_batches(block_runs, batch_format="pyarrow"),
+            {"lo": pa.int64(), "hi": pa.int64()},
         )
-        ids = np.sort(dtbl["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64))
-        tomb_ranges = _ids_to_ranges(ids)
+        tomb_ranges = _merge_ranges(
+            sorted(zip(rtbl["lo"].to_pylist(), rtbl["hi"].to_pylist()))
+        )
         m = apply_delta(
             base_dir,
             delta,
@@ -884,6 +938,18 @@ def sync_repository(
         "n_partitions": m.n_partitions,
     }
     return report
+
+
+def _merge_ranges(ranges: list[tuple[int, int]]) -> list[tuple[int, int]]:
+    """Sorted per-block [lo, hi] runs → minimal run list: adjacent or
+    overlapping runs from neighbouring sort blocks collapse."""
+    out: list[tuple[int, int]] = []
+    for lo, hi in ranges:
+        if out and lo <= out[-1][1] + 1:
+            out[-1] = (out[-1][0], max(out[-1][1], hi))
+        else:
+            out.append((int(lo), int(hi)))
+    return out
 
 
 def _ids_to_ranges(ids: np.ndarray) -> list[tuple[int, int]]:

@@ -289,8 +289,18 @@ class JobManager:
                     "num_docs": manifest.num_docs,
                     "sync": {"executed": "bootstrap_full"},
                 }
+            # store_cols only shapes a BOOTSTRAP build; an existing index's
+            # stored columns are pinned by its layout — reject instead of
+            # silently ignoring (ADVICE r3)
+            if params.get("store_cols"):
+                raise ValueError(
+                    "store_cols applies only to the bootstrap build; the "
+                    "current generation's stored columns are fixed — submit "
+                    "a build job to change them"
+                )
             gen = self._next_generation()
             gen_dir = os.path.join(self.index_root, f"gen_{gen:06d}")
+            upper = params.get("doc_id_upper")
             report = sync_repository(
                 base,
                 inp,
@@ -299,6 +309,7 @@ class JobManager:
                 ts_col=params.get("ts_col"),
                 force_full=bool(params.get("force_full", False)),
                 search_accuracy=float(params.get("search_accuracy", 1.0)),
+                doc_id_upper=int(upper) if upper is not None else None,
             )
             if report["executed"] == "noop":
                 # nothing changed — the current generation stays published

@@ -281,6 +281,33 @@ class TestSyncJobs:
         finally:
             jm.stop()
 
+    def test_sync_store_cols_rejected_after_bootstrap(self, ray_session, tmp_path):
+        """store_cols shapes only the bootstrap build; once a generation
+        exists it must be rejected, not silently ignored (ADVICE r3), and
+        doc_id_upper plumbs through as a headroom-growth request."""
+        src = str(tmp_path / "c.parquet")
+        _corpus(src)
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        jm = JobManager(root)
+        try:
+            rec = jm.wait(jm.submit_sync({"input": src}))
+            assert rec["state"] == COMPLETED, rec
+            rec2 = jm.wait(jm.submit_sync({"input": src, "store_cols": ["lang"]}))
+            assert rec2["state"] == FAILED
+            assert "bootstrap" in rec2["error"]
+            # doc_id_upper on a non-bootstrap sync grows headroom via full rebuild
+            base_upper = rec["result"]["num_docs"]
+            rec3 = jm.wait(jm.submit_sync({"input": src, "doc_id_upper": 10**9}))
+            assert rec3["state"] == COMPLETED, rec3
+            assert rec3["result"]["sync"]["executed"] == "full"
+            assert (
+                "id_headroom_growth_requested"
+                in rec3["result"]["sync"]["decision"]["trigger_reasons"]
+            )
+        finally:
+            jm.stop()
+
     def test_sync_param_allowlist(self, tmp_path):
         jm = JobManager(str(tmp_path), start_worker=False)
         with pytest.raises(ValueError, match="unknown sync parameters"):

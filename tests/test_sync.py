@@ -116,7 +116,10 @@ class TestSummary:
         s = change_summary(changes, total_files=5)
         assert (s.n_added, s.n_deleted, s.n_modified) == (2, 2, 1)
         assert s.change_count == 5
-        assert s.percentage_changed == 1.0
+        # denominator is the url-union of both snapshots (7: the 5 changes
+        # plus the unchanged urls), not the caller's possibly-stale base count
+        assert s.total_files == 7
+        assert s.percentage_changed == pytest.approx(5 / 7)
         # dirs: dir3 + moved appear only in new; gone only in old; dir2
         # survives (p2 unchanged)
         assert s.n_dirs_added == 2
@@ -298,6 +301,32 @@ def test_ids_to_ranges():
     ]
 
 
+def test_merge_ranges():
+    from code_indexer_ray.pipelines.sync import _merge_ranges
+
+    assert _merge_ranges([]) == []
+    # adjacent runs from neighbouring sort blocks collapse
+    assert _merge_ranges([(1, 3), (4, 6), (9, 9)]) == [(1, 6), (9, 9)]
+    # overlap tolerated
+    assert _merge_ranges([(1, 5), (3, 7), (20, 22)]) == [(1, 7), (20, 22)]
+
+
+def test_moves_count_duplicated_boilerplate(ray_session):
+    """A mass rename of N identical-content files counts as N moves (the
+    reference's file_moves list is per-file), while the emitted pair ROWS
+    stay one-per-hash."""
+    import ray.data as rd
+
+    old = [(i, f"http://a/old/p{i}", "same boilerplate") for i in range(12)]
+    new = [(100 + i, f"http://a/new/p{i}", "same boilerplate") for i in range(12)]
+    changes = classify_changes(
+        rd.from_arrow(_corpus_table(old)), rd.from_arrow(_corpus_table(new))
+    )
+    n, samples = detect_moves(changes)
+    assert n == 12
+    assert samples == [("http://a/old/p0", "http://a/new/p0")]
+
+
 def _write_corpus(path: str, rows) -> None:
     pq.write_table(_corpus_table(rows), path)
 
@@ -348,7 +377,7 @@ class TestOrchestrator:
         assert report["executed"] == "incremental"
         assert report["decision"]["should_reindex"] is False
         assert report["changes"] == {
-            "total_files": 60,
+            "total_files": 62,  # url-union of base+snapshot (60 base + 2 added)
             "added": 2,
             "deleted": 2,
             "modified": 3,
@@ -375,6 +404,24 @@ class TestOrchestrator:
             rb = [(h["doc_id"], round(h["score"], 9)) for h in b.search(q, limit=0, snippet_lines=0)]
             assert ra == rb, q
         assert a.search("p010", snippet_lines=0) == []  # deleted doc gone
+
+    def test_requested_headroom_growth_forces_full(
+        self, ray_session, tmp_path, base_index
+    ):
+        idx, rows = base_index
+        new_src = str(tmp_path / "same.parquet")
+        _write_corpus(new_src, rows)
+        out = str(tmp_path / "grown")
+        report = sync_repository(idx, new_src, out, doc_id_upper=50_000)
+        assert report["executed"] == "full"
+        assert "id_headroom_growth_requested" in report["decision"]["trigger_reasons"]
+        from code_indexer_ray.index.manifest import load_manifest
+
+        assert load_manifest(out).doc_id_upper == 50_000
+        # a request at or below the base's upper is a no-op (incremental path)
+        out2 = str(tmp_path / "same_upper")
+        report2 = sync_repository(idx, new_src, out2, doc_id_upper=10)
+        assert report2["executed"] == "noop"
 
     def test_force_full(self, ray_session, tmp_path, base_index):
         idx, rows = base_index

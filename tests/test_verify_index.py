@@ -140,6 +140,61 @@ class TestVerifyIndex:
         assert not out["valid"]
         assert any("docstore rows" in e for e in out["errors"])
 
+    def test_lost_whole_shard_is_error(self, clean_idx, tmp_path):
+        """Coordinated tampering: removing ALL of a shard's partition entries
+        AND its tokens from the totals used to pass shallow verify with only
+        a warning; the docstore cross-check keeps it an error (ADVICE r3)."""
+        idx = _copy(clean_idx, tmp_path)
+        mpath = os.path.join(idx, "manifest.json")
+        m = json.load(open(mpath))
+        dropped = [p for p in m["partitions"] if p["shard"] == 0]
+        m["partitions"] = [p for p in m["partitions"] if p["shard"] != 0]
+        m["total_tokens"] -= sum(p["total_tokens"] for p in dropped)
+        json.dump(m, open(mpath, "w"))
+        out = verify_index(idx)
+        assert not out["valid"]
+        assert any("NON-empty shards" in e for e in out["errors"])
+
+    def test_lost_bucket_in_vocab_rich_shard_is_error(self, ray_session, tmp_path):
+        from code_indexer_ray.index.build import build_index
+
+        rows = [
+            {"doc_id": i, "text": " ".join(f"term{i}w{j}" for j in range(8)),
+             "lang": "en", "url": f"f{i}.py"}
+            for i in range(40)  # 320 distinct terms >> 8 * num_buckets
+        ]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        idx = str(tmp_path / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=1,
+                    num_buckets=2, resume=False)
+        mpath = os.path.join(idx, "manifest.json")
+        m = json.load(open(mpath))
+        victim = m["partitions"][0]
+        m["partitions"] = m["partitions"][1:]
+        m["total_tokens"] -= victim["total_tokens"]
+        json.dump(m, open(mpath, "w"))
+        out = verify_index(idx)
+        assert not out["valid"]
+        assert any("NON-empty shards" in e for e in out["errors"])
+
+    def test_empty_headroom_shards_stay_warning(self, ray_session, tmp_path):
+        from code_indexer_ray.index.build import build_index
+
+        rows = [
+            {"doc_id": i, "text": "alpha beta gamma", "lang": "en", "url": f"f{i}.py"}
+            for i in range(10)
+        ]
+        src = str(tmp_path / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        idx = str(tmp_path / "idx")
+        # doc ids 0-9 but headroom to 9999: most shards hold no documents
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=8,
+                    num_buckets=2, doc_id_upper=9999, resume=False)
+        out = verify_index(idx)
+        assert out["valid"], out["errors"]
+        assert any("empty shard" in w for w in out["warnings"])
+
     def test_unreadable_manifest(self, tmp_path):
         out = verify_index(str(tmp_path))
         assert not out["valid"] and "manifest unreadable" in out["errors"][0]
