@@ -3158,6 +3158,127 @@ def q_ann_hnsw(sf_dir: str):
     return hnsw_cosine_topk_sharded(ds, qs, np.array(ANN_QUERY_IDS), k=10, num_shards=4)
 
 
+def _round_cos(out: pa.Table) -> pa.Table:
+    """Family convention for exact-oracle ANN rows: drop raw cos, append
+    cos_r rounded to 4 (matches the DuckDB twins' round(cos, 4))."""
+    cos_r = pa.array(
+        np.round(out["cos"].to_numpy(zero_copy_only=False), 4), type=pa.float64()
+    )
+    return out.drop_columns(["cos"]).append_column("cos_r", cos_r)
+
+
+# Exact-mode twins of the approximate ANN family (VERDICT r3 task #4): each
+# approximate structure, driven at the parameter point where its result is
+# PROVABLY brute force (full probe / full shortlist / saturated beam), so the
+# driver can hash-verify the whole code path against the ann_cosine oracle —
+# the recall-gated approximate entries stay in the catalog unchanged.
+
+def q_ann_ivf_exact(sf_dir: str):
+    """IVF at nprobe = n_centroids (every cell probed) ≡ brute force — the
+    full IVF path (train, assign, probe, per-cell scoring) driver-verified
+    exactly; tests/test_vector_store.py proves the equivalence."""
+    import ray.data as rd
+
+    from ..ann.ivf import ivf_cosine_topk
+
+    ds = rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    qs = _load_queries(sf_dir)
+    return _round_cos(
+        ivf_cosine_topk(ds, qs, np.array(ANN_QUERY_IDS), k=10, n_centroids=16, nprobe=16)
+    )
+
+
+def q_ann_store_exact(sf_dir: str):
+    """Persisted IVF store at full probe (nprobe = n_centroids): the entire
+    store path — hive-partitioned cells, centroid sidecar, pruned cell reads
+    — returns exactly the brute-force top-k."""
+    import hashlib
+
+    from ..ann.store import VectorStoreSearcher, build_vector_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    store_dir = os.path.join("/tmp", f"cidx_vstore_{tag}")
+    build_vector_store(src, store_dir, n_centroids=16)
+    qs = _load_queries(sf_dir)
+    return _round_cos(
+        VectorStoreSearcher(store_dir).topk(qs, np.array(ANN_QUERY_IDS), k=10, nprobe=16)
+    )
+
+
+def q_ann_pq_exact(sf_dir: str):
+    """PQ with a shortlist covering the whole corpus: the ADC pass still runs
+    (codebooks, codes, table lookups) but the exact-cosine refine sees every
+    row, so the output is exactly brute force."""
+    import ray.data as rd
+
+    from ..ann.pq import pq_cosine_topk
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qs = _load_queries(sf_dir)
+    return _round_cos(
+        pq_cosine_topk(
+            ds, qs, np.array(ANN_QUERY_IDS), k=10, m=16, ks=32, shortlist=1_000_000
+        )
+    )
+
+
+def q_ann_hnsw_exact(sf_dir: str):
+    """Sharded HNSW at a beam width saturating each shard (ef_search ≥ shard
+    size): graph build + greedy descent + beam search all run, and the result
+    is rank-identical to brute on this corpus (asserted in tests; layer-0
+    connectivity makes the saturated beam exhaustive here)."""
+    import ray.data as rd
+
+    from ..ann.hnsw import hnsw_cosine_topk_sharded
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    qs = _load_queries(sf_dir)
+    return _round_cos(
+        hnsw_cosine_topk_sharded(
+            ds, qs, np.array(ANN_QUERY_IDS), k=10, num_shards=4, ef_search=100_000
+        )
+    )
+
+
+def q_ann_hnsw_store_exact(sf_dir: str):
+    """Persisted HNSW store driven at a saturated beam: serialize → load →
+    knn_query path returns exactly the brute-force top-k."""
+    import hashlib
+
+    import ray.data as rd
+
+    from ..ann.hnsw_store import HNSWStoreSearcher, build_hnsw_store
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    tag = hashlib.md5(os.path.abspath(src).encode()).hexdigest()[:12]
+    store_dir = os.path.join("/tmp", f"cidx_hnswstore_{tag}")
+    build_hnsw_store(
+        rd.read_parquet(src, columns=["vec_id", "embedding"]), store_dir, num_shards=4
+    )
+    qs = _load_queries(sf_dir)
+    return _round_cos(
+        HNSWStoreSearcher(store_dir).topk(
+            qs, np.array(ANN_QUERY_IDS), k=10, ef_search=100_000
+        )
+    )
+
+
+def q_ann_quantpath_exact(sf_dir: str):
+    """Quantized-path store probing EVERY bucket: the reference's
+    filesystem-bucketed layout read in full ≡ brute force (exact cosine
+    inside buckets is the store's scoring rule already)."""
+    qs = _load_queries(sf_dir)
+    store = quantpath_store_for(sf_dir)
+    return _round_cos(
+        store.topk(qs, np.array(ANN_QUERY_IDS), k=10, nprobe=len(store._buckets))
+    )
+
+
 def q_simhash(sf_dir: str):
     import ray.data as rd
 
@@ -6959,6 +7080,19 @@ def oracle_catalog() -> dict[str, str]:
         "FROM ranked WHERE rank <= 10"
     )
 
+    # exact-mode twins of the approximate ANN family: driven at full probe /
+    # full shortlist / saturated beam, each structure's result IS brute force
+    # — so the brute-force oracle is the right (and strictest) twin
+    for _k in (
+        "ann_ivf_exact",
+        "ann_store_exact",
+        "ann_pq_exact",
+        "ann_hnsw_exact",
+        "ann_hnsw_store_exact",
+        "ann_quantpath_exact",
+    ):
+        out[_k] = out["ann_cosine"]
+
     from ..ann.kmeans import kmeans_sql
 
     out["kmeans_embed"] = kmeans_sql(k=8, iters=2)
@@ -7729,6 +7863,12 @@ _SAMPLE_FIRST = [
     "distinct_users_hll",
     "approx_quantiles",
     # ---- new round-4 entries (sampled in round 5 after the queue) ----
+    "ann_ivf_exact",
+    "ann_store_exact",
+    "ann_pq_exact",
+    "ann_hnsw_exact",
+    "ann_hnsw_store_exact",
+    "ann_quantpath_exact",
 ]
 
 
@@ -7895,6 +8035,14 @@ def _query_catalog_unordered():
         "ann_store": q_ann_store,  # persisted IVF store; recall gate in tests
         "ann_pq": q_ann_pq,  # product quantization; recall gate in tests
         "ann_hnsw": q_ann_hnsw,  # HNSW graph; recall gate in tests
+        # exact-mode twins (full probe / full shortlist / saturated beam ≡
+        # brute): the approximate structures, hash-verified by the driver
+        "ann_ivf_exact": q_ann_ivf_exact,
+        "ann_store_exact": q_ann_store_exact,
+        "ann_pq_exact": q_ann_pq_exact,
+        "ann_hnsw_exact": q_ann_hnsw_exact,
+        "ann_hnsw_store_exact": q_ann_hnsw_store_exact,
+        "ann_quantpath_exact": q_ann_quantpath_exact,
         "ann_hnsw_store": q_ann_hnsw_store,  # persisted HNSW; parity + recall gates
         "events_funnel": q_events_funnel,
         "events_pivot": q_events_pivot,
