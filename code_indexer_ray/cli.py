@@ -100,6 +100,27 @@ def main(argv: list[str] | None = None) -> int:
     sy.add_argument("--accuracy", type=float, default=1.0, help="measured search accuracy signal")
     sy.add_argument("--dry-run", action="store_true", help="analyze + decide only")
 
+    it = sub.add_parser(
+        "ingest-dir",
+        help="walk a source tree into the engine's parquet corpus layout "
+        "(reference file_finder semantics: allow-list, excludes, gitignore, "
+        "overrides, max size, binary sniff)",
+    )
+    it.add_argument("root", help="directory tree to ingest")
+    it.add_argument("--out", required=True, help="output parquet corpus dir")
+    it.add_argument("--extensions", default=None,
+                    help="comma list replacing the default allow-list")
+    it.add_argument("--add-extensions", default=None)
+    it.add_argument("--remove-extensions", default=None)
+    it.add_argument("--exclude-dirs", default=None,
+                    help="comma list replacing the default exclude dirs")
+    it.add_argument("--add-exclude-dirs", default=None)
+    it.add_argument("--force-include", default=None, help="comma list of gitwildmatch patterns")
+    it.add_argument("--force-exclude", default=None)
+    it.add_argument("--max-file-size", type=int, default=1_048_576)
+    it.add_argument("--no-gitignore", action="store_true")
+    it.add_argument("--concurrency", type=int, default=4)
+
     g = sub.add_parser("gen-corpus", help="write the deterministic synthetic pages corpus")
     g.add_argument("--out", required=True)
     g.add_argument("--n-docs", type=int, required=True)
@@ -643,6 +664,23 @@ def main(argv: list[str] | None = None) -> int:
                         search_accuracy=args.accuracy,
                     )
             print(json.dumps(report))
+        elif args.cmd == "ingest-dir":
+            from .pipelines.tree import DEFAULT_EXCLUDE_DIRS, DEFAULT_EXTENSIONS, TreeConfig, ingest_tree
+
+            spl = lambda v: tuple(x for x in v.split(",") if x) if v else ()  # noqa: E731
+            cfg = TreeConfig(
+                file_extensions=spl(args.extensions) or DEFAULT_EXTENSIONS,
+                exclude_dirs=spl(args.exclude_dirs) or DEFAULT_EXCLUDE_DIRS,
+                max_file_size=args.max_file_size,
+                respect_gitignore=not args.no_gitignore,
+                force_include_patterns=spl(args.force_include),
+                force_exclude_patterns=spl(args.force_exclude),
+                add_extensions=spl(args.add_extensions),
+                remove_extensions=spl(args.remove_extensions),
+                add_exclude_dirs=spl(args.add_exclude_dirs),
+            )
+            ds = ingest_tree(args.root, args.out, config=cfg, concurrency=args.concurrency)
+            print(json.dumps({"out": args.out, "num_files": ds.count()}))
         elif args.cmd == "gen-corpus":
             from .pipelines.corpus import write_corpus
 

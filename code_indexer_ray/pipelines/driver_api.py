@@ -387,6 +387,80 @@ def q_repo_tree(sf_dir: str):
     )
 
 
+TREE_MAX_FILE = 4096
+TREE_PAD = 5000
+
+
+def tree_fixture_for(sf_dir: str) -> str:
+    """Deterministic on-disk source tree derived from documents.parquet so
+    the walker's behavior is SQL-reproducible: per doc_id the path/content
+    rules below place files under included dirs, excluded dirs
+    (node_modules), a gitignored dir, a force-excluded dir, a force-included
+    subtree, a disallowed extension, and an oversized-content bucket."""
+    root = os.path.join(_corpus_dir(sf_dir), "tree")
+    done = os.path.join(root, "_FIXTURE_OK")
+    if os.path.exists(done):
+        return root
+    import shutil
+
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, ".gitignore"), "w") as f:
+        f.write("ignored/\n")
+    import pyarrow.parquet as pq_mod
+
+    t = pq_mod.read_table(_docs(sf_dir), columns=["doc_id", "text"])
+    for did, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        rel = _tree_path_of(int(did))
+        content = text + ("x" * TREE_PAD if did % 11 == 0 else "")
+        p = os.path.join(root, rel)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "w", encoding="utf-8") as f:
+            f.write(content)
+    with open(done, "w") as f:
+        f.write("ok")
+    return root
+
+
+def _tree_path_of(i: int) -> str:
+    f = f"f{i:05d}"
+    if i % 13 == 0:
+        return f"ignored/{f}.py"
+    if i % 17 == 0:
+        return f"fexc/{f}.py"
+    if i % 5 == 4:
+        sub = "keep" if i % 10 == 4 else "other"
+        return f"node_modules/{sub}/{f}.py"
+    ext = {0: "py", 1: "js", 2: "md", 3: "bin"}[i % 5]
+    return f"d{i % 3}/s{i % 2}/{f}.{ext}"
+
+
+def q_ingest_tree(sf_dir: str):
+    """Directory-tree ingestion front door (reference
+    ``indexing/file_finder.py:227-306`` walk + filter semantics, override
+    precedence from ``services/override_filter_service.py``): metadata-only
+    driver walk with excluded-dir pruning, then a distributed actor-pool
+    reader (null sniff, encoding chain, md5).  The fixture tree exercises
+    every rule: gitignore dir, force-exclude dir, node_modules pruning with
+    a force-included subtree, extension allow-list (.bin dropped), and the
+    absolute max-size gate (padded docs)."""
+    from .tree import TreeConfig, ingest_tree
+
+    root = tree_fixture_for(sf_dir)
+    cfg = TreeConfig(
+        max_file_size=TREE_MAX_FILE,
+        force_include_patterns=("node_modules/keep/**",),
+        force_exclude_patterns=("fexc/**",),
+    )
+    ds = ingest_tree(root, config=cfg)
+    return ds.map_batches(
+        lambda b: pa.table(
+            {"path": b["url"], "size": b["size"], "sha": b["sha"]}
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_line_dedup(sf_dir: str):
     """RefinedWeb exact line dedup (Penedo et al. 2023): per doc, how many of
     its distinct lines occur in >1 document.  Map-side DISTINCT (line-hash,
@@ -5705,6 +5779,31 @@ def oracle_catalog() -> dict[str, str]:
         f"  (CASE WHEN coalesce(st.n_kept, 0) >= {MIN_LINES} THEN 1 ELSE 0 END)::BIGINT AS kept\n"
         "FROM documents d LEFT JOIN st USING (doc_id)"
     )
+    # the walker's include decision, re-derived in SQL over the SAME path /
+    # content synthesis rules the fixture writer used (tree_fixture_for):
+    # size gate is absolute; gitignored (ignored/) and force-excluded (fexc/)
+    # drop; node_modules drops unless under the force-included keep/ subtree;
+    # .bin fails the extension allow-list
+    out["ingest_tree"] = (
+        "WITH m AS (SELECT doc_id AS id,\n"
+        f"    text || CASE WHEN doc_id % 11 = 0 THEN repeat('x', {TREE_PAD}) ELSE '' END AS content\n"
+        "  FROM documents),\n"
+        "p AS (SELECT id, content,\n"
+        "  CASE\n"
+        "    WHEN id % 13 = 0 THEN 'ignored/f' || lpad(id::VARCHAR, 5, '0') || '.py'\n"
+        "    WHEN id % 17 = 0 THEN 'fexc/f' || lpad(id::VARCHAR, 5, '0') || '.py'\n"
+        "    WHEN id % 5 = 4 THEN 'node_modules/' || CASE WHEN id % 10 = 4 THEN 'keep' ELSE 'other' END\n"
+        "      || '/f' || lpad(id::VARCHAR, 5, '0') || '.py'\n"
+        "    ELSE 'd' || (id % 3)::VARCHAR || '/s' || (id % 2)::VARCHAR || '/f' || lpad(id::VARCHAR, 5, '0')\n"
+        "      || '.' || CASE id % 5 WHEN 0 THEN 'py' WHEN 1 THEN 'js' WHEN 2 THEN 'md' ELSE 'bin' END\n"
+        "  END AS path FROM m)\n"
+        "SELECT path, strlen(content)::BIGINT AS size, md5(content) AS sha FROM p\n"
+        f"WHERE strlen(content) <= {TREE_MAX_FILE}\n"
+        "  AND id % 13 <> 0 AND id % 17 <> 0\n"
+        "  AND (CASE WHEN id % 5 = 4 THEN id % 10 = 4 ELSE id % 5 <> 3 END)\n"
+        "ORDER BY path"
+    )
+
     out["repo_tree"] = (
         "WITH p AS (\n"
         "  SELECT doc_id,\n"
@@ -7863,6 +7962,7 @@ _SAMPLE_FIRST = [
     "distinct_users_hll",
     "approx_quantiles",
     # ---- new round-4 entries (sampled in round 5 after the queue) ----
+    "ingest_tree",
     "ann_ivf_exact",
     "ann_store_exact",
     "ann_pq_exact",
@@ -7990,6 +8090,7 @@ def _query_catalog_unordered():
         "dedup_incremental": q_dedup_incremental,
         "grep_scan": q_grep_scan,
         "repo_tree": q_repo_tree,
+        "ingest_tree": q_ingest_tree,
         "dedup_components": q_dedup_components,
         "fts_collapse_neardup": q_collapse_neardup,
         "fts_mmr_rerank": q_mmr_rerank,
