@@ -30,6 +30,122 @@ def _ray_init(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _daemon_cmd(args) -> int:
+    """daemon serve/start/stop/status — Ray-free (the searcher's local query
+    path reads parquet/segments directly; remote actor mode is an HTTP-tier
+    feature)."""
+    from .server.daemon import DaemonClient, DaemonServer, daemon_alive, socket_path_for
+
+    sock = args.socket or socket_path_for(args.index)
+    if args.daemon_cmd == "serve":
+        srv = DaemonServer(
+            args.index,
+            socket_path=sock,
+            lang_col=args.lang_col,
+            url_col=args.url_col,
+            pool_size=args.pool_size,
+        )
+        import os
+
+        print(json.dumps({"serving": sock, "pid": os.getpid()}), flush=True)
+        try:
+            srv.serve_forever()
+        except KeyboardInterrupt:
+            srv.shutdown()
+        return 0
+    if args.daemon_cmd == "start":
+        import os
+        import subprocess
+        import time
+
+        if daemon_alive(sock):
+            print(json.dumps({"already_running": sock}))
+            return 0
+        cmd = [
+            sys.executable, "-m", "code_indexer_ray", "daemon", "serve",
+            "--index", args.index, "--socket", sock,
+            "--pool-size", str(args.pool_size),
+        ]
+        log = sock + ".log"
+        with open(log, "ab") as lf:
+            subprocess.Popen(
+                cmd, stdout=lf, stderr=lf, stdin=subprocess.DEVNULL,
+                start_new_session=True, env=dict(os.environ),
+            )
+        deadline = time.monotonic() + args.timeout
+        while time.monotonic() < deadline:
+            if daemon_alive(sock):
+                print(json.dumps({"started": sock}))
+                return 0
+            time.sleep(0.1)
+        print(json.dumps({"error": f"daemon did not come up within {args.timeout}s", "log": log}), file=sys.stderr)
+        return 1
+    if args.daemon_cmd == "stop":
+        if not daemon_alive(sock):
+            print(json.dumps({"not_running": sock}))
+            return 0
+        with DaemonClient(sock) as c:
+            c.request("shutdown")
+        print(json.dumps({"stopped": sock}))
+        return 0
+    if args.daemon_cmd == "status":
+        if not daemon_alive(sock):
+            print(json.dumps({"running": False, "socket": sock}))
+            return 1
+        with DaemonClient(sock) as c:
+            st = c.request("status")
+        print(json.dumps({"running": True, **st}))
+        return 0
+    return 2
+
+
+def _daemon_search_fast_path(args) -> int | None:
+    """Transparent daemon delegation for `search` (reference
+    cli_daemon_fast.py): socket + json imports only — no Ray, no engine.
+    Returns None to fall back to the in-process path (no live daemon, or a
+    flag combination the daemon surface doesn't carry)."""
+    from .server.daemon import DaemonClient, daemon_alive, socket_path_for
+
+    sock = socket_path_for(args.index)
+    if not daemon_alive(sock):
+        return None
+    if args.semantic or args.hybrid or args.vector_store:
+        return None  # vector tiers are configured on the server side only
+    multi = lambda v: v and "," in v  # noqa: E731
+    if any(map(multi, (args.languages, args.exclude_languages, args.path_filters, args.exclude_paths))):
+        return None  # REST surface carries single-valued filters
+    if args.limit != 0 and not (1 <= args.limit <= 100):
+        return None
+    params: dict = {"limit": args.limit, "snippet_lines": args.snippet_lines}
+    if args.fuzzy:
+        params["edit_distance"] = args.fuzzy
+    if args.regex:
+        params["regex"] = True
+    if args.case_sensitive:
+        params["case_sensitive"] = True
+    if args.min_score is not None:
+        params["min_score"] = args.min_score
+    if args.accuracy:
+        params["accuracy"] = args.accuracy
+    for attr, key in (
+        ("languages", "language"),
+        ("exclude_languages", "exclude_language"),
+        ("path_filters", "path_filter"),
+        ("exclude_paths", "exclude_path"),
+    ):
+        v = getattr(args, attr)
+        if v:
+            params[key] = v
+    try:
+        with DaemonClient(sock) as c:
+            hits = c.request("search", q=args.query, params=params)
+    except (ConnectionError, OSError):
+        return None  # daemon died between the probe and the call — local path
+    for h in hits:
+        print(json.dumps(h))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="code_indexer_ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -55,6 +171,11 @@ def main(argv: list[str] | None = None) -> int:
     q = sub.add_parser("search", help="BM25 top-k query")
     q.add_argument("--index", required=True)
     q.add_argument("query")
+    q.add_argument(
+        "--no-daemon",
+        action="store_true",
+        help="skip the daemon fast path even when a daemon socket is live",
+    )
     q.add_argument("--limit", type=int, default=10)
     q.add_argument("--fuzzy", type=int, default=0, help="edit distance 0-3")
     q.add_argument("--regex", action="store_true")
@@ -472,7 +593,37 @@ def main(argv: list[str] | None = None) -> int:
     gr.add_argument("--max-matches", type=int, default=1000)
     gr.add_argument("--context", type=int, choices=(0, 1), default=1)
 
+    # local daemon mode (reference daemon/service.py + cli_daemon_fast.py):
+    # persistent unix-socket process with warm searchers; `search` delegates
+    # transparently when the socket is live
+    dm = sub.add_parser("daemon", help="local unix-socket daemon (warm repeated queries)")
+    dmsub = dm.add_subparsers(dest="daemon_cmd", required=True)
+    dserve = dmsub.add_parser("serve", help="serve in the foreground (start spawns this)")
+    dserve.add_argument("--index", required=True)
+    dserve.add_argument("--socket", default=None)
+    dserve.add_argument("--pool-size", type=int, default=2)
+    dserve.add_argument("--lang-col", default="lang")
+    dserve.add_argument("--url-col", default="url")
+    dstart = dmsub.add_parser("start", help="spawn a background daemon for an index")
+    dstart.add_argument("--index", required=True)
+    dstart.add_argument("--socket", default=None)
+    dstart.add_argument("--pool-size", type=int, default=2)
+    dstart.add_argument("--timeout", type=float, default=30.0)
+    for name, hlp in (("stop", "shut the daemon down"), ("status", "ping + stats")):
+        dx = dmsub.add_parser(name, help=hlp)
+        dx.add_argument("--index", required=True)
+        dx.add_argument("--socket", default=None)
+
     args = p.parse_args(argv)
+
+    # ---- Ray-free fast paths (must not pay ray.init) ----
+    if args.cmd == "daemon":
+        return _daemon_cmd(args)
+    if args.cmd == "search" and not args.no_daemon:
+        rc = _daemon_search_fast_path(args)
+        if rc is not None:
+            return rc
+
     _ray_init(args.num_cpus)
     try:
         if args.cmd == "build":
