@@ -2069,6 +2069,89 @@ def q_chunks(sf_dir: str):
     )
 
 
+def synthesize_pyast_batch(batch: pa.Table) -> pa.Table:
+    """Deterministic REAL-Python fixture per doc (closed form in doc_id):
+    K = id%3+1 blocks of nested defs / import-alias calls / class methods —
+    exactly the constructs the regex symbol path provably cannot see
+    (indented defs, qualified names, alias resolution)."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    srcs = []
+    for i in ids:
+        d, K = int(i) % 5, int(i) % 3 + 1
+        parts = [f"import mod{d} as m{d}"]
+        for k in range(K):
+            parts += [
+                f"def outer{k}():",
+                f"    def inner{k}():",
+                f"        m{d}.call{k}()",
+                f"    inner{k}()",
+                f"class C{k}:",
+                f"    def meth{k}(self):",
+                f"        helper{k}()",
+            ]
+        srcs.append("\n".join(parts))
+    return pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(srcs, pa.string())}
+    )
+
+
+def _pyast_ds(sf_dir: str):
+    import ray.data as rd
+
+    from ..text.pyast import PyAstStage
+
+    return (
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id"])
+        .map_batches(synthesize_pyast_batch, batch_format="pyarrow")
+        .map_batches(PyAstStage, concurrency=2, batch_format="pyarrow")
+    )
+
+
+def q_pysym_defs(sf_dir: str):
+    """AST-accurate Python symbol DEFINITIONS (reference
+    scip/indexers/python.py tier): nested functions and methods emerge with
+    QUALIFIED names (outer.inner, C.meth) and exact lines — the regex path
+    (sym_defs) only sees column-0 ``def name():`` lines."""
+    return _pyast_ds(sf_dir).map_batches(
+        lambda b: b.filter(pc.is_in(b["kind"], value_set=pa.array(["def", "class"])))
+        .select(["doc_id", "kind", "sym", "line"]),
+        batch_format="pyarrow",
+    )
+
+
+def q_pysym_imports(sf_dir: str):
+    """Import-alias bindings: (alias, imported target, line) — the alias
+    table that makes call resolution module-accurate."""
+    return _pyast_ds(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": (t := b.filter(pc.equal(b["kind"], "import")))["doc_id"],
+                "alias": t["sym"],
+                "target": t["target"],
+                "line": t["line"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
+def q_pysym_calls(sf_dir: str):
+    """AST-resolved call sites: callee resolved through lexical scopes
+    (inner defs → qualified) and import aliases (m2.call0 → mod2.call0);
+    caller is the innermost enclosing function, exactly."""
+    return _pyast_ds(sf_dir).map_batches(
+        lambda b: pa.table(
+            {
+                "doc_id": (t := b.filter(pc.equal(b["kind"], "call")))["doc_id"],
+                "caller": t["caller"],
+                "callee": t["sym"],
+                "line": t["line"],
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+
 def q_sym_defs(sf_dir: str):
     """SCIP-analog symbol DEFINITIONS table (reference scip/query/backends.py:
     34-133 serves defs/refs/call-graph from SQLite; here the extractor is a
@@ -6453,6 +6536,37 @@ def oracle_catalog() -> dict[str, str]:
         "p AS (SELECT doc_id, (n + 7) // 8 AS n_body,\n"
         "  ((n + 7) // 8 - 1) // 3 + 1 AS H FROM m),\n"
     )
+    # AST-tier twins: the fixture is REAL Python synthesized in closed form
+    # (K = id%3+1 blocks of 7 lines after the import line), so every
+    # qualified def, alias binding and resolved call is an affine formula
+    _pyast_base = (
+        "WITH m AS (SELECT doc_id AS id, doc_id % 5 AS d, doc_id % 3 + 1 AS nk FROM documents),\n"
+        "b AS (SELECT id, d, x.k AS k FROM m,\n"
+        "  (SELECT unnest(generate_series(0, 3)) AS k) x WHERE x.k < nk),\n"
+    )
+    out["pysym_defs"] = (
+        _pyast_base
+        + "rows AS (\n"
+        "  SELECT id, 'def' AS kind, 'outer' || k AS sym, (7 * k + 2)::BIGINT AS line FROM b\n"
+        "  UNION ALL SELECT id, 'def', 'outer' || k || '.inner' || k, (7 * k + 3)::BIGINT FROM b\n"
+        "  UNION ALL SELECT id, 'class', 'C' || k, (7 * k + 6)::BIGINT FROM b\n"
+        "  UNION ALL SELECT id, 'def', 'C' || k || '.meth' || k, (7 * k + 7)::BIGINT FROM b)\n"
+        "SELECT id AS doc_id, kind, sym, line FROM rows"
+    )
+    out["pysym_imports"] = (
+        "WITH m AS (SELECT doc_id AS id, doc_id % 5 AS d FROM documents)\n"
+        "SELECT id AS doc_id, 'm' || d AS alias, 'mod' || d AS target, 1::BIGINT AS line FROM m"
+    )
+    out["pysym_calls"] = (
+        _pyast_base
+        + "rows AS (\n"
+        "  SELECT id, 'outer' || k || '.inner' || k AS caller,\n"
+        "    'mod' || d || '.call' || k AS callee, (7 * k + 4)::BIGINT AS line FROM b\n"
+        "  UNION ALL SELECT id, 'outer' || k, 'outer' || k || '.inner' || k, (7 * k + 5)::BIGINT FROM b\n"
+        "  UNION ALL SELECT id, 'C' || k || '.meth' || k, 'helper' || k, (7 * k + 8)::BIGINT FROM b)\n"
+        "SELECT id AS doc_id, caller, callee, line FROM rows"
+    )
+
     out["sym_defs"] = (
         _sym_base
         + "d AS (SELECT doc_id, x.i AS di FROM p,\n"
@@ -7963,6 +8077,9 @@ _SAMPLE_FIRST = [
     "approx_quantiles",
     # ---- new round-4 entries (sampled in round 5 after the queue) ----
     "ingest_tree",
+    "pysym_defs",
+    "pysym_imports",
+    "pysym_calls",
     "ann_ivf_exact",
     "ann_store_exact",
     "ann_pq_exact",
@@ -8059,6 +8176,9 @@ def _query_catalog_unordered():
         "fts_chunks": q_chunks,
         "chunks_structured": q_chunks_structured,
         "sym_defs": q_sym_defs,
+        "pysym_defs": q_pysym_defs,
+        "pysym_imports": q_pysym_imports,
+        "pysym_calls": q_pysym_calls,
         "sym_refs": q_sym_refs,
         "sym_callgraph": q_sym_callgraph,
         "sym_dependencies": q_sym_dependencies,
