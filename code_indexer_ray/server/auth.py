@@ -758,6 +758,12 @@ class AuthTier:
         )
         self.login_buckets = TokenBucketManager(time_fn=mono_fn)
         self.pw_limiter = PasswordChangeRateLimiter(now_fn=now_fn)
+        # per-user issued/revocable API keys (reference api_key_manager.py)
+        from .apikeys import ApiKeyManager
+
+        self.api_keys = ApiKeyManager(
+            auth_dir, self.users, iterations=iterations, now_fn=now_fn
+        )
         if seed_admin is not None and not self.users.all_users():
             name, password = seed_admin
             self.users.create_user(name, password, UserRole.ADMIN)

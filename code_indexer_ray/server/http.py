@@ -524,6 +524,8 @@ class IndexHTTPServer:
             return "manage_users"
         if route == "/api/users/change-password":
             return None
+        if route == "/api/keys" or route.startswith("/api/keys/"):
+            return None  # any authenticated user manages their OWN keys
         if route in ("/index", "/sync") or (
             route.startswith("/jobs/") and route.endswith("/cancel")
         ):
@@ -548,20 +550,31 @@ class IndexHTTPServer:
             from .auth import AuthError
 
             if route not in self._PUBLIC_ROUTES:
-                try:
-                    user = self.auth.authenticate_bearer(h.headers.get("Authorization"))
-                except AuthError as e:
-                    self._reply(h, 401, {"error": str(e)})
-                    return
+                issued_key = h.headers.get("X-API-Key")
+                if issued_key and issued_key.startswith("cidx_sk_"):
+                    # issued-key path (reference api_key_manager): the key
+                    # authenticates AS its user; role scoping comes from the
+                    # LIVE user record.  No sliding JWT on key requests.
+                    user = self.auth.api_keys.authenticate(issued_key)
+                    if user is None:
+                        self._reply(h, 401, {"error": "invalid or revoked API key"})
+                        return
+                else:
+                    try:
+                        user = self.auth.authenticate_bearer(h.headers.get("Authorization"))
+                    except AuthError as e:
+                        self._reply(h, 401, {"error": str(e)})
+                        return
+                    h._renewed_token = self.auth.jwt.create_token(user.to_public())
                 perm = self._required_permission(route, method)
                 if not user.has_permission(perm):
+                    h._renewed_token = None
                     self._reply(
                         h,
                         403,
                         {"error": f"role {user.role.value!r} lacks permission {perm!r}"},
                     )
                     return
-                h._renewed_token = self.auth.jwt.create_token(user.to_public())
         elif route != "/health" and self.api_key is not None:
             if h.headers.get("X-API-Key") != self.api_key:
                 self._reply(h, 401, {"error": "missing or invalid X-API-Key"})
@@ -650,6 +663,38 @@ class IndexHTTPServer:
                     raise
                 self.auth.pw_limiter.record_successful_attempt(user.username)
                 out = {"message": "password changed"}
+            elif route == "/api/keys" and method == "GET":
+                out = {"keys": self.auth.api_keys.list_keys(user.username)}
+            elif route == "/api/keys" and method == "POST":
+                raw, kid = self.auth.api_keys.generate_key(
+                    user.username, params.get("name")
+                )
+                # the raw key appears in THIS response only (reference: shown
+                # once at creation, never retrievable again)
+                out = {"api_key": raw, "key_id": kid}
+            elif route.startswith("/api/keys/"):
+                if method != "DELETE":
+                    self._reply(h, 405, {"error": "DELETE required"})
+                    return
+                kid = route[len("/api/keys/") :]
+                if not self.auth.api_keys.revoke(user.username, kid):
+                    raise KeyError(f"key {kid!r} not found")
+                out = {"message": f"key {kid!r} revoked"}
+            elif route == "/api/admin/keys" and method == "GET":
+                out = {"keys": self.auth.api_keys.list_keys(need("username"))}
+            elif route == "/api/admin/keys" and method == "POST":
+                raw, kid = self.auth.api_keys.generate_key(
+                    need("username"), params.get("name")
+                )
+                out = {"api_key": raw, "key_id": kid}
+            elif route.startswith("/api/admin/keys/"):
+                if method != "DELETE":
+                    self._reply(h, 405, {"error": "DELETE required"})
+                    return
+                kid = route[len("/api/admin/keys/") :]
+                if not self.auth.api_keys.revoke(need("username"), kid):
+                    raise KeyError(f"key {kid!r} not found")
+                out = {"message": f"key {kid!r} revoked"}
             elif route == "/api/admin/users" and method == "GET":
                 out = {"users": [u.to_public() for u in self.auth.users.all_users()]}
             elif route == "/api/admin/users" and method == "POST":
@@ -662,6 +707,7 @@ class IndexHTTPServer:
                 if method == "DELETE":
                     self.auth.users.delete_user(name)
                     self.auth.refresh.revoke_user(name)
+                    self.auth.api_keys.revoke_all(name)
                     out = {"message": f"user {name!r} deleted"}
                 elif method == "PUT":
                     if "role" in params:

@@ -641,3 +641,156 @@ class TestReviewRegressions:
         rl.record_failed_attempt("other")  # triggers the sweep
         assert "dormant" not in rl._attempts
         assert "other" in rl._attempts
+
+
+def _req_key(method, url, api_key, payload=None):
+    data = json.dumps(payload).encode() if payload is not None else None
+    headers = {"X-API-Key": api_key}
+    if data:
+        headers["Content-Type"] = "application/json"
+    req = urllib.request.Request(url, data=data, headers=headers, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=30) as r:
+            return r.status, json.loads(r.read()), dict(r.headers)
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read()), dict(e.headers)
+
+
+class TestApiKeyManager:
+    """Issued/revocable per-user keys (reference server/auth/api_key_manager.py)."""
+
+    @pytest.fixture()
+    def mgr(self, tmp_path):
+        from code_indexer_ray.server.apikeys import ApiKeyManager
+        from code_indexer_ray.server.auth import UserManager
+
+        users = UserManager(str(tmp_path), iterations=500)
+        users.create_user("ada", GOOD_PW, "normal_user")
+        users.create_user("root", GOOD_PW, "admin")
+        return ApiKeyManager(str(tmp_path), users, iterations=500), users
+
+    def test_generate_format_and_stored_hashed(self, mgr, tmp_path):
+        m, _u = mgr
+        raw, kid = m.generate_key("ada", name="ci")
+        assert raw.startswith("cidx_sk_") and len(raw) == len("cidx_sk_") + 32
+        stored = json.load(open(str(tmp_path / "api_keys.json")))
+        assert raw not in json.dumps(stored)  # never stored raw
+        assert stored[kid]["key_hash"].startswith("pbkdf2_sha256$")
+        assert stored[kid]["key_prefix"] == raw[:12]
+
+    def test_authenticate_and_role_scoping(self, mgr):
+        m, users = mgr
+        raw, _ = m.generate_key("ada")
+        user = m.authenticate(raw)
+        assert user.username == "ada"
+        assert user.has_permission("query_repos")
+        assert not user.has_permission("manage_users")
+        # promotion widens every existing key instantly (live-role rule)
+        users.update_role("ada", "admin")
+        assert m.authenticate(raw).has_permission("manage_users")
+
+    def test_list_without_hashes_and_revoke(self, mgr):
+        m, _u = mgr
+        raw1, k1 = m.generate_key("ada", name="a")
+        raw2, k2 = m.generate_key("ada", name="b")
+        keys = m.list_keys("ada")
+        assert [k["key_id"] for k in keys] == [k1, k2]
+        assert all("key_hash" not in k and "digest" not in k for k in keys)
+        assert m.revoke("ada", k1) is True
+        assert m.authenticate(raw1) is None
+        assert m.authenticate(raw2).username == "ada"
+        # revoking someone else's key_id is "not found"
+        raw3, k3 = m.generate_key("root")
+        assert m.revoke("ada", k3) is False
+        assert m.authenticate(raw3) is not None
+
+    def test_unknown_user_and_garbage_keys(self, mgr):
+        m, users = mgr
+        with pytest.raises(KeyError):
+            m.generate_key("nobody")
+        assert m.authenticate(None) is None
+        assert m.authenticate("Bearer xyz") is None
+        assert m.authenticate("cidx_sk_" + "0" * 32) is None
+        # orphaned key: user deleted after issue
+        raw, _ = m.generate_key("ada")
+        users.delete_user("ada")
+        assert m.authenticate(raw) is None
+
+    def test_validate_user_key_reference_surface(self, mgr):
+        m, _u = mgr
+        raw, _ = m.generate_key("ada")
+        assert m.validate_user_key("ada", raw) is True
+        assert m.validate_user_key("root", raw) is False
+
+    def test_last_used_stamped(self, mgr):
+        m, _u = mgr
+        raw, kid = m.generate_key("ada")
+        assert m.list_keys("ada")[0]["last_used_at"] is None
+        m.authenticate(raw)
+        assert m.list_keys("ada")[0]["last_used_at"] is not None
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHTTPApiKeys:
+    def _login(self, base, username, password):
+        code, body, _ = _req(
+            "POST", base + "/auth/login", {"username": username, "password": password}
+        )
+        assert code == 200, body
+        return body
+
+    def test_self_service_lifecycle_and_key_authed_search(self, auth_srv):
+        base, tier = auth_srv
+        tok = self._login(base, "norma", GOOD_PW)["access_token"]
+        # issue
+        code, body, _ = _req("POST", base + "/api/keys", {"name": "laptop"}, token=tok)
+        assert code == 200 and body["api_key"].startswith("cidx_sk_")
+        raw, kid = body["api_key"], body["key_id"]
+        # key-authed search works, carries the user's role, no sliding JWT
+        code, hits, headers = _req_key("GET", base + "/search?q=spark&limit=3", raw)
+        assert code == 200 and hits["hits"]
+        assert "X-Renewed-Token" not in headers
+        # normal_user key cannot reach admin routes (role-scoped)
+        code, err, _ = _req_key("GET", base + "/api/admin/users", raw)
+        assert code == 403
+        # list shows metadata, never the raw key
+        code, body, _ = _req("GET", base + "/api/keys", token=tok)
+        assert code == 200
+        assert [k["key_id"] for k in body["keys"]] == [kid]
+        assert raw not in json.dumps(body)
+        # revoke → key stops working
+        code, _, _ = _req("DELETE", base + f"/api/keys/{kid}", token=tok)
+        assert code == 200
+        code, err, _ = _req_key("GET", base + "/search?q=spark", raw)
+        assert code == 401 and "revoked" in err["error"] or "invalid" in err["error"]
+
+    def test_admin_issues_and_revokes_for_other_users(self, auth_srv):
+        base, tier = auth_srv
+        admin_tok = self._login(base, "admin", GOOD_PW)["access_token"]
+        code, body, _ = _req(
+            "POST", base + "/api/admin/keys",
+            {"username": "norma", "name": "svc"}, token=admin_tok,
+        )
+        assert code == 200
+        raw, kid = body["api_key"], body["key_id"]
+        assert _req_key("GET", base + "/search?q=spark&limit=2", raw)[0] == 200
+        code, body, _ = _req(
+            "GET", base + "/api/admin/keys?username=norma", token=admin_tok
+        )
+        assert code == 200 and kid in [k["key_id"] for k in body["keys"]]
+        code, _, _ = _req(
+            "DELETE", base + f"/api/admin/keys/{kid}?username=norma", token=admin_tok
+        )
+        assert code == 200
+        assert _req_key("GET", base + "/search?q=spark", raw)[0] == 401
+        # non-admin cannot use the admin key routes
+        norma_tok = self._login(base, "norma", GOOD_PW)["access_token"]
+        code, _, _ = _req(
+            "POST", base + "/api/admin/keys", {"username": "admin"}, token=norma_tok
+        )
+        assert code == 403
+
+    def test_bogus_key_rejected(self, auth_srv):
+        base, _ = auth_srv
+        code, err, _ = _req_key("GET", base + "/search?q=spark", "cidx_sk_" + "f" * 32)
+        assert code == 401
