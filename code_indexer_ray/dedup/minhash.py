@@ -18,7 +18,6 @@ import hashlib
 import struct
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ..text.analysis import tokenize_flat
@@ -290,16 +289,25 @@ def candidate_pairs(
         )
         return batch.append_column("pb", pa.array(pb))
 
-    def pairs_partition(g: pd.DataFrame) -> pd.DataFrame:
-        d = g.drop_duplicates(["band_id", "band_hash", "doc_id"]).sort_values(
-            ["band_id", "band_hash", "doc_id"], kind="mergesort"
+    def pairs_partition(g: pa.Table) -> pa.Table:
+        # Arrow/numpy (round-4: was pandas drop_duplicates+sort_values —
+        # one lexsort + a dedup mask do both without the conversion)
+        empty = pa.table(
+            {"doc_a": pa.array([], pa.int64()), "doc_b": pa.array([], pa.int64())}
         )
-        band = d["band_id"].to_numpy()
-        bh = d["band_hash"].to_numpy()
-        doc = d["doc_id"].to_numpy()
-        n = len(d)
-        if n == 0:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
+        if g.num_rows == 0:
+            return empty
+        band = g["band_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bh = g["band_hash"].to_numpy(zero_copy_only=False).astype(np.int64)
+        doc = g["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.lexsort((doc, bh, band))
+        band, bh, doc = band[order], bh[order], doc[order]
+        keep = np.r_[
+            True,
+            (band[1:] != band[:-1]) | (bh[1:] != bh[:-1]) | (doc[1:] != doc[:-1]),
+        ]
+        band, bh, doc = band[keep], bh[keep], doc[keep]
+        n = len(doc)
         bounds = np.flatnonzero(np.r_[True, (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])])
         sizes = np.diff(np.r_[bounds, n])
         out_a: list[np.ndarray] = []
@@ -314,15 +322,18 @@ def candidate_pairs(
                 out_a.append(ids[ia])
                 out_b.append(ids[ib])
         if not out_a:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}, dtype=np.int64)
-        return pd.DataFrame(
-            {"doc_a": np.concatenate(out_a), "doc_b": np.concatenate(out_b)}
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array(np.concatenate(out_a), pa.int64()),
+                "doc_b": pa.array(np.concatenate(out_b), pa.int64()),
+            }
         )
 
     return (
         bands.map_batches(add_pb, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(pairs_partition, batch_format="pandas")
+        .map_groups(pairs_partition, batch_format="pyarrow")
     )
 
 

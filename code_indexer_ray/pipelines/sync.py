@@ -35,7 +35,6 @@ import time
 from dataclasses import dataclass, field
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -287,47 +286,48 @@ def classify_changes(
 
     carry = tuple(carry_cols)
 
-    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        # nullable Int64 BEFORE the outer merge: plain int64 + NaN upcasts to
-        # float64, which corrupts doc ids above 2^53 (the headroom scheme
-        # legitimately allocates ids that large)
-        g = g.assign(_id=g["_id"].astype("Int64"))
-        old_side = g[g["_side"] == 0]
-        new_side = g[g["_side"] == 1]
-        m = old_side.merge(
-            new_side, on="url", how="outer", suffixes=("_old", "_new"), sort=True
-        )
-        # side presence from the id columns, NOT hash nullness — a null text
-        # hashes to null, and misreading that as "side absent" would tombstone
-        # a live document
-        present_old = m["_id_old"].notna()
-        present_new = m["_id_new"].notna()
-        h_old, h_new = m["_h_old"], m["_h_new"]
+    def per_bucket(g: pa.Table) -> pa.Table:
+        # Arrow-native full-outer url join (round-4: was a pandas merge with
+        # nullable-Int64 gymnastics — int64 + NaN upcasts to float64, which
+        # corrupts doc ids above 2^53; Arrow take-with-null-indices keeps
+        # int64 end to end, so the headroom-scale ids need no workaround)
+        old = g.filter(pc.equal(g["_side"], 0))
+        new = g.filter(pc.equal(g["_side"], 1))
+        urls = pc.unique(g["url"].combine_chunks())
+        urls = pc.take(urls, pc.sort_indices(urls))  # merge(sort=True) parity
+        io = pc.index_in(urls, value_set=old["url"].combine_chunks())
+        inw = pc.index_in(urls, value_set=new["url"].combine_chunks())
+        # side presence from the id join, NOT hash nullness — a null text
+        # hashes to null, and misreading that as "side absent" would
+        # tombstone a live document
+        present_old = pc.is_valid(io).to_numpy(zero_copy_only=False)
+        present_new = pc.is_valid(inw).to_numpy(zero_copy_only=False)
+        id_old = pc.take(old["_id"].combine_chunks(), io)
+        id_new = pc.take(new["_id"].combine_chunks(), inw)
+        h_old = pc.take(old["_h"].combine_chunks(), io)
+        h_new = pc.take(new["_h"].combine_chunks(), inw)
         # "" is never a real md5 hex: null-vs-null text compares unchanged,
         # null-vs-text compares modified
+        differs = pc.not_equal(
+            pc.coalesce(h_old, ""), pc.coalesce(h_new, "")
+        ).to_numpy(zero_copy_only=False)
         change = np.where(
             ~present_old,
             ADDED,
-            np.where(
-                ~present_new,
-                DELETED,
-                np.where(h_old.fillna("") != h_new.fillna(""), MODIFIED, UNCHANGED),
-            ),
+            np.where(~present_new, DELETED, np.where(differs, MODIFIED, UNCHANGED)),
         )
-        out = pd.DataFrame(
-            {
-                "url": m["url"],
-                "change": change,
-                "doc_id": m["_id_old"].fillna(m["_id_new"]).astype("int64"),
-                "new_doc_id": m["_id_new"],
-                "content_hash": h_new.where(present_new, h_old),
-            }
-        )
+        cols = {
+            "url": urls,
+            "change": pa.array(change, pa.string()),
+            "doc_id": pc.if_else(pa.array(present_old), id_old, id_new),
+            "new_doc_id": id_new,
+            "content_hash": pc.if_else(pa.array(present_new), h_new, h_old),
+        }
         for c in carry:
-            out[c] = m[f"{c}_new"]
-        return out
+            cols[c] = pc.take(new[c].combine_chunks(), inw)
+        return pa.table(cols)
 
-    return both.groupby("_bkt").map_groups(per_bucket, batch_format="pandas")
+    return both.groupby("_bkt").map_groups(per_bucket, batch_format="pyarrow")
 
 
 def move_pairs(changes):
@@ -351,12 +351,16 @@ def move_pairs(changes):
             {"content_hash": t["content_hash"], "change": t["change"], "url": t["url"]}
         )
 
-    def pair(g: pd.DataFrame) -> pd.DataFrame:
-        old = g[g["change"] == DELETED]["url"]
-        new = g[g["change"] == ADDED]["url"]
+    def pair(g: pa.Table) -> pa.Table:
+        old = g.filter(pc.equal(g["change"], DELETED))["url"]
+        new = g.filter(pc.equal(g["change"], ADDED))["url"]
         if len(old) == 0 or len(new) == 0:
-            return pd.DataFrame(
-                {"old_url": [], "new_url": [], "n_pairs": pd.Series([], dtype="int64")}
+            return pa.table(
+                {
+                    "old_url": pa.array([], pa.string()),
+                    "new_url": pa.array([], pa.string()),
+                    "n_pairs": pa.array([], pa.int64()),
+                }
             )
         # n_pairs approximates the reference's per-FILE move count (its
         # file_moves list pairs files 1:1): a mass rename of N copies of the
@@ -364,18 +368,21 @@ def move_pairs(changes):
         # max_file_moves_threshold structural trigger can't be dodged by
         # duplicated content — while the emitted ROWS stay one-per-hash
         # (bounded) for sampling.
-        return pd.DataFrame(
+        return pa.table(
             {
-                "old_url": [old.min()],
-                "new_url": [new.min()],
-                "n_pairs": [int(min(old.nunique(), new.nunique()))],
+                "old_url": [pc.min(old).as_py()],
+                "new_url": [pc.min(new).as_py()],
+                "n_pairs": pa.array(
+                    [min(pc.count_distinct(old).as_py(), pc.count_distinct(new).as_py())],
+                    pa.int64(),
+                ),
             }
         )
 
     return (
         changes.map_batches(keep_endpoints, batch_format="pyarrow")
         .groupby("content_hash")
-        .map_groups(pair, batch_format="pandas")
+        .map_groups(pair, batch_format="pyarrow")
     )
 
 

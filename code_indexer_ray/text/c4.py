@@ -108,7 +108,6 @@ def line_dedup_stats(ds):
     shuffle → vectorized multiplicity count → tiny per-doc groupby (the
     span-dedup shape; hashes match DuckDB's ``md5_number_lower`` so the twin
     is collision-proof on both sides)."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     from ..dedup.minhash import md5_lower64
@@ -135,25 +134,38 @@ def line_dedup_stats(ds):
             }
         )
 
-    def partition_stats(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"doc_id": [], "n_lines": [], "n_dup": []}).astype(np.int64)
-        x = g["x"].to_numpy()
-        d = g["doc_id"].to_numpy()
+    def partition_stats(g: pa.Table) -> pa.Table:
+        # Arrow/numpy fold (round-4: was a pandas groupby — conversion tax)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_lines": pa.array([], pa.int64()),
+                    "n_dup": pa.array([], pa.int64()),
+                }
+            )
+        x = g["x"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(x, kind="mergesort")
         x, d = x[order], d[order]
         start = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
         size = np.diff(np.r_[start, len(x)])
         dup = np.repeat(size > 1, size).astype(np.int64)
-        df = pd.DataFrame({"doc_id": d, "one": np.ones(len(d), dtype=np.int64), "du": dup})
-        return df.groupby("doc_id", sort=True, as_index=False).agg(
-            n_lines=("one", "sum"), n_dup=("du", "sum")
+        od = np.argsort(d, kind="mergesort")
+        d2, du2 = d[od], dup[od]
+        dstart = np.flatnonzero(np.r_[True, d2[1:] != d2[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(d2[dstart], pa.int64()),
+                "n_lines": pa.array(np.diff(np.r_[dstart, len(d2)]), pa.int64()),
+                "n_dup": pa.array(np.add.reduceat(du2, dstart), pa.int64()),
+            }
         )
 
     return (
         ds.map_batches(pairs, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(partition_stats, batch_format="pandas")
+        .map_groups(partition_stats, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("n_lines", alias_name="n_lines"), Sum("n_dup", alias_name="n_dup"))
     )

@@ -136,7 +136,6 @@ def span_dedup_stats(ds, *, span_n: int = SPAN_N, num_partitions: int = SPAN_PAR
     shuffle on ``span % num_partitions`` (all occurrences of a span
     co-locate) → vectorized per-partition count of span multiplicities +
     per-doc partial sums → small final ``groupby(doc_id)``."""
-    import pandas as pd
     from ray.data.aggregate import Sum
 
     def pairs(batch: pa.Table) -> pa.Table:
@@ -157,26 +156,39 @@ def span_dedup_stats(ds, *, span_n: int = SPAN_N, num_partitions: int = SPAN_PAR
             }
         )
 
-    def partition_stats(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) == 0:
-            return pd.DataFrame({"doc_id": [], "n_spans": [], "n_shared": []}).astype(np.int64)
-        x = g["x"].to_numpy()
-        d = g["doc_id"].to_numpy()
+    def partition_stats(g: pa.Table) -> pa.Table:
+        # Arrow/numpy fold (round-4: was a pandas groupby — pure conversion
+        # tax; reduceat over the doc-sorted run does the same sum)
+        if g.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "n_spans": pa.array([], pa.int64()),
+                    "n_shared": pa.array([], pa.int64()),
+                }
+            )
+        x = g["x"].to_numpy(zero_copy_only=False)
+        d = g["doc_id"].to_numpy(zero_copy_only=False)
         order = np.argsort(x, kind="mergesort")
         x, d = x[order], d[order]
         start = np.flatnonzero(np.r_[True, x[1:] != x[:-1]])
         size = np.diff(np.r_[start, len(x)])
         shared = np.repeat(size > 1, size).astype(np.int64)
-        df = pd.DataFrame({"doc_id": d, "one": np.ones(len(d), dtype=np.int64), "sh": shared})
-        out = df.groupby("doc_id", sort=True, as_index=False).agg(
-            n_spans=("one", "sum"), n_shared=("sh", "sum")
+        od = np.argsort(d, kind="mergesort")
+        d2, sh2 = d[od], shared[od]
+        dstart = np.flatnonzero(np.r_[True, d2[1:] != d2[:-1]])
+        return pa.table(
+            {
+                "doc_id": pa.array(d2[dstart], pa.int64()),
+                "n_spans": pa.array(np.diff(np.r_[dstart, len(d2)]), pa.int64()),
+                "n_shared": pa.array(np.add.reduceat(sh2, dstart), pa.int64()),
+            }
         )
-        return out
 
     agg = (
         ds.map_batches(pairs, batch_format="pyarrow")
         .groupby("pb")
-        .map_groups(partition_stats, batch_format="pandas")
+        .map_groups(partition_stats, batch_format="pyarrow")
         .groupby("doc_id")
         .aggregate(Sum("n_spans", alias_name="n_spans"), Sum("n_shared", alias_name="n_shared"))
     )
