@@ -379,6 +379,19 @@ def main(argv: list[str] | None = None) -> int:
     vf.add_argument("--deep-sample", type=int, default=None,
                     help="deep-check only every Nth partition")
 
+    dr = sub.add_parser(
+        "doctor",
+        help="detect (and with --fix repair) stale manifests, dangling current "
+        "pointers, orphaned generations/segments, crashed-build debris, stale "
+        "build locks (reference services/config_fixer.py analog)",
+    )
+    dr.add_argument("--index", required=True, help="index root (generations or single index)")
+    dr.add_argument("--fix", action="store_true", help="apply the safe repairs")
+    dr.add_argument("--prune-generations", action="store_true",
+                    help="with --fix: DELETE superseded/abandoned generation dirs")
+    dr.add_argument("--deep", action="store_true", help="deep-verify segment decode")
+    dr.add_argument("--stale-lock-after", type=float, default=300.0)
+
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
     st.add_argument("--index", required=True)
 
@@ -1163,6 +1176,19 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(out))
             if not out["valid"]:
+                return 1
+        elif args.cmd == "doctor":
+            from .index.doctor import doctor
+
+            out = doctor(
+                args.index,
+                fix=args.fix,
+                prune_generations=args.prune_generations,
+                deep=args.deep,
+                stale_lock_after=args.stale_lock_after,
+            )
+            print(json.dumps(out))
+            if not out["healthy"]:
                 return 1
         elif args.cmd == "users":
             from .server.auth import UserManager
