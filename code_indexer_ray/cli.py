@@ -241,6 +241,11 @@ def main(argv: list[str] | None = None) -> int:
     it.add_argument("--max-file-size", type=int, default=1_048_576)
     it.add_argument("--no-gitignore", action="store_true")
     it.add_argument("--concurrency", type=int, default=4)
+    it.add_argument(
+        "--id-map", default=None,
+        help="sidecar parquet keeping url->doc_id stable across re-ingests "
+        "(required for incremental sync over a mutating tree)",
+    )
 
     g = sub.add_parser("gen-corpus", help="write the deterministic synthetic pages corpus")
     g.add_argument("--out", required=True)
@@ -847,7 +852,8 @@ def main(argv: list[str] | None = None) -> int:
                 remove_extensions=spl(args.remove_extensions),
                 add_exclude_dirs=spl(args.add_exclude_dirs),
             )
-            ds = ingest_tree(args.root, args.out, config=cfg, concurrency=args.concurrency)
+            ds = ingest_tree(args.root, args.out, config=cfg,
+                             concurrency=args.concurrency, id_map=args.id_map)
             print(json.dumps({"out": args.out, "num_files": ds.count()}))
         elif args.cmd == "gen-corpus":
             from .pipelines.corpus import write_corpus

@@ -367,22 +367,31 @@ def ingest_tree(
     config: TreeConfig | None = None,
     concurrency: int = 4,
     batch_size: int = 64,
+    id_map: str | None = None,
 ):
     """Walk ``root`` and produce the engine's corpus Dataset
     (``doc_id, url, text, lang, size, mtime_ms, sha``); optionally persist it
     as partitioned parquet at ``out_dir`` for ``build_index`` /
     ``sync_repository`` composition.
 
-    doc ids are the rank of the sorted relative path — deterministic across
-    runs of the same tree, so re-ingest + sync classify modified files by
-    url, exactly like the parquet-corpus path.
+    doc ids: without ``id_map``, the rank of the sorted relative path —
+    deterministic for one tree state.  With ``id_map`` (a sidecar parquet
+    path), ids are STABLE ACROSS RE-INGESTS: known urls keep their allocated
+    id, new urls get fresh ids above the historical maximum (in sorted-path
+    order), and ids of deleted files are never reused (the map keeps every
+    historical allocation — tombstone hygiene for the sync tier).  This is
+    what makes ``ingest → mutate tree → re-ingest → sync_repository`` an
+    INCREMENTAL merge instead of a corpus-wide id churn.
     """
     import ray.data as rd
 
     cfg = config or TreeConfig()
     metas = walk_tree(root, cfg)
-    for i, m in enumerate(metas):
-        m["doc_id"] = i
+    if id_map is not None:
+        _assign_mapped_ids(metas, id_map)
+    else:
+        for i, m in enumerate(metas):
+            m["doc_id"] = i
     if not metas:
         ds = rd.from_arrow(
             pa.table(
@@ -413,6 +422,42 @@ def ingest_tree(
         ds = ds.materialize()
         ds.write_parquet(out_dir)
     return ds
+
+
+def _assign_mapped_ids(metas: list[dict], id_map: str) -> None:
+    """Stable-id allocation against a sidecar parquet map (url, doc_id):
+    known urls keep their id; new urls get max+1.. in sorted-path order; the
+    updated map (historical union — deleted urls stay) is atomically
+    rewritten.  The map is ingest-time-small (one row per path ever seen);
+    at web scale it shards like any dimension table."""
+    import pyarrow.parquet as pq_mod
+
+    known: dict[str, int] = {}
+    if os.path.exists(id_map):
+        t = pq_mod.read_table(id_map, columns=["url", "doc_id"])
+        known = dict(
+            zip(t["url"].to_pylist(), (int(i) for i in t["doc_id"].to_pylist()))
+        )
+    nxt = max(known.values(), default=-1) + 1
+    for m in metas:  # metas are sorted by path → deterministic allocation
+        got = known.get(m["path"])
+        if got is None:
+            got = nxt
+            known[m["path"]] = got
+            nxt += 1
+        m["doc_id"] = got
+    tmp = id_map + ".tmp"
+    urls = sorted(known)
+    pq_mod.write_table(
+        pa.table(
+            {
+                "url": pa.array(urls, pa.string()),
+                "doc_id": pa.array([known[u] for u in urls], pa.int64()),
+            }
+        ),
+        tmp,
+    )
+    os.replace(tmp, id_map)
 
 
 def _finalize_schema(batch: pa.Table) -> pa.Table:

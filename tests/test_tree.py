@@ -190,3 +190,74 @@ class TestIngestE2E:
         assert set(ds.schema().names) == {
             "doc_id", "url", "text", "lang", "size", "mtime_ms", "sha",
         }
+
+
+class TestStableIds:
+    def test_id_map_stability_and_no_reuse(self, ray_session, tmp_path, tree):
+        imap = str(tmp_path / "ids.parquet")
+        cfg = TreeConfig(max_file_size=1024)
+        a = {r["url"]: r["doc_id"]
+             for r in ingest_tree(tree, config=cfg, id_map=imap).take_all()}
+        # mutate: delete one, add one, modify one
+        os.unlink(os.path.join(tree, "lib/util.js"))
+        _mk(tree, "zz_new.py", b"fresh = True\n")
+        _mk(tree, "main.py", b"x = 2\n")
+        b = {r["url"]: r["doc_id"]
+             for r in ingest_tree(tree, config=cfg, id_map=imap).take_all()}
+        # surviving urls keep their ids
+        for u in ("main.py", "README.md", "lib/deep/mod.rs"):
+            assert b[u] == a[u]
+        # the new file gets a FRESH id — deleted lib/util.js's id is not reused
+        assert b["zz_new.py"] not in set(a.values())
+        # re-adding the deleted file restores its ORIGINAL id from the map
+        _mk(tree, "lib/util.js", b"y = 3\n")
+        c = {r["url"]: r["doc_id"]
+             for r in ingest_tree(tree, config=cfg, id_map=imap).take_all()}
+        assert c["lib/util.js"] == a["lib/util.js"]
+
+    def test_tree_sync_incremental_end_to_end(self, ray_session, tmp_path):
+        """The composition the front door exists for: ingest → build →
+        mutate the checkout → re-ingest (stable ids) → sync_repository
+        chooses INCREMENTAL and the merged index matches a full rebuild."""
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.pipelines.sync import sync_repository
+        from code_indexer_ray.query.engine import IndexSearcher
+
+        root = str(tmp_path / "repo")
+        for i in range(30):
+            _mk(root, f"pkg{i % 3}/m{i}.py", f"def f{i}():\n    common()\n".encode())
+        imap = str(tmp_path / "ids.parquet")
+        cfg = TreeConfig(max_file_size=4096)
+        corpus0 = str(tmp_path / "c0")
+        ingest_tree(root, corpus0, config=cfg, id_map=imap)
+        idx0 = str(tmp_path / "idx0")
+        build_index(corpus0, idx0, store_cols=("lang", "url", "sha"),
+                    num_shards=2, num_buckets=2, doc_id_upper=4096, resume=False)
+
+        # mutate: modify 2, delete 1, add 1  (4/30 ≈ 13% < 30% threshold)
+        _mk(root, "pkg0/m0.py", b"def f0():\n    changed_term()\n")
+        _mk(root, "pkg1/m1.py", b"def f1():\n    changed_term()\n")
+        os.unlink(os.path.join(root, "pkg2/m2.py"))
+        _mk(root, "pkg0/m99.py", b"def f99():\n    fresh_term()\n")
+        corpus1 = str(tmp_path / "c1")
+        ingest_tree(root, corpus1, config=cfg, id_map=imap)
+
+        out = str(tmp_path / "synced")
+        report = sync_repository(idx0, corpus1, out)
+        assert report["executed"] == "incremental", report
+        assert report["changes"]["added"] == 1
+        assert report["changes"]["deleted"] == 1
+        assert report["changes"]["modified"] == 2
+
+        rebuild = str(tmp_path / "rebuild")
+        build_index(corpus1, rebuild, store_cols=("lang", "url", "sha"),
+                    num_shards=2, num_buckets=2, doc_id_upper=4096, resume=False)
+        a = IndexSearcher(out)
+        b = IndexSearcher(rebuild)
+        for q in ["common", "changed_term", "fresh_term", "f1", "f99", "f2"]:
+            ra = [(h["doc_id"], round(h["score"], 9))
+                  for h in a.search(q, limit=0, snippet_lines=0)]
+            rb = [(h["doc_id"], round(h["score"], 9))
+                  for h in b.search(q, limit=0, snippet_lines=0)]
+            assert ra == rb, q
+        assert a.search("f2", snippet_lines=0) == []  # deleted file gone
