@@ -10,7 +10,7 @@ latency over a synthesized Common-Crawl-shaped corpus (BASELINE.md targets).
   scaling efficiency (sandbox stand-in for N vs 4N nodes per BASELINE.json).
 
 Env: GRAFT_SF_DIR (default /root/testdata/sf0.1), RAY_GRAFT_CPUS (default 32),
-GRAFT_BENCH_DOCS (default 100000 synthetic pages; --scaling children default 200000).
+GRAFT_BENCH_DOCS (default 100000 synthetic pages; --scaling children default 400000 — at 200000 the 32-cpu leg finishes in ~10 s and fixed session costs flatter the small leg; see BASELINE.md round-4 scaling).
 """
 
 from __future__ import annotations
@@ -606,7 +606,7 @@ def run_scaling() -> None:
         env = dict(
             os.environ,
             RAY_GRAFT_CPUS=str(ncpu),
-            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "200000"),
+            GRAFT_BENCH_DOCS=os.environ.get("GRAFT_BENCH_DOCS", "400000"),
             CIDX_READ_BLOCKS=os.environ.get("CIDX_READ_BLOCKS", "128"),
             GRAFT_BENCH_FAST="1",
             GRAFT_BENCH_REPS=str(reps),

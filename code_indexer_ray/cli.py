@@ -474,6 +474,11 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--num-parts", type=int, default=16)
     g.add_argument("--id-col", default="doc_id")
     g.add_argument("--text-col", default="text")
+    g.add_argument(
+        "--python-ast", action="store_true",
+        help="AST-accurate Python extraction (qualified nested defs, "
+        "alias-resolved callees) instead of the regex anchors",
+    )
     scsub.add_parser("status", help="store manifest summary").add_argument(
         "--store", required=True
     )
@@ -1054,6 +1059,7 @@ def main(argv: list[str] | None = None) -> int:
                     num_parts=args.num_parts,
                     id_col=args.id_col,
                     text_col=args.text_col,
+                    extractor="python_ast" if args.python_ast else "regex",
                 )
                 print(
                     json.dumps(

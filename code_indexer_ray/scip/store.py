@@ -67,10 +67,20 @@ def build_symbol_store(
     text_col: str = "text",
     row_group_size: int = 4096,
     fingerprint: str | None = None,
+    extractor: str = "regex",
 ) -> dict:
     """Extract symbol occurrences from ``ds`` (a docs Dataset) and persist
     the partitioned store at ``out_dir``.  Returns the manifest dict.  A
-    complete store with a matching fingerprint is a no-op fast path."""
+    complete store with a matching fingerprint is a no-op fast path.
+
+    ``extractor``: ``"regex"`` (default — the language-generic anchor
+    extractor, closed-form-verifiable) or ``"python_ast"`` (the
+    ``text/pyast.py`` precision tier for Python corpora: QUALIFIED nested
+    defs, classes folded into kind=def, alias-resolved callees, import rows
+    kept as kind=import keyed by the imported TARGET so
+    ``occurrences(module, kind="import")`` answers import-site queries).
+    Store layout and every query path are identical either way.
+    """
     import shutil
 
     import ray
@@ -85,8 +95,10 @@ def build_symbol_store(
             # a complete store is reused only when its recorded parameters
             # match; content staleness is the caller's contract via
             # fingerprint= (same as build_index)
-            if man.get("num_parts") == num_parts and (
-                fingerprint is None or man.get("fingerprint") == fingerprint
+            if (
+                man.get("num_parts") == num_parts
+                and man.get("extractor", "regex") == extractor
+                and (fingerprint is None or man.get("fingerprint") == fingerprint)
             ):
                 return man
         except (OSError, ValueError):
@@ -98,8 +110,36 @@ def build_symbol_store(
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
 
+    if extractor not in ("regex", "python_ast"):
+        raise ValueError(f"unknown extractor {extractor!r} (regex | python_ast)")
+
+    def extract(batch: pa.Table) -> pa.Table:
+        if extractor == "regex":
+            return extract_symbols_batch(batch, id_col=id_col, text_col=text_col)
+        from ..text.pyast import extract_python_ast_batch
+
+        t = extract_python_ast_batch(batch, id_col=id_col, text_col=text_col)
+        kind = t["kind"].combine_chunks() if isinstance(t["kind"], pa.ChunkedArray) else t["kind"]
+        # classes are definitions for the store's query surface; import rows
+        # key on the imported TARGET (import-site lookup by module path)
+        new_kind = pc.if_else(pc.equal(kind, "class"), pa.scalar("def"), kind)
+        sym_col = pc.if_else(
+            pc.equal(kind, "import"),
+            t["target"].combine_chunks() if isinstance(t["target"], pa.ChunkedArray) else t["target"],
+            t["sym"].combine_chunks() if isinstance(t["sym"], pa.ChunkedArray) else t["sym"],
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "kind": new_kind,
+                "sym": sym_col,
+                "line": t["line"],
+                "caller": t["caller"],
+            }
+        )
+
     def occ(batch: pa.Table) -> pa.Table:
-        t = extract_symbols_batch(batch, id_col=id_col, text_col=text_col)
+        t = extract(batch)
         sym = t["sym"].combine_chunks() if isinstance(t["sym"], pa.ChunkedArray) else t["sym"]
         enc = sym.dictionary_encode()
         hp = (_hash64_batch(enc.dictionary) % np.uint64(num_parts)).astype(np.int64)
@@ -176,6 +216,7 @@ def build_symbol_store(
     man = {
         "num_parts": num_parts,
         "fingerprint": fingerprint,
+        "extractor": extractor,
         "parts": sorted(
             [
                 {"part": r["part"], "rows": r["rows"], "n_defs": r["n_defs"]}

@@ -25,7 +25,15 @@ in-process engine otherwise; ``--no-daemon`` forces local.
 
 Protocol ops: ``ping``, ``status``, ``search`` (params = the REST surface),
 ``batch``, ``mget``, ``suggest``, ``complete``, ``clear_cache``,
-``shutdown``.
+``shutdown`` — plus the reference daemon's indexing/watch trio
+(``exposed_index`` at ``daemon/service.py:690``, ``exposed_index_blocking``
+at ``:458``, ``exposed_get_index_progress`` at ``:743``,
+``exposed_watch_start/stop/status`` at ``:913-999``): ``index`` spawns a
+BACKGROUND build subprocess (the daemon itself stays Ray-free — the CLI
+child owns the Ray session, exactly like ``daemon start``) into a fresh
+generation and repoints ``current`` on success, ``index_status`` polls it,
+``index_blocking`` waits; ``watch_start/stop/status`` manage one watch-loop
+subprocess over the index root.
 """
 
 from __future__ import annotations
@@ -43,6 +51,17 @@ __all__ = ["DaemonServer", "DaemonClient", "socket_path_for", "daemon_alive"]
 
 SOCKET_DIR = "/tmp/cidx_ray"
 _MAX_LINE = 8 * 1024 * 1024
+
+
+def _child_env() -> dict:
+    """Subprocess env with the package's parent dir on PYTHONPATH (the daemon
+    may have been launched via sys.path manipulation the child won't inherit)."""
+    pkg_parent = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    )
+    env = dict(os.environ)
+    env["PYTHONPATH"] = pkg_parent + os.pathsep + env.get("PYTHONPATH", "")
+    return env
 
 
 def socket_path_for(index_dir: str) -> str:
@@ -100,6 +119,8 @@ class DaemonServer:
             follow=True,
             warm=warm,
             pool_size=pool_size,
+            defer_missing=True,  # daemon over an empty root: first `index`
+                                 # op publishes gen 0; queries 503 until then
         )
         self._slots: queue.Queue = queue.Queue()
         for i in range(max(1, int(pool_size))):
@@ -108,6 +129,13 @@ class DaemonServer:
         self.started_at = time.time()
         self.query_count = 0
         self._count_lock = threading.Lock()
+        # background build / watch subprocess state (reference daemon
+        # indexing_thread + watch_manager analogs; one of each at a time)
+        self._job_lock = threading.Lock()
+        self._build_proc = None
+        self._build_state: dict = {"running": False}
+        self._watch_proc = None
+        self._watch_state: dict = {"running": False}
         server = self
 
         class Handler(socketserver.StreamRequestHandler):
@@ -155,6 +183,10 @@ class DaemonServer:
         self._srv.serve_forever()
 
     def shutdown(self) -> None:
+        with self._job_lock:
+            for proc in (self._watch_proc, self._build_proc):
+                if proc is not None and proc.poll() is None:
+                    proc.terminate()
         self._srv.shutdown()
         self._srv.server_close()
         for p in (self.socket_path, self.socket_path + ".pid"):
@@ -201,6 +233,10 @@ class DaemonServer:
                     self._follower.index_dir
                 )
             return {"ok": True, "result": {"cleared": True}}
+        if op in ("index", "index_blocking", "index_status"):
+            return self._op_index(op, req)
+        if op in ("watch_start", "watch_stop", "watch_status"):
+            return self._op_watch(op, req)
         if op in ("search", "batch", "mget", "suggest", "complete"):
             slot, searcher = self._checkout()
             try:
@@ -214,6 +250,134 @@ class DaemonServer:
             finally:
                 self._slots.put(slot)
         return {"ok": False, "error": f"unknown op {op!r}"}
+
+    # -- background build / watch (reference daemon indexing + watch ops) --
+
+    def _next_generation(self) -> tuple[int, str]:
+        gens = [
+            int(n[4:])
+            for n in os.listdir(self.index_root)
+            if n.startswith("gen_") and n[4:].isdigit()
+        ]
+        g = max(gens, default=-1) + 1
+        return g, os.path.join(self.index_root, f"gen_{g:06d}")
+
+    def _publish(self, gen_name: str) -> None:
+        ptr = os.path.join(self.index_root, "current")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(gen_name)
+        os.replace(tmp, ptr)
+
+    def _op_index(self, op: str, req: dict) -> dict:
+        import subprocess
+        import sys
+
+        if op == "index_status":
+            with self._job_lock:
+                if self._build_proc is not None and self._build_proc.poll() is not None:
+                    self._reap_build()
+                return {"ok": True, "result": dict(self._build_state)}
+        if os.path.exists(os.path.join(self.index_root, "manifest.json")):
+            return {
+                "ok": False,
+                "error": "index root is a bare index, not a generation root — "
+                "builds need the gen_XXXXXX/current layout",
+            }
+        inp = req.get("input")
+        if not inp:
+            return {"ok": False, "error": "missing required parameter 'input'"}
+        with self._job_lock:
+            if self._build_proc is not None and self._build_proc.poll() is None:
+                return {"ok": False, "error": "a build is already running"}
+            gen, gen_dir = self._next_generation()
+            cmd = [
+                sys.executable, "-m", "code_indexer_ray", "build",
+                "--input", str(inp), "--out", gen_dir, "--no-resume",
+            ]
+            if req.get("store_cols"):
+                cmd += ["--store-cols", ",".join(req["store_cols"])]
+            if req.get("doc_id_upper") is not None:
+                cmd += ["--doc-id-upper", str(int(req["doc_id_upper"]))]
+            log = os.path.join(self.index_root, f"gen_{gen:06d}.build.log")
+            lf = open(log, "ab")
+            self._build_proc = subprocess.Popen(
+                cmd, stdout=lf, stderr=lf, stdin=subprocess.DEVNULL,
+                env=_child_env(),
+            )
+            self._build_state = {
+                "running": True, "generation": gen, "gen_dir": gen_dir,
+                "pid": self._build_proc.pid, "log": log, "error": None,
+            }
+        if op == "index":
+            return {"ok": True, "result": dict(self._build_state)}
+        # index_blocking: wait, then publish
+        self._build_proc.wait()
+        with self._job_lock:
+            self._reap_build()
+            return {"ok": True, "result": dict(self._build_state)}
+
+    def _reap_build(self) -> None:
+        """Caller holds _job_lock; build subprocess has exited."""
+        proc = self._build_proc
+        if proc is None or self._build_state.get("running") is False:
+            return
+        rc = proc.poll()
+        if rc is None:
+            return
+        st = self._build_state
+        st["running"] = False
+        st["returncode"] = rc
+        if rc == 0:
+            self._publish(os.path.basename(st["gen_dir"]))
+            st["published"] = True
+        else:
+            st["error"] = f"build exited {rc} (see {st['log']})"
+
+    def _op_watch(self, op: str, req: dict) -> dict:
+        import subprocess
+        import sys
+
+        with self._job_lock:
+            if op == "watch_status":
+                running = self._watch_proc is not None and self._watch_proc.poll() is None
+                self._watch_state["running"] = running
+                return {"ok": True, "result": dict(self._watch_state)}
+            if op == "watch_stop":
+                if self._watch_proc is None or self._watch_proc.poll() is not None:
+                    self._watch_state["running"] = False
+                    return {"ok": True, "result": {"stopped": False, "running": False}}
+                self._watch_proc.terminate()
+                try:
+                    self._watch_proc.wait(timeout=15)
+                except subprocess.TimeoutExpired:
+                    self._watch_proc.kill()
+                self._watch_state["running"] = False
+                return {"ok": True, "result": {"stopped": True, "running": False}}
+            # watch_start
+            if self._watch_proc is not None and self._watch_proc.poll() is None:
+                return {"ok": False, "error": "watch is already running"}
+            inp = req.get("input")
+            if not inp:
+                return {"ok": False, "error": "missing required parameter 'input'"}
+            cmd = [
+                sys.executable, "-m", "code_indexer_ray", "watch",
+                "--input", str(inp), "--index-root", self.index_root,
+                "--interval", str(float(req.get("interval", 5.0))),
+            ]
+            if req.get("store_cols"):
+                cmd += ["--store-cols", ",".join(req["store_cols"])]
+            log = os.path.join(self.index_root, "watch.log")
+            lf = open(log, "ab")
+            self._watch_proc = subprocess.Popen(
+                cmd, stdout=lf, stderr=lf, stdin=subprocess.DEVNULL,
+                env=_child_env(),
+            )
+            self._watch_state = {
+                "running": True, "pid": self._watch_proc.pid,
+                "input": str(inp), "log": log,
+            }
+            return {"ok": True, "result": dict(self._watch_state)}
 
     def _query(self, op: str, searcher, req: dict):
         from .http import rest_search

@@ -307,3 +307,78 @@ class TestCLIDelegation:
             assert srv.query_count == before  # daemon untouched
         finally:
             os.unlink(derived)
+
+
+class TestDaemonIndexOps:
+    """Reference daemon indexing/watch op trio: build subprocess into a
+    fresh generation + publish, progress polling, watch lifecycle."""
+
+    def test_index_blocking_over_empty_root_then_search(self, ray_session, tmp_path):
+        src = _corpus(tmp_path, n=40)
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        sock = str(tmp_path / "d.sock")
+        srv = DaemonServer(root, socket_path=sock, pool_size=1, warm=False)
+        srv.start()
+        try:
+            with DaemonClient(sock, timeout=300) as c:
+                # empty root: queries refuse cleanly
+                with pytest.raises(RuntimeError, match="no index generation"):
+                    c.request("search", q="spark", params={"limit": 2})
+                st = c.request(
+                    "index_blocking", input=src, store_cols=["lang", "url"]
+                )
+                assert st["returncode"] == 0, st
+                assert st["published"] is True and st["generation"] == 0
+                with open(os.path.join(root, "current")) as f:
+                    assert f.read().strip() == "gen_000000"
+                hits = c.request("search", q="spark", params={"limit": 3})
+                assert len(hits) == 3
+                # background variant: second build publishes gen 1
+                st2 = c.request("index", input=src, store_cols=["lang", "url"])
+                assert st2["running"] is True and st2["generation"] == 1
+                deadline = time.monotonic() + 240
+                while time.monotonic() < deadline:
+                    st3 = c.request("index_status")
+                    if not st3["running"]:
+                        break
+                    time.sleep(0.5)
+                assert st3["returncode"] == 0 and st3["published"] is True
+                with open(os.path.join(root, "current")) as f:
+                    assert f.read().strip() == "gen_000001"
+                assert c.request("status")["num_docs"] == 40
+        finally:
+            srv.shutdown()
+
+    def test_index_refused_on_bare_index(self, daemon_idx, tmp_path):
+        idx, sock, srv, _s = daemon_idx
+        with DaemonClient(sock) as c:
+            with pytest.raises(RuntimeError, match="generation root"):
+                c.request("index", input="whatever.parquet")
+
+    def test_watch_lifecycle(self, ray_session, tmp_path):
+        import pyarrow.parquet as _pq
+
+        watch_in = str(tmp_path / "incoming")
+        os.makedirs(watch_in)
+        root = str(tmp_path / "root")
+        os.makedirs(root)
+        sock = str(tmp_path / "d.sock")
+        srv = DaemonServer(root, socket_path=sock, pool_size=1, warm=False)
+        srv.start()
+        try:
+            with DaemonClient(sock, timeout=120) as c:
+                assert c.request("watch_status")["running"] is False
+                st = c.request("watch_start", input=watch_in, interval=0.5,
+                               store_cols=["lang", "url"])
+                assert st["running"] is True and st["pid"] > 0
+                with pytest.raises(RuntimeError, match="already running"):
+                    c.request("watch_start", input=watch_in)
+                assert c.request("watch_status")["running"] is True
+                out = c.request("watch_stop")
+                assert out["stopped"] is True
+                assert c.request("watch_status")["running"] is False
+                # idempotent stop
+                assert c.request("watch_stop")["stopped"] is False
+        finally:
+            srv.shutdown()

@@ -247,3 +247,75 @@ def test_multilanguage_extraction(ray_session):
         pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["def a():\n    x b()\n"]})
     )
     assert t.filter(pa.compute.equal(t["kind"], "def"))["sym"].to_pylist() == ["a"]
+
+
+class TestPyAstExtractor:
+    """build_symbol_store(extractor="python_ast"): the precision tier wired
+    into the persisted store — same layout, same query paths."""
+
+    @pytest.fixture(scope="class")
+    def ast_store(self, ray_session, tmp_path_factory):
+        import ray.data as rd
+
+        from code_indexer_ray.scip.store import SymbolStore, build_symbol_store
+
+        src = (
+            "import numpy as np\n"
+            "def outer():\n"
+            "    def inner():\n"
+            "        np.zeros()\n"
+            "    inner()\n"
+            "class C:\n"
+            "    def meth(self):\n"
+            "        outer()\n"
+        )
+        docs = pa.table({"doc_id": list(range(8)), "text": [src] * 8})
+        root = str(tmp_path_factory.mktemp("aststore") / "store")
+        man = build_symbol_store(
+            rd.from_arrow(docs), root, num_parts=4, extractor="python_ast"
+        )
+        return SymbolStore(root), man
+
+    def test_qualified_defs_and_classes(self, ast_store):
+        ss, man = ast_store
+        assert man["extractor"] == "python_ast"
+        # nested def under its qualified name; class folded into kind=def
+        assert ss.definitions("outer.inner").num_rows == 8
+        assert ss.definitions("C").num_rows == 8
+        assert ss.definitions("C.meth").num_rows == 8
+        # the regex path's unqualified names don't exist here
+        assert ss.definitions("inner").num_rows == 0
+
+    def test_alias_resolved_references(self, ast_store):
+        ss, _ = ast_store
+        refs = ss.references("numpy.zeros")
+        assert refs.num_rows == 8
+        assert set(refs["caller"].to_pylist()) == {"outer.inner"}
+
+    def test_import_site_lookup(self, ast_store):
+        ss, _ = ast_store
+        imp = ss.occurrences("numpy", kind="import")
+        assert imp.num_rows == 8
+
+    def test_call_graph_qualified(self, ast_store):
+        ss, _ = ast_store
+        deps = {r["callee"]: r["n_calls"] for r in ss.dependencies("outer").to_pylist()}
+        assert deps == {"outer.inner": 8}
+        dents = {r["caller"] for r in ss.dependents("outer").to_pylist()}
+        assert dents == {"C.meth"}
+
+    def test_extractor_mismatch_rebuilds(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from code_indexer_ray.scip.store import build_symbol_store
+
+        docs = pa.table({"doc_id": [0], "text": ["def f():\n    g()\n"]})
+        root = str(tmp_path / "store")
+        m1 = build_symbol_store(rd.from_arrow(docs), root, num_parts=2)
+        assert m1["extractor"] == "regex"
+        m2 = build_symbol_store(
+            rd.from_arrow(docs), root, num_parts=2, extractor="python_ast"
+        )
+        assert m2["extractor"] == "python_ast"  # param mismatch → rebuild
+        with pytest.raises(ValueError, match="unknown extractor"):
+            build_symbol_store(rd.from_arrow(docs), root, extractor="clang")
