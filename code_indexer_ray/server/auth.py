@@ -764,6 +764,17 @@ class AuthTier:
         self.api_keys = ApiKeyManager(
             auth_dir, self.users, iterations=iterations, now_fn=now_fn
         )
+        # OAuth 2.1 tier (reference server/auth/oauth/): PKCE code flow,
+        # refresh rotation, client_credentials via the API-key tier; the
+        # serving layer stamps the real issuer URL when it binds
+        from .oauth import OAuthManager
+
+        self.oauth = OAuthManager(
+            os.path.join(auth_dir, "oauth.sqlite"),
+            users=self.users,
+            api_keys=self.api_keys,
+            now_fn=now_fn,
+        )
         if seed_admin is not None and not self.users.all_users():
             name, password = seed_admin
             self.users.create_user(name, password, UserRole.ADMIN)

@@ -451,6 +451,9 @@ class IndexHTTPServer:
         self.httpd = ThreadingHTTPServer((host, port), Handler)
         self.httpd.daemon_threads = True
         self.host, self.port = self.httpd.server_address[:2]
+        if self.auth is not None and getattr(self.auth, "oauth", None) is not None:
+            # discovery metadata must advertise THIS server's real endpoints
+            self.auth.oauth.issuer = f"http://{self.host}:{self.port}"
         self._thread: threading.Thread | None = None
 
     # ---- lifecycle ----
@@ -512,7 +515,13 @@ class IndexHTTPServer:
         h.wfile.write(data)
 
     # routes reachable without credentials when the auth tier is on
-    _PUBLIC_ROUTES = frozenset({"/health", "/auth/login", "/auth/refresh"})
+    _PUBLIC_ROUTES = frozenset({
+        "/health", "/auth/login", "/auth/refresh",
+        # OAuth 2.1 surface (reference server/auth/oauth/routes.py): the
+        # protocol endpoints are public by definition
+        "/.well-known/oauth-authorization-server",
+        "/oauth/register", "/oauth/authorize", "/oauth/token", "/oauth/revoke",
+    })
 
     @staticmethod
     def _required_permission(route: str, method: str) -> str | None:
@@ -560,12 +569,29 @@ class IndexHTTPServer:
                         self._reply(h, 401, {"error": "invalid or revoked API key"})
                         return
                 else:
-                    try:
-                        user = self.auth.authenticate_bearer(h.headers.get("Authorization"))
-                    except AuthError as e:
-                        self._reply(h, 401, {"error": str(e)})
-                        return
-                    h._renewed_token = self.auth.jwt.create_token(user.to_public())
+                    authz = h.headers.get("Authorization") or ""
+                    oauth_user = None
+                    if authz.startswith("Bearer ") and getattr(self.auth, "oauth", None):
+                        # opaque OAuth 2.1 access token (no JWT dots): DB
+                        # lookup, live-role user, sliding extension under the
+                        # hard cap — no X-Renewed-Token (the token itself is
+                        # the session)
+                        tok = authz[len("Bearer "):]
+                        if "." not in tok:
+                            info = self.auth.oauth.validate_token(tok)
+                            if info is not None:
+                                oauth_user = self.auth.users.get_user(info["user_id"])
+                                if oauth_user is not None:
+                                    self.auth.oauth.extend_token_on_activity(tok)
+                    if oauth_user is not None:
+                        user = oauth_user
+                    else:
+                        try:
+                            user = self.auth.authenticate_bearer(h.headers.get("Authorization"))
+                        except AuthError as e:
+                            self._reply(h, 401, {"error": str(e)})
+                            return
+                        h._renewed_token = self.auth.jwt.create_token(user.to_public())
                 perm = self._required_permission(route, method)
                 if not user.has_permission(perm):
                     h._renewed_token = None
@@ -579,6 +605,9 @@ class IndexHTTPServer:
             if h.headers.get("X-API-Key") != self.api_key:
                 self._reply(h, 401, {"error": "missing or invalid X-API-Key"})
                 return
+        if route.startswith("/oauth/") or route == "/.well-known/oauth-authorization-server":
+            self._dispatch_oauth(h, route, method, params)
+            return
         if route.startswith("/auth/") or route.startswith("/api/"):
             self._dispatch_auth(h, route, method, params, user)
             return
@@ -616,6 +645,110 @@ class IndexHTTPServer:
         finally:
             self._tls.searcher = None
             self._slots.put(slot)
+        self._reply(h, 200, out)
+
+    def _dispatch_oauth(self, h, route: str, method: str, params: dict) -> None:
+        """OAuth 2.1 protocol endpoints (reference server/auth/oauth/routes.py,
+        programmatic JSON flow): discovery, dynamic client registration,
+        resource-owner-authenticated authorization (PKCE required), token
+        grants with the OAuth error-code mapping, RFC 7009 revocation."""
+        from .auth import AuthError
+        from .oauth import OAuthError
+
+        if self.auth is None or getattr(self.auth, "oauth", None) is None:
+            self._reply(h, 404, {"error": "oauth tier not configured"})
+            return
+        om = self.auth.oauth
+        # the issuer is this server's real base URL (stamped at bind time)
+        if route == "/.well-known/oauth-authorization-server":
+            self._reply(h, 200, om.get_discovery_metadata())
+            return
+        if method != "POST":
+            self._reply(h, 405, {"error": "POST required"})
+            return
+
+        def need(key: str) -> str:
+            v = params.get(key)
+            if not v:
+                raise ValueError(f"missing required parameter {key!r}")
+            return str(v)
+
+        try:
+            if route == "/oauth/register":
+                uris = params.get("redirect_uris")
+                if not isinstance(uris, list) or not uris:
+                    raise ValueError("redirect_uris must be a non-empty list")
+                out = om.register_client(
+                    need("client_name"), [str(u) for u in uris],
+                    grant_types=params.get("grant_types"),
+                    response_types=params.get("response_types"),
+                    token_endpoint_auth_method=params.get("token_endpoint_auth_method"),
+                    scope=params.get("scope"),
+                )
+            elif route == "/oauth/authorize":
+                if params.get("response_type") != "code":
+                    raise ValueError("Invalid response_type. Must be 'code'")
+                if not params.get("code_challenge"):
+                    raise ValueError("code_challenge required (PKCE)")
+                username, password = need("username"), need("password")
+                user = self.auth.users.authenticate(username, password)
+                if user is None:
+                    self._reply(h, 401, {"error": "Invalid credentials"})
+                    return
+                code = om.generate_authorization_code(
+                    client_id=need("client_id"),
+                    user_id=user.username,
+                    code_challenge=need("code_challenge"),
+                    redirect_uri=need("redirect_uri"),
+                    state=need("state"),
+                )
+                out = {"code": code, "state": params["state"]}
+            elif route == "/oauth/token":
+                grant = need("grant_type")
+                if grant == "authorization_code":
+                    out = om.exchange_code_for_token(
+                        need("code"), need("code_verifier"), need("client_id")
+                    )
+                elif grant == "refresh_token":
+                    out = om.refresh_access_token(
+                        need("refresh_token"), params.get("client_id") or ""
+                    )
+                elif grant == "client_credentials":
+                    try:
+                        out = om.handle_client_credentials_grant(
+                            need("client_id"), need("client_secret"),
+                            scope=params.get("scope"),
+                        )
+                    except OAuthError as e:
+                        if "Invalid client credentials" in str(e):
+                            self._reply(h, 401, {
+                                "error": "invalid_client",
+                                "error_description": str(e),
+                            })
+                            return
+                        raise
+                else:
+                    self._reply(h, 400, {
+                        "error": "unsupported_grant_type",
+                        "error_description": f"Unsupported grant_type: {grant}",
+                    })
+                    return
+            elif route == "/oauth/revoke":
+                # RFC 7009: 200 whether or not the token existed
+                om.revoke_token(need("token"), params.get("token_type_hint"))
+                out = {}
+            else:
+                self._reply(h, 404, {"error": f"unknown route {route!r}"})
+                return
+        except OAuthError as e:
+            self._reply(h, 400, {"error": "invalid_grant", "error_description": str(e)})
+            return
+        except AuthError as e:
+            self._reply(h, 401, {"error": str(e)})
+            return
+        except ValueError as e:
+            self._reply(h, 400, {"error": "invalid_request", "error_description": str(e)})
+            return
         self._reply(h, 200, out)
 
     def _dispatch_auth(self, h, route: str, method: str, params: dict, user) -> None:
