@@ -169,6 +169,7 @@ class User:
     password_hash: str
     role: UserRole
     created_at: str
+    email: Optional[str] = None  # optional; the OIDC tier links/JITs by it
 
     def has_permission(self, permission: Optional[str]) -> bool:
         """Inherited permission check: admin ⊃ power_user ⊃ normal_user."""
@@ -182,11 +183,14 @@ class User:
         return permission in perms
 
     def to_public(self) -> dict:
-        return {
+        out = {
             "username": self.username,
             "role": self.role.value,
             "created_at": self.created_at,
         }
+        if self.email:
+            out["email"] = self.email
+        return out
 
 
 # ---------------------------------------------------------------------------
@@ -232,11 +236,21 @@ class UserManager:
         os.replace(tmp, self._path)
 
     def _mk(self, name: str, rec: dict) -> User:
-        return User(name, rec["password_hash"], UserRole(rec["role"]), rec["created_at"])
+        return User(
+            name, rec["password_hash"], UserRole(rec["role"]), rec["created_at"],
+            email=rec.get("email"),
+        )
 
     # -- CRUD --
 
-    def create_user(self, username: str, password: str, role: UserRole | str) -> User:
+    def create_user(
+        self,
+        username: str,
+        password: str,
+        role: UserRole | str,
+        *,
+        email: str | None = None,
+    ) -> User:
         role = UserRole(role)
         if not username or "/" in username or username != username.strip():
             raise ValueError(f"invalid username {username!r}")
@@ -256,8 +270,21 @@ class UserManager:
                     self._now_fn(), tz=timezone.utc
                 ).isoformat(),
             }
+            if email:
+                users[username]["email"] = email
             self._save(users)
             return self._mk(username, users[username])
+
+    def get_user_by_email(self, email: str) -> Optional[User]:
+        """First user whose stored email matches (case-insensitive) —
+        the OIDC auto-link lookup (reference user_manager.get_user_by_email)."""
+        if not email:
+            return None
+        with self._lock:
+            for name, rec in self._load().items():
+                if (rec.get("email") or "").lower() == email.lower():
+                    return self._mk(name, rec)
+        return None
 
     def get_user(self, username: str) -> Optional[User]:
         with self._lock:
@@ -748,6 +775,7 @@ class AuthTier:
         seed_admin: tuple[str, str] | None = None,
         now_fn: Callable[[], float] = time.time,
         mono_fn: Callable[[], float] = time.monotonic,
+        oidc_config=None,
     ):
         self.users = UserManager(auth_dir, iterations=iterations, now_fn=now_fn)
         self.jwt = JWTManager(
@@ -775,6 +803,18 @@ class AuthTier:
             api_keys=self.api_keys,
             now_fn=now_fn,
         )
+        # OIDC SSO (reference server/auth/oidc/): configured per deployment;
+        # shares the oauth DB for identity links, one state manager
+        self.oidc = None
+        self.oidc_states = None
+        if oidc_config is not None and getattr(oidc_config, "enabled", False):
+            from .oidc import OIDCManager, StateManager
+
+            self.oidc = OIDCManager(
+                oidc_config, self.users,
+                os.path.join(auth_dir, "oauth.sqlite"), now_fn=now_fn,
+            )
+            self.oidc_states = StateManager(now_fn=now_fn)
         if seed_admin is not None and not self.users.all_users():
             name, password = seed_admin
             self.users.create_user(name, password, UserRole.ADMIN)

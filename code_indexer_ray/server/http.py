@@ -521,6 +521,7 @@ class IndexHTTPServer:
         # protocol endpoints are public by definition
         "/.well-known/oauth-authorization-server",
         "/oauth/register", "/oauth/authorize", "/oauth/token", "/oauth/revoke",
+        "/auth/sso/login", "/auth/sso/callback",
     })
 
     @staticmethod
@@ -608,6 +609,9 @@ class IndexHTTPServer:
         if route.startswith("/oauth/") or route == "/.well-known/oauth-authorization-server":
             self._dispatch_oauth(h, route, method, params)
             return
+        if route.startswith("/auth/sso/"):
+            self._dispatch_sso(h, route, method, params)
+            return
         if route.startswith("/auth/") or route.startswith("/api/"):
             self._dispatch_auth(h, route, method, params, user)
             return
@@ -645,6 +649,99 @@ class IndexHTTPServer:
         finally:
             self._tls.searcher = None
             self._slots.put(slot)
+        self._reply(h, 200, out)
+
+    def _dispatch_sso(self, h, route: str, method: str, params: dict) -> None:
+        """OIDC SSO routes (reference server/auth/oidc/routes.py):
+        /auth/sso/login starts the flow (server-held PKCE verifier in the
+        one-time state; returns the IdP authorization URL), /auth/sso/callback
+        finishes it (state → code exchange → userinfo → match/link/JIT →
+        this server's token pair, or an OAuth authorization code when the
+        state carries flow=oauth_authorize)."""
+        from .oidc import OIDCError
+        from .oauth import OAuthError, s256_challenge
+
+        if self.auth is None or getattr(self.auth, "oidc", None) is None:
+            self._reply(h, 404, {"error": "oidc tier not configured"})
+            return
+        om = self.auth.oidc
+        states = self.auth.oidc_states
+        try:
+            if route == "/auth/sso/login":
+                provider = om.ensure_provider_initialized()
+                import secrets as _secrets
+
+                verifier = _secrets.token_urlsafe(32)
+                redirect_uri = f"http://{self.host}:{self.port}/auth/sso/callback"
+                data = {"code_verifier": verifier, "redirect_to": params.get("redirect_to")}
+                # OAuth-bridge flow: an OAuth client may delegate its user
+                # authentication to SSO (reference flow=oauth_authorize)
+                if params.get("flow") == "oauth_authorize":
+                    for k in ("client_id", "redirect_uri", "code_challenge", "oauth_state"):
+                        if not params.get(k):
+                            raise ValueError(f"missing required parameter {k!r}")
+                    data.update(
+                        flow="oauth_authorize",
+                        client_id=params["client_id"],
+                        redirect_uri=params["redirect_uri"],
+                        code_challenge=params["code_challenge"],
+                        oauth_state=params["oauth_state"],
+                    )
+                state = states.create_state(data)
+                url = provider.get_authorization_url(
+                    state, redirect_uri, s256_challenge(verifier)
+                )
+                out = {"authorization_url": url, "state": state}
+            elif route == "/auth/sso/callback":
+                code, state = params.get("code"), params.get("state")
+                if not code or not state:
+                    raise ValueError("code and state required")
+                data = states.validate_state(state)
+                if data is None:
+                    self._reply(h, 400, {"error": "Invalid state"})
+                    return
+                provider = om.ensure_provider_initialized()
+                redirect_uri = f"http://{self.host}:{self.port}/auth/sso/callback"
+                tokens = provider.exchange_code_for_token(
+                    code, data["code_verifier"], redirect_uri
+                )
+                info = provider.get_user_info(tokens["access_token"])
+                user = om.match_or_create_user(info)
+                if user is None:
+                    self._reply(h, 403, {
+                        "error": "User not authorized. Please contact administrator."
+                    })
+                    return
+                if data.get("flow") == "oauth_authorize":
+                    oauth_code = self.auth.oauth.generate_authorization_code(
+                        client_id=data["client_id"],
+                        user_id=user.username,
+                        code_challenge=data["code_challenge"],
+                        redirect_uri=data["redirect_uri"],
+                        state=data["oauth_state"],
+                    )
+                    out = {
+                        "code": oauth_code,
+                        "state": data["oauth_state"],
+                        "redirect_uri": data["redirect_uri"],
+                    }
+                else:
+                    # session-less server: the session IS the token pair
+                    out = {
+                        "access_token": self.auth.jwt.create_token(user.to_public()),
+                        "refresh_token": self.auth.refresh.issue(user.username),
+                        "token_type": "bearer",
+                        "role": user.role.value,
+                    }
+            else:
+                self._reply(h, 404, {"error": f"unknown route {route!r}"})
+                return
+        except (OIDCError, OAuthError) as e:
+            self._reply(h, 502 if "unreachable" in str(e) else 400, {"error": str(e)})
+            return
+        except ValueError as e:
+            self._reply(h, 400, {"error": str(e)})
+            return
         self._reply(h, 200, out)
 
     def _dispatch_oauth(self, h, route: str, method: str, params: dict) -> None:
