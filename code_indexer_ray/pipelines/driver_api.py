@@ -3608,6 +3608,21 @@ def q_quality_filter(sf_dir: str):
     )
 
 
+def q_pack_sequences(sf_dir: str):
+    """Training-sequence packing (GPT-style EOS-joined concatenation cut at
+    seq_len): per doc, its token-stream placement (start_tok, first/last
+    training bin) via a TWO-LEVEL distributed prefix sum — per-bucket totals
+    to the driver (bounded), intra-bucket vectorized cumsum in map_groups.
+    Window-cumsum exact twin."""
+    import ray.data as rd
+
+    from ..text.packing import pack_sequences
+
+    return pack_sequences(
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]), seq_len=512
+    )
+
+
 def q_sample_token_budget(sf_dir: str):
     """Deterministic token-budget sampler: per language, take documents in
     doc_id order until the cumulative token count exceeds the budget — the
@@ -7202,6 +7217,10 @@ def oracle_catalog() -> dict[str, str]:
         f"  AND stop_en >= 1"
     )
 
+    from ..text.packing import sql_pack_sequences
+
+    out["pack_sequences"] = sql_pack_sequences(seq_len=512)
+
     out["sample_token_budget"] = (
         f"WITH toks AS ({sql_tokens_cte()}),\n"
         "t AS (SELECT d.doc_id, d.lang, coalesce(c.nt, 0)::BIGINT AS n_tokens\n"
@@ -8077,6 +8096,7 @@ _SAMPLE_FIRST = [
     "approx_quantiles",
     # ---- new round-4 entries (sampled in round 5 after the queue) ----
     "ingest_tree",
+    "pack_sequences",
     "pysym_defs",
     "pysym_imports",
     "pysym_calls",
@@ -8240,6 +8260,7 @@ def _query_catalog_unordered():
         "semantic_search": q_semantic_search,
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
+        "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "training_shards": q_training_shards,
         "curated_search": q_curated_search,
