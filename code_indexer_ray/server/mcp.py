@@ -79,6 +79,7 @@ class MCPServer:
         self._scip = None
         self._temporal_root = temporal_index
         self._temporal = None
+        self.index_root = index_dir
         self.jobs = None
         if enable_jobs:
             from .jobs import JobManager
@@ -158,6 +159,19 @@ class MCPServer:
                 ["doc_ids"],
             ),
             _tool("check_health", "Server liveness and index identity.", {}, []),
+            _tool(
+                "run_doctor",
+                "Diagnose (and optionally repair) the index root: dangling "
+                "current pointers, orphaned generations/segments, crashed-"
+                "build debris, stale locks, foreign-fingerprint partitions "
+                "(reference fix-config doctor).",
+                {
+                    "fix": {"type": "boolean", "default": False},
+                    "prune_generations": {"type": "boolean", "default": False},
+                    "deep": {"type": "boolean", "default": False},
+                },
+                [],
+            ),
             _tool("get_statistics", "Corpus statistics from the manifest.", {}, []),
             _tool(
                 "suggest",
@@ -340,6 +354,17 @@ class MCPServer:
             "num_shards": m.num_shards,
             "index_dir": self._follower.index_dir,
         }
+
+
+    def _t_run_doctor(self, args: dict) -> dict:
+        from ..index.doctor import doctor
+
+        return doctor(
+            self.index_root,
+            fix=bool(args.get("fix", False)),
+            prune_generations=bool(args.get("prune_generations", False)),
+            deep=bool(args.get("deep", False)),
+        )
 
     def _t_get_statistics(self, p: dict) -> dict:
         m = self.searcher.manifest

@@ -91,6 +91,7 @@ class TestProtocol:
             "get_statistics",
             "suggest",
             "complete",
+            "run_doctor",
         }
         for t in resp["result"]["tools"]:
             assert t["inputSchema"]["type"] == "object"
@@ -391,3 +392,13 @@ class TestTemporalTools:
         assert f2["file"] == ts.file_at_commit(p, 1)
         r = _call(srv, "get_file_at", {"path": p})
         assert r["isError"] is True and "day or at_commit" in r["content"][0]["text"]
+
+
+def test_run_doctor_tool(mcp_idx):
+    srv, _, _ = mcp_idx
+    resp = srv.process({
+        "jsonrpc": "2.0", "id": 9, "method": "tools/call",
+        "params": {"name": "run_doctor", "arguments": {}},
+    })
+    body = json.loads(resp["result"]["content"][0]["text"])
+    assert body["healthy"] is True and body["actions"] == []
