@@ -803,6 +803,12 @@ class AuthTier:
             api_keys=self.api_keys,
             now_fn=now_fn,
         )
+        # security audit trail (reference server/auth/audit_logger.py)
+        from .audit import AuditLogger
+
+        self.audit = AuditLogger(
+            os.path.join(auth_dir, "security_audit.log"), now_fn=now_fn
+        )
         # OIDC SSO (reference server/auth/oidc/): configured per deployment;
         # shares the oauth DB for identity links, one state manager
         self.oidc = None

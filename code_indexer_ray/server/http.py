@@ -64,6 +64,13 @@ from ..query.parser import search_query_string
 _MAX_BODY = 8 * 1024 * 1024  # reject absurd request bodies outright
 
 
+def _ip(h) -> str:
+    try:
+        return h.client_address[0]
+    except (AttributeError, IndexError, TypeError):
+        return "unknown"
+
+
 def _flag(params: dict, key: str) -> bool:
     v = params.get(key)
     if isinstance(v, str):
@@ -782,6 +789,9 @@ class IndexHTTPServer:
                     token_endpoint_auth_method=params.get("token_endpoint_auth_method"),
                     scope=params.get("scope"),
                 )
+                self.auth.audit.log_oauth_client_registration(
+                    out["client_id"], out["client_name"], _ip(h)
+                )
             elif route == "/oauth/authorize":
                 if params.get("response_type") != "code":
                     raise ValueError("Invalid response_type. Must be 'code'")
@@ -799,12 +809,19 @@ class IndexHTTPServer:
                     redirect_uri=need("redirect_uri"),
                     state=need("state"),
                 )
+                self.auth.audit.log_oauth_authorization(
+                    user.username, params["client_id"], _ip(h),
+                    user_agent=h.headers.get("User-Agent"),
+                )
                 out = {"code": code, "state": params["state"]}
             elif route == "/oauth/token":
                 grant = need("grant_type")
                 if grant == "authorization_code":
                     out = om.exchange_code_for_token(
                         need("code"), need("code_verifier"), need("client_id")
+                    )
+                    self.auth.audit.log_oauth_token_exchange(
+                        params["client_id"], grant, _ip(h)
                     )
                 elif grant == "refresh_token":
                     out = om.refresh_access_token(
@@ -869,12 +886,49 @@ class IndexHTTPServer:
                 if method != "POST":
                     self._reply(h, 405, {"error": "POST required"})
                     return
-                out = self.auth.login(need("username"), need("password"))
+                uname = need("username")
+                try:
+                    out = self.auth.login(uname, need("password"))
+                except RateLimitedError:
+                    self.auth.audit.log_rate_limit_triggered(
+                        uname, _ip(h), limit_type="login",
+                        user_agent=h.headers.get("User-Agent"),
+                    )
+                    raise
+                except AuthError as e:
+                    self.auth.audit.log_authentication_failure(
+                        uname, "invalid_credentials", str(e),
+                        additional_context={"ip_address": _ip(h)},
+                    )
+                    raise
             elif route == "/auth/refresh":
                 if method != "POST":
                     self._reply(h, 405, {"error": "POST required"})
                     return
-                out = self.auth.refresh_pair(need("refresh_token"))
+                try:
+                    out = self.auth.refresh_pair(need("refresh_token"))
+                except AuthError as e:
+                    from .auth import TokenReplayAttackError
+
+                    if isinstance(e, TokenReplayAttackError):
+                        # family revocation fired (reference: token replay is
+                        # a SECURITY_INCIDENT, not a mere failure)
+                        self.auth.audit.log_security_incident(
+                            "unknown", "token_replay_attack", _ip(h),
+                            user_agent=h.headers.get("User-Agent"),
+                            additional_context={"message": str(e)},
+                        )
+                    else:
+                        self.auth.audit.log_token_refresh_failure(
+                            "unknown", _ip(h), str(e),
+                            user_agent=h.headers.get("User-Agent"),
+                        )
+                    raise
+                self.auth.audit.log_token_refresh_success(
+                    self.auth.jwt.validate_token(out["access_token"])["username"],
+                    _ip(h),
+                    user_agent=h.headers.get("User-Agent"),
+                )
             elif route == "/api/users/change-password":
                 if method not in ("PUT", "POST"):
                     # never mutate on GET — passwords in a query string land
@@ -883,15 +937,27 @@ class IndexHTTPServer:
                     return
                 lock_msg = self.auth.pw_limiter.check_rate_limit(user.username)
                 if lock_msg:
+                    self.auth.audit.log_rate_limit_triggered(
+                        user.username, _ip(h),
+                        user_agent=h.headers.get("User-Agent"),
+                    )
                     self._reply(h, 429, {"error": lock_msg})
                     return
                 old, new = need("old_password"), need("new_password")
                 try:
                     self.auth.users.change_password(user.username, old, new)
-                except AuthError:
+                except AuthError as e:
                     self.auth.pw_limiter.record_failed_attempt(user.username)
+                    self.auth.audit.log_password_change_failure(
+                        user.username, _ip(h), str(e),
+                        user_agent=h.headers.get("User-Agent"),
+                    )
                     raise
                 self.auth.pw_limiter.record_successful_attempt(user.username)
+                self.auth.audit.log_password_change_success(
+                    user.username, _ip(h),
+                    user_agent=h.headers.get("User-Agent"),
+                )
                 out = {"message": "password changed"}
             elif route == "/api/keys" and method == "GET":
                 out = {"keys": self.auth.api_keys.list_keys(user.username)}
