@@ -285,6 +285,11 @@ def main(argv: list[str] | None = None) -> int:
         help="searcher replicas per process (N overlapping searches)",
     )
     sv.add_argument(
+        "--metrics", action="store_true",
+        help="expose GET /metrics (Prometheus text): request counters/latency "
+        "histograms, job-state gauges, system gauges",
+    )
+    sv.add_argument(
         "--jobs",
         action="store_true",
         help="enable POST /index background builds publishing generations under --index",
@@ -904,6 +909,7 @@ def main(argv: list[str] | None = None) -> int:
                 auth_dir=args.auth_dir,
                 payload_cache=args.payload_cache,
                 pool_size=args.pool_size,
+                enable_metrics=args.metrics,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:

@@ -352,6 +352,7 @@ class IndexHTTPServer:
         auth=None,
         payload_cache: str | None = None,
         pool_size: int = 1,
+        enable_metrics: bool = False,
     ):
         # semantic/hybrid search_mode tier (reference default mode); lazy
         # like the scip/temporal tiers — first semantic request loads it
@@ -426,6 +427,26 @@ class IndexHTTPServer:
             self._slots.put(i)
         self._refresh_lock = threading.Lock()
         self._tls = threading.local()
+        # metrics tier (reference server/telemetry/ Story #695/#696 metric
+        # vocabulary; stdlib registry + Prometheus text exposition — the
+        # OTEL SDK is unavailable here).  Lazy: nothing sampled unless
+        # enabled AND scraped/recorded.
+        self.metrics = None
+        if enable_metrics:
+            from .metrics import MachineMetricsCollector, MetricsRegistry
+
+            self.metrics = MetricsRegistry()
+            self._m_requests = self.metrics.counter(
+                "http.server.request", "requests by route/method/status"
+            )
+            self._m_duration = self.metrics.histogram(
+                "http.server.request.duration", "request latency (seconds)"
+            )
+            MachineMetricsCollector().register(self.metrics)
+            if self.jobs is not None:
+                self.metrics.gauge(
+                    "cidx.jobs", "job records by state", callback=self._job_states
+                )
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -435,7 +456,7 @@ class IndexHTTPServer:
                 pass
 
             def do_GET(self):
-                server._dispatch(self, body=None)
+                server._timed_dispatch(self, body=None)
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length") or 0)
@@ -448,7 +469,7 @@ class IndexHTTPServer:
                 except json.JSONDecodeError:
                     server._reply(self, 400, {"error": "invalid JSON body"})
                     return
-                server._dispatch(self, body=body)
+                server._timed_dispatch(self, body=body)
 
             do_PUT = do_POST
 
@@ -506,6 +527,7 @@ class IndexHTTPServer:
     # ---- request plumbing ----
 
     def _reply(self, h, code: int, payload: dict | list) -> None:
+        h._last_status = code
         data = json.dumps(payload).encode()
         h.send_response(code)
         h.send_header("Content-Type", "application/json")
@@ -549,6 +571,32 @@ class IndexHTTPServer:
             return "activate_repos"
         return "query_repos"
 
+    def _job_states(self) -> dict:
+        states = {"pending": 0, "running": 0, "completed": 0, "failed": 0,
+                  "cancelled": 0}
+        for rec in self.jobs.list(limit=10_000):
+            st = rec.get("state")
+            if st in states:
+                states[st] += 1
+        return states
+
+    def _timed_dispatch(self, h, body: dict | None) -> None:
+        if self.metrics is None:
+            self._dispatch(h, body)
+            return
+        import time as _time
+
+        t0 = _time.perf_counter()
+        self._dispatch(h, body)
+        # top-level route segment only — path parameters (job ids, key ids)
+        # must not explode series cardinality
+        seg = urlparse(h.path).path.strip("/").split("/", 1)[0] or "-"
+        self._m_requests.inc(
+            route="/" + seg, method=h.command,
+            status=str(getattr(h, "_last_status", 0)),
+        )
+        self._m_duration.observe(_time.perf_counter() - t0, route="/" + seg)
+
     def _dispatch(self, h, body: dict | None) -> None:
         # per-REQUEST response-header state: one Handler instance serves many
         # requests on a keep-alive connection, so stale attributes from the
@@ -559,6 +607,16 @@ class IndexHTTPServer:
         url = urlparse(h.path)
         route = url.path.rstrip("/") or "/"
         method = h.command
+        if route == "/metrics" and self.metrics is not None:
+            # Prometheus text exposition; liveness-class route (like /health)
+            data = self.metrics.render().encode()
+            h._last_status = 200
+            h.send_response(200)
+            h.send_header("Content-Type", "text/plain; version=0.0.4")
+            h.send_header("Content-Length", str(len(data)))
+            h.end_headers()
+            h.wfile.write(data)
+            return
         params = {k: v[-1] for k, v in parse_qs(url.query).items()}
         if body:
             params.update(body)
