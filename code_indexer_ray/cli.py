@@ -511,6 +511,21 @@ def main(argv: list[str] | None = None) -> int:
     cc.add_argument("--depth", type=int, default=3)
     cc.add_argument("--max-chains", type=int, default=None)
 
+    sm = scsub.add_parser(
+        "multi",
+        help="fan one SCIP query across repos (reference scip_multi_service)",
+    )
+    sm.add_argument("op", choices=["definition", "references", "dependencies",
+                                   "dependents", "callchain"])
+    sm.add_argument("--stores", required=True,
+                    help="comma list of name=store_root pairs")
+    sm.add_argument("--symbol", default=None)
+    sm.add_argument("--from-symbol", default=None)
+    sm.add_argument("--to-symbol", default=None)
+    sm.add_argument("--limit", type=int, default=None)
+    sm.add_argument("--depth", type=int, default=None)
+    sm.add_argument("--timeout", type=float, default=30.0)
+
     px = sub.add_parser("proxy", help="multi-repo proxy root (reference proxy mode)")
     pxsub = px.add_subparsers(dest="proxy_cmd", required=True)
     pxi = pxsub.add_parser("init", help="create proxy config, discovering index dirs")
@@ -1083,6 +1098,31 @@ def main(argv: list[str] | None = None) -> int:
                 out = verify_store(args.store)
                 print(json.dumps(out))
                 return 0 if out["valid"] else 1
+            elif args.scip_cmd == "multi":
+                from .scip.multi import SCIPMultiService
+
+                stores = dict(
+                    pair.split("=", 1) for pair in args.stores.split(",") if pair
+                )
+                svc = SCIPMultiService(stores, query_timeout_seconds=args.timeout)
+                try:
+                    if args.op == "callchain":
+                        if not (args.from_symbol and args.to_symbol):
+                            raise ValueError("callchain needs --from-symbol and --to-symbol")
+                        out = svc.callchain(
+                            list(stores), args.from_symbol, args.to_symbol,
+                            max_depth=args.depth,
+                        )
+                    else:
+                        if not args.symbol:
+                            raise ValueError(f"{args.op} needs --symbol")
+                        out = getattr(svc, args.op)(
+                            list(stores), args.symbol,
+                            limit=args.limit, max_depth=args.depth,
+                        )
+                finally:
+                    svc.close()
+                print(json.dumps(out))
             else:
                 from .scip.store import SymbolStore
 
