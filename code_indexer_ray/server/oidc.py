@@ -229,6 +229,10 @@ class OIDCManager:
         self._now = now_fn
         self._lock = threading.Lock()
         self.provider: OIDCProvider | None = None
+        #: optional GroupAccessManager (Story #708): every SSO login ensures
+        #: membership — new users land in 'users', existing stay untouched,
+        #: and failures never block authentication
+        self.group_manager = None
         with self._conn() as conn:
             conn.execute(
                 "CREATE TABLE IF NOT EXISTS oidc_identity_links ("
@@ -277,6 +281,7 @@ class OIDCManager:
                         " WHERE subject = ?",
                         (self._now(), info.subject),
                     )
+                    self._ensure_group_membership(user.username)
                     return user
                 # stale link: its user was deleted — clean and fall through
                 conn.execute(
@@ -291,6 +296,7 @@ class OIDCManager:
             existing = self.users.get_user_by_email(info.email)
             if existing is not None:
                 self.link_oidc_identity(existing.username, info.subject, info.email)
+                self._ensure_group_membership(existing.username)
                 return existing
 
         if not self.config.enable_jit_provisioning:
@@ -308,4 +314,13 @@ class OIDCManager:
             info.username, throwaway, self.config.default_role, email=info.email
         )
         self.link_oidc_identity(user.username, info.subject, info.email)
+        self._ensure_group_membership(user.username)
         return user
+
+    def _ensure_group_membership(self, username: str) -> None:
+        if self.group_manager is None:
+            return
+        try:
+            self.group_manager.ensure_sso_membership(username)
+        except Exception:  # noqa: BLE001 — AC6: never block authentication
+            pass

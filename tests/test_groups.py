@@ -1,0 +1,184 @@
+"""Group-based access control (`server/groups.py` — reference
+group_access_manager.py + access_filtering_service.py, Stories #707/#708/
+#710): default-group bootstrap, 1:1 membership, repo grants, invisible-repo
+filtering, SSO provisioning hook."""
+
+from __future__ import annotations
+
+import pytest
+
+from code_indexer_ray.server.groups import (
+    CIDX_META_REPO,
+    AccessFilteringService,
+    CidxMetaCannotBeRevokedError,
+    DefaultGroupCannotBeDeletedError,
+    GroupAccessManager,
+    GroupHasUsersError,
+)
+
+
+class FakeClock:
+    def __init__(self, t=1000.0):
+        self.t = t
+
+    def __call__(self):
+        return self.t
+
+
+@pytest.fixture()
+def gm(tmp_path):
+    return GroupAccessManager(str(tmp_path / "groups.sqlite"), now_fn=FakeClock())
+
+
+class TestGroups:
+    def test_default_groups_bootstrapped_idempotently(self, gm, tmp_path):
+        names = [g.name for g in gm.get_all_groups()]
+        assert names == ["admins", "powerusers", "users"]
+        assert all(g.is_default for g in gm.get_all_groups())
+        # re-open: no duplicates
+        gm2 = GroupAccessManager(str(tmp_path / "groups.sqlite"))
+        assert len(gm2.get_all_groups()) == 3
+
+    def test_create_update_delete(self, gm):
+        g = gm.create_group("team-x", "x team")
+        assert gm.get_group_by_name("team-x").id == g.id
+        assert gm.update_group(g.id, description="renamed") is True
+        assert gm.get_group(g.id).description == "renamed"
+        with pytest.raises(ValueError, match="already exists"):
+            gm.create_group("team-x", "dupe")
+        assert gm.delete_group(g.id) is True
+        assert gm.get_group(g.id) is None
+        assert gm.delete_group(9999) is False
+
+    def test_default_group_protected(self, gm):
+        admins = gm.get_group_by_name("admins")
+        with pytest.raises(DefaultGroupCannotBeDeletedError):
+            gm.delete_group(admins.id)
+
+    def test_delete_refused_with_users(self, gm):
+        g = gm.create_group("t", "t")
+        gm.assign_user_to_group("ada", g.id, "admin")
+        with pytest.raises(GroupHasUsersError):
+            gm.delete_group(g.id)
+
+    def test_membership_one_to_one(self, gm):
+        users = gm.get_group_by_name("users")
+        power = gm.get_group_by_name("powerusers")
+        gm.assign_user_to_group("ada", users.id, "admin")
+        assert gm.get_user_group("ada").name == "users"
+        # reassignment REPLACES (1:1)
+        gm.assign_user_to_group("ada", power.id, "admin")
+        assert gm.get_user_group("ada").name == "powerusers"
+        assert gm.get_users_in_group(users.id) == []
+        m = gm.get_user_membership("ada")
+        assert m.assigned_by == "admin"
+        with pytest.raises(KeyError):
+            gm.assign_user_to_group("x", 9999, "admin")
+        rows, total = gm.get_all_users_with_groups()
+        assert total == 1 and rows[0]["group_name"] == "powerusers"
+
+    def test_repo_grants_and_meta_protection(self, gm):
+        power = gm.get_group_by_name("powerusers")
+        assert gm.grant_repo_access("web-global", power.id, "admin") is True
+        assert gm.grant_repo_access("web-global", power.id, "admin") is False  # dup
+        assert gm.get_group_repos(power.id) == ["web-global"]
+        assert [g.name for g in gm.get_repo_groups("web-global")] == ["powerusers"]
+        assert gm.revoke_repo_access("web-global", power.id) is True
+        with pytest.raises(CidxMetaCannotBeRevokedError):
+            gm.revoke_repo_access(CIDX_META_REPO, power.id)
+
+    def test_auto_assign_golden_repo(self, gm):
+        gm.auto_assign_golden_repo("fresh-global")
+        names = {g.name for g in gm.get_repo_groups("fresh-global")}
+        assert names == {"admins", "powerusers"}  # never 'users'
+        m = gm.get_repo_groups("fresh-global")
+        assert all(
+            gm.get_group_repos(g.id) == ["fresh-global"] for g in m
+        )
+
+
+class TestAccessFiltering:
+    @pytest.fixture()
+    def svc(self, gm):
+        users = gm.get_group_by_name("users")
+        power = gm.get_group_by_name("powerusers")
+        admins = gm.get_group_by_name("admins")
+        gm.assign_user_to_group("norma", users.id, "admin")
+        gm.assign_user_to_group("paula", power.id, "admin")
+        gm.assign_user_to_group("root", admins.id, "admin")
+        gm.grant_repo_access("alpha-global", power.id, "admin")
+        gm.grant_repo_access("beta-global", power.id, "admin")
+        return AccessFilteringService(gm), gm
+
+    def test_accessible_sets(self, svc):
+        s, gm = svc
+        assert s.get_accessible_repos("norma") == {CIDX_META_REPO}
+        assert s.get_accessible_repos("paula") == {
+            CIDX_META_REPO, "alpha-global", "beta-global",
+        }
+        # admin sees every granted repo regardless of group
+        assert s.get_accessible_repos("root") >= {"alpha-global", "beta-global"}
+        # unassigned user: meta only
+        assert s.get_accessible_repos("ghost") == {CIDX_META_REPO}
+        assert s.is_admin_user("root") and not s.is_admin_user("paula")
+
+    def test_invisible_repo_filtering(self, svc):
+        s, _ = svc
+        hits = [
+            {"repository_alias": "alpha-global", "score": 1.0},
+            {"repository_alias": "secret-global", "score": 0.9},
+            {"repository_alias": CIDX_META_REPO, "score": 0.8},
+        ]
+        out = s.filter_query_results(hits, "paula")
+        assert [h["repository_alias"] for h in out] == ["alpha-global", CIDX_META_REPO]
+        # no 403-shaped artifacts: the secret repo simply isn't there
+        assert all("secret" not in h["repository_alias"] for h in out)
+        # admins: untouched
+        assert s.filter_query_results(hits, "root") == hits
+        # listing
+        repos = ["alpha-global", "secret-global", CIDX_META_REPO]
+        assert s.filter_repo_listing(repos, "norma") == [CIDX_META_REPO]
+        assert s.filter_repo_listing(repos, "paula") == ["alpha-global", CIDX_META_REPO]
+
+    def test_membership_read_fresh(self, svc):
+        s, gm = svc
+        assert s.get_accessible_repos("norma") == {CIDX_META_REPO}
+        power = gm.get_group_by_name("powerusers")
+        gm.assign_user_to_group("norma", power.id, "admin")
+        # no caching: next call reflects the change immediately
+        assert "alpha-global" in s.get_accessible_repos("norma")
+
+
+class TestSSOProvisioningHook:
+    def test_new_sso_user_lands_in_users_existing_untouched(self, gm):
+        gm.ensure_sso_membership("fresh")
+        assert gm.get_user_group("fresh").name == "users"
+        power = gm.get_group_by_name("powerusers")
+        gm.assign_user_to_group("vet", power.id, "admin")
+        gm.ensure_sso_membership("vet")  # AC3: unchanged
+        assert gm.get_user_group("vet").name == "powerusers"
+
+    def test_oidc_wiring(self, tmp_path):
+        from code_indexer_ray.server.auth import UserManager
+        from code_indexer_ray.server.oidc import OIDCConfig, OIDCManager, UserInfo
+
+        users = UserManager(str(tmp_path), iterations=500)
+        cfg = OIDCConfig(issuer_url="http://u", client_id="c", client_secret="s")
+        m = OIDCManager(cfg, users, str(tmp_path / "o.sqlite"))
+        m.group_manager = GroupAccessManager(str(tmp_path / "g.sqlite"))
+        user = m.match_or_create_user(
+            UserInfo(subject="s1", email="a@x.org", email_verified=True,
+                     username="sso_ada")
+        )
+        assert m.group_manager.get_user_group(user.username).name == "users"
+
+        # AC6: a broken group manager never blocks authentication
+        class Boom:
+            def ensure_sso_membership(self, u):
+                raise RuntimeError("db down")
+
+        m.group_manager = Boom()
+        again = m.match_or_create_user(
+            UserInfo(subject="s1", email="a@x.org", email_verified=True)
+        )
+        assert again.username == "sso_ada"
