@@ -269,9 +269,15 @@ class OmniSearchService:
         config: OmniSearchConfig | None = None,
         *,
         search_fn: Callable[[str, str, dict], list[dict]] | None = None,
+        access_filter=None,
     ):
         self.registry = registry
         self.config = config or OmniSearchConfig()
+        #: optional AccessFilteringService (Story #707): with a user_id on
+        #: the call, pattern-matched aliases are intersected with the user's
+        #: accessible set BEFORE fan-out — the invisible-repo rule (no 403s,
+        #: inaccessible repos neither searched nor mentioned)
+        self.access_filter = access_filter
         self._search_fn = search_fn or (
             lambda alias, q, params: registry.search(alias, q, params)
         )
@@ -290,6 +296,7 @@ class OmniSearchService:
         *,
         limit: Optional[int] = None,
         aggregation_mode: Optional[str] = None,
+        user_id: Optional[str] = None,
         **params,
     ) -> dict:
         limit = self.config.default_limit if limit is None else limit
@@ -299,6 +306,8 @@ class OmniSearchService:
             repository_patterns, self.config.pattern_metacharacters
         )
         targets = matcher.filter_repos(self._aliases())
+        if self.access_filter is not None and user_id is not None:
+            targets = self.access_filter.filter_repo_listing(targets, user_id)
         if not targets:
             return {
                 "cursor": self.cache.store_results([]),

@@ -182,3 +182,41 @@ class TestSSOProvisioningHook:
             UserInfo(subject="s1", email="a@x.org", email_verified=True)
         )
         assert again.username == "sso_ada"
+
+
+class TestOmniAccessIntegration:
+    def test_omni_fanout_respects_groups(self, gm, tmp_path):
+        """Invisible-repo at the omni tier: a pattern matching everything
+        fans out only over the caller's accessible aliases."""
+        from code_indexer_ray.query.omni import OmniSearchService
+
+        users = gm.get_group_by_name("users")
+        power = gm.get_group_by_name("powerusers")
+        gm.assign_user_to_group("norma", users.id, "admin")
+        gm.assign_user_to_group("paula", power.id, "admin")
+        gm.grant_repo_access("alpha-global", power.id, "admin")
+
+        class FakeRegistry:
+            def list_repos(self):
+                return [{"alias_name": a} for a in
+                        ("alpha-global", "secret-global", CIDX_META_REPO)]
+
+            def search(self, alias, q, params):
+                return [{"repository_alias": alias, "doc_id": 1, "score": 1.0,
+                         "path": "f", "language": "en", "line": 1, "column": 1}]
+
+        svc = OmniSearchService(
+            FakeRegistry(), access_filter=AccessFilteringService(gm)
+        )
+        out = svc.search(["*"], "q", user_id="paula")
+        repos = {r["repository_alias"] for r in out["results"]}
+        assert repos == {"alpha-global", CIDX_META_REPO}
+        # norma: meta only; secret never appears, no error artifacts
+        out2 = svc.search(["*"], "q", user_id="norma")
+        assert {r["repository_alias"] for r in out2["results"]} == {CIDX_META_REPO}
+        assert out2["errors"] == {}
+        # without a user_id the filter is inert (internal/admin callers)
+        out3 = svc.search(["*"], "q")
+        assert {r["repository_alias"] for r in out3["results"]} == {
+            "alpha-global", "secret-global", CIDX_META_REPO,
+        }
