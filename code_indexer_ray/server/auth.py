@@ -803,6 +803,13 @@ class AuthTier:
             api_keys=self.api_keys,
             now_fn=now_fn,
         )
+        # group-based access control (Stories 707/708/710)
+        from .groups import AccessFilteringService, GroupAccessManager
+
+        self.groups = GroupAccessManager(
+            os.path.join(auth_dir, "groups.sqlite"), now_fn=now_fn
+        )
+        self.access_filter = AccessFilteringService(self.groups)
         # security audit trail (reference server/auth/audit_logger.py)
         from .audit import AuditLogger
 
@@ -820,6 +827,7 @@ class AuthTier:
                 oidc_config, self.users,
                 os.path.join(auth_dir, "oauth.sqlite"), now_fn=now_fn,
             )
+            self.oidc.group_manager = self.groups
             self.oidc_states = StateManager(now_fn=now_fn)
         if seed_admin is not None and not self.users.all_users():
             name, password = seed_admin

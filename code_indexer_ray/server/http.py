@@ -1049,6 +1049,68 @@ class IndexHTTPServer:
                 if not self.auth.api_keys.revoke(need("username"), kid):
                     raise KeyError(f"key {kid!r} not found")
                 out = {"message": f"key {kid!r} revoked"}
+            elif route == "/api/admin/groups" and method == "GET":
+                out = {
+                    "groups": [
+                        {
+                            "id": g.id, "name": g.name,
+                            "description": g.description,
+                            "is_default": g.is_default,
+                            "user_count": len(self.auth.groups.get_users_in_group(g.id)),
+                            "repos": self.auth.groups.get_group_repos(g.id),
+                        }
+                        for g in self.auth.groups.get_all_groups()
+                    ]
+                }
+            elif route == "/api/admin/groups" and method == "POST":
+                g = self.auth.groups.create_group(
+                    need("name"), str(params.get("description") or "")
+                )
+                out = {"group": {"id": g.id, "name": g.name,
+                                 "description": g.description,
+                                 "is_default": g.is_default}}
+            elif route.startswith("/api/admin/groups/"):
+                from .groups import (
+                    CidxMetaCannotBeRevokedError,
+                    DefaultGroupCannotBeDeletedError,
+                    GroupHasUsersError,
+                )
+
+                rest = route[len("/api/admin/groups/"):]
+                parts = rest.split("/")
+                gid = int(parts[0])
+                try:
+                    if len(parts) == 1 and method == "DELETE":
+                        if not self.auth.groups.delete_group(gid):
+                            raise KeyError(f"group {gid} not found")
+                        out = {"message": f"group {gid} deleted"}
+                    elif len(parts) == 1 and method == "PUT":
+                        if not self.auth.groups.update_group(
+                            gid, description=need("description")
+                        ):
+                            raise KeyError(f"group {gid} not found")
+                        out = {"message": f"group {gid} updated"}
+                    elif len(parts) == 2 and parts[1] == "members" and method == "POST":
+                        self.auth.groups.assign_user_to_group(
+                            need("username"), gid, user.username
+                        )
+                        out = {"message": "user assigned"}
+                    elif len(parts) == 2 and parts[1] == "repos" and method == "POST":
+                        granted = self.auth.groups.grant_repo_access(
+                            need("repo"), gid, user.username
+                        )
+                        out = {"message": "granted" if granted else "already granted"}
+                    elif len(parts) == 3 and parts[1] == "repos" and method == "DELETE":
+                        if not self.auth.groups.revoke_repo_access(parts[2], gid):
+                            raise KeyError(f"no grant of {parts[2]!r} to group {gid}")
+                        out = {"message": "revoked"}
+                    else:
+                        self._reply(h, 404, {"error": f"unknown route {route!r}"})
+                        return
+                except (DefaultGroupCannotBeDeletedError, GroupHasUsersError,
+                        CidxMetaCannotBeRevokedError) as e:
+                    self._reply(h, 409, {"error": str(e)})
+                    return
             elif route == "/api/admin/users" and method == "GET":
                 out = {"users": [u.to_public() for u in self.auth.users.all_users()]}
             elif route == "/api/admin/users" and method == "POST":

@@ -220,3 +220,88 @@ class TestOmniAccessIntegration:
         assert {r["repository_alias"] for r in out3["results"]} == {
             "alpha-global", "secret-global", CIDX_META_REPO,
         }
+
+
+import json as _json
+import urllib.error as _uerr
+import urllib.request as _ureq
+
+import numpy as _np
+import pyarrow as _pa
+import pyarrow.parquet as _pq
+
+
+def _req(method, url, payload=None, token=None):
+    data = _json.dumps(payload).encode() if payload is not None else None
+    headers = {"Content-Type": "application/json"} if data else {}
+    if token:
+        headers["Authorization"] = "Bearer " + token
+    req = _ureq.Request(url, data=data, headers=headers, method=method)
+    try:
+        with _ureq.urlopen(req, timeout=30) as r:
+            return r.status, _json.loads(r.read())
+    except _uerr.HTTPError as e:
+        return e.code, _json.loads(e.read())
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestHTTPGroupRoutes:
+    @pytest.fixture(scope="class")
+    def srv(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.server.auth import AuthTier
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        tmp = tmp_path_factory.mktemp("grpsrv")
+        rows = [{"doc_id": 0, "text": "x", "lang": "en", "url": "f.py"}]
+        src = str(tmp / "c.parquet")
+        _pq.write_table(_pa.Table.from_pylist(rows), src)
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=1, resume=False)
+        tier = AuthTier(str(tmp / "auth"), iterations=500,
+                        seed_admin=("admin", "Str0ng!pass"))
+        tier.users.create_user("norma", "Str0ng!pass", "normal_user")
+        s = IndexHTTPServer(idx, port=0, warm=False, auth=tier)
+        s.start()
+        yield f"http://{s.host}:{s.port}", tier
+        s.shutdown()
+
+    def _tok(self, base, u="admin"):
+        code, body = _req("POST", base + "/auth/login",
+                          {"username": u, "password": "Str0ng!pass"})
+        assert code == 200
+        return body["access_token"]
+
+    def test_crud_membership_grants(self, srv):
+        base, tier = srv
+        tok = self._tok(base)
+        code, body = _req("GET", base + "/api/admin/groups", token=tok)
+        assert code == 200
+        assert [g["name"] for g in body["groups"]] == ["admins", "powerusers", "users"]
+        code, body = _req("POST", base + "/api/admin/groups",
+                          {"name": "team-q", "description": "q"}, token=tok)
+        assert code == 200
+        gid = body["group"]["id"]
+        code, _ = _req("POST", base + f"/api/admin/groups/{gid}/members",
+                       {"username": "norma"}, token=tok)
+        assert code == 200
+        assert tier.groups.get_user_group("norma").name == "team-q"
+        code, _ = _req("POST", base + f"/api/admin/groups/{gid}/repos",
+                       {"repo": "alpha-global"}, token=tok)
+        assert code == 200
+        assert tier.groups.get_group_repos(gid) == ["alpha-global"]
+        code, _ = _req("DELETE", base + f"/api/admin/groups/{gid}/repos/alpha-global",
+                       token=tok)
+        assert code == 200
+        # delete refused while populated → 409
+        code, err = _req("DELETE", base + f"/api/admin/groups/{gid}", token=tok)
+        assert code == 409 and "assigned user" in err["error"]
+        # default group delete → 409
+        admins_id = tier.groups.get_group_by_name("admins").id
+        code, err = _req("DELETE", base + f"/api/admin/groups/{admins_id}", token=tok)
+        assert code == 409
+
+    def test_non_admin_403(self, srv):
+        base, _ = srv
+        tok = self._tok(base, "norma")
+        assert _req("GET", base + "/api/admin/groups", token=tok)[0] == 403
