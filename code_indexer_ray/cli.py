@@ -625,6 +625,33 @@ def main(argv: list[str] | None = None) -> int:
     )
     rpo.add_argument("--limit", type=int, default=10)
     rpo.add_argument("--mode", default="global", choices=["global", "per_repo"])
+    rpa = rpsub.add_parser(
+        "activate", help="per-user activation of a golden repo (branch-scoped)"
+    )
+    rpa.add_argument("--root", required=True)
+    rpa.add_argument("--user", required=True)
+    rpa.add_argument("--alias", required=True, help="golden alias to activate")
+    rpa.add_argument("--as", dest="user_alias", default=None)
+    rpa.add_argument("--branch", default=None)
+    rpd = rpsub.add_parser("deactivate", help="drop a user activation")
+    rpd.add_argument("--root", required=True)
+    rpd.add_argument("--user", required=True)
+    rpd.add_argument("--alias", required=True, help="user alias")
+    rpb = rpsub.add_parser("switch-branch", help="switch an activation's branch")
+    rpb.add_argument("--root", required=True)
+    rpb.add_argument("--user", required=True)
+    rpb.add_argument("--alias", required=True)
+    rpb.add_argument("branch")
+    rpb.add_argument("-c", "--create", action="store_true")
+    rpy = rpsub.add_parser("my", help="list one user's activations")
+    rpy.add_argument("--root", required=True)
+    rpy.add_argument("--user", required=True)
+    rpqa = rpsub.add_parser("qsearch", help="search through a user activation")
+    rpqa.add_argument("--root", required=True)
+    rpqa.add_argument("--user", required=True)
+    rpqa.add_argument("--alias", required=True)
+    rpqa.add_argument("query")
+    rpqa.add_argument("--limit", type=int, default=10)
 
     gr = sub.add_parser(
         "grep", help="index-bypassing regex line scan over a parquet corpus"
@@ -1339,6 +1366,27 @@ def main(argv: list[str] | None = None) -> int:
                     params["language"] = args.language
                 for r in reg.search(args.alias, args.query, params):
                     print(json.dumps(r))
+            elif args.repos_cmd in ("activate", "deactivate", "switch-branch", "my", "qsearch"):
+                from .server.activated import ActivatedRepoManager
+
+                am = ActivatedRepoManager(args.root, reg)
+                if args.repos_cmd == "activate":
+                    print(json.dumps(am.activate_repository(
+                        args.user, args.alias, user_alias=args.user_alias,
+                        branch=args.branch,
+                    )))
+                elif args.repos_cmd == "deactivate":
+                    print(json.dumps({"message": am.deactivate_repository(
+                        args.user, args.alias)}))
+                elif args.repos_cmd == "switch-branch":
+                    print(json.dumps(am.switch_branch(
+                        args.user, args.alias, args.branch, create=args.create)))
+                elif args.repos_cmd == "my":
+                    print(json.dumps(am.list_activated_repositories(args.user)))
+                else:
+                    for h in am.search(args.user, args.alias, args.query,
+                                       {"limit": args.limit}):
+                        print(json.dumps(h))
             elif args.repos_cmd == "omni":
                 from .query.omni import OmniSearchService
 
