@@ -468,6 +468,43 @@ def run() -> dict:
             float(np.percentile(np.array(lat_h) * 1000, 50)), 2
         )
 
+    # directory-tree ingestion front door (round 4): walk + distributed read
+    # over a synthetic checkout (files cached across runs; ingest timed)
+    if not os.environ.get("GRAFT_BENCH_FAST"):
+        from code_indexer_ray.pipelines.tree import TreeConfig, ingest_tree
+
+        n_files = int(os.environ.get("GRAFT_BENCH_TREE_FILES", "20000"))
+        troot = f"/tmp/cidx_bench_tree_{n_files}"
+        tdone = os.path.join(troot, "_FIXTURE_OK")
+        if not os.path.exists(tdone):
+            shutil.rmtree(troot, ignore_errors=True)
+            import numpy as np
+
+            rng = np.random.default_rng(13)
+            vocab = [f"w{i:04d}" for i in range(2000)]
+            for i in range(n_files):
+                d = os.path.join(troot, f"pkg{i % 64:02d}", f"mod{(i // 64) % 16}")
+                os.makedirs(d, exist_ok=True)
+                body = " ".join(vocab[j] for j in rng.integers(0, 2000, 120))
+                with open(os.path.join(d, f"f{i:06d}.py"), "w") as f:
+                    f.write(f"def fn{i}():\n    return '{body}'\n")
+            # excluded noise the walker must prune cheaply
+            os.makedirs(os.path.join(troot, "node_modules", "dep"), exist_ok=True)
+            for i in range(500):
+                with open(os.path.join(troot, "node_modules", "dep", f"x{i}.js"), "w") as f:
+                    f.write("junk")
+            with open(tdone, "w") as f:
+                f.write("ok")
+        tcorp = "/tmp/cidx_bench_tree_corpus"
+        shutil.rmtree(tcorp, ignore_errors=True)
+        ti = time.perf_counter()
+        tds = ingest_tree(troot, tcorp, config=TreeConfig(),
+                          concurrency=max(4, NCPU // 4), batch_size=256)
+        n_ing = tds.count()
+        dt = time.perf_counter() - ti
+        qstats["ingest_tree_sec"] = round(dt, 2)
+        qstats["ingest_files_per_sec"] = round(n_ing / dt, 1)
+
     # daemon-path serving (round 4): warm p50 through the unix-socket daemon
     # (socket + JSON framing + replica checkout on top of the engine's p50)
     if not os.environ.get("GRAFT_BENCH_FAST"):
