@@ -3608,6 +3608,21 @@ def q_quality_filter(sf_dir: str):
     )
 
 
+def q_ccnet_perplexity(sf_dir: str):
+    """CCNet-style LM quality scoring (Wenzek et al. 2020): per-doc average
+    negative log-likelihood under an add-one bigram model trained on the
+    deterministic doc_id%10==0 corpus slice — the perplexity-band ranking
+    signal CCNet buckets Common Crawl with.  All joins in the data plane
+    (the LM is never driver-resident); exact window/join SQL twin."""
+    import ray.data as rd
+
+    from ..text.perplexity import ccnet_perplexity
+
+    return ccnet_perplexity(
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    )
+
+
 def q_pack_sequences(sf_dir: str):
     """Training-sequence packing (GPT-style EOS-joined concatenation cut at
     seq_len): per doc, its token-stream placement (start_tok, first/last
@@ -7221,6 +7236,10 @@ def oracle_catalog() -> dict[str, str]:
 
     out["pack_sequences"] = sql_pack_sequences(seq_len=512)
 
+    from ..text.perplexity import sql_ccnet_perplexity
+
+    out["ccnet_perplexity"] = sql_ccnet_perplexity()
+
     out["sample_token_budget"] = (
         f"WITH toks AS ({sql_tokens_cte()}),\n"
         "t AS (SELECT d.doc_id, d.lang, coalesce(c.nt, 0)::BIGINT AS n_tokens\n"
@@ -8097,6 +8116,7 @@ _SAMPLE_FIRST = [
     # ---- new round-4 entries (sampled in round 5 after the queue) ----
     "ingest_tree",
     "pack_sequences",
+    "ccnet_perplexity",
     "pysym_defs",
     "pysym_imports",
     "pysym_calls",
@@ -8261,6 +8281,7 @@ def _query_catalog_unordered():
         "quality_filter": q_quality_filter,
         "sample_token_budget": q_sample_token_budget,
         "pack_sequences": q_pack_sequences,
+        "ccnet_perplexity": q_ccnet_perplexity,
         "curate_corpus": q_curate_corpus,
         "training_shards": q_training_shards,
         "curated_search": q_curated_search,
