@@ -3608,6 +3608,18 @@ def q_quality_filter(sf_dir: str):
     )
 
 
+def q_dsir_weights(sf_dir: str):
+    """DSIR importance weights (Xie et al. 2023): hashed-bigram bucket
+    distributions for a deterministic target slice vs the rest, per-doc log
+    importance weight via ONE broadcast B-sized log-ratio vector — the
+    resampling signal that selects target-like raw documents."""
+    import ray.data as rd
+
+    from ..text.dsir import dsir_weights
+
+    return dsir_weights(rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]))
+
+
 def q_ccnet_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): per-doc average
     negative log-likelihood under an add-one bigram model trained on the
@@ -7240,6 +7252,10 @@ def oracle_catalog() -> dict[str, str]:
 
     out["ccnet_perplexity"] = sql_ccnet_perplexity()
 
+    from ..text.dsir import sql_dsir_weights
+
+    out["dsir_weights"] = sql_dsir_weights()
+
     out["sample_token_budget"] = (
         f"WITH toks AS ({sql_tokens_cte()}),\n"
         "t AS (SELECT d.doc_id, d.lang, coalesce(c.nt, 0)::BIGINT AS n_tokens\n"
@@ -8117,6 +8133,7 @@ _SAMPLE_FIRST = [
     "ingest_tree",
     "pack_sequences",
     "ccnet_perplexity",
+    "dsir_weights",
     "pysym_defs",
     "pysym_imports",
     "pysym_calls",
@@ -8282,6 +8299,7 @@ def _query_catalog_unordered():
         "sample_token_budget": q_sample_token_budget,
         "pack_sequences": q_pack_sequences,
         "ccnet_perplexity": q_ccnet_perplexity,
+        "dsir_weights": q_dsir_weights,
         "curate_corpus": q_curate_corpus,
         "training_shards": q_training_shards,
         "curated_search": q_curated_search,
