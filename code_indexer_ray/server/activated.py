@@ -29,7 +29,7 @@ import os
 import re
 import threading
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 __all__ = ["ActivatedRepoError", "ActivatedRepoManager"]
 

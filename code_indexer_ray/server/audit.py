@@ -24,7 +24,7 @@ import os
 import threading
 import time
 from datetime import datetime, timezone
-from typing import Callable, Optional
+from typing import Callable
 
 __all__ = ["AuditLogger"]
 

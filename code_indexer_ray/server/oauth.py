@@ -32,7 +32,7 @@ import secrets
 import sqlite3
 import threading
 import time
-from typing import Any, Callable, Optional
+from typing import Callable, Optional
 
 __all__ = ["OAuthManager", "OAuthError", "PKCEVerificationError"]
 

@@ -32,7 +32,6 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..dedup.minhash import md5_lower64
 from .analysis import MAX_TOKEN_BYTES, TOKEN_SEPARATOR_RE, tokenize_flat
