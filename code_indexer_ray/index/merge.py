@@ -344,6 +344,10 @@ def merge_indexes(
             # actively synced indexes)
             "index_positions": bool(base.metrics.get("index_positions")),
             "built_unix": float(base.metrics.get("built_unix") or time.time()),
+            # content-freshness stamp (distinct from the age rule above):
+            # the validation engine's staleness check compares file mtimes
+            # against the LAST content update, which a merge is
+            "updated_unix": time.time(),
             **(
                 {
                     "fields": {
