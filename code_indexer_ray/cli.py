@@ -389,6 +389,18 @@ def main(argv: list[str] | None = None) -> int:
     vf.add_argument("--deep-sample", type=int, default=None,
                     help="deep-check only every Nth partition")
 
+    va = sub.add_parser(
+        "validate",
+        help="tree-vs-index validation (completeness/quality/consistency) "
+        "with optional auto-recovery through the sync tier",
+    )
+    va.add_argument("--tree", required=True, help="source checkout root")
+    va.add_argument("--index", required=True)
+    va.add_argument("--recover", action="store_true",
+                    help="on failure: re-ingest (stable ids) + sync into --out")
+    va.add_argument("--out", default=None, help="recovery output index dir")
+    va.add_argument("--id-map", default=None)
+
     dr = sub.add_parser(
         "doctor",
         help="detect (and with --fix repair) stale manifests, dangling current "
@@ -1261,6 +1273,21 @@ def main(argv: list[str] | None = None) -> int:
             )
             print(json.dumps(out))
             if not out["valid"]:
+                return 1
+        elif args.cmd == "validate":
+            from .index.validation import AutoRecoveryEngine, IndexValidationEngine
+
+            eng = IndexValidationEngine(args.tree, args.index)
+            report = eng.validate_comprehensive()
+            if args.recover and not report["valid"]:
+                if not args.out:
+                    raise ValueError("--recover needs --out")
+                rec = AutoRecoveryEngine(eng, id_map=args.id_map)
+                result = rec.execute_recovery(args.out, report=report)
+                print(json.dumps(result))
+                return 0
+            print(json.dumps(report))
+            if not report["valid"]:
                 return 1
         elif args.cmd == "doctor":
             from .index.doctor import doctor
