@@ -3620,6 +3620,19 @@ def q_dsir_weights(sf_dir: str):
     return dsir_weights(rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]))
 
 
+def q_dsir_weights_md5(sf_dir: str):
+    """Legacy-parity DSIR: per-bigram md5_number_lower(w1␟w2) bucketing (the
+    round-4 kernel; ~10× slower than the Horner fast path, kept as the
+    hash-parity fixture with its own exact twin)."""
+    import ray.data as rd
+
+    from ..text.dsir import dsir_weights
+
+    return dsir_weights(
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]), kernel="md5"
+    )
+
+
 def q_ccnet_perplexity(sf_dir: str):
     """CCNet-style LM quality scoring (Wenzek et al. 2020): per-doc average
     negative log-likelihood under an add-one bigram model trained on the
@@ -3632,6 +3645,19 @@ def q_ccnet_perplexity(sf_dir: str):
 
     return ccnet_perplexity(
         rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    )
+
+
+def q_ccnet_perplexity_md5(sf_dir: str):
+    """Legacy-parity CCNet scoring: per-bigram md5 join keys (the round-4
+    kernel).  The bigram key is engine-internal, so this provably returns
+    the SAME table as `ccnet_perplexity` — same SQL twin."""
+    import ray.data as rd
+
+    from ..text.perplexity import ccnet_perplexity
+
+    return ccnet_perplexity(
+        rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"]), kernel="md5"
     )
 
 
@@ -7251,10 +7277,12 @@ def oracle_catalog() -> dict[str, str]:
     from ..text.perplexity import sql_ccnet_perplexity
 
     out["ccnet_perplexity"] = sql_ccnet_perplexity()
+    out["ccnet_perplexity_md5"] = sql_ccnet_perplexity()  # hash-internal: same twin
 
     from ..text.dsir import sql_dsir_weights
 
-    out["dsir_weights"] = sql_dsir_weights()
+    out["dsir_weights"] = sql_dsir_weights()  # kernel="fast" Horner twin
+    out["dsir_weights_md5"] = sql_dsir_weights(kernel="md5")
 
     out["sample_token_budget"] = (
         f"WITH toks AS ({sql_tokens_cte()}),\n"
@@ -8039,63 +8067,13 @@ def query_catalog():
 
 # keys the round-3 driver sample should cover (order = sampling priority)
 _SAMPLE_FIRST = [
-    # Round-4 sampling priority (VERDICT r3 task #1): the driver verifies the
-    # FIRST 50 catalog keys each round; rounds 1-3 covered 116 distinct keys,
-    # leaving 83 never-driver-sampled.  Front-load the 50 oracle-backed
-    # never-sampled keys, then queue the remaining 33 (incl. the recall-gated
-    # no-oracle ANN/sketch rows, for which exact-mode twins land this round)
-    # so round 5 closes the gap.  New round-4 entries append AFTER the queue.
-    "dedup_near_pairs",
-    "dedup_components",
-    "url_dedup",
-    "ann_range",
-    "kmeans_embed",
-    "semantic_search",
-    "events_funnel",
-    "q3_shipping",
-    "q9_profit",
-    "q10_returns",
-    "pagerank",
-    "curate_corpus",
-    "token_count",
-    "dedup_ngram_jaccard",
-    "dedup_embed_cosine",
-    "span_removal",
-    "ann_cosine_filtered",
-    "embed_text",
-    "events_session",
-    "events_hopping",
-    "events_retention",
-    "events_cumsum",
-    "events_dau_mau",
-    "events_rank",
-    "events_zscore",
-    "events_json_agg",
-    "mode_event_type",
-    "heavy_hitters",
-    "distinct_users",
-    "median_value",
-    "percentiles_by_lang",
-    "join_orders_customer",
-    "revenue_by_nation",
-    "asof_orders",
-    "range_events",
-    "training_shards",
-    "pii_redact",
-    "decontam_flags",
-    "mm_decode_wav",
-    "fts_near",
-    "collocations",
-    "fts_bm25_should",
-    "url_canonical",
-    "fts_bm25_boost",
-    "fts_extract_html",
-    "lang_map",
-    "lang_id",
-    "lang_confusion",
-    "text_readability",
-    "mm_frames",
-    # ---- 50-key sample line falls here: round-5 queue below ----
+    # Round-5 sampling priority (VERDICT r4 task #2): rounds 1-4 verified
+    # 166 of the catalog keys (162 distinct green); the 46 below are the
+    # never-driver-sampled remainder — the 33 r3-queued keys, then the 13
+    # round-4 additions — followed by the round-5 additions, filling the
+    # driver's 50-key window so cumulative distinct coverage closes to
+    # every oracle-backed entry.  Previously-sampled keys fall through to
+    # catalog order behind the window.
     "dedup_minhash_md5_sig",
     "dedup_minhash_md5_bands",
     "fts_collapse_neardup",
@@ -8129,7 +8107,7 @@ _SAMPLE_FIRST = [
     "ann_hnsw",
     "distinct_users_hll",
     "approx_quantiles",
-    # ---- new round-4 entries (sampled in round 5 after the queue) ----
+    # ---- 13 round-4 entries, never sampled ----
     "ingest_tree",
     "pack_sequences",
     "ccnet_perplexity",
@@ -8143,6 +8121,9 @@ _SAMPLE_FIRST = [
     "ann_hnsw_exact",
     "ann_hnsw_store_exact",
     "ann_quantpath_exact",
+    # ---- round-5 additions (fill the 50-key window) ----
+    "dsir_weights_md5",
+    "ccnet_perplexity_md5",
 ]
 
 
@@ -8299,7 +8280,9 @@ def _query_catalog_unordered():
         "sample_token_budget": q_sample_token_budget,
         "pack_sequences": q_pack_sequences,
         "ccnet_perplexity": q_ccnet_perplexity,
+        "ccnet_perplexity_md5": q_ccnet_perplexity_md5,
         "dsir_weights": q_dsir_weights,
+        "dsir_weights_md5": q_dsir_weights_md5,
         "curate_corpus": q_curate_corpus,
         "training_shards": q_training_shards,
         "curated_search": q_curated_search,

@@ -18,9 +18,18 @@ counts fit in one small array regardless of corpus size, so the two count
 vectors aggregate via one groupby each and broadcast with ``ray.put``;
 scoring is one vectorized pass (bincount-style lookups), shuffle-free.
 
-Bucket ids are md5-lower-64 mod n_buckets — bit-equal to DuckDB's
-``md5_number_lower % n`` (the line-dedup hash-parity convention), so the
-twin reproduces bucketing exactly.
+Bucketing is oracle-visible (bucket boundaries change the counts), so each
+kernel carries its own exact DuckDB twin:
+
+- ``kernel="fast"`` (default): md5 runs once per UNIQUE token
+  (dictionary-encode; Zipf ≈4 % of the stream), then the bucket id is the
+  Horner pair hash over the 2³¹−1 field — the arithmetic proven in
+  ``dedup/minhash.py::minhash_batch_fast`` —
+  ``((md5_lower64(w1) % (2³¹−1)) · 1000003 + md5_lower64(w2) % (2³¹−1))
+  % (2³¹−1) % n_buckets``, every intermediate < 2⁶² (BIGINT-safe), and
+  DuckDB reproduces it term-for-term with ``md5_number_lower``.
+- ``kernel="md5"``: the legacy per-bigram ``md5_number_lower(w1␟w2) %
+  n_buckets`` key (~10× slower; the round-4 parity fixture).
 """
 
 from __future__ import annotations
@@ -28,7 +37,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..dedup.minhash import md5_lower64
+from ..dedup.minhash import HORNER_BASE, MERSENNE_31, md5_lower64
 from .analysis import MAX_TOKEN_BYTES, TOKEN_SEPARATOR_RE, tokenize_flat
 
 __all__ = ["dsir_weights", "sql_dsir_weights"]
@@ -37,7 +46,12 @@ SEP = "\x1f"
 DEFAULT_BUCKETS = 10_000
 
 
-def _bucket_rows(batch: pa.Table, *, id_col: str, text_col: str, n_buckets: int) -> pa.Table:
+def _bucket_rows(
+    batch: pa.Table, *, id_col: str, text_col: str, n_buckets: int,
+    kernel: str = "fast",
+) -> pa.Table:
+    import pyarrow.compute as pc
+
     ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
     tokens, parents = tokenize_flat(batch[text_col])
     empty = pa.table(
@@ -48,12 +62,26 @@ def _bucket_rows(batch: pa.Table, *, id_col: str, text_col: str, n_buckets: int)
     adj = parents[1:] == parents[:-1]
     if not adj.any():
         return empty
-    toks = tokens.to_pylist()
     idx = np.flatnonzero(adj)
-    b = np.fromiter(
-        (md5_lower64(toks[i] + SEP + toks[i + 1]) % n_buckets for i in idx),
-        dtype=np.int64, count=len(idx),
-    )
+    if kernel == "md5":
+        toks = tokens.to_pylist()
+        b = np.fromiter(
+            (md5_lower64(toks[i] + SEP + toks[i + 1]) % n_buckets for i in idx),
+            dtype=np.int64, count=len(idx),
+        )
+    else:
+        dic = pc.dictionary_encode(tokens)
+        codes = dic.indices.to_numpy(zero_copy_only=False)
+        M = np.uint64(MERSENNE_31)
+        uh = np.fromiter(
+            (md5_lower64(t) % MERSENNE_31 for t in dic.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(dic.dictionary),
+        )
+        th = uh[codes]  # per-token hash < 2^31; md5 once per unique token
+        b = (
+            ((th[idx] * np.uint64(HORNER_BASE) + th[idx + 1]) % M)
+            % np.uint64(n_buckets)
+        ).astype(np.int64)
     return pa.table(
         {"doc_id": pa.array(ids[parents[idx]], pa.int64()), "b": pa.array(b)}
     )
@@ -67,13 +95,22 @@ def dsir_weights(
     slice_mod: int = 10,
     slice_rem: int = 0,
     n_buckets: int = DEFAULT_BUCKETS,
+    kernel: str = "fast",
 ):
     """(doc_id, n_features, w_r) for every doc with ≥1 bigram — w_r is the
-    log importance weight rounded to 4; higher = more target-like."""
+    log importance weight rounded to 4; higher = more target-like.
+
+    ``kernel`` picks the bucket hash ("fast" Horner pair hash, default, or
+    the legacy per-bigram "md5") — each has its own exact SQL twin via
+    :func:`sql_dsir_weights`."""
     import ray
 
+    if kernel not in ("fast", "md5"):
+        raise ValueError("kernel must be 'fast' or 'md5'")
     rows = ds.map_batches(
-        lambda bt: _bucket_rows(bt, id_col=id_col, text_col=text_col, n_buckets=n_buckets),
+        lambda bt: _bucket_rows(
+            bt, id_col=id_col, text_col=text_col, n_buckets=n_buckets, kernel=kernel
+        ),
         batch_format="pyarrow",
     ).materialize()
 
@@ -157,16 +194,28 @@ def sql_dsir_weights(
     table: str = "documents",
     id_col: str = "doc_id",
     text_col: str = "text",
+    kernel: str = "fast",
 ) -> str:
-    """Exact DuckDB twin: md5_number_lower bucketing, same smoothing."""
+    """Exact DuckDB twin of the matching kernel: md5_number_lower token
+    hashing + the same bucket arithmetic, same smoothing."""
     sep = TOKEN_SEPARATOR_RE
+    if kernel == "md5":
+        bucket = (
+            f"(md5_number_lower(l[i] || chr(31) || l[i + 1]) % {n_buckets})::BIGINT"
+        )
+    else:  # Horner pair hash over 2^31-1, term-for-term the fast kernel
+        bucket = (
+            f"((((md5_number_lower(l[i]) % {MERSENNE_31}) * {HORNER_BASE}\n"
+            f"      + (md5_number_lower(l[i + 1]) % {MERSENNE_31}))\n"
+            f"     % {MERSENNE_31}) % {n_buckets})::BIGINT"
+        )
     return (
         f"WITH tl AS (SELECT {id_col} AS doc_id,\n"
         f"    [lower(t) FOR t IN regexp_split_to_array({text_col}, '{sep}')\n"
         f"     IF strlen(t) > 0 AND strlen(t) < {MAX_TOKEN_BYTES}] AS l\n"
         f"  FROM {table}),\n"
         "bg AS (SELECT doc_id,\n"
-        f"    (md5_number_lower(l[i] || chr(31) || l[i + 1]) % {n_buckets})::BIGINT AS b\n"
+        f"    {bucket} AS b\n"
         "  FROM tl, (SELECT unnest(generate_series(1, 4000)) AS i) g WHERE i < len(l)),\n"
         f"ct AS (SELECT b, count(*)::BIGINT AS c FROM bg WHERE doc_id % {slice_mod} = {slice_rem} GROUP BY b),\n"
         f"cr AS (SELECT b, count(*)::BIGINT AS c FROM bg WHERE doc_id % {slice_mod} <> {slice_rem} GROUP BY b),\n"

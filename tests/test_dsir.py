@@ -8,7 +8,7 @@ import math
 import pyarrow as pa
 import pytest
 
-from code_indexer_ray.dedup.minhash import md5_lower64
+from code_indexer_ray.dedup.minhash import HORNER_BASE, MERSENNE_31, md5_lower64
 from code_indexer_ray.text.analysis import tokenize_flat
 from code_indexer_ray.text.dsir import SEP, dsir_weights
 
@@ -18,13 +18,22 @@ def _toks(s):
     return t.to_pylist()
 
 
-def _brute(texts, slice_mod=10, slice_rem=0, B=64):
+def _bucket(a, b, B, kernel):
+    if kernel == "md5":
+        return md5_lower64(a + SEP + b) % B
+    # the fast Horner pair hash over 2^31-1 (pure-python reference)
+    t1 = md5_lower64(a) % MERSENNE_31
+    t2 = md5_lower64(b) % MERSENNE_31
+    return ((t1 * HORNER_BASE + t2) % MERSENNE_31) % B
+
+
+def _brute(texts, slice_mod=10, slice_rem=0, B=64, kernel="fast"):
     ct = [0] * B
     cr = [0] * B
     feats = {}
     for did, txt in texts.items():
         tk = _toks(txt)
-        bs = [md5_lower64(a + SEP + b) % B for a, b in zip(tk, tk[1:])]
+        bs = [_bucket(a, b, B, kernel) for a, b in zip(tk, tk[1:])]
         feats[did] = bs
         tgt = did % slice_mod == slice_rem
         for b in bs:
@@ -78,3 +87,18 @@ class TestDSIR:
         assert self._run(texts, slice_mod=3, slice_rem=2) == _brute(
             texts, slice_mod=3, slice_rem=2, B=64
         )
+
+    def test_md5_legacy_kernel_matches_its_brute(self):
+        texts = {
+            0: "alpha beta gamma alpha beta",
+            10: "alpha beta gamma delta",
+            1: "alpha beta gamma alpha",
+            2: "zz yy xx ww vv zz yy",
+        }
+        assert self._run(texts, kernel="md5") == _brute(texts, B=64, kernel="md5")
+
+    def test_bad_kernel_rejected(self):
+        import pytest as _pt
+
+        with _pt.raises(ValueError, match="kernel"):
+            self._run({0: "a b"}, kernel="sha")

@@ -89,6 +89,26 @@ class TestPerplexity:
                 rd.from_items([{"doc_id": 0, "text": "a b"}]), num_partitions=100
             )
 
+    def test_md5_kernel_identical_output(self):
+        # the bigram key is engine-internal: the legacy per-bigram-md5
+        # kernel and the fast unique-token+mix kernel must return the SAME
+        # table (equality classes are what the counts see)
+        texts = {
+            0: "the cat sat on the mat",
+            1: "the dog sat on the log",
+            10: "the cat ran over the mat",
+            7: "zz yy xx ww vv uu",
+        }
+        assert self._run(texts, kernel="md5") == self._run(texts)
+
+    def test_bad_kernel_rejected(self):
+        import ray.data as rd
+
+        with pytest.raises(ValueError, match="kernel"):
+            ccnet_perplexity(
+                rd.from_items([{"doc_id": 0, "text": "a b"}]), kernel="crc"
+            )
+
     def test_sep_never_in_tokens(self):
         # tokens are alnum runs: the bigram-key separator cannot collide
         assert SEP not in "".join(_toks("ab c1 d_e f-g"))
