@@ -3966,8 +3966,14 @@ def q_events_keep_latest(sf_dir: str):
         columns=["user_id", "event_type", "event_id", "ts", "value"],
     )
     out = keep_latest(ds, ["user_id", "event_type"], "ts", "event_id")
+    # coarse-partitioned map_groups can emit schema-less EMPTY blocks for
+    # empty range partitions — skip them (local_then_global_topk pattern)
     tbl = pa.concat_tables(
-        [t.select(["user_id", "event_type", "event_id", "ts", "value"]) for t in ray.get(out.to_arrow_refs())]
+        [
+            t.select(["user_id", "event_type", "event_id", "ts", "value"])
+            for t in ray.get(out.to_arrow_refs())
+            if t.num_rows
+        ]
     )
     return _ts_us(tbl, ("ts",))
 

@@ -18,17 +18,71 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
-def keep_latest(ds, keys: list[str], ts_col: str, tiebreak_col: str | None = None):
+_KL_GOLD1 = np.uint64(0x9E3779B97F4A7C15)
+_KL_GOLD2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _column_hash64(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Vectorized per-row uint64 hash of one column (partition bucketing
+    only — engine-internal, collisions just co-locate extra rows)."""
+    if pa.types.is_integer(col.type):
+        v = col.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
+        h = (v + _KL_GOLD2) * _KL_GOLD1
+        return h ^ (h >> np.uint64(31))
+    # strings / timestamps / anything else: pandas' C-level siphash
+    return pd.util.hash_array(col.to_numpy(zero_copy_only=False)).astype(np.uint64)
+
+
+def keep_latest(
+    ds,
+    keys: list[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+    num_partitions: int = 64,
+):
     """One row per key group: max ``ts_col`` (ties → max ``tiebreak_col``).
 
-    `groupby(keys).map_groups` — the hash-partition-by-url keep-latest dedup.
+    J1/D1 keep-latest dedup, partition-vectorized (the ``candidate_pairs``
+    pattern): ONE coarse hash-partition shuffle on the key columns — groups
+    are PARTITIONS, not key groups — then a single Arrow ``sort_indices``
+    (keys ↑, ts ↓, tiebreak ↓) + run-boundary mask per partition.  At
+    billions of urls this never pays a per-key-group python call, unlike
+    ``groupby(keys).map_groups`` (VERDICT r4 finding #2).
     """
-    sort_keys = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    if num_partitions & (num_partitions - 1):
+        raise ValueError("num_partitions must be a power of two")
+    mask = np.uint64(num_partitions - 1)
+    sort_keys = [(k, "ascending") for k in keys] + [(ts_col, "descending")]
+    if tiebreak_col:
+        sort_keys.append((tiebreak_col, "descending"))
 
-    def latest(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(sort_keys, ascending=False, kind="mergesort").head(1)
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = np.zeros(b.num_rows, dtype=np.uint64)
+        for k in keys:
+            h = (h * _KL_GOLD1) ^ _column_hash64(b[k])
+        return b.append_column("_pb", pa.array((h & mask).astype(np.int64)))
 
-    return ds.groupby(keys).map_groups(latest, batch_format="pandas")
+    def dedup(g: pa.Table) -> pa.Table:
+        g = g.drop_columns(["_pb"])
+        n = g.num_rows
+        if n == 0:
+            return g
+        s = g.take(pc.sort_indices(g, sort_keys=sort_keys))
+        first = np.zeros(n, dtype=bool)
+        first[0] = True
+        for k in keys:
+            a = s[k].combine_chunks() if isinstance(s[k], pa.ChunkedArray) else s[k]
+            cur, prev = a.slice(1), a.slice(0, n - 1)
+            ne = pc.fill_null(pc.not_equal(cur, prev), False)
+            nulldiff = pc.xor(pc.is_null(cur), pc.is_null(prev))
+            first[1:] |= pc.or_(ne, nulldiff).to_numpy(zero_copy_only=False)
+        return s.filter(pa.array(first))
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_pb")
+        .map_groups(dedup, batch_format="pyarrow")
+    )
 
 
 def broadcast_antijoin(ds, key_col: str, keys_ref):
