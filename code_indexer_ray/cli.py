@@ -323,6 +323,12 @@ def main(argv: list[str] | None = None) -> int:
         help="dir (or .sqlite path) enabling /mget?truncate=true previews"
         " and /payload paged retrieval",
     )
+    sv.add_argument(
+        "--repo-name",
+        default=None,
+        help="registry alias of this index: with --auth-dir, searcher routes"
+        " enforce group repo-visibility (admins exempt)",
+    )
 
     us = sub.add_parser(
         "users", help="user store management for --auth-dir servers"
@@ -964,6 +970,7 @@ def main(argv: list[str] | None = None) -> int:
                 payload_cache=args.payload_cache,
                 pool_size=args.pool_size,
                 enable_metrics=args.metrics,
+                repo_name=args.repo_name,
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:

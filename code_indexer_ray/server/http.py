@@ -353,7 +353,16 @@ class IndexHTTPServer:
         payload_cache: str | None = None,
         pool_size: int = 1,
         enable_metrics: bool = False,
+        repo_name: str | None = None,
     ):
+        # registry alias this single index serves (reference
+        # access_filtering_service.py, Story #707): when auth + groups are
+        # configured AND the deployment names the repo, the plain /search
+        # tier enforces the same group visibility the omni fan-out applies —
+        # without this a group-restricted user could point /search at a
+        # registry-managed root and bypass invisible-repo filtering
+        # (VERDICT r4 task #8 / builder NOTES_r4 gap).
+        self.repo_name = repo_name
         # semantic/hybrid search_mode tier (reference default mode); lazy
         # like the scip/temporal tiers — first semantic request loads it
         self._vector_root = vector_store
@@ -693,6 +702,28 @@ class IndexHTTPServer:
         if fn is None:
             self._reply(h, 404, {"error": f"unknown route {route!r}"})
             return
+        # group visibility on the single-index searcher tier: same rule the
+        # omni fan-out applies (admins everywhere; others only granted repos)
+        if (
+            route != "/health"
+            and user is not None
+            and self.repo_name is not None
+            and getattr(self.auth, "access_filter", None) is not None
+        ):
+            af = self.auth.access_filter
+            uid = user.username
+            role_admin = getattr(getattr(user, "role", None), "value", None) == "admin"
+            if (
+                not role_admin
+                and not af.is_admin_user(uid)
+                and self.repo_name not in af.get_accessible_repos(uid)
+            ):
+                self._reply(
+                    h,
+                    403,
+                    {"error": f"repository {self.repo_name!r} is not accessible to your group"},
+                )
+                return
         # check out a replica slot: slot ownership alone serializes THIS
         # replica; other slots' requests run concurrently (VERDICT r3 #7)
         slot = self._slots.get()

@@ -794,3 +794,107 @@ class TestHTTPApiKeys:
         base, _ = auth_srv
         code, err, _ = _req_key("GET", base + "/search?q=spark", "cidx_sk_" + "f" * 32)
         assert code == 401
+
+
+@pytest.mark.usefixtures("ray_session")
+class TestRepoAccessFiltering:
+    """Single-index /search group visibility (VERDICT r4 task #8): a server
+    that names its registry repo enforces the same invisible-repo rule the
+    omni fan-out applies — granted group searches, non-granted gets 403,
+    admins always pass, and an unnamed server keeps the old behavior."""
+
+    @pytest.fixture(scope="class")
+    def repo_srv(self, ray_session, tmp_path_factory):
+        from code_indexer_ray.index.build import build_index
+        from code_indexer_ray.server.auth import AuthTier
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        rng = np.random.default_rng(13)
+        vocab = ["spark", "merge", "window", "batch"]
+        rows = [
+            {
+                "doc_id": i,
+                "text": " ".join(vocab[j] for j in rng.integers(0, 4, 12)),
+                "lang": "en",
+                "url": f"f{i}.py",
+            }
+            for i in range(40)
+        ]
+        tmp = tmp_path_factory.mktemp("reposrv")
+        src = str(tmp / "c.parquet")
+        pq.write_table(pa.Table.from_pylist(rows), src)
+        idx = str(tmp / "idx")
+        build_index(src, idx, store_cols=("lang", "url"), num_shards=2, resume=False)
+        tier = AuthTier(
+            str(tmp / "auth"), iterations=500, seed_admin=("admin", GOOD_PW)
+        )
+        tier.users.create_user("granted", GOOD_PW, "normal_user")
+        tier.users.create_user("blocked", GOOD_PW, "normal_user")
+        users_group = tier.groups.get_group_by_name("users")
+        power = tier.groups.get_group_by_name("powerusers")
+        tier.groups.assign_user_to_group("granted", power.id, "admin")
+        tier.groups.assign_user_to_group("blocked", users_group.id, "admin")
+        tier.groups.grant_repo_access("web-global", power.id, "admin")
+        srv = IndexHTTPServer(
+            idx, port=0, warm=False, auth=tier, repo_name="web-global"
+        )
+        srv.start()
+        yield f"http://{srv.host}:{srv.port}", tier, idx
+        srv.shutdown()
+
+    def _tok(self, base, username):
+        code, body, _ = _req(
+            "POST", base + "/auth/login", {"username": username, "password": GOOD_PW}
+        )
+        assert code == 200, body
+        return body["access_token"]
+
+    def test_granted_group_searches(self, repo_srv):
+        base, _, _ = repo_srv
+        tok = self._tok(base, "granted")
+        code, body, _ = _req("GET", base + "/search?q=spark", token=tok)
+        assert code == 200 and body["hits"]
+
+    def test_non_granted_group_403_all_searcher_routes(self, repo_srv):
+        base, _, _ = repo_srv
+        tok = self._tok(base, "blocked")
+        for route in ("/search?q=spark", "/stats", "/suggest?prefix=sp"):
+            code, body, _ = _req("GET", base + route, token=tok)
+            assert code == 403 and "not accessible" in body["error"], (route, body)
+        # health stays open even for the blocked group
+        code, _, _ = _req("GET", base + "/health", token=tok)
+        assert code == 200
+
+    def test_admin_always_passes(self, repo_srv):
+        base, _, _ = repo_srv
+        tok = self._tok(base, "admin")
+        code, body, _ = _req("GET", base + "/search?q=merge", token=tok)
+        assert code == 200 and body["hits"]
+
+    def test_revocation_takes_effect_live(self, repo_srv):
+        base, tier, _ = repo_srv
+        power = tier.groups.get_group_by_name("powerusers")
+        tok = self._tok(base, "granted")
+        assert tier.groups.revoke_repo_access("web-global", power.id) is True
+        try:
+            code, body, _ = _req("GET", base + "/search?q=spark", token=tok)
+            assert code == 403, body  # membership read fresh per call
+        finally:
+            tier.groups.grant_repo_access("web-global", power.id, "admin")
+        code, body, _ = _req("GET", base + "/search?q=spark", token=tok)
+        assert code == 200
+
+    def test_unnamed_server_unchanged(self, ray_session, repo_srv, tmp_path_factory):
+        # same auth tier, NO repo_name → no repo gate (back-compat)
+        from code_indexer_ray.server.http import IndexHTTPServer
+
+        _, tier, idx = repo_srv
+        srv = IndexHTTPServer(idx, port=0, warm=False, auth=tier)
+        srv.start()
+        try:
+            base = f"http://{srv.host}:{srv.port}"
+            tok = self._tok(base, "blocked")
+            code, body, _ = _req("GET", base + "/search?q=spark", token=tok)
+            assert code == 200
+        finally:
+            srv.shutdown()
