@@ -473,6 +473,15 @@ class IndexHTTPServer:
                     server._reply(self, 413, {"error": "request body too large"})
                     return
                 raw = self.rfile.read(n) if n else b""
+                ctype = (self.headers.get("Content-Type") or "").split(";")[0].strip()
+                if (
+                    self.path.startswith("/web")
+                    and ctype == "application/x-www-form-urlencoded"
+                ):
+                    # browser form posts (the /web HTML tier)
+                    body = {k: v[-1] for k, v in parse_qs(raw.decode()).items()}
+                    server._timed_dispatch(self, body=body)
+                    return
                 try:
                     body = json.loads(raw) if raw else {}
                 except json.JSONDecodeError:
@@ -629,6 +638,11 @@ class IndexHTTPServer:
         params = {k: v[-1] for k, v in parse_qs(url.query).items()}
         if body:
             params.update(body)
+        if route == "/web" or route.startswith("/web/"):
+            # HTML tier: cookie-session auth of its own (browser flows have
+            # no Authorization header); pages re-use the REST data paths
+            self._web_tier().handle(h, route, method, params)
+            return
         user = None
         if self.auth is not None:
             from .auth import AuthError
@@ -1380,6 +1394,13 @@ class IndexHTTPServer:
             "partitions": m.n_partitions,
             "index_timestamp": ts,
         }
+
+    def _web_tier(self):
+        if getattr(self, "_web", None) is None:
+            from .web import WebTier
+
+            self._web = WebTier(self)
+        return self._web
 
     def _semantic_tier(self):
         if self._vector_root is not None and self._semantic is None:
