@@ -30,6 +30,23 @@ def _ray_init(num_cpus: int | None):
     DataContext.get_current().enable_progress_bars = False
 
 
+def _make_auto_update(args):
+    """DirFingerprintFeed + background-polling AutoUpdateService from CLI
+    flags, or None when no --update-feed was given."""
+    feed_dir = getattr(args, "update_feed", None)
+    if not feed_dir:
+        return None
+    from .server.autoupdate import AutoUpdateService, DirFingerprintFeed, UpdateLock
+
+    svc = AutoUpdateService(
+        DirFingerprintFeed(feed_dir, installed=args.installed_version),
+        lock=UpdateLock(feed_dir.rstrip("/") + ".update.lock"),
+    )
+    svc.poll_once()
+    svc.start(args.update_interval)
+    return svc
+
+
 def _daemon_cmd(args) -> int:
     """daemon serve/start/stop/status — Ray-free (the searcher's local query
     path reads parquet/segments directly; remote actor mode is an HTTP-tier
@@ -328,6 +345,20 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="registry alias of this index: with --auth-dir, searcher routes"
         " enforce group repo-visibility (admins exempt)",
+    )
+    sv.add_argument(
+        "--update-feed",
+        default=None,
+        help="release dir whose VERSION file is polled; 'update available'"
+        " rides /health (reference server/auto_update analog)",
+    )
+    sv.add_argument(
+        "--installed-version", default="0.0.0",
+        help="version this deployment runs (compared against --update-feed)",
+    )
+    sv.add_argument(
+        "--update-interval", type=float, default=300.0,
+        help="seconds between release-feed polls",
     )
 
     us = sub.add_parser(
@@ -971,6 +1002,7 @@ def main(argv: list[str] | None = None) -> int:
                 pool_size=args.pool_size,
                 enable_metrics=args.metrics,
                 repo_name=args.repo_name,
+                auto_update=_make_auto_update(args),
             )
             print(json.dumps({"listening": f"http://{srv.host}:{srv.port}"}), flush=True)
             try:

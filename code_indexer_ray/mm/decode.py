@@ -24,7 +24,7 @@ import pyarrow as pa
 
 from .bmp import BMP_SIG, UnsupportedBMP, decode_bmp
 from .gif import GIF_SIG, UnsupportedGIF, decode_gif
-from .jpeg import JPEG_SIG, UnsupportedJPEG, decode_jpeg
+from .jpeg import JPEG_SIG, UnsupportedJPEG, decode_jpeg, jpeg_dimensions
 from .png import PNG_SIG, UnsupportedPNG, decode_png
 
 #: retained for backward compatibility: PNG/BMP/GIF/JPEG/WAV decode for real;
@@ -86,7 +86,16 @@ class MediaDecodeStage:
             try:
                 img = decode_jpeg(payload)
             except UnsupportedJPEG:
-                pass  # fall through to the fake (flagged)
+                # progressive / subsampled / 12-bit etc.: downgrade to a
+                # METADATA-ONLY row — real dimensions from the SOFn header,
+                # md5-deterministic feat, real_decode=False — so size-based
+                # curation filters still see the truth (VERDICT r4 #9)
+                dims = jpeg_dimensions(payload)
+                if dims is not None:
+                    w, h, _nf = dims
+                    d = hashlib.md5(payload).digest()
+                    feat = int.from_bytes(d[2:6], "little") / 0xFFFFFFFF
+                    return w, h, round(feat, 6), False
             else:
                 h, w, _c = img.shape
                 feat = float(img.astype(np.float64).mean() / 255.0)

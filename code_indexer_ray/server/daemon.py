@@ -103,7 +103,12 @@ class DaemonServer:
         url_col: str | None = "url",
         pool_size: int = 2,
         warm: bool = True,
+        auto_update=None,
     ):
+        # optional AutoUpdateService (reference server/auto_update): its
+        # status rides the daemon `status` op so `cidx daemon status` shows
+        # "update available" without a server restart
+        self.auto_update = auto_update
         from .http import GenerationFollower
 
         self.index_root = index_dir
@@ -212,17 +217,17 @@ class DaemonServer:
             with self._refresh_lock:
                 self._follower.refresh()
                 s = self._follower.searcher
-            return {
-                "ok": True,
-                "result": {
-                    "index_root": self.index_root,
-                    "index_dir": self._follower.index_dir,
-                    "num_docs": int(s.manifest.num_docs) if s else None,
-                    "uptime_secs": time.time() - self.started_at,
-                    "query_count": self.query_count,
-                    "pid": os.getpid(),
-                },
+            result = {
+                "index_root": self.index_root,
+                "index_dir": self._follower.index_dir,
+                "num_docs": int(s.manifest.num_docs) if s else None,
+                "uptime_secs": time.time() - self.started_at,
+                "query_count": self.query_count,
+                "pid": os.getpid(),
             }
+            if self.auto_update is not None:
+                result["update"] = self.auto_update.status()
+            return {"ok": True, "result": result}
         if op == "shutdown":
             threading.Thread(target=self.shutdown, daemon=True).start()
             return {"ok": True, "result": {"stopping": True}}

@@ -354,7 +354,12 @@ class IndexHTTPServer:
         pool_size: int = 1,
         enable_metrics: bool = False,
         repo_name: str | None = None,
+        auto_update=None,
     ):
+        # optional AutoUpdateService (reference server/auto_update): status
+        # rides /health so operators see "update available" on the
+        # liveness route they already poll
+        self.auto_update = auto_update
         # registry alias this single index serves (reference
         # access_filtering_service.py, Story #707): when auth + groups are
         # configured AND the deployment names the repo, the plain /search
@@ -1363,16 +1368,20 @@ class IndexHTTPServer:
 
     def _r_health(self, params: dict) -> dict:
         if self.searcher is None:
-            return {"status": "ok", "num_docs": 0, "num_shards": 0,
-                    "fields": None, "index_dir": None}
-        m = self.searcher.manifest
-        return {
-            "status": "ok",
-            "num_docs": m.num_docs,
-            "num_shards": m.num_shards,
-            "fields": sorted(m.fields) if m.fields else None,
-            "index_dir": self.index_dir,
-        }
+            out = {"status": "ok", "num_docs": 0, "num_shards": 0,
+                   "fields": None, "index_dir": None}
+        else:
+            m = self.searcher.manifest
+            out = {
+                "status": "ok",
+                "num_docs": m.num_docs,
+                "num_shards": m.num_shards,
+                "fields": sorted(m.fields) if m.fields else None,
+                "index_dir": self.index_dir,
+            }
+        if self.auto_update is not None:
+            out["update"] = self.auto_update.status()
+        return out
 
     def _r_stats(self, params: dict) -> dict:
         m = self.searcher.manifest

@@ -199,3 +199,72 @@ class TestUnsupported:
         w, h, feat, real = MediaDecodeStage._decode_payload(encode_jpeg(img))
         assert real is True and (w, h) == (8, 8)
         assert feat == round(100 / 255.0, 6)  # 100 is even → survives exactly
+
+
+class TestHeaderDimsDowngrade:
+    """VERDICT r4 #9: unsupported JPEG shapes downgrade to METADATA-ONLY
+    rows — real SOFn dimensions, real_decode=False — instead of md5-fake
+    dims, so size-based curation filters stay truthful on progressive
+    crawls."""
+
+    def _progressive(self, w=24, h=16):
+        img = np.full((h, w), 77, dtype=np.uint8)
+        return encode_jpeg(img).replace(b"\xff\xc0", b"\xff\xc2", 1)
+
+    def test_jpeg_dimensions_all_sof_shapes(self):
+        from code_indexer_ray.mm.jpeg import jpeg_dimensions
+
+        img = np.arange(192, dtype=np.uint8).reshape(12, 16)
+        good = encode_jpeg(img)
+        assert jpeg_dimensions(good) == (16, 12, 1)
+        # progressive (SOF2) and extended-sequential (SOF1): same header walk
+        for marker in (b"\xff\xc1", b"\xff\xc2", b"\xff\xc7", b"\xff\xcb"):
+            assert jpeg_dimensions(good.replace(b"\xff\xc0", marker, 1)) == (16, 12, 1)
+        # subsampled SOF0: decode refuses, dimensions don't
+        i = good.index(b"\xff\xc0")
+        sub = bytearray(good); sub[i + 11] = 0x22
+        with pytest.raises(UnsupportedJPEG):
+            decode_jpeg(bytes(sub))
+        assert jpeg_dimensions(bytes(sub)) == (16, 12, 1)
+        # non-JPEG / truncated / SOS-before-SOF: None
+        assert jpeg_dimensions(b"\x00\x01") is None
+        assert jpeg_dimensions(b"\xff\xd8\xff") is None
+        assert jpeg_dimensions(b"\xff\xd8\xff\xda\x00\x03\x01") is None
+
+    def test_stage_metadata_only_row_for_progressive(self):
+        from code_indexer_ray.mm.decode import MediaDecodeStage
+
+        w, h, feat, real = MediaDecodeStage._decode_payload(self._progressive())
+        assert (w, h) == (24, 16)  # REAL header dims
+        assert real is False       # flagged: no pixel decode happened
+        assert 0.0 <= feat <= 1.0
+
+    def test_mixed_corpus_through_ray_stage(self, ray_session):
+        """Baseline (real decode) + progressive (metadata-only) + garbage
+        (md5 fake) in ONE corpus: the pipeline completes — nothing aborts —
+        and every row class carries the right flag/dims."""
+        import ray.data as rd
+
+        from code_indexer_ray.mm.decode import media_decode
+        from code_indexer_ray.mm.png import encode_png
+
+        img = np.full((8, 8), 100, dtype=np.uint8)
+        rows = [
+            {"doc_id": 0, "payload": encode_jpeg(img)},
+            {"doc_id": 1, "payload": self._progressive()},
+            {"doc_id": 2, "payload": b"definitely not an image"},
+            {"doc_id": 3, "payload": encode_png(np.full((5, 7), 10, dtype=np.uint8))},
+        ]
+        out = (
+            media_decode(rd.from_items(rows), concurrency=2, batch_size=2)
+            .to_pandas()
+            .set_index("doc_id")
+            .sort_index()
+        )
+        assert bool(out.loc[0, "real_decode"]) is True
+        assert (out.loc[0, "width"], out.loc[0, "height"]) == (8, 8)
+        assert bool(out.loc[1, "real_decode"]) is False
+        assert (out.loc[1, "width"], out.loc[1, "height"]) == (24, 16)  # header dims
+        assert bool(out.loc[2, "real_decode"]) is False  # md5 fake for garbage
+        assert bool(out.loc[3, "real_decode"]) is True
+        assert (out.loc[3, "width"], out.loc[3, "height"]) == (7, 5)
