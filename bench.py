@@ -636,6 +636,58 @@ def run() -> dict:
         big["temporal_500k_query_cold_ms"] = round((time.perf_counter() - t_) * 1000, 1)
         big["temporal_500k_hits"] = len(thits_b)
 
+        # -- 5M-doc build + serve probe (VERDICT r4 #7): one more order of
+        # magnitude over the 1M canary to keep the sort-group sublinearity
+        # fix honest.  Corpus ~34 GB on disk; generated once and cached.
+        # GRAFT_BENCH_XL_DOCS=0 skips; insufficient disk skips with the
+        # reason recorded (no silent cap). --
+        n_xl = int(os.environ.get("GRAFT_BENCH_XL_DOCS", "5000000"))
+        if n_xl:
+            xl_corpus = f"/tmp/cidx_bench_corpus_{n_xl}"
+            xdone = os.path.join(xl_corpus, "_SUCCESS")
+            free_gb = shutil.disk_usage("/tmp").free / 1e9
+            need_gb = (0 if os.path.exists(xdone) else n_xl * 7e-6) + n_xl * 2e-6
+            if free_gb < need_gb + 8:
+                big["xl_skipped"] = (
+                    f"{free_gb:.0f} GB free < {need_gb + 8:.0f} GB needed for {n_xl} docs"
+                )
+            else:
+                if not os.path.exists(xdone):
+                    from code_indexer_ray.pipelines.corpus import write_corpus as _wc2
+
+                    shutil.rmtree(xl_corpus, ignore_errors=True)
+                    tb = time.perf_counter()
+                    _wc2(xl_corpus, n_xl, seed=42)
+                    big["xl_corpus_gen_sec"] = round(time.perf_counter() - tb, 1)
+                    with open(xdone, "w") as f:
+                        f.write("ok")
+                xl_out = f"/tmp/cidx_bench_idx_xl_{NCPU}"
+                shutil.rmtree(xl_out, ignore_errors=True)
+                tb = time.perf_counter()
+                xman = build_index(
+                    xl_corpus, xl_out, store_cols=("lang", "url"),
+                    target_docs_per_shard=max(1000, n_xl // 32), resume=False,
+                )
+                xl_sec = time.perf_counter() - tb
+                big[f"build_{n_xl // 1_000_000}m_sec"] = round(xl_sec, 1)
+                big[f"docs_per_sec_{n_xl // 1_000_000}m"] = round(xman.num_docs / xl_sec, 1)
+                tb = time.perf_counter()
+                sx = _ISB(xl_out, lang_col="lang", url_col="url")
+                sx.search("t000042", limit=10, snippet_lines=0)
+                big[f"query_cold_{n_xl // 1_000_000}m_sec"] = round(time.perf_counter() - tb, 2)
+                sx.warm()
+                rngx = np.random.default_rng(7)
+                xlat = []
+                for r in np.concatenate([rngx.integers(0, 2000, 16), rngx.integers(2000, 49999, 8)]):
+                    t_ = time.perf_counter()
+                    sx.search(f"t{int(r):06d}", limit=10, snippet_lines=0)
+                    xlat.append(time.perf_counter() - t_)
+                big[f"bm25_p50_{n_xl // 1_000_000}m_ms"] = round(
+                    sorted(xlat)[len(xlat) // 2] * 1000, 2
+                )
+                del sx
+                shutil.rmtree(xl_out, ignore_errors=True)  # keep /tmp headroom
+
     result = {
         "metric": "index-build docs/sec + BM25 top-10 p50 over synthetic Common-Crawl corpus",
         "value": round(build_sec, 3),

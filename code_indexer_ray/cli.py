@@ -610,6 +610,13 @@ def main(argv: list[str] | None = None) -> int:
     rmi.add_argument("--force", action="store_true")
     rms = rmsub.add_parser("status", help="server health + index stats")
     rms.add_argument("--root", required=True)
+    rmh = rmsub.add_parser(
+        "health",
+        help="tiered health check: connectivity -> auth -> repository access"
+        " (reference remote/health_checker.py)",
+    )
+    rmh.add_argument("--root", required=True)
+    rmh.add_argument("--timeout", type=float, default=10.0)
     rmq = rmsub.add_parser("query", help="run a query on the linked server")
     rmq.add_argument("--root", required=True)
     rmq.add_argument("query")
@@ -1293,6 +1300,10 @@ def main(argv: list[str] | None = None) -> int:
             elif args.remote_cmd == "status":
                 rc = remotemod.RemoteClient(args.root)
                 print(json.dumps({"health": rc.health(), "stats": rc.stats()}))
+            elif args.remote_cmd == "health":
+                res = remotemod.check_remote_health(args.root, timeout=args.timeout)
+                print(json.dumps(res))
+                return 0 if res["connection_health"] == "healthy" else 1
             elif args.remote_cmd == "query":
                 rc = remotemod.RemoteClient(args.root)
                 hits = rc.search(

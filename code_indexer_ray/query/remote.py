@@ -236,3 +236,96 @@ def apply_staleness(hits: list[dict], local_mtimes: dict[str, float],
         out.append(h)
     out.sort(key=lambda h: (h["is_stale"], -h.get("score", 0.0)))
     return out
+
+
+# ---------------------------------------------------------------------------
+# Tiered remote health check (reference remote/health_checker.py:47
+# RealServerHealthChecker): connectivity -> authentication -> repository
+# access -> server info, each tier only attempted when the previous one
+# held, classified into the reference's connection_health vocabulary.
+# Real HTTP against the configured server; no fallback to fake data.
+
+
+def check_remote_health(root_or_config: str | dict, *, timeout: float = 10.0) -> dict:
+    """Comprehensive health result for the linked server.
+
+    Returns {server_reachable, authentication_valid, repository_accessible,
+    connection_health, server_info, error_details, check_timestamp} with
+    connection_health one of: healthy / server_unreachable /
+    authentication_failed / repository_not_accessible / degraded.
+    """
+    ts = time.time()
+    out = {
+        "server_reachable": False,
+        "authentication_valid": False,
+        "repository_accessible": False,
+        "connection_health": "server_unreachable",
+        "server_info": None,
+        "error_details": None,
+        "check_timestamp": round(ts, 3),
+    }
+    try:
+        client = RemoteClient(root_or_config, retries=1, timeout=timeout)
+    except (RemoteConfigError, ValueError) as e:
+        out["connection_health"] = "configuration_invalid"
+        out["error_details"] = str(e)
+        return out
+
+    # tier 1: unauthenticated connectivity (/health is public by contract)
+    try:
+        info = client.health()
+    except RemoteError as e:
+        out["error_details"] = f"connectivity: {e}"
+        return out
+    out["server_reachable"] = True
+    out["server_info"] = info
+
+    # tier 2: authentication (/stats requires credentials when configured).
+    # A 403 here means the credentials ARE valid but the repo-visibility
+    # gate blocks the searcher tier — that's tier 3's classification.
+    stats = {}
+    try:
+        stats = client.stats()
+    except RemoteAuthError as e:
+        out["connection_health"] = "authentication_failed"
+        out["error_details"] = f"authentication: {e}"
+        return out
+    except RemoteQueryError as e:
+        if e.status == 403:
+            out["authentication_valid"] = True
+            out["connection_health"] = "repository_not_accessible"
+            out["error_details"] = f"repository: {e}"
+            return out
+        out["connection_health"] = "degraded"
+        out["error_details"] = f"stats: {e}"
+        return out
+    except RemoteError as e:
+        out["connection_health"] = "degraded"
+        out["error_details"] = f"stats: {e}"
+        return out
+    out["authentication_valid"] = True
+    out["server_info"] = {**info, **stats}
+
+    # tier 3: repository access (a 1-hit probe query exercises the group
+    # repo-visibility gate — 403 = authenticated but repo invisible)
+    try:
+        client.search("a", limit=1, snippet_lines=0)
+    except RemoteQueryError as e:
+        if e.status == 403:
+            out["connection_health"] = "repository_not_accessible"
+            out["error_details"] = f"repository: {e}"
+            return out
+        if e.status == 503:  # no generation published yet: reachable+authed
+            out["connection_health"] = "degraded"
+            out["error_details"] = f"repository: {e}"
+            return out
+        out["connection_health"] = "degraded"
+        out["error_details"] = f"search: {e}"
+        return out
+    except RemoteError as e:
+        out["connection_health"] = "degraded"
+        out["error_details"] = f"search: {e}"
+        return out
+    out["repository_accessible"] = True
+    out["connection_health"] = "healthy"
+    return out
