@@ -601,6 +601,19 @@ def main(argv: list[str] | None = None) -> int:
     pxq.add_argument("--lang-col", default=None)
     pxq.add_argument("--url-col", default=None)
 
+    mb = sub.add_parser(
+        "mcpb",
+        help="MCP stdio bridge to a remote server's /mcp endpoint"
+        " (reference mcpb bundle analog)",
+    )
+    mb.add_argument("--server", default=None, help="http(s)://host:port")
+    mb.add_argument("--root", default=None,
+                    help="use this root's remote config for server/api-key")
+    mb.add_argument("--api-key", default=None)
+    mb.add_argument("--username", default=None)
+    mb.add_argument("--password-env", default="CIDX_PASSWORD",
+                    help="env var holding the password for --username auto-login")
+
     rm = sub.add_parser("remote", help="remote mode: queries execute on a CIDX HTTP server")
     rmsub = rm.add_subparsers(dest="remote_cmd", required=True)
     rmi = rmsub.add_parser("init", help="link this root to a server")
@@ -1285,6 +1298,26 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps(r))
                 if errors:  # per-repo failures to stderr, results still usable
                     print(json.dumps({"errors": errors}), file=sys.stderr)
+        elif args.cmd == "mcpb":
+            import os as _os
+
+            from .server.mcpb import Bridge, BridgeClient
+
+            server, api_key = args.server, args.api_key
+            if args.root is not None:
+                from .query.remote import load_remote_config
+
+                cfg = load_remote_config(args.root)
+                server = server or cfg["server_url"]
+                api_key = api_key or cfg.get("api_key")
+            if server is None:
+                print(json.dumps({"error": "--server or --root required"}),
+                      file=sys.stderr)
+                return 2
+            password = _os.environ.get(args.password_env) if args.username else None
+            client = BridgeClient(server, api_key=api_key,
+                                  username=args.username, password=password)
+            Bridge(client).run()
         elif args.cmd == "remote":
             from .query import remote as remotemod
 

@@ -718,11 +718,12 @@ class IndexHTTPServer:
             self._dispatch_temporal(h, route, params)
             return
         fn = _ROUTES.get(route)
-        if fn is None:
+        if fn is None and route != "/mcp":
             self._reply(h, 404, {"error": f"unknown route {route!r}"})
             return
-        # group visibility on the single-index searcher tier: same rule the
-        # omni fan-out applies (admins everywhere; others only granted repos)
+        # group visibility on the single-index searcher tier (incl. the
+        # /mcp JSON-RPC endpoint): same rule the omni fan-out applies
+        # (admins everywhere; others only granted repos)
         if (
             route != "/health"
             and user is not None
@@ -743,6 +744,26 @@ class IndexHTTPServer:
                     {"error": f"repository {self.repo_name!r} is not accessible to your group"},
                 )
                 return
+        if route == "/mcp":
+            # MCP-over-HTTP (reference server MCP endpoint; the mcpb stdio
+            # bridge forwards raw JSON-RPC lines here).  Notifications get
+            # 204 — no JSON-RPC response exists for them.
+            if method != "POST":
+                self._reply(h, 405, {"error": "POST a JSON-RPC request"})
+                return
+            try:
+                out = self._mcp_tier().process(body if body is not None else {})
+            except Exception as e:  # noqa: BLE001 — protocol-level failure
+                self._reply(h, 500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if out is None:
+                h._last_status = 204
+                h.send_response(204)
+                h.send_header("Content-Length", "0")
+                h.end_headers()
+                return
+            self._reply(h, 200, out)
+            return
         # check out a replica slot: slot ownership alone serializes THIS
         # replica; other slots' requests run concurrently (VERDICT r3 #7)
         slot = self._slots.get()
@@ -1403,6 +1424,28 @@ class IndexHTTPServer:
             "partitions": m.n_partitions,
             "index_timestamp": ts,
         }
+
+    def _mcp_tier(self):
+        """Lazy MCPServer sharing this server's index root + tier config —
+        the /mcp JSON-RPC endpoint the mcpb stdio bridge forwards to."""
+        if getattr(self, "_mcp", None) is None:
+            from .mcp import MCPServer
+
+            ctor = self._follower._ctor
+            m = MCPServer(
+                self._follower._root,
+                lang_col=ctor.get("lang_col"),
+                url_col=ctor.get("url_col"),
+                remote=ctor.get("remote", False),
+                shard_group_size=ctor.get("shard_group_size", 1),
+                scip_store=self._scip_root,
+                temporal_index=self._temporal_root,
+                vector_store=self._vector_root,
+                warm=False,
+            )
+            m.jobs = self.jobs  # share the ONE job manager (never two per root)
+            self._mcp = m
+        return self._mcp
 
     def _web_tier(self):
         if getattr(self, "_web", None) is None:
