@@ -18,13 +18,20 @@ import sys
 
 
 def _ray_init(num_cpus: int | None):
+    import os as _os
+
     import ray
 
     if not ray.is_initialized():
+        # RAY_ADDRESS (set by `ray job submit` / cluster launchers) wins so
+        # the same CLI drives a multi-node cluster unchanged; default stays
+        # a local session.  num_cpus only applies to a local session — a
+        # cluster's size is the cluster's.
+        address = _os.environ.get("RAY_ADDRESS") or "local"
         kwargs = dict(include_dashboard=False, ignore_reinit_error=True, logging_level="ERROR")
-        if num_cpus:
+        if num_cpus and address == "local":
             kwargs["num_cpus"] = num_cpus
-        ray.init(address="local", **kwargs)
+        ray.init(address=address, **kwargs)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -600,6 +607,16 @@ def main(argv: list[str] | None = None) -> int:
     pxq.add_argument("--snippet-lines", type=int, default=0)
     pxq.add_argument("--lang-col", default=None)
     pxq.add_argument("--url-col", default=None)
+
+    cl = sub.add_parser(
+        "cleanup-service",
+        help="privileged path-reaper sidecar (reference docker/cleanup.sh):"
+        " POST /cleanup removes paths realpath-contained in --root",
+    )
+    cl.add_argument("--root", action="append", required=True,
+                    help="allowed root (repeatable)")
+    cl.add_argument("--host", default="127.0.0.1")
+    cl.add_argument("--port", type=int, default=8091)
 
     mb = sub.add_parser(
         "mcpb",
@@ -1298,6 +1315,16 @@ def main(argv: list[str] | None = None) -> int:
                     print(json.dumps(r))
                 if errors:  # per-repo failures to stderr, results still usable
                     print(json.dumps({"errors": errors}), file=sys.stderr)
+        elif args.cmd == "cleanup-service":
+            from .server.cleanup import CleanupService
+
+            svc = CleanupService(args.root, host=args.host, port=args.port)
+            print(json.dumps({"listening": f"http://{svc.host}:{svc.port}",
+                              "allowed_roots": svc.allowed_roots}), flush=True)
+            try:
+                svc.serve_forever()
+            except KeyboardInterrupt:
+                svc.shutdown()
         elif args.cmd == "mcpb":
             import os as _os
 
