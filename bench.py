@@ -636,6 +636,12 @@ def run() -> dict:
         big["temporal_500k_query_cold_ms"] = round((time.perf_counter() - t_) * 1000, 1)
         big["temporal_500k_hits"] = len(thits_b)
 
+        # reclaim the measured-and-done big intermediates before the xl
+        # stage — the 5M corpus+index need the headroom on this 252 GB box
+        shutil.rmtree(sroot_b, ignore_errors=True)
+        shutil.rmtree(tchg_b, ignore_errors=True)
+        shutil.rmtree(tidx_b, ignore_errors=True)
+
         # -- 5M-doc build + serve probe (VERDICT r4 #7): one more order of
         # magnitude over the 1M canary to keep the sort-group sublinearity
         # fix honest.  Corpus ~34 GB on disk; generated once and cached.
