@@ -953,11 +953,17 @@ def build_index(
         )
 
         def run_group(gshards: list[int]) -> None:
+            # FULL nblocks for every group, not a pro-rated share: Ray
+            # splits ALL fragments (including filter-pruned-empty ones)
+            # across the blocks, and a group's matching files are
+            # CONTIGUOUS — with few blocks they cluster into a handful of
+            # read tasks and the tokenize wave serializes (measured on the
+            # 5M corpus: same 450k-doc slice, 32 blocks = 32.4 s vs 128
+            # blocks = 9.2 s).  Empty-pruned tasks finish in milliseconds,
+            # so the extra task count is free.
             read_kwargs: dict = {
                 "columns": cols,
-                "override_num_blocks": max(
-                    32, nblocks * len(gshards) // max(len(todo_shards), 1)
-                ),
+                "override_num_blocks": nblocks,
             }
             if len(gshards) < num_shards:
                 expr = None
