@@ -54,6 +54,52 @@ def _make_auto_update(args):
     return svc
 
 
+def _teach_ai_cmd(args) -> int:
+    """teach-ai — validate flags the way the reference does (exactly one
+    platform, exactly one scope unless previewing), then run the two-tier
+    skills + awareness install."""
+    from . import teach
+
+    if args.skills_only:
+        res = teach.teach("claude", skills_only=True)
+        print(f"skills installed to {res['skills_dir']}")
+        for rel in res["skills"]:
+            print(f"  - {rel}")
+        return 0
+
+    chosen = [pl for pl in teach.PLATFORMS if getattr(args, f"platform_{pl}")]
+    if len(chosen) != 1:
+        print(
+            "exactly one platform flag required: "
+            + " ".join(f"--{pl}" for pl in teach.PLATFORMS),
+            file=sys.stderr,
+        )
+        return 1
+    platform = chosen[0]
+
+    if args.show_only:
+        res = teach.teach(platform, show_only=True)
+        print(res["awareness"])
+        print("skills files:")
+        for rel in res["skills"]:
+            print(f"  - {rel}")
+        return 0
+
+    scopes = [s for s, on in (("project", args.scope_project), ("global", args.scope_global)) if on]
+    if len(scopes) != 1:
+        print("exactly one scope flag required: --project or --global", file=sys.stderr)
+        return 1
+    try:
+        res = teach.teach(platform, scopes[0])
+    except ValueError as exc:
+        print(str(exc), file=sys.stderr)
+        return 1
+    print(f"{platform} instructions {res['action']} in {res['scope_desc']}")
+    print(f"  file: {res['target']}")
+    print(f"  skills: {res['skills_dir']} ({len(res['skills'])} files)")
+    return 0
+
+
 def _daemon_cmd(args) -> int:
     """daemon serve/start/stop/status — Ray-free (the searcher's local query
     path reads parquet/segments directly; remote actor mode is an HTTP-tier
@@ -770,9 +816,46 @@ def main(argv: list[str] | None = None) -> int:
         dx.add_argument("--index", required=True)
         dx.add_argument("--socket", default=None)
 
+    # teach-ai (reference cli.py:5928): install AI-assistant instructions +
+    # skills describing this CLI.  Pure file IO — a Ray-free fast path.
+    ta = sub.add_parser(
+        "teach-ai", help="install AI-platform instructions (CLAUDE.md etc.)"
+    )
+    for pl in ("claude", "codex", "gemini", "opencode", "q", "junie"):
+        ta.add_argument(
+            f"--{pl}",
+            dest=f"platform_{pl}",
+            action="store_true",
+            help=f"generate instructions for the {pl} platform",
+        )
+    ta.add_argument(
+        "--project",
+        dest="scope_project",
+        action="store_true",
+        help="install in the project root (./CLAUDE.md)",
+    )
+    ta.add_argument(
+        "--global",
+        dest="scope_global",
+        action="store_true",
+        help="install globally (~/.claude/CLAUDE.md)",
+    )
+    ta.add_argument(
+        "--show-only",
+        action="store_true",
+        help="preview instruction content without writing files",
+    )
+    ta.add_argument(
+        "--skills-only",
+        action="store_true",
+        help="install only skills to ~/.claude/skills/cidx-ray/",
+    )
+
     args = p.parse_args(argv)
 
     # ---- Ray-free fast paths (must not pay ray.init) ----
+    if args.cmd == "teach-ai":
+        return _teach_ai_cmd(args)
     if args.cmd == "daemon":
         return _daemon_cmd(args)
     if args.cmd == "search" and not args.no_daemon:
