@@ -3184,6 +3184,61 @@ def q_dedup_ngram_jaccard(sf_dir: str):
     return _collect_pairs_table(pair_jaccard_verify(grams, pairs, tau=NEAR_DUP_TAU))
 
 
+SUBSTRING_W = 5
+
+
+def q_dedup_substring_spans(sf_dir: str):
+    """Substring (duplicated-span) dedup, Lee et al. 2022 family
+    (`dedup/substring.py`): rolling Horner hash of every 5-token window →
+    ONE whash-bucketed shuffle flags every all-but-first occurrence → ONE
+    doc-bucketed shuffle merges adjacent flags into maximal removal spans.
+    Span-level complement of the doc-level near-dup family — catches shared
+    boilerplate paragraphs inside otherwise-unique pages."""
+    import ray
+
+    import ray.data as rd
+
+    from ..dedup.substring import removal_spans
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    out = removal_spans(ds, w=SUBSTRING_W, num_partitions=16)
+    blocks = [
+        t
+        for t in ray.get(out.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows
+    ]
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "span_start": pa.array([], pa.int64()),
+            "span_end": pa.array([], pa.int64()),
+        }
+    )
+    t = pa.concat_tables(blocks) if blocks else empty
+    return t.sort_by([("doc_id", "ascending"), ("span_start", "ascending")])
+
+
+def q_dedup_substring_clean(sf_dir: str):
+    """End-to-end substring-dedup cleaning: duplicated token spans dropped,
+    per-doc (n_removed, clean_text) — text ships through exactly one
+    doc-keyed shuffle; token streams never shuffle (re-tokenized in-group)."""
+    import ray
+
+    import ray.data as rd
+
+    from ..dedup.substring import clean_documents
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "text"])
+    out = clean_documents(ds, w=SUBSTRING_W, num_partitions=16)
+    blocks = [
+        t
+        for t in ray.get(out.to_arrow_refs())
+        if isinstance(t, pa.Table) and t.num_rows
+    ]
+    t = pa.concat_tables(blocks)
+    return t.sort_by([("doc_id", "ascending")])
+
+
 def q_embed_near_pairs(sf_dir: str):
     """Embedding-cosine near-duplicate pairs (vec_a < vec_b, cos ≥ τ),
     SIZE-ROUTED (`dedup/embcosine.py`): exact broadcast matmul at oracle
@@ -7165,6 +7220,44 @@ def oracle_catalog() -> dict[str, str]:
         f"WHERE coalesce(i.ni, 0)::DOUBLE / (za.n + zb.n - coalesce(i.ni, 0)) >= {NEAR_DUP_TAU}"
     )
 
+    # ---- substring (duplicated-span) dedup twins: same tokenization,
+    # token hash (md5_number_lower % (2^31-1)) and Horner window algebra as
+    # the engine kernel — bit-exact ----
+    W = 5  # SUBSTRING_W
+    chain = "t"
+    for j in range(1, W):
+        chain = f"(({chain}) * 1000003 + lead(t, {j}) OVER w) % {M31}"
+    _substr_cte = (
+        "tokarr AS (SELECT d.doc_id,\n"
+        "  list_transform(list_filter(regexp_split_to_array(d.text, '[^\\p{L}\\p{N}]+'),\n"
+        "    x -> strlen(x) > 0 AND strlen(x) < 40), x -> lower(x)) AS tks FROM documents d),\n"
+        "tpos AS (SELECT doc_id, unnest(tks) AS term, generate_subscripts(tks, 1) AS pos, len(tks) AS nt FROM tokarr),\n"
+        f"th AS (SELECT doc_id, pos, nt, (md5_number_lower(term) % {M31})::BIGINT AS t FROM tpos),\n"
+        f"wh AS (SELECT doc_id, pos, nt, {chain} AS x FROM th WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),\n"
+        f"wr AS (SELECT doc_id, pos, x FROM wh WHERE pos <= nt - {W} + 1),\n"
+        "fl AS (SELECT doc_id, pos, row_number() OVER (PARTITION BY x ORDER BY doc_id, pos) AS rn FROM wr),\n"
+        "dp AS (SELECT doc_id, pos FROM fl WHERE rn > 1),\n"
+        f"gp AS (SELECT doc_id, pos, CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) <= {W} THEN 0 ELSE 1 END AS brk FROM dp),\n"
+        "isl AS (SELECT doc_id, pos, sum(brk) OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS grp FROM gp),\n"
+        f"spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start, (max(pos) + {W})::BIGINT AS span_end FROM isl GROUP BY doc_id, grp)"
+    )
+    out["dedup_substring_spans"] = (
+        f"WITH {_substr_cte}\n"
+        "SELECT doc_id, span_start, span_end FROM spans"
+    )
+    out["dedup_substring_clean"] = (
+        f"WITH {_substr_cte},\n"
+        "keep AS (SELECT t.doc_id, t.term, t.pos FROM tpos t\n"
+        "  WHERE NOT EXISTS (SELECT 1 FROM spans s WHERE s.doc_id = t.doc_id\n"
+        "    AND t.pos >= s.span_start AND t.pos < s.span_end)),\n"
+        "agg AS (SELECT doc_id, count(*) AS n_kept,\n"
+        "  string_agg(term, ' ' ORDER BY pos) AS clean_text FROM keep GROUP BY doc_id),\n"
+        "cnt AS (SELECT doc_id, count(*) AS nt FROM tpos GROUP BY doc_id)\n"
+        "SELECT d.doc_id, (coalesce(c.nt, 0) - coalesce(a.n_kept, 0))::BIGINT AS n_removed,\n"
+        "  coalesce(a.clean_text, '') AS clean_text\n"
+        "FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN cnt c USING (doc_id)"
+    )
+
     from ..text.tokencount import sql_token_count
 
     out["token_count"] = sql_token_count()
@@ -8114,6 +8207,8 @@ _SAMPLE_FIRST = [
     # ---- round-5 additions (fill the 50-key window) ----
     "dsir_weights_md5",
     "ccnet_perplexity_md5",
+    "dedup_substring_spans",
+    "dedup_substring_clean",
 ]
 
 
@@ -8240,6 +8335,8 @@ def _query_catalog_unordered():
         "repo_tree": q_repo_tree,
         "ingest_tree": q_ingest_tree,
         "dedup_components": q_dedup_components,
+        "dedup_substring_spans": q_dedup_substring_spans,
+        "dedup_substring_clean": q_dedup_substring_clean,
         "fts_collapse_neardup": q_collapse_neardup,
         "fts_mmr_rerank": q_mmr_rerank,
         "decontam_flags": q_decontam,
