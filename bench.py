@@ -194,6 +194,19 @@ def run() -> dict:
         qstats["near_dup_pairs_sec"] = round(time.perf_counter() - t4, 3)
         qstats["near_dup_candidates"] = int(n_pairs)
 
+        # substring (duplicated-span) dedup over the same corpus — winnowed
+        # anchor mode (the 100-TB path): window hash → flag → span merge
+        from code_indexer_ray.dedup.substring import removal_spans
+
+        t4b = time.perf_counter()
+        spans_ds = removal_spans(
+            rd.read_parquet(corpus, columns=["doc_id", "text"]),
+            w=8, winnow_k=4, num_partitions=64,
+        )
+        n_spans = spans_ds.count()
+        qstats["substring_dedup_sec"] = round(time.perf_counter() - t4b, 3)
+        qstats["substring_spans"] = int(n_spans)
+
         import glob
 
         import pyarrow.parquet as _pq
