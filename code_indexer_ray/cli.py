@@ -100,6 +100,72 @@ def _teach_ai_cmd(args) -> int:
     return 0
 
 
+def _status_cmd(args) -> int:
+    """Unified mode-adaptive status (reference ``cidx status``, cli.py
+    ``status`` + ``mode_detection/command_mode_detector.py``): detect the
+    operating mode from the config found at or above ``--root``, then
+    report that mode's health — all Ray-free.
+
+    index mode → manifest summary + component presence + local-daemon
+    liveness; proxy → per-repo rows with error isolation; remote → the
+    tiered health check (nonzero exit when unhealthy); uninitialized →
+    a hint, exit 0 (status on a fresh checkout is not an error)."""
+    import os
+
+    from .query.proxy import detect_mode_root
+
+    mode, root = detect_mode_root(args.root)
+    out = {"mode": mode, "root": root}
+    if mode == "uninitialized":
+        out["hint"] = (
+            "no index manifest, proxy config, or remote config at or above "
+            f"{os.path.abspath(args.root)} — run build/ingest-tree, proxy init, "
+            "or remote init first"
+        )
+        print(json.dumps(out))
+        return 0
+    if mode == "remote":
+        from .query.remote import check_remote_health
+
+        res = check_remote_health(root, timeout=args.timeout)
+        out["remote"] = res
+        print(json.dumps(out))
+        return 0 if res["connection_health"] == "healthy" else 1
+    if mode == "proxy":
+        from .query.proxy import ProxySearcher
+
+        rows, errs = ProxySearcher(root).status()
+        out["repos"], out["errors"] = rows, errs
+        print(json.dumps(out))
+        return 0 if not errs else 1
+    # index mode
+    from .index.manifest import load_manifest
+    from .server.daemon import daemon_alive, socket_path_for
+
+    try:
+        mf = load_manifest(root)
+    except Exception as exc:
+        out["error"] = f"manifest unreadable: {exc}"
+        print(json.dumps(out))
+        return 1
+    out["index"] = {
+        "num_docs": mf.num_docs,
+        "total_tokens": mf.total_tokens,
+        "avgdl": round(mf.avgdl, 4),
+        "num_shards": mf.num_shards,
+        "num_buckets": mf.num_buckets,
+        "partitions": mf.n_partitions,
+    }
+    out["components"] = {
+        name: os.path.isdir(os.path.join(root, name))
+        for name in ("segments", "docstore", "kvstore", "positions")
+    }
+    sock = socket_path_for(root)
+    out["daemon"] = {"running": daemon_alive(sock), "socket": sock}
+    print(json.dumps(out))
+    return 0
+
+
 def _daemon_cmd(args) -> int:
     """daemon serve/start/stop/status — Ray-free (the searcher's local query
     path reads parquet/segments directly; remote actor mode is an HTTP-tier
@@ -851,9 +917,19 @@ def main(argv: list[str] | None = None) -> int:
         help="install only skills to ~/.claude/skills/cidx-ray/",
     )
 
+    # unified mode-adaptive status (reference `cidx status`): detects
+    # index/proxy/remote/uninitialized from --root and reports accordingly
+    stu = sub.add_parser(
+        "status", help="mode-adaptive status (index / proxy / remote / uninitialized)"
+    )
+    stu.add_argument("--root", default=".", help="path to detect the mode from")
+    stu.add_argument("--timeout", type=float, default=5.0, help="remote-mode probe timeout")
+
     args = p.parse_args(argv)
 
     # ---- Ray-free fast paths (must not pay ray.init) ----
+    if args.cmd == "status":
+        return _status_cmd(args)
     if args.cmd == "teach-ai":
         return _teach_ai_cmd(args)
     if args.cmd == "daemon":

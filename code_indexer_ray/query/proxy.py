@@ -143,27 +143,34 @@ def remove_repo(root: str, rel_path: str) -> dict:
     return cfg
 
 
-def detect_mode(path: str) -> str:
-    """``"remote" | "proxy" | "index" | "uninitialized"`` for ``path``
-    (reference ``mode_detection/command_mode_detector.py``: commands
-    auto-detect their operating mode from the config found at or above the
-    target — nearest config wins, remote beats local at the same level,
-    search bounded to 10 parent levels)."""
+def detect_mode_root(path: str) -> tuple[str, str]:
+    """``(mode, root)`` for ``path`` — the mode plus the directory whose
+    config/manifest decided it (``root`` is the input path itself when
+    uninitialized).  Mode is one of ``"remote" | "proxy" | "index" |
+    "uninitialized"`` (reference ``mode_detection/command_mode_detector.py``:
+    commands auto-detect their operating mode from the config found at or
+    above the target — nearest config wins, remote beats local at the same
+    level, search bounded to 10 parent levels)."""
     from .remote import REMOTE_CONFIG_NAME
 
     cur = os.path.abspath(path)
     for _ in range(11):
         if os.path.exists(os.path.join(cur, REMOTE_CONFIG_NAME)):
-            return "remote"
+            return "remote", cur
         if os.path.exists(_config_path(cur)):
-            return "proxy"
+            return "proxy", cur
         if os.path.exists(os.path.join(cur, MANIFEST_NAME)):
-            return "index"
+            return "index", cur
         parent = os.path.dirname(cur)
         if parent == cur:
             break
         cur = parent
-    return "uninitialized"
+    return "uninitialized", os.path.abspath(path)
+
+
+def detect_mode(path: str) -> str:
+    """Mode string only — see :func:`detect_mode_root`."""
+    return detect_mode_root(path)[0]
 
 
 class ProxySearcher:
