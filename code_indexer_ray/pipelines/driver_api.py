@@ -4158,6 +4158,25 @@ def q_sample_stratified(sf_dir: str):
     )
 
 
+MIXTURE_WEIGHTS = {"en": 0.4, "zh": 0.2, "de": 0.2, "fr": 0.2}
+
+
+def q_mixture_sample(sf_dir: str):
+    """Target-mixture sampling (`pipelines/ops.py::mixture_sample`, the
+    DoReMi/Pile-style mixture-rebalancing step): largest slice whose
+    language composition matches MIXTURE_WEIGHTS exactly — quota solver
+    T = min(n_d/w_d), k_d = floor(w_d·T) over a tiny count aggregate, then
+    the k_d smallest-md5 rows per language through one keyed shuffle.
+    Spanish docs (weight 0) are excluded; French is the bottleneck."""
+    import ray.data as rd
+
+    from .ops import mixture_sample
+
+    ds = rd.read_parquet(_docs(sf_dir), columns=["doc_id", "lang"])
+    out = mixture_sample(ds, "doc_id", "lang", MIXTURE_WEIGHTS)
+    return _collect_table(out).sort_by([("doc_id", "ascending")])
+
+
 def _pii_augment(batch: pa.Table) -> pa.Table:
     """Deterministically inject synthetic PII derived from doc_id (the test
     corpus carries none) — the SQL twin concatenates the identical suffix."""
@@ -7606,6 +7625,24 @@ def oracle_catalog() -> dict[str, str]:
         f"  (CASE lang {rate_cases} ELSE {STRATIFIED_DEFAULT} END)"
     )
 
+    # target-mixture sampling twin: the identical IEEE-double quota solver
+    # (T = min(n/w), k = least(n, floor(w*T))) + smallest-md5-per-language
+    # selection with the same (hash, doc_id) tie order
+    mix_vals = ",".join(
+        f"('{d}', {w}::DOUBLE)" for d, w in MIXTURE_WEIGHTS.items()
+    )
+    out["mixture_sample"] = (
+        f"WITH w(lang, wt) AS (VALUES {mix_vals}),\n"
+        "c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY lang),\n"
+        "t AS (SELECT min(n / wt) AS T FROM c JOIN w USING (lang)),\n"
+        "k AS (SELECT c.lang, least(c.n, floor(w.wt * (SELECT T FROM t)))::BIGINT AS kq\n"
+        "  FROM c JOIN w USING (lang)),\n"
+        "r AS (SELECT doc_id, lang,\n"
+        "  row_number() OVER (PARTITION BY lang ORDER BY md5_number_lower(doc_id::VARCHAR), doc_id) AS rk\n"
+        "  FROM documents WHERE lang IN (SELECT lang FROM w))\n"
+        "SELECT r.doc_id, r.lang FROM r JOIN k USING (lang) WHERE rk <= kq"
+    )
+
     from ..text.pii import sql_count_exprs, sql_redact_expr
 
     aug = (
@@ -8375,6 +8412,7 @@ def _query_catalog_unordered():
         "curated_search": q_curated_search,
         "sample_docs": q_sample_docs,
         "sample_stratified": q_sample_stratified,
+        "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
         "kmeans_embed": q_kmeans,
         "ann_cosine": q_ann_cosine,

@@ -802,6 +802,65 @@ def stratified_sample(ds, id_col: str, stratum_col: str,
     return ds.map_batches(keep, batch_format="pyarrow")
 
 
+def mixture_sample(ds, id_col: str, domain_col: str, weights: dict[str, float]):
+    """Target-mixture sampling (the DoReMi/Pile-style mixture-rebalancing
+    step): given target domain weights, emit the LARGEST corpus slice whose
+    domain composition matches the weights exactly, limited by the
+    bottleneck domain.
+
+    Solver (driver-side over the tiny per-domain count table):
+    ``T = min_d(n_d / w_d)`` is the largest feasible output size;
+    ``k_d = floor(w_d * T)`` is each domain's quota.  Selection is the
+    ``k_d`` rows with the SMALLEST ``md5(id)`` per domain (ties by id) —
+    deterministic, stable across reruns and cluster sizes, and exactly
+    reproducible in SQL (``row_number() OVER (PARTITION BY domain ORDER BY
+    md5_number_lower(id), id) <= k_d``).
+
+    One small count aggregate + one domain-keyed shuffle; the quota map is
+    a task-closure constant.  At 100-TB scale a single domain's group can
+    exceed worker memory — there, switch selection to the hash-threshold
+    form (``md5(id)/2^64 < k_d/n_d``, ±binomial noise) or a two-pass
+    threshold refinement; the quota solver is unchanged.  Domains absent
+    from ``weights`` are excluded (weight 0).
+    """
+    from ..dedup.minhash import md5_lower64
+
+    counts = {
+        r[domain_col]: r["count()"]
+        for r in ds.groupby(domain_col).count().take_all()
+    }
+    feasible = {d: w for d, w in weights.items() if w > 0 and counts.get(d, 0) > 0}
+    if not feasible:
+        return ds.filter(lambda row: False)
+    T = min(counts[d] / w for d, w in feasible.items())
+    quotas = {d: min(counts[d], int(np.floor(w * T))) for d, w in feasible.items()}
+
+    def hash_stage(batch: pa.Table) -> pa.Table:
+        doms = batch[domain_col].to_pylist()
+        keep = np.fromiter((d in quotas for d in doms), dtype=bool, count=len(doms))
+        batch = batch.filter(pa.array(keep))
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        h = np.fromiter(
+            (md5_lower64(str(int(i))) for i in ids), dtype=np.uint64, count=len(ids)
+        )
+        return batch.append_column("_mh", pa.array(h.astype(np.int64)))
+
+    def take_quota(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return g
+        k = quotas.get(g[domain_col][0].as_py(), 0)
+        h = g["_mh"].to_numpy(zero_copy_only=False).astype(np.uint64)
+        ids = g[id_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, h))[:k]
+        return g.take(pa.array(np.sort(order))).drop_columns(["_mh"])
+
+    return (
+        ds.map_batches(hash_stage, batch_format="pyarrow")
+        .groupby(domain_col)
+        .map_groups(take_quota, batch_format="pyarrow")
+    )
+
+
 def _splitmix64(x: np.ndarray) -> np.ndarray:
     """Vectorized splitmix64 finalizer — a deterministic uniform hash of the
     row id used as the sampling coin (no RNG state, layout-independent)."""
