@@ -67,6 +67,35 @@ def kmeans_fixed(ds, *, k: int = 8, iters: int = 2, scale: int = SCALE,
     """
     import ray
 
+    cents = kmeans_centroids(
+        ds, k=k, iters=iters, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+
+    ref = ray.put(cents)
+
+    def label(batch: pa.Table, _ref=ref) -> pa.Table:
+        cur = ray.get(_ref)
+        q = quantize_embeddings(batch[vec_col], scale)
+        a, d = _assign(q, cur)
+        return pa.table(
+            {
+                "vec_id": batch[id_col].cast(pa.int64()),
+                "cluster": pa.array(a.astype(np.int64)),
+                "dist": pa.array(d),
+            }
+        )
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def kmeans_centroids(ds, *, k: int = 8, iters: int = 2, scale: int = SCALE,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> np.ndarray:
+    """The converged ``(k, dim)`` int64 centroid matrix of
+    :func:`kmeans_fixed` (same seeds / updates), without the labeling pass —
+    for consumers that broadcast the centroids into their own stages
+    (e.g. SemDeDup's cluster-then-prune)."""
+    import ray
+
     # --- seeds: per-batch bottom-k by id, folded on the driver (k rows) ---
     def seed_partial(batch: pa.Table) -> pa.Table:
         ids = batch[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
@@ -133,38 +162,41 @@ def kmeans_fixed(ds, *, k: int = 8, iters: int = 2, scale: int = SCALE,
         new[nz] = np.floor(sums[nz].astype(np.float64) / counts[nz, None]).astype(np.int64)
         cents = new
 
-    # --- final labeling pass (streams; no driver materialization) ---
-    ref = ray.put(cents)
+    return cents
 
-    def label(batch: pa.Table, _ref=ref) -> pa.Table:
-        cur = ray.get(_ref)
-        q = quantize_embeddings(batch[vec_col], scale)
-        a, d = _assign(q, cur)
-        return pa.table(
-            {
-                "vec_id": batch[id_col].cast(pa.int64()),
-                "cluster": pa.array(a.astype(np.int64)),
-                "dist": pa.array(d),
-            }
-        )
 
-    return ds.map_batches(label, batch_format="pyarrow")
+def kmeans_ctes(*, k: int = 8, iters: int = 2, scale: int = SCALE,
+                source: str = "embeddings") -> tuple[list[str], str]:
+    """The unrolled twin's CTE list plus the name of the final-assignment
+    CTE (``asg{iters+1}``, columns vec_id/c/dist) — so other twins
+    (SemDeDup) can build on the identical clustering.  ``source`` names the
+    (vec_id, embedding) relation to cluster — a view or an earlier CTE."""
+    ctes, final = _kmeans_ctes(k=k, iters=iters, scale=scale, source=source)
+    return ctes, final
 
 
 def kmeans_sql(*, k: int = 8, iters: int = 2, scale: int = SCALE) -> str:
     """Unrolled DuckDB twin of :func:`kmeans_fixed` — same seeds, same
     fixed-point quantization, same floor(sum/count) update, same
     (dist, cluster) argmin tiebreak; generated per iteration count."""
+    ctes, final = _kmeans_ctes(k=k, iters=iters, scale=scale, source="embeddings")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        f"SELECT vec_id::BIGINT AS vec_id, c::BIGINT AS cluster, dist::BIGINT AS dist FROM {final}"
+    )
+
+
+def _kmeans_ctes(*, k: int, iters: int, scale: int, source: str = "embeddings") -> tuple[list[str], str]:
     ctes = [
         (
             "qv AS (SELECT vec_id, d, CAST(floor(CAST(e AS DOUBLE) * "
             f"{scale} + 0.5) AS BIGINT) AS q FROM (SELECT vec_id, "
             "unnest(embedding) AS e, generate_subscripts(embedding, 1) - 1 AS d "
-            "FROM embeddings) u)"
+            f"FROM {source}) u)"
         ),
         (
             "seeds AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS c "
-            f"FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {k}))"
+            f"FROM (SELECT vec_id FROM {source} ORDER BY vec_id LIMIT {k}))"
         ),
         "c0 AS (SELECT s.c, q.d, q.q AS qc FROM seeds s JOIN qv q USING (vec_id))",
     ]
@@ -196,7 +228,4 @@ def kmeans_sql(*, k: int = 8, iters: int = 2, scale: int = SCALE) -> str:
         f"asg{f} AS (SELECT vec_id, c, dist FROM (SELECT vec_id, c, dist,\n"
         f"  row_number() OVER (PARTITION BY vec_id ORDER BY dist, c) AS rn FROM dist{f}) WHERE rn = 1)"
     )
-    return (
-        "WITH " + ",\n".join(ctes) + "\n"
-        f"SELECT vec_id::BIGINT AS vec_id, c::BIGINT AS cluster, dist::BIGINT AS dist FROM asg{f}"
-    )
+    return ctes, f"asg{f}"

@@ -5631,6 +5631,53 @@ def q_kmeans(sf_dir: str):
     return kmeans_fixed(ds, k=8, iters=2)
 
 
+SEMDEDUP_TAU = 0.8
+
+
+def _semdedup_augment(batch: pa.Table) -> pa.Table:
+    """Deterministically inject semantic near-duplicates (the synthetic
+    embeddings never collide — max within-cluster cos 0.51): an EXACT twin
+    (+100000, same vector → cos 1.0, dist tie → id tiebreak) for every
+    vec_id % 7 == 0, and a COLINEAR 1.05-scaled twin (+200000 → cos ≈ 1.0,
+    different centroid dist → dist-ranked winner) for vec_id % 11 == 0.
+    Arithmetic is float64 end-to-end, mirrored by the twin's
+    ``e::DOUBLE * 1.05`` (FLOAT→DOUBLE is exact)."""
+    ids = batch["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+    emb = batch["embedding"].combine_chunks()
+    flat = emb.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    dim = len(flat) // max(len(ids), 1)
+    mat = flat.reshape(len(ids), dim)
+    m7 = ids % 7 == 0
+    m11 = ids % 11 == 0
+    out_ids = np.concatenate([ids, ids[m7] + 100000, ids[m11] + 200000])
+    out_mat = np.concatenate([mat, mat[m7], mat[m11] * 1.05])
+    return pa.table(
+        {
+            "vec_id": pa.array(out_ids),
+            "embedding": pa.array(list(out_mat), type=pa.list_(pa.float64())),
+        }
+    )
+
+
+def q_semdedup(sf_dir: str):
+    """SemDeDup (Abbas et al. 2023, `dedup/semdedup.py`): fixed-point
+    k-means clusters the embeddings, then within each cluster every
+    cosine>=τ pair keeps only the member closest to the centroid (ties by
+    id).  Pairwise work is bounded to clusters (k grows ~sqrt(N) at
+    scale); the twin builds on the unrolled k-means CTEs and matches
+    bit-exactly.  The corpus is augmented with deterministic exact +
+    colinear twins so the pruning rule is actually exercised."""
+    import ray.data as rd
+
+    from ..dedup.semdedup import semdedup
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(_semdedup_augment, batch_format="pyarrow")
+    out = semdedup(ds, k=8, iters=2, tau=SEMDEDUP_TAU)
+    return _collect_table(out).sort_by([("vec_id", "ascending")])
+
+
 _INCR: dict[str, IndexSearcher] = {}
 
 
@@ -7494,6 +7541,22 @@ def oracle_catalog() -> dict[str, str]:
 
     out["kmeans_embed"] = kmeans_sql(k=8, iters=2)
 
+    from ..dedup.semdedup import semdedup_sql
+
+    out["semdedup"] = semdedup_sql(
+        k=8,
+        iters=2,
+        tau=SEMDEDUP_TAU,
+        source="aug",
+        prelude=(
+            "aug AS (SELECT vec_id, embedding FROM embeddings\n"
+            "  UNION ALL SELECT vec_id + 100000, list_transform(embedding, e -> e::DOUBLE)\n"
+            "    FROM embeddings WHERE vec_id % 7 = 0\n"
+            "  UNION ALL SELECT vec_id + 200000, list_transform(embedding, e -> e::DOUBLE * 1.05)\n"
+            "    FROM embeddings WHERE vec_id % 11 = 0)"
+        ),
+    )
+
     lm_score = bm25.sql_lm_score_expr("tf.tf", "dl.dl", "cfq.cf", "s.total_tokens")
     out["fts_lmdirichlet"] = (
         pre + ",\n"
@@ -8415,6 +8478,7 @@ def _query_catalog_unordered():
         "mixture_sample": q_mixture_sample,
         "pii_redact": q_pii_redact,
         "kmeans_embed": q_kmeans,
+        "semdedup": q_semdedup,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_filtered": q_ann_cosine_filtered,
         "ann_range": q_ann_range,
