@@ -117,6 +117,41 @@ def semdedup(
     return labeled.groupby("cluster").map_groups(prune, batch_format="pyarrow")
 
 
+def semdedup_parts(
+    *,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = DEFAULT_TAU,
+    scale: int = SCALE,
+    source: str = "embeddings",
+    prelude: str = "",
+) -> tuple[str, str]:
+    """(CTE body, survivors-CTE name) of the twin — the survivors CTE
+    ``sdkept`` has columns (vec_id, c, dist), so downstream twins (D4
+    prototype selection) can build on the identical pruning."""
+    ctes, asg = kmeans_ctes(k=k, iters=iters, scale=scale, source=source)
+    body = (prelude + ",\n" if prelude else "") + ",\n".join(ctes)
+    body += (
+        ",\n"
+        "nrm AS (SELECT vec_id, sum(q * q)::DOUBLE AS n2 FROM qv GROUP BY vec_id),\n"
+        f"pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib, a.dist AS da, b.dist AS db,\n"
+        "  sum(x.q * y.q)::DOUBLE AS dot\n"
+        f"  FROM {asg} a JOIN {asg} b ON a.c = b.c AND a.vec_id < b.vec_id\n"
+        "  JOIN qv x ON x.vec_id = a.vec_id\n"
+        "  JOIN qv y ON y.vec_id = b.vec_id AND x.d = y.d\n"
+        "  GROUP BY a.vec_id, b.vec_id, a.dist, b.dist),\n"
+        "sim AS (SELECT ia, ib, da, db, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos\n"
+        "  FROM pairs JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib\n"
+        "  WHERE na.n2 > 0 AND nb.n2 > 0),\n"
+        f"dropped AS (SELECT ib AS vec_id FROM sim WHERE cos >= {tau!r}\n"
+        "    AND (da < db OR (da = db AND ia < ib))\n"
+        f"  UNION SELECT ia FROM sim WHERE cos >= {tau!r} AND db < da),\n"
+        f"sdkept AS (SELECT a.vec_id, a.c, a.dist FROM {asg} a\n"
+        "  WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped))"
+    )
+    return body, "sdkept"
+
+
 def semdedup_sql(
     *,
     k: int = 8,
@@ -130,23 +165,78 @@ def semdedup_sql(
     builds on the unrolled k-means CTEs, then within-cluster integer dot
     products and the identical (dist, vec_id) drop rule.  ``prelude``
     prepends extra CTEs (e.g. a deterministic near-duplicate augmenter)."""
-    ctes, asg = kmeans_ctes(k=k, iters=iters, scale=scale, source=source)
-    body = (prelude + ",\n" if prelude else "") + ",\n".join(ctes)
+    body, kept = semdedup_parts(
+        k=k, iters=iters, tau=tau, scale=scale, source=source, prelude=prelude
+    )
+    return (
+        f"WITH {body}\n"
+        f"SELECT vec_id::BIGINT AS vec_id, c::BIGINT AS cluster, dist::BIGINT AS dist\n"
+        f"FROM {kept}"
+    )
+
+
+def d4_select(
+    ds,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = DEFAULT_TAU,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    scale: int = SCALE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """D4 selection (Tirumala et al. 2023, "D4: Improving LLM Pretraining
+    via Document De-Duplication and Diversification"): SemDeDup first, then
+    within each cluster keep the ``keep_num/keep_den`` fraction FARTHEST
+    from the centroid — duplicates leave in stage one, over-prototypical
+    (template-like, semantically redundant) documents leave in stage two,
+    diversifying the mix.
+
+    The per-cluster quota is ``ceil(n_c * keep_num / keep_den)`` in exact
+    integer arithmetic (both sides), selection orders by (dist DESC, id) —
+    no floats anywhere beyond SemDeDup's own cosine.  Same scale shape as
+    :func:`semdedup`: one extra groupby over the already-pruned survivors.
+    """
+    survivors = semdedup(
+        ds, k=k, iters=iters, tau=tau, scale=scale, id_col=id_col, vec_col=vec_col
+    )
+
+    def pick(g: pa.Table) -> pa.Table:
+        if g.num_columns == 0 or g.num_rows == 0:
+            return g
+        ids = g["vec_id"].to_numpy(zero_copy_only=False)
+        dist = g["dist"].to_numpy(zero_copy_only=False)
+        quota = -(-len(ids) * keep_num // keep_den)  # ceil
+        order = np.lexsort((ids, -dist))[:quota]
+        return g.take(pa.array(np.sort(order)))
+
+    return survivors.groupby("cluster").map_groups(pick, batch_format="pyarrow")
+
+
+def d4_sql(
+    *,
+    k: int = 8,
+    iters: int = 2,
+    tau: float = DEFAULT_TAU,
+    keep_num: int = 1,
+    keep_den: int = 2,
+    scale: int = SCALE,
+    source: str = "embeddings",
+    prelude: str = "",
+) -> str:
+    """DuckDB twin of :func:`d4_select` — the SemDeDup CTEs plus a
+    per-cluster (dist DESC, vec_id) rank cut at ceil(n*num/den)."""
+    body, kept = semdedup_parts(
+        k=k, iters=iters, tau=tau, scale=scale, source=source, prelude=prelude
+    )
     return (
         f"WITH {body},\n"
-        "nrm AS (SELECT vec_id, sum(q * q)::DOUBLE AS n2 FROM qv GROUP BY vec_id),\n"
-        f"pairs AS (SELECT a.vec_id AS ia, b.vec_id AS ib, a.dist AS da, b.dist AS db,\n"
-        "  sum(x.q * y.q)::DOUBLE AS dot\n"
-        f"  FROM {asg} a JOIN {asg} b ON a.c = b.c AND a.vec_id < b.vec_id\n"
-        "  JOIN qv x ON x.vec_id = a.vec_id\n"
-        "  JOIN qv y ON y.vec_id = b.vec_id AND x.d = y.d\n"
-        "  GROUP BY a.vec_id, b.vec_id, a.dist, b.dist),\n"
-        "sim AS (SELECT ia, ib, da, db, dot / (sqrt(na.n2) * sqrt(nb.n2)) AS cos\n"
-        "  FROM pairs JOIN nrm na ON na.vec_id = ia JOIN nrm nb ON nb.vec_id = ib\n"
-        "  WHERE na.n2 > 0 AND nb.n2 > 0),\n"
-        f"dropped AS (SELECT ib AS vec_id FROM sim WHERE cos >= {tau!r}\n"
-        "    AND (da < db OR (da = db AND ia < ib))\n"
-        f"  UNION SELECT ia FROM sim WHERE cos >= {tau!r} AND db < da)\n"
-        f"SELECT a.vec_id::BIGINT AS vec_id, a.c::BIGINT AS cluster, a.dist::BIGINT AS dist\n"
-        f"FROM {asg} a WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)"
+        f"ranked AS (SELECT vec_id, c, dist,\n"
+        "  row_number() OVER (PARTITION BY c ORDER BY dist DESC, vec_id) AS rk,\n"
+        "  count(*) OVER (PARTITION BY c) AS nc\n"
+        f"  FROM {kept})\n"
+        f"SELECT vec_id::BIGINT AS vec_id, c::BIGINT AS cluster, dist::BIGINT AS dist\n"
+        f"FROM ranked WHERE rk <= (nc * {keep_num} + {keep_den} - 1) // {keep_den}"
     )

@@ -5678,6 +5678,22 @@ def q_semdedup(sf_dir: str):
     return _collect_table(out).sort_by([("vec_id", "ascending")])
 
 
+def q_d4_select(sf_dir: str):
+    """D4 (Tirumala et al. 2023, `dedup/semdedup.py::d4_select`): SemDeDup
+    prune, then keep the half of each cluster FARTHEST from the centroid
+    (ceil(n/2), exact integer quota) — dedup + diversification in one
+    pipeline; same augmented corpus as `semdedup` so stage one is live."""
+    import ray.data as rd
+
+    from ..dedup.semdedup import d4_select
+
+    ds = rd.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    ).map_batches(_semdedup_augment, batch_format="pyarrow")
+    out = d4_select(ds, k=8, iters=2, tau=SEMDEDUP_TAU, keep_num=1, keep_den=2)
+    return _collect_table(out).sort_by([("vec_id", "ascending")])
+
+
 _INCR: dict[str, IndexSearcher] = {}
 
 
@@ -7543,18 +7559,21 @@ def oracle_catalog() -> dict[str, str]:
 
     from ..dedup.semdedup import semdedup_sql
 
+    from ..dedup.semdedup import d4_sql
+
+    _aug_prelude = (
+        "aug AS (SELECT vec_id, embedding FROM embeddings\n"
+        "  UNION ALL SELECT vec_id + 100000, list_transform(embedding, e -> e::DOUBLE)\n"
+        "    FROM embeddings WHERE vec_id % 7 = 0\n"
+        "  UNION ALL SELECT vec_id + 200000, list_transform(embedding, e -> e::DOUBLE * 1.05)\n"
+        "    FROM embeddings WHERE vec_id % 11 = 0)"
+    )
     out["semdedup"] = semdedup_sql(
-        k=8,
-        iters=2,
-        tau=SEMDEDUP_TAU,
-        source="aug",
-        prelude=(
-            "aug AS (SELECT vec_id, embedding FROM embeddings\n"
-            "  UNION ALL SELECT vec_id + 100000, list_transform(embedding, e -> e::DOUBLE)\n"
-            "    FROM embeddings WHERE vec_id % 7 = 0\n"
-            "  UNION ALL SELECT vec_id + 200000, list_transform(embedding, e -> e::DOUBLE * 1.05)\n"
-            "    FROM embeddings WHERE vec_id % 11 = 0)"
-        ),
+        k=8, iters=2, tau=SEMDEDUP_TAU, source="aug", prelude=_aug_prelude
+    )
+    out["d4_select"] = d4_sql(
+        k=8, iters=2, tau=SEMDEDUP_TAU, keep_num=1, keep_den=2,
+        source="aug", prelude=_aug_prelude,
     )
 
     lm_score = bm25.sql_lm_score_expr("tf.tf", "dl.dl", "cfq.cf", "s.total_tokens")
@@ -8479,6 +8498,7 @@ def _query_catalog_unordered():
         "pii_redact": q_pii_redact,
         "kmeans_embed": q_kmeans,
         "semdedup": q_semdedup,
+        "d4_select": q_d4_select,
         "ann_cosine": q_ann_cosine,
         "ann_cosine_filtered": q_ann_cosine_filtered,
         "ann_range": q_ann_range,

@@ -66,6 +66,26 @@ def test_no_duplicates_keeps_everything(ray_session):
     assert all("cluster" in r and "dist" in r for r in out)
 
 
+def test_d4_keeps_farthest_half_per_cluster(ray_session):
+    from code_indexer_ray.dedup.semdedup import d4_select, semdedup
+
+    vecs = _base(n=60)
+    sd = semdedup(_ds(vecs), k=4, iters=2, tau=0.99).take_all()
+    d4 = d4_select(_ds(vecs), k=4, iters=2, tau=0.99, keep_num=1, keep_den=2).take_all()
+    by_c_sd, by_c_d4 = {}, {}
+    for r in sd:
+        by_c_sd.setdefault(r["cluster"], []).append(r)
+    for r in d4:
+        by_c_d4.setdefault(r["cluster"], []).append(r)
+    assert set(by_c_d4) <= set(by_c_sd)
+    for c, rows in by_c_sd.items():
+        kept = by_c_d4.get(c, [])
+        assert len(kept) == -(-len(rows) // 2)  # ceil(n/2)
+        # the kept rows are exactly the farthest-from-centroid ones
+        want = sorted(rows, key=lambda r: (-r["dist"], r["vec_id"]))[: len(kept)]
+        assert {r["vec_id"] for r in kept} == {r["vec_id"] for r in want}
+
+
 def test_pairwise_only_within_cluster(ray_session):
     # two tight, antipodal groups: k=2 separates them; tau low enough that
     # WITHIN-group members collapse to one survivor each, but the groups
