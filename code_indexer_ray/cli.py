@@ -100,6 +100,75 @@ def _teach_ai_cmd(args) -> int:
     return 0
 
 
+def _curate_cmd(args) -> int:
+    """curate <op> — the LLM-curation operators as streaming CLI commands:
+    pruned-column parquet in, partitioned parquet out (one file per block —
+    a failed run can diff finished partitions and resume)."""
+    import ray.data as rd
+
+    if args.curate_cmd == "exact":
+        from .dedup.exact import dedup_exact
+
+        out_ds = dedup_exact(
+            rd.read_parquet(args.input),
+            id_col=args.id_col, text_col=args.text_col,
+        )
+    elif args.curate_cmd == "near-pairs":
+        from .dedup.minhash import (
+            MERSENNE_31,
+            band_batch,
+            candidate_pairs,
+            minhash_batch_fast,
+        )
+
+        ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        bands = ds.map_batches(
+            lambda b: band_batch(
+                minhash_batch_fast(b, id_col=args.id_col, text_col=args.text_col),
+                mod=MERSENNE_31,
+            ),
+            batch_format="pyarrow",
+        )
+        out_ds = candidate_pairs(bands)
+    elif args.curate_cmd == "substring":
+        from .dedup.substring import clean_documents, removal_spans
+
+        ds = rd.read_parquet(args.input, columns=[args.id_col, args.text_col])
+        fn = clean_documents if args.emit == "clean" else removal_spans
+        out_ds = fn(
+            ds, id_col=args.id_col, text_col=args.text_col, w=args.window,
+            winnow_k=args.winnow or None, num_partitions=args.partitions,
+        )
+    elif args.curate_cmd == "semdedup":
+        from .dedup.semdedup import d4_select, semdedup
+
+        ds = rd.read_parquet(args.input)
+        if args.d4_keep:
+            num, den = (int(x) for x in args.d4_keep.split("/"))
+            out_ds = d4_select(
+                ds, k=args.k, iters=args.iters, tau=args.tau,
+                keep_num=num, keep_den=den,
+            )
+        else:
+            out_ds = semdedup(ds, k=args.k, iters=args.iters, tau=args.tau)
+    elif args.curate_cmd == "mixture":
+        from .pipelines.ops import mixture_sample
+
+        weights = {}
+        for part in args.weights.split(","):
+            dom, w = part.split("=")
+            weights[dom.strip()] = float(w)
+        ds = rd.read_parquet(args.input, columns=[args.id_col, args.domain_col])
+        out_ds = mixture_sample(ds, args.id_col, args.domain_col, weights)
+    else:  # pragma: no cover - argparse enforces choices
+        return 2
+
+    out_ds.write_parquet(args.out)
+    n = rd.read_parquet(args.out).count()
+    print(json.dumps({"op": args.curate_cmd, "out": args.out, "rows": int(n)}))
+    return 0
+
+
 def _status_cmd(args) -> int:
     """Unified mode-adaptive status (reference ``cidx status``, cli.py
     ``status`` + ``mode_detection/command_mode_detector.py``): detect the
@@ -917,6 +986,62 @@ def main(argv: list[str] | None = None) -> int:
         help="install only skills to ~/.claude/skills/cidx-ray/",
     )
 
+    # curation operator family — the LLM-training-data ops as deployable
+    # commands (each streams parquet in -> partitioned parquet out)
+    cu = sub.add_parser(
+        "curate", help="training-data curation ops (dedup / sampling) over parquet"
+    )
+    cusub = cu.add_subparsers(dest="curate_cmd", required=True)
+
+    def _cu_io(sp, needs_out=True):
+        sp.add_argument("--input", required=True, help="parquet file/dir of documents")
+        if needs_out:
+            sp.add_argument("--out", required=True, help="output parquet directory")
+        sp.add_argument("--id-col", default="doc_id")
+        sp.add_argument("--text-col", default="text")
+
+    cue = cusub.add_parser("exact", help="exact dedup (content-hash keep-first)")
+    _cu_io(cue)
+    cun = cusub.add_parser(
+        "near-pairs", help="MinHash+LSH candidate pairs (doc_a, doc_b)"
+    )
+    _cu_io(cun)
+    cus = cusub.add_parser(
+        "substring", help="duplicated-span dedup (Lee et al. 2022)"
+    )
+    _cu_io(cus)
+    cus.add_argument("--window", type=int, default=8, help="tokens per window")
+    cus.add_argument(
+        "--winnow", type=int, default=4,
+        help="winnowing k (anchor sampling; 0 = every window)",
+    )
+    cus.add_argument(
+        "--emit", choices=("spans", "clean"), default="spans",
+        help="spans = removal spans; clean = cleaned text",
+    )
+    cus.add_argument("--partitions", type=int, default=64)
+    cud = cusub.add_parser(
+        "semdedup", help="semantic cluster-then-prune dedup (SemDeDup)"
+    )
+    cud.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
+    cud.add_argument("--out", required=True)
+    cud.add_argument("--k", type=int, default=64, help="k-means clusters")
+    cud.add_argument("--iters", type=int, default=2)
+    cud.add_argument("--tau", type=float, default=0.95)
+    cud.add_argument(
+        "--d4-keep", default=None, metavar="NUM/DEN",
+        help="also apply D4: keep this fraction farthest from each centroid",
+    )
+    cum = cusub.add_parser(
+        "mixture", help="target-mixture sampling (largest slice matching weights)"
+    )
+    _cu_io(cum)
+    cum.add_argument("--domain-col", default="lang")
+    cum.add_argument(
+        "--weights", required=True,
+        help="comma list domain=weight, e.g. en=0.5,fr=0.3,de=0.2",
+    )
+
     # unified mode-adaptive status (reference `cidx status`): detects
     # index/proxy/remote/uninitialized from --root and reports accordingly
     stu = sub.add_parser(
@@ -1695,6 +1820,8 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 out.pop("cursor", None)  # meaningless across processes
                 print(json.dumps(out))
+        elif args.cmd == "curate":
+            return _curate_cmd(args)
         elif args.cmd == "grep":
             import ray.data as rd
 
