@@ -130,6 +130,19 @@ def _curate_cmd(args) -> int:
             batch_format="pyarrow",
         )
         out_ds = candidate_pairs(bands)
+        if args.verify_tau is not None:
+            from .dedup.verify import pair_jaccard_verify, word_shingle_rows
+
+            out_ds = out_ds.groupby(["doc_a", "doc_b"]).map_groups(
+                lambda g: g.head(1), batch_format="pandas"
+            )
+            sh = ds.map_batches(
+                lambda b: word_shingle_rows(
+                    b, id_col=args.id_col, text_col=args.text_col
+                ),
+                batch_format="pyarrow",
+            )
+            out_ds = pair_jaccard_verify(sh, out_ds, tau=args.verify_tau)
     elif args.curate_cmd == "substring":
         from .dedup.substring import clean_documents, removal_spans
 
@@ -1006,6 +1019,11 @@ def main(argv: list[str] | None = None) -> int:
         "near-pairs", help="MinHash+LSH candidate pairs (doc_a, doc_b)"
     )
     _cu_io(cun)
+    cun.add_argument(
+        "--verify-tau", type=float, default=None, metavar="TAU",
+        help="also verify candidates by exact shingle-Jaccard >= TAU "
+             "(data-plane join; output gains a jaccard_r column)",
+    )
     cus = cusub.add_parser(
         "substring", help="duplicated-span dedup (Lee et al. 2022)"
     )

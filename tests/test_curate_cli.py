@@ -59,6 +59,21 @@ def test_curate_near_pairs(ray_session, docs_src, capsys):
     assert res["rows"] >= 15
 
 
+def test_curate_near_pairs_verified(ray_session, docs_src, capsys):
+    src, tmp = docs_src
+    out = str(tmp / "pairs_verified_out")
+    rc, res = _run(capsys, [
+        "curate", "near-pairs", "--input", src, "--out", out,
+        "--verify-tau", "0.99",
+    ])
+    assert rc == 0
+    got = pq.read_table(out)
+    assert "jaccard_r" in got.column_names
+    # exactly the identical-doc pairs survive tau=0.99: C(6,2)=15
+    assert res["rows"] == 15
+    assert all(j >= 0.99 for j in got["jaccard_r"].to_pylist())
+
+
 def test_curate_substring_spans_and_clean(ray_session, docs_src, capsys):
     src, tmp = docs_src
     out = str(tmp / "spans_out")
