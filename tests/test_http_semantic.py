@@ -97,9 +97,18 @@ class TestTopkLocalParity:
         qs = rng.normal(size=(4, DIM))
         qids = np.array([-1, -2, 5, 10])
         for nprobe in (1, 2, N_CENT):
-            a = s.topk(qs, qids, 12, nprobe=nprobe)
-            b = s.topk_local(qs, qids, 12, nprobe=nprobe)
-            assert a.to_pylist() == b.to_pylist()
+            a = s.topk(qs, qids, 12, nprobe=nprobe).to_pylist()
+            b = s.topk_local(qs, qids, 12, nprobe=nprobe).to_pylist()
+            # (query_id, rank, vec_id) must match exactly; cos only to
+            # 1e-12 — multithreaded BLAS dot products are summation-order
+            # nondeterministic under load, so the two paths can differ in
+            # the last ULP (observed once in ~3 full-suite runs)
+            assert [(r["query_id"], r["rank"], r["vec_id"]) for r in a] == [
+                (r["query_id"], r["rank"], r["vec_id"]) for r in b
+            ]
+            assert all(
+                abs(x["cos"] - y["cos"]) < 1e-12 for x, y in zip(a, b)
+            )
 
     def test_accuracy_conflict(self, sem_srv):
         from code_indexer_ray.ann.store import VectorStoreSearcher
