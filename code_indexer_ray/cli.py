@@ -104,7 +104,25 @@ def _curate_cmd(args) -> int:
     """curate <op> — the LLM-curation operators as streaming CLI commands:
     pruned-column parquet in, partitioned parquet out (one file per block —
     a failed run can diff finished partitions and resume)."""
+    import os
+
     import ray.data as rd
+
+    # Ray's parquet sink APPENDS new uuid-named files — re-running into a
+    # populated directory would silently DUPLICATE rows.  Refuse unless
+    # --overwrite cleared it.
+    if os.path.isdir(args.out) and os.listdir(args.out):
+        if args.overwrite:
+            import shutil
+
+            shutil.rmtree(args.out)
+        else:
+            print(
+                f"output dir {args.out!r} is not empty — pass --overwrite to replace it "
+                "(a re-run into a populated dir would duplicate rows)",
+                file=sys.stderr,
+            )
+            return 1
 
     if args.curate_cmd == "exact":
         from .dedup.exact import dedup_exact
@@ -841,6 +859,13 @@ def main(argv: list[str] | None = None) -> int:
     )
     rmh.add_argument("--root", required=True)
     rmh.add_argument("--timeout", type=float, default=10.0)
+    rmu = rmsub.add_parser(
+        "uninstall",
+        help="unlink from the server: remove remote config + credential side"
+        " files only, preserve all project files (reference remote_uninstall.py)",
+    )
+    rmu.add_argument("--root", required=True)
+    rmu.add_argument("--dry-run", action="store_true", help="preview removals")
     rmq = rmsub.add_parser("query", help="run a query on the linked server")
     rmq.add_argument("--root", required=True)
     rmq.add_argument("query")
@@ -1010,6 +1035,10 @@ def main(argv: list[str] | None = None) -> int:
         sp.add_argument("--input", required=True, help="parquet file/dir of documents")
         if needs_out:
             sp.add_argument("--out", required=True, help="output parquet directory")
+            sp.add_argument(
+                "--overwrite", action="store_true",
+                help="replace a non-empty output dir (refused otherwise)",
+            )
         sp.add_argument("--id-col", default="doc_id")
         sp.add_argument("--text-col", default="text")
 
@@ -1043,6 +1072,10 @@ def main(argv: list[str] | None = None) -> int:
     )
     cud.add_argument("--input", required=True, help="parquet with (vec_id, embedding)")
     cud.add_argument("--out", required=True)
+    cud.add_argument(
+        "--overwrite", action="store_true",
+        help="replace a non-empty output dir (refused otherwise)",
+    )
     cud.add_argument("--k", type=int, default=64, help="k-means clusters")
     cud.add_argument("--iters", type=int, default=2)
     cud.add_argument("--tau", type=float, default=0.95)
@@ -1662,6 +1695,8 @@ def main(argv: list[str] | None = None) -> int:
             elif args.remote_cmd == "status":
                 rc = remotemod.RemoteClient(args.root)
                 print(json.dumps({"health": rc.health(), "stats": rc.stats()}))
+            elif args.remote_cmd == "uninstall":
+                print(json.dumps(remotemod.uninstall_remote(args.root, dry_run=args.dry_run)))
             elif args.remote_cmd == "health":
                 res = remotemod.check_remote_health(args.root, timeout=args.timeout)
                 print(json.dumps(res))

@@ -100,6 +100,39 @@ def init_remote(root: str, server_url: str, *, api_key: str | None = None,
     return cfg
 
 
+#: side files a remote link may leave next to the config (reference
+#: remote_uninstall.py removes .remote-config/.credential-cache/
+#: .server-session/.remote-metadata; this engine keeps everything in the
+#: one config file, the others are listed for forward compatibility)
+_REMOTE_SIDE_FILES = (
+    ".remote-tokens.json", ".remote-session.json", ".remote-metadata.json",
+)
+
+
+def uninstall_remote(root: str, *, dry_run: bool = False) -> dict:
+    """Safely unlink a root from its server (reference
+    ``remote_uninstall.py::RemoteUninstaller``): remove ONLY the remote
+    config + credential side files at ``root`` — never project files — and
+    return ``{"removed": [...], "preserved_root": root}``.  ``dry_run``
+    previews without deleting.  Raises ``RemoteConfigError`` when the root
+    has no remote config (nothing to uninstall)."""
+    cfg = _config_path(root)
+    if not os.path.exists(cfg):
+        raise RemoteConfigError(f"no remote config at {cfg}")
+    targets = [cfg] + [
+        p for name in _REMOTE_SIDE_FILES
+        if os.path.exists(p := os.path.join(root, name))
+    ]
+    if not dry_run:
+        for p in targets:
+            os.remove(p)
+    return {
+        "removed": [os.path.basename(p) for p in targets],
+        "dry_run": dry_run,
+        "preserved_root": os.path.abspath(root),
+    }
+
+
 def load_remote_config(root: str) -> dict:
     """Nearest remote config at or above ``root`` (the mode detector's
     walk), or RemoteConfigError."""

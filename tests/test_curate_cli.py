@@ -96,6 +96,23 @@ def test_curate_substring_spans_and_clean(ray_session, docs_src, capsys):
     assert n_removed.sum() > 0  # boilerplate actually left the corpus
 
 
+def test_curate_refuses_nonempty_out_without_overwrite(ray_session, docs_src, capsys):
+    src, tmp = docs_src
+    out = str(tmp / "guard_out")
+    rc, res = _run(capsys, ["curate", "exact", "--input", src, "--out", out])
+    assert rc == 0
+    n_first = res["rows"]
+    # re-run into the populated dir: refused (would duplicate rows)
+    rc = cli_main(["curate", "exact", "--input", src, "--out", out])
+    err = capsys.readouterr().err
+    assert rc == 1 and "--overwrite" in err
+    # with --overwrite: replaced, not appended
+    rc, res2 = _run(capsys, [
+        "curate", "exact", "--input", src, "--out", out, "--overwrite",
+    ])
+    assert rc == 0 and res2["rows"] == n_first
+
+
 def test_curate_mixture(ray_session, docs_src, capsys):
     src, tmp = docs_src
     out = str(tmp / "mix_out")

@@ -85,6 +85,33 @@ def test_proxy_mode(small_index, tmp_path, capsys):
     assert os.path.isdir(proot / "_proxy")
 
 
+def test_remote_uninstall(tmp_path, capsys):
+    import json as _json
+
+    from code_indexer_ray.query.remote import (
+        RemoteConfigError,
+        init_remote,
+        uninstall_remote,
+    )
+
+    root = tmp_path / "unlink"
+    root.mkdir()
+    (root / "keep.py").write_text("print('project file')\n")
+    init_remote(str(root), "http://127.0.0.1:9", api_key="k")
+    # dry-run previews without removing
+    res = uninstall_remote(str(root), dry_run=True)
+    assert res["dry_run"] and ".remote-config.json" in res["removed"]
+    assert (root / ".remote-config.json").exists()
+    # CLI removal: config gone, project files preserved
+    rc = cli_main(["remote", "uninstall", "--root", str(root)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0 and ".remote-config.json" in out["removed"]
+    assert not (root / ".remote-config.json").exists()
+    assert (root / "keep.py").exists()
+    with pytest.raises(RemoteConfigError):
+        uninstall_remote(str(root))
+
+
 def test_remote_mode_unreachable_exits_nonzero(tmp_path, capsys):
     from code_indexer_ray.query.remote import init_remote
 
