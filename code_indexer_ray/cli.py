@@ -913,6 +913,15 @@ def main(argv: list[str] | None = None) -> int:
     rpt.add_argument("--exclude", action="append", default=[])
     rpt.add_argument("--show-stats", action="store_true")
     rpt.add_argument("--url-col", default="url")
+    rpdm = rpsub.add_parser(
+        "describe",
+        help="static repo analysis -> cidx-meta description markdown "
+        "(reference repo_analyzer + description_generator)",
+    )
+    rpdm.add_argument("--tree", required=True, help="checkout to analyze")
+    rpdm.add_argument("--meta-dir", required=True, help="description corpus dir")
+    rpdm.add_argument("--name", default=None)
+    rpdm.add_argument("--url", default="")
     rpq = rpsub.add_parser("search", help="query one alias's current index")
     rpq.add_argument("--root", required=True)
     rpq.add_argument("--alias", required=True)
@@ -1774,6 +1783,16 @@ def main(argv: list[str] | None = None) -> int:
             elif args.users_cmd == "passwd":
                 um.set_password(args.username, _pw())
                 print(json.dumps({"password_changed": args.username}))
+        elif args.cmd == "repos" and args.repos_cmd == "describe":
+            import time as _time
+
+            from .repometa import describe_tree
+
+            path = describe_tree(
+                args.tree, args.meta_dir, name=args.name, repo_url=args.url,
+                generated_unix=int(_time.time()),
+            )
+            print(json.dumps({"description": path}))
         elif args.cmd == "repos":
             from .repos import GlobalRegistry
 
