@@ -671,6 +671,11 @@ def main(argv: list[str] | None = None) -> int:
     dr.add_argument("--stale-lock-after", type=float, default=300.0)
 
     st = sub.add_parser("stats", help="print manifest + per-partition metrics")
+    st.add_argument(
+        "--progress", action="store_true",
+        help="report build progress instead (derived from the build plan, "
+        "partition manifests and the heartbeated lock — works mid-build)",
+    )
     st.add_argument("--index", required=True)
 
     sg = sub.add_parser("suggest", help="spell suggestion / prefix completion")
@@ -1413,6 +1418,12 @@ def main(argv: list[str] | None = None) -> int:
         elif args.cmd == "stats":
             from .index.manifest import load_manifest
             from .query.proxy import ProxySearcher, detect_mode
+
+            if args.progress:
+                from .index.progress import build_progress
+
+                print(json.dumps(build_progress(args.index)))
+                return 0
 
             if detect_mode(args.index) == "proxy":
                 rows, perr = ProxySearcher(args.index).status()

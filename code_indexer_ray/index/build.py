@@ -889,6 +889,24 @@ def build_index(
 
     os.makedirs(out_dir, exist_ok=True)
 
+    # build plan: written before any work so progress observers know the
+    # expected partition count mid-build (reference progress/ +
+    # indexing_progress_log.py analog — see index/progress.py)
+    import time as _time
+
+    from .manifest import atomic_write_json as _awj
+
+    _awj(
+        os.path.join(out_dir, "_build_plan.json"),
+        {
+            "fingerprint": fingerprint,
+            "num_shards": num_shards,
+            "num_buckets": num_buckets,
+            "num_docs": int(n_docs),
+            "started_unix": int(_time.time()),
+        },
+    )
+
     # ---- ONE fused pass: docstore side-writes + tokenize → shuffle → encode.
     # The map stage writes its batch's stored fields to the doc store (atomic
     # per-(batch, shard) files) and emits postings — the corpus is read ONCE.
